@@ -1,0 +1,164 @@
+"""Manifest: the store's transaction log (the Spark-side analogue of the
+reference's MANIFEST/VersionSet machinery, kv/db/version_set.h:43-306 and
+kv/db/version_edit.cpp:12-254).
+
+A store directory looks like:
+
+    <path>/
+      _manifest/
+        000001.json      # full snapshot of the version after commit 1
+        000002.json
+        CURRENT          # name of the live manifest file
+      data/
+        b000000000000001-<uuid>/   # one directory per committed batch
+          part-*.parquet
+        compact-<n>-<uuid>/        # compaction outputs
+
+Each manifest JSON is a *complete* version (list of live files + counters),
+not a delta — at our commit rates (batch-level, not per-record) the
+manifest is tiny, and full snapshots make recovery trivial: read CURRENT,
+read one JSON, done (the reference replays a delta log instead,
+kv/db/version_set.cpp VersionSet::Recover).
+
+Commit protocol (single-writer, crash-safe):
+  1. write NNNNNN.json.tmp, fsync
+  2. os.rename to NNNNNN.json (atomic on POSIX)
+  3. write CURRENT.tmp + rename over CURRENT (atomic pointer swap — same
+     trick as the reference's SetCurrentFile, kv/db/filename.cpp)
+A crash between steps leaves either the old version live or the new one;
+never a torn state. Concurrent writers are out of scope round-1 (the
+reference also serializes all writers through one queue,
+kv/db/db_impl.cpp:1398-1414); the hook for multi-writer is a
+compare-and-swap on the CURRENT pointer.
+
+At 100 TB scale this metadata layer stays small: files are tracked at
+batch-directory granularity with min/max key stats, so manifest size grows
+with the number of *commits*, not rows; a long-lived store is kept compact
+by the compaction job folding many batch dirs into a few level dirs.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, field, asdict
+from typing import Any
+
+
+@dataclass
+class FileEntry:
+    """One live data directory (a committed batch or compaction output).
+
+    min_key/max_key allow manifest-level pruning for key-range queries —
+    the same role as FileMetaData.smallest/largest in the reference
+    (kv/db/version_edit.h); Parquet row-group stats then prune further
+    inside each file.
+    """
+
+    path: str  # relative to store root
+    seq_lo: int
+    seq_hi: int
+    rows: int
+    bytes: int
+    min_key: str | None = None
+    max_key: str | None = None
+    level: int = 0  # 0 = fresh batch, 1 = compacted
+
+
+@dataclass
+class Version:
+    version: int = 0
+    last_seq: int = 0
+    files: list[FileEntry] = field(default_factory=list)
+    # registered snapshots: name -> seq (kv/db/snapshot.h semantics; a
+    # snapshot is just a sequence number the compactor must keep visible)
+    snapshots: dict[str, int] = field(default_factory=dict)
+    schema: dict[str, Any] = field(default_factory=dict)
+
+    def to_json(self) -> str:
+        d = asdict(self)
+        return json.dumps(d, indent=1, sort_keys=True)
+
+    @staticmethod
+    def from_json(s: str) -> "Version":
+        d = json.loads(s)
+        d["files"] = [FileEntry(**f) for f in d.get("files", [])]
+        return Version(**d)
+
+
+class Manifest:
+    def __init__(self, store_path: str):
+        self.store_path = store_path
+        self.dir = os.path.join(store_path, "_manifest")
+
+    # -- lifecycle -----------------------------------------------------
+    def init(self, schema: dict[str, Any]) -> Version:
+        os.makedirs(self.dir, exist_ok=True)
+        os.makedirs(os.path.join(self.store_path, "data"), exist_ok=True)
+        v = Version(version=1, schema=schema)
+        self._write_version(v)
+        return v
+
+    def exists(self) -> bool:
+        return os.path.exists(os.path.join(self.dir, "CURRENT"))
+
+    def current(self) -> Version:
+        with open(os.path.join(self.dir, "CURRENT")) as f:
+            name = f.read().strip()
+        with open(os.path.join(self.dir, name)) as f:
+            return Version.from_json(f.read())
+
+    # -- commits -------------------------------------------------------
+    def commit(self, base: Version, *, add: list[FileEntry] = (),
+               remove: set[str] = frozenset(), last_seq: int | None = None,
+               snapshots: dict[str, int] | None = None) -> Version:
+        """Produce and durably install the next version. ``base`` must be
+        the current version (single-writer assumption)."""
+        nxt = Version(
+            version=base.version + 1,
+            last_seq=last_seq if last_seq is not None else base.last_seq,
+            files=[f for f in base.files if f.path not in remove] + list(add),
+            snapshots=dict(snapshots if snapshots is not None else base.snapshots),
+            schema=base.schema,
+        )
+        self._write_version(nxt)
+        return nxt
+
+    def _write_version(self, v: Version) -> None:
+        name = f"{v.version:06d}.json"
+        self._atomic_write(os.path.join(self.dir, name), v.to_json())
+        self._atomic_write(os.path.join(self.dir, "CURRENT"), name)
+
+    @staticmethod
+    def _atomic_write(path: str, content: str) -> None:
+        d = os.path.dirname(path)
+        fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(tmp, path)
+        except BaseException:
+            if os.path.exists(tmp):
+                os.unlink(tmp)
+            raise
+
+    # -- GC (reference: RemoveObsoleteFiles, kv/db/db_impl.cpp:248-320) --
+    def live_paths(self) -> set[str]:
+        return {f.path for f in self.current().files}
+
+    def vacuum(self) -> list[str]:
+        """Delete data dirs not referenced by the current version."""
+        import shutil
+
+        live = self.live_paths()
+        data_root = os.path.join(self.store_path, "data")
+        removed = []
+        for name in os.listdir(data_root):
+            rel = os.path.join("data", name)
+            if rel not in live:
+                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+                removed.append(rel)
+        return removed

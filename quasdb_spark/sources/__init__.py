@@ -1,0 +1,3 @@
+from quasdb_spark.sources.tables import load_table, load_tables, register_temp_views
+
+__all__ = ["load_table", "load_tables", "register_temp_views"]

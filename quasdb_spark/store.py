@@ -1,0 +1,386 @@
+"""KVStore — the engine's persistent ordered map (DB API parity).
+
+Spark-first re-expression of the reference's public query API
+(kv/include/db.h:41-110): Put/Delete/Write(batch)/Get/NewIterator(range,
+reverse, prefix)/GetSnapshot/CompactRange/GetApproximateSizes/GetProperty.
+
+Storage model (SURVEY.md §7.0): an append-only, seq-versioned op-log
+stored as sorted Parquet under ``data/``, with a JSON manifest
+transaction log under ``_manifest/``. Reads build a declarative "state
+view" (filter → LWW dedup → tombstone mask) and hand the whole plan to
+Catalyst: key-range predicates push down to the Parquet scan, the
+manifest prunes whole files by min/max key first, and AQE handles the
+rest.
+
+Log schema: (key STRING, seq LONG, sub LONG, op STRING, value STRING)
+  - seq: batch-level sequence, allocated monotonically by the manifest
+    (one per committed batch — the reference assigns consecutive per-op
+    seqs inside a batch, kv/db/db_impl.cpp:1423-1424; we split that into
+    (seq, sub) so bulk ingest never needs a global row ordering).
+  - sub: intra-batch order, only meaningful when one batch writes the
+    same key more than once (newest wins — WriteBatch replay order,
+    kv/db/write_batch.cpp:137-162).
+
+Scale notes (100 TB design review):
+  - Point get: manifest min/max prune → Parquet row-group prune → a
+    key-equality filter that reads a handful of row groups. No shuffle
+    when few files survive pruning (AQE collapses the tiny aggregate).
+  - Range scan: range predicate is pushed down; the LWW aggregate
+    shuffles only surviving rows, partially aggregated map-side.
+  - Ingest: one atomic manifest commit per batch — metadata, not data,
+    is the serialization point; data writes are fully parallel.
+  - Compaction folds many batch dirs into range-partitioned sorted
+    Parquet (repartitionByRange by key), restoring manifest-level
+    pruning power and bounding file counts — the leveled-compaction
+    analogue (kv/db/db_impl.cpp:1031-1220).
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+from quasdb_spark.manifest import FileEntry, Manifest, Version
+from quasdb_spark.plans.lww import state_view, state_view_window
+
+LOG_FIELDS = [("key", StringType()), ("seq", LongType()), ("sub", LongType()),
+              ("op", StringType()), ("value", StringType())]
+LOG_SCHEMA = StructType([StructField(n, t, True) for n, t in LOG_FIELDS])
+
+PUT, DEL = "put", "del"
+
+
+def prefix_successor(prefix: str) -> str | None:
+    """Smallest string greater than every string with ``prefix`` —
+    rewrites a prefix scan into a range scan (the reference's
+    FindShortSuccessor idea, kv/util/comparator.cpp:60-76)."""
+    # Operates in code-point space to match Spark's string comparison
+    # semantics (not raw UTF-8 bytes as the reference's comparator does).
+    cps = list(prefix)
+    while cps:
+        last = ord(cps[-1])
+        if last < 0x10FFFF:
+            # skip the surrogate gap, which is unencodable in UTF-8
+            nxt = 0xE000 if last == 0xD7FF else last + 1
+            return "".join(cps[:-1]) + chr(nxt)
+        cps.pop()
+    return None  # prefix was all U+10FFFF — unbounded
+
+
+class KVStore:
+    """A single store (one ordered keyspace). Thread-unsafe by design:
+    like the reference, all writers serialize (kv/db/db_impl.cpp:1398)."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = os.path.abspath(path)
+        self.manifest = Manifest(self.path)
+
+    # ---------------------------------------------------------- lifecycle
+    @classmethod
+    def create(cls, spark: SparkSession, path: str) -> "KVStore":
+        st = cls(spark, path)
+        if st.manifest.exists():
+            raise FileExistsError(f"store already exists at {path}")
+        st.manifest.init(schema={"columns": [n for n, _ in LOG_FIELDS]})
+        return st
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "KVStore":
+        st = cls(spark, path)
+        if not st.manifest.exists():
+            raise FileNotFoundError(f"no store at {path}")
+        return st
+
+    @classmethod
+    def open_or_create(cls, spark: SparkSession, path: str) -> "KVStore":
+        st = cls(spark, path)
+        if not st.manifest.exists():
+            st.manifest.init(schema={"columns": [n for n, _ in LOG_FIELDS]})
+        return st
+
+    def destroy(self) -> None:
+        """DestroyDB analogue (kv/db/db_impl.cpp:1790-1825)."""
+        import shutil
+
+        shutil.rmtree(self.path, ignore_errors=True)
+
+    # ------------------------------------------------------------- writes
+    def put(self, key: str, value: str) -> int:
+        return self.write_batch([(PUT, key, value)])
+
+    def delete(self, key: str) -> int:
+        """Tombstone write; deleting a missing key is not an error
+        (kv/include/db.h:69)."""
+        return self.write_batch([(DEL, key, None)])
+
+    def write_batch(self, ops: list[tuple[str, str, str | None]]) -> int:
+        """Atomically apply [(op, key, value), ...]; returns the batch's
+        seq. Atomicity = single manifest commit: either the whole batch
+        is in the current version or none of it is (WriteBatch,
+        kv/include/write_batch.h:11-59)."""
+        if not ops:
+            return self.manifest.current().last_seq
+        ver = self.manifest.current()
+        seq = ver.last_seq + 1
+        # intra-batch order: position in the list, per the reference's
+        # replay-in-order semantics
+        rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(ops)]
+        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
+        self._commit_append(ver, df, seq, n_rows=len(rows))
+        return seq
+
+    def ingest(self, df: DataFrame, *, op_col: str | None = None,
+               key_col: str = "key", value_col: str = "value",
+               sub_col: str | None = None) -> int:
+        """Bulk atomic ingest of a DataFrame as ONE batch (one seq).
+
+        ``op_col`` None means all rows are puts. ``sub_col`` provides the
+        intra-batch order for same-key rows; without it, same-key rows
+        within one bulk batch have no defined order (documented
+        relaxation — pass sub_col when it matters). No global sort or
+        window is imposed, so this scales linearly.
+        """
+        ver = self.manifest.current()
+        seq = ver.last_seq + 1
+        out = df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.lit(seq).cast("long").alias("seq"),
+            (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
+            (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        n = self._commit_append(ver, out, seq)
+        return seq
+
+    def _commit_append(self, ver: Version, df: DataFrame, seq: int,
+                       n_rows: int | None = None) -> int:
+        rel = os.path.join("data", f"b{seq:015d}-{uuid.uuid4().hex[:8]}")
+        full = os.path.join(self.path, rel)
+        # Sort within partitions by key: gives each Parquet file tight
+        # min/max row-group stats for later range pruning (the SSTable
+        # sorted-order analogue) without a global shuffle.
+        df.sortWithinPartitions("key").write.mode("errorifexists").parquet(full)
+        stats = self._dir_stats(full)
+        entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
+                          rows=n_rows if n_rows is not None else stats["rows"],
+                          bytes=stats["bytes"], min_key=stats["min_key"],
+                          max_key=stats["max_key"], level=0)
+        self.manifest.commit(ver, add=[entry], last_seq=seq)
+        return entry.rows
+
+    def _dir_stats(self, full_path: str) -> dict:
+        import pyarrow.parquet as pq
+
+        rows, nbytes, mins, maxs = 0, 0, [], []
+        for root, _dirs, files in os.walk(full_path):
+            for fn in files:
+                if not fn.endswith(".parquet"):
+                    continue
+                p = os.path.join(root, fn)
+                nbytes += os.path.getsize(p)
+                md = pq.ParquetFile(p).metadata
+                rows += md.num_rows
+                try:
+                    idx = md.schema.to_arrow_schema().get_field_index("key")
+                    for rg in range(md.num_row_groups):
+                        st = md.row_group(rg).column(idx).statistics
+                        if st and st.has_min_max:
+                            mins.append(st.min)
+                            maxs.append(st.max)
+                except Exception:
+                    pass
+        as_str = lambda x: x.decode() if isinstance(x, bytes) else x
+        return {"rows": rows, "bytes": nbytes,
+                "min_key": as_str(min(mins)) if mins else None,
+                "max_key": as_str(max(maxs)) if maxs else None}
+
+    # -------------------------------------------------------------- reads
+    def log_df(self, *, key_from: str | None = None, key_to: str | None = None,
+               asof: int | None = None) -> DataFrame:
+        """Raw op-log DataFrame over manifest-pruned files.
+
+        Manifest-level pruning by (min_key, max_key) and seq mirrors the
+        reference's FindFile level pruning (kv/db/version_set.cpp:96-119);
+        Parquet stats prune row groups inside the surviving files.
+        """
+        ver = self.manifest.current()
+        paths = []
+        for f in ver.files:
+            if asof is not None and f.seq_lo > asof:
+                continue
+            if key_from is not None and f.max_key is not None and f.max_key < key_from:
+                continue
+            if key_to is not None and f.min_key is not None and f.min_key >= key_to:
+                continue
+            paths.append(os.path.join(self.path, f.path))
+        if not paths:
+            return self.spark.createDataFrame([], LOG_SCHEMA)
+        df = self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
+        if key_from is not None:
+            df = df.where(F.col("key") >= key_from)
+        if key_to is not None:
+            df = df.where(F.col("key") < key_to)
+        if asof is not None:
+            df = df.where(F.col("seq") <= asof)
+        return df
+
+    def state(self, asof: int | None = None, *, key_from: str | None = None,
+              key_to: str | None = None) -> DataFrame:
+        """The live (key, value) map at ``asof`` (DBIter semantics)."""
+        log = self.log_df(key_from=key_from, key_to=key_to, asof=asof)
+        return state_view(log, None).select("key", "value")
+
+    def get(self, key: str, asof: int | None = None) -> str | None:
+        """Point lookup (kv/db/db_impl.cpp:1292-1349). Returns None for
+        missing/deleted keys (NotFound convention → None)."""
+        rows = (self.state(asof, key_from=key, key_to=key + "\0")
+                .where(F.col("key") == key).limit(1).collect())
+        return rows[0]["value"] if rows else None
+
+    def scan(self, key_from: str | None = None, key_to: str | None = None, *,
+             asof: int | None = None, reverse: bool = False,
+             limit: int | None = None, prefix: str | None = None) -> DataFrame:
+        """Ordered range scan [key_from, key_to) — the NewIterator +
+        Seek/Next/Prev surface (kv/db/db_impl.cpp:1351-1362). Reverse scan
+        = ORDER BY key DESC (DBIter::Prev, kv/db/db_iter.cpp:230-314).
+        ``limit`` turns the global sort into TakeOrderedAndProject."""
+        if prefix is not None:
+            key_from, key_to = prefix, prefix_successor(prefix)
+        out = self.state(asof, key_from=key_from, key_to=key_to)
+        out = out.orderBy(F.col("key").desc() if reverse else F.col("key").asc())
+        if limit is not None:
+            out = out.limit(limit)
+        return out
+
+    def versions(self, key: str, asof: int | None = None) -> DataFrame:
+        """All versions of a key, newest first (debug/introspection)."""
+        log = self.log_df(key_from=key, key_to=key + "\0", asof=asof)
+        return state_view_window(log.where(F.col("key") == key), None,
+                                 keep_versions=1 << 30)
+
+    # --------------------------------------------------------- snapshots
+    def snapshot(self, name: str | None = None) -> int:
+        """GetSnapshot (kv/db/db_impl.cpp:1373-1383): registers the
+        current last_seq so compaction retains visibility at it. Returns
+        the seq to pass as ``asof``. Unregistered as-of reads also work
+        (data is immutable until compaction drops old versions)."""
+        ver = self.manifest.current()
+        name = name or f"s{ver.last_seq}-{uuid.uuid4().hex[:6]}"
+        snaps = dict(ver.snapshots)
+        snaps[name] = ver.last_seq
+        self.manifest.commit(ver, snapshots=snaps)
+        return ver.last_seq
+
+    def release_snapshot(self, name_or_seq: str | int) -> None:
+        ver = self.manifest.current()
+        snaps = {n: s for n, s in ver.snapshots.items()
+                 if n != name_or_seq and s != name_or_seq}
+        self.manifest.commit(ver, snapshots=snaps)
+
+    # -------------------------------------------------------- maintenance
+    def compact(self, *, target_files: int | None = None) -> dict:
+        """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220).
+
+        Rewrites the whole log keeping, per key, (a) the newest version
+        and (b) the newest version <= each registered snapshot seq; when
+        no snapshots are registered, tombstone rows are dropped entirely
+        (obsolete-tombstone purge, kv/db/db_impl.cpp:1113-1130). Output is
+        range-partitioned by key and sorted, restoring pruning power.
+        State views at the latest seq and at every registered snapshot
+        are bitwise-identical before and after (compaction-invariance,
+        tested).
+        """
+        ver = self.manifest.current()
+        if not ver.files:
+            return {"files_before": 0, "files_after": 0}
+        log = self.log_df()
+        snaps = sorted(set(ver.snapshots.values()))
+        keep = self._retention_filter(log, snaps, ver.last_seq)
+
+        n_out = target_files or max(1, min(len(ver.files), 32))
+        rel = os.path.join("data", f"compact-{ver.version:06d}-{uuid.uuid4().hex[:8]}")
+        full = os.path.join(self.path, rel)
+        (keep.repartitionByRange(n_out, "key")
+             .sortWithinPartitions("key", "seq", "sub")
+             .write.mode("errorifexists").parquet(full))
+        stats = self._dir_stats(full)
+        entry = FileEntry(path=rel, seq_lo=0, seq_hi=ver.last_seq,
+                          rows=stats["rows"], bytes=stats["bytes"],
+                          min_key=stats["min_key"], max_key=stats["max_key"],
+                          level=1)
+        old_paths = {f.path for f in ver.files}
+        self.manifest.commit(ver, add=[entry], remove=old_paths)
+        gone = self.manifest.vacuum()
+        before = sum(f.bytes for f in ver.files)
+        return {"files_before": len(ver.files), "files_after": 1,
+                "bytes_before": before, "bytes_after": stats["bytes"],
+                "dirs_removed": len(gone)}
+
+    @staticmethod
+    def _retention_filter(log: DataFrame, snaps: list[int], last_seq: int) -> DataFrame:
+        """Rows visible at any retained point {snaps..., latest}.
+
+        Implemented as: explode each row to the retained points it is
+        visible at (seq <= point), keep rows that win max_by(seq, sub)
+        for at least one point. Retained points are few (a broadcast-able
+        literal array), so this is one map-side explode + one partial-agg
+        groupBy — no O(versions) window sort.
+        """
+        points = sorted(set(snaps + [last_seq]))
+        pts = F.array(*[F.lit(p).cast("long") for p in points])
+        ex = log.withColumn("_pt", F.explode(F.filter(pts, lambda p: p >= F.col("seq"))))
+        winners = (ex.groupBy("key", "_pt")
+                     .agg(F.max(F.struct("seq", "sub")).alias("_w"))
+                     .select("key", F.col("_w.seq").alias("seq"),
+                             F.col("_w.sub").alias("sub"))
+                     .distinct())
+        kept = log.join(winners, ["key", "seq", "sub"], "left_semi")
+        if not snaps:
+            # no snapshots: only latest state is retained → tombstones
+            # whose older versions are all gone can be purged too
+            kept = kept.where(F.col("op") != F.lit(DEL))
+        return kept
+
+    # ------------------------------------------------------ introspection
+    def approximate_sizes(self, ranges: list[tuple[str, str]]) -> list[int]:
+        """GetApproximateSizes (kv/db/db_impl.cpp:1699-1717): sum bytes of
+        manifest files overlapping each [start, limit) range — same
+        file-granularity estimate the reference produces from its index
+        blocks, no data read."""
+        ver = self.manifest.current()
+        out = []
+        for start, limit in ranges:
+            total = 0
+            for f in ver.files:
+                if f.max_key is not None and f.max_key < start:
+                    continue
+                if f.min_key is not None and f.min_key >= limit:
+                    continue
+                total += f.bytes
+            out.append(total)
+        return out
+
+    def properties(self) -> dict:
+        """GetProperty surface (kv/db/db_impl.cpp:1621-1697)."""
+        ver = self.manifest.current()
+        by_level: dict[int, list[FileEntry]] = {}
+        for f in ver.files:
+            by_level.setdefault(f.level, []).append(f)
+        return {
+            "quasdb.version": ver.version,
+            "quasdb.last-seq": ver.last_seq,
+            "quasdb.num-files": len(ver.files),
+            "quasdb.total-bytes": sum(f.bytes for f in ver.files),
+            "quasdb.total-rows": sum(f.rows for f in ver.files),
+            "quasdb.snapshots": dict(ver.snapshots),
+            "quasdb.stats": {
+                lvl: {"files": len(fs), "bytes": sum(f.bytes for f in fs),
+                      "rows": sum(f.rows for f in fs)}
+                for lvl, fs in sorted(by_level.items())
+            },
+        }

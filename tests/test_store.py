@@ -1,0 +1,247 @@
+"""Model-based KV store tests, mirroring the reference's randomized
+oracle harness (kv/test/table_test.cpp:159-846: random op sequences
+checked against a std::map) and its recovery/compaction suites.
+"""
+
+import random
+
+import pytest
+
+from quasdb_spark.store import KVStore, prefix_successor
+
+
+def _mk(spark, tmp_path, name="store"):
+    return KVStore.create(spark, str(tmp_path / name))
+
+
+class DictOracle:
+    """The std::map oracle: replay ops, answer get/scan/asof."""
+
+    def __init__(self):
+        self.history = []  # list of (seq, dict-state snapshot)
+        self.state = {}
+        self.seq = 0
+
+    def apply_batch(self, ops, seq):
+        for op, k, v in ops:
+            if op == "put":
+                self.state[k] = v
+            else:
+                self.state.pop(k, None)
+        self.seq = seq
+        self.history.append((seq, dict(self.state)))
+
+    def at(self, asof):
+        best = {}
+        for seq, snap in self.history:
+            if seq <= asof:
+                best = snap
+        return best
+
+
+def random_ops(rng, n, keyspace, del_ratio=0.25):
+    ops = []
+    for _ in range(n):
+        k = f"key{rng.randrange(keyspace):06d}"
+        if rng.random() < del_ratio:
+            ops.append(("del", k, None))
+        else:
+            ops.append(("put", k, f"v{rng.randrange(10**6)}"))
+    return ops
+
+
+def test_demo_roundtrip(spark, tmp_path):
+    """The reference demo workload (demo.cpp:13-36): put, get, overwrite,
+    delete, get-missing."""
+    st = _mk(spark, tmp_path)
+    st.put("name", "quasdb")
+    assert st.get("name") == "quasdb"
+    st.put("name", "quasdb2")
+    assert st.get("name") == "quasdb2"
+    st.delete("name")
+    assert st.get("name") is None
+    assert st.get("never-written") is None
+
+
+def test_batch_atomic_and_intra_batch_order(spark, tmp_path):
+    """Same key written many times in one batch: last one wins
+    (WriteBatch replay order, kv/db/write_batch.cpp:137-162)."""
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", "a", "1"), ("put", "a", "2"), ("del", "a", None),
+                    ("put", "a", "3"), ("put", "b", "x"), ("del", "b", None)])
+    assert st.get("a") == "3"
+    assert st.get("b") is None
+
+
+def test_empty_value_and_edge_keys(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.put("k", "")
+    st.put("", "empty-key")
+    assert st.get("k") == ""
+    assert st.get("") == "empty-key"
+
+
+@pytest.mark.parametrize("n_batches,ops_per,keyspace", [(8, 25, 30), (5, 60, 10)])
+def test_randomized_model(spark, tmp_path, n_batches, ops_per, keyspace):
+    """Randomized harness: batches of skewed random put/del vs dict
+    oracle — get, full scan, range scan, reverse, as-of."""
+    rng = random.Random(42 + n_batches)
+    st = _mk(spark, tmp_path, f"rnd{n_batches}")
+    oracle = DictOracle()
+    seqs = []
+    for _ in range(n_batches):
+        ops = random_ops(rng, ops_per, keyspace)
+        seq = st.write_batch(ops)
+        oracle.apply_batch(ops, seq)
+        seqs.append(seq)
+
+    # full scan == oracle state, sorted
+    got = [(r["key"], r["value"]) for r in st.scan().collect()]
+    assert got == sorted(oracle.state.items())
+
+    # reverse scan
+    got_r = [(r["key"], r["value"]) for r in st.scan(reverse=True).collect()]
+    assert got_r == sorted(oracle.state.items(), reverse=True)
+
+    # range scan [lo, hi)
+    lo, hi = "key000003", f"key{keyspace // 2:06d}"
+    got_rng = [(r["key"], r["value"]) for r in st.scan(lo, hi).collect()]
+    assert got_rng == sorted((k, v) for k, v in oracle.state.items() if lo <= k < hi)
+
+    # point gets across the keyspace
+    for i in range(keyspace):
+        k = f"key{i:06d}"
+        assert st.get(k) == oracle.state.get(k), k
+
+    # as-of (every historical batch boundary)
+    for seq in seqs:
+        expect = oracle.at(seq)
+        got_asof = [(r["key"], r["value"]) for r in st.scan(asof=seq).collect()]
+        assert got_asof == sorted(expect.items()), f"asof={seq}"
+
+
+def test_seek_and_limit(spark, tmp_path):
+    """Seek(target) = first key >= target; LIMIT paging (S3-S5)."""
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"k{i:03d}", str(i)) for i in range(50)])
+    first = st.scan("k025", limit=1).collect()
+    assert first[0]["key"] == "k025"
+    # keyset pagination: 10 at a time, forward
+    page, seen = None, []
+    while True:
+        df = st.scan(page, limit=10) if page else st.scan(limit=10)
+        rows = df.collect()
+        if not rows:
+            break
+        seen += [r["key"] for r in rows]
+        page = rows[-1]["key"] + "\0"
+    assert seen == [f"k{i:03d}" for i in range(50)]
+
+
+def test_prefix_scan(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", "a:1", "1"), ("put", "a:2", "2"),
+                    ("put", "ab", "x"), ("put", "b:1", "3")])
+    got = [r["key"] for r in st.scan(prefix="a:").collect()]
+    assert got == ["a:1", "a:2"]
+
+
+def test_prefix_successor():
+    assert prefix_successor("abc") == "abd"
+    assert prefix_successor("a\xff") == "aĀ"
+    assert prefix_successor("a" + chr(0x10FFFF)) == "b"
+    assert prefix_successor("") is None
+
+
+def test_snapshot_isolation_and_release(spark, tmp_path):
+    """Snapshot reads unchanged by later writes (kv/db/snapshot.h);
+    re-running an old asof after more ingests is stable."""
+    st = _mk(spark, tmp_path)
+    st.put("k", "v1")
+    s1 = st.snapshot("s1")
+    st.put("k", "v2")
+    st.delete("k")
+    assert st.get("k") is None
+    assert st.get("k", asof=s1) == "v1"
+    st.put("k", "v3")
+    assert st.get("k", asof=s1) == "v1"  # still stable
+    props = st.properties()
+    assert props["quasdb.snapshots"]["s1"] == s1
+    st.release_snapshot("s1")
+    assert "s1" not in st.properties()["quasdb.snapshots"]
+
+
+def test_compaction_invariance_and_shrink(spark, tmp_path):
+    """Dense-overwrite workload (autocompact_test.cpp pattern): bytes
+    shrink, state view identical before/after at latest AND at a
+    retained snapshot."""
+    st = _mk(spark, tmp_path)
+    rng = random.Random(7)
+    for b in range(6):
+        st.write_batch([("put", f"key{i:04d}", f"v{b}-{rng.randrange(1000)}")
+                        for i in range(40)])
+    snap = st.snapshot("keep")
+    st.write_batch([("del", f"key{i:04d}", None) for i in range(0, 40, 2)])
+    st.write_batch([("put", f"key{i:04d}", "final") for i in range(0, 40, 3)])
+
+    before_latest = sorted((r["key"], r["value"]) for r in st.scan().collect())
+    before_snap = sorted((r["key"], r["value"]) for r in st.scan(asof=snap).collect())
+    stats = st.compact()
+    after_latest = sorted((r["key"], r["value"]) for r in st.scan().collect())
+    after_snap = sorted((r["key"], r["value"]) for r in st.scan(asof=snap).collect())
+
+    assert after_latest == before_latest
+    assert after_snap == before_snap
+    assert stats["files_after"] < stats["files_before"]
+    # dense overwrites: compaction must drop shadowed versions
+    assert st.properties()["quasdb.total-rows"] < 6 * 40 + 40
+
+
+def test_compaction_purges_tombstones_without_snapshots(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"k{i}", "v") for i in range(10)])
+    st.write_batch([("del", f"k{i}", None) for i in range(5)])
+    st.compact()
+    assert st.properties()["quasdb.total-rows"] == 5
+    assert sorted(r["key"] for r in st.scan().collect()) == [f"k{i}" for i in range(5, 10)]
+
+
+def test_reopen_recovery(spark, tmp_path):
+    """Recovery semantics (kv/test/recovery_test.cpp): reopening the
+    store sees exactly the committed state."""
+    path = tmp_path / "reopen"
+    st = KVStore.create(spark, str(path))
+    st.put("a", "1")
+    st.write_batch([("put", "b", "2"), ("del", "a", None)])
+    del st
+    st2 = KVStore.open(spark, str(path))
+    assert st2.get("a") is None
+    assert st2.get("b") == "2"
+    assert st2.manifest.current().last_seq == 2
+
+
+def test_approximate_sizes_and_properties(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"a{i:03d}", "x" * 50) for i in range(100)])
+    st.write_batch([("put", f"z{i:03d}", "y" * 50) for i in range(100)])
+    sizes = st.approximate_sizes([("a", "b"), ("z", "zz"), ("m", "n")])
+    assert sizes[0] > 0 and sizes[1] > 0 and sizes[2] == 0
+    props = st.properties()
+    assert props["quasdb.num-files"] == 2
+    assert props["quasdb.total-rows"] == 200
+
+
+def test_bulk_ingest(spark, tmp_path, sf_dir):
+    """Bulk ingest the events table as one atomic batch keyed by
+    event_id; spot-check LWW state."""
+    st = _mk(spark, tmp_path)
+    from quasdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    df = ev.selectExpr("cast(event_id as string) as key",
+                       "cast(value as string) as value")
+    st.ingest(df)
+    n = ev.count()
+    assert st.state().count() == n
+    row = ev.where("event_id = 7").collect()[0]
+    assert st.get("7") == str(row["value"])
