@@ -1,0 +1,116 @@
+"""Text-analysis functions for large-scale training-data pipelines.
+
+No reference counterpart (SURVEY.md §2.7 — charter extension). All
+implemented as built-in JVM expressions over the ``documents`` table
+schema (doc_id, text, lang, source, n_chars): tokenization, stats,
+quality scoring, language-ID heuristic, and content fingerprinting.
+Everything is whole-stage-codegen friendly — no Python UDFs — so a
+100 TB corpus scan is a single map-only pass (no shuffle at all until
+an aggregate is requested).
+
+Determinism contract: token rules use only ASCII whitespace/regex
+semantics shared by Java and RE2 regex engines, and hashing is md5,
+so DuckDB oracles reproduce results exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Chosen to be regex-free single tokens.
+STOPWORDS = {
+    "en": ["the", "and", "of", "to", "a", "in", "is", "it"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu"],
+    "fr": ["le", "la", "les", "et", "est", "un", "une", "que"],
+    "es": ["el", "la", "los", "las", "es", "un", "una", "que"],
+}
+
+
+def tokens(text_col: str | Column = "text") -> Column:
+    """Whitespace tokens of trimmed, lower-cased text."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.lower(F.trim(c)), r"\s+")
+
+
+def token_count(text_col: str | Column = "text") -> Column:
+    return F.size(tokens(text_col))
+
+
+def stopword_hits(text_col: str | Column, lang: str) -> Column:
+    """Number of tokens (non-distinct) that are stopwords of ``lang``."""
+    lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])
+    return F.size(F.filter(tokens(text_col), lambda t: F.array_contains(lst, t)))
+
+
+def text_stats(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document statistics: token count, char count, average token
+    length, alphabetic-character ratio, punctuation ratio."""
+    toks = tokens(text_col)
+    n_char = F.length(F.col(text_col))
+    n_alpha = n_char - F.length(F.regexp_replace(F.col(text_col), "[a-zA-Z]", ""))
+    n_punct = n_char - F.length(
+        F.regexp_replace(F.col(text_col), "[.,;:!?'\"()]", ""))
+    return (df
+            .withColumn("n_tokens", F.size(toks))
+            .withColumn("n_chars_computed", n_char)
+            .withColumn("avg_token_len",
+                        F.round(F.aggregate(toks, F.lit(0).cast("long"),
+                                            lambda acc, t: acc + F.length(t))
+                                .cast("double") / F.size(toks), 4))
+            .withColumn("alpha_ratio",
+                        F.round(n_alpha.cast("double") / n_char, 4))
+            .withColumn("punct_ratio",
+                        F.round(n_punct.cast("double") / n_char, 4)))
+
+
+def quality_score(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Heuristic quality score in [0,1]: rewards alphabetic content and
+    reasonable length, penalizes punctuation soup. The exact formula is
+    arbitrary; what matters is it's cheap, deterministic, and monotone
+    in the obvious signals (the shape used by C4/CCNet-style filters).
+    """
+    s = text_stats(df, text_col)
+    score = (0.5 * F.col("alpha_ratio")
+             + 0.3 * F.least(F.lit(1.0), F.col("n_tokens") / F.lit(100.0))
+             + 0.2 * (1.0 - F.least(F.lit(1.0), 5.0 * F.col("punct_ratio"))))
+    # round to 5: the score grid has exactly 5 decimals, so 4 would
+    # sit on rounding midpoints and diverge across engines
+    return s.withColumn("quality_score", F.round(score, 5))
+
+
+def langid(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Stopword-hit language ID. Emits per-language hit counts and the
+    argmax guess ('und' when no stopwords hit at all). Deterministic
+    tie-break: higher count wins, then lexicographic language code."""
+    out = df
+    for lang in STOPWORDS:
+        out = out.withColumn(f"hits_{lang}", stopword_hits(text_col, lang))
+    # argmax via max_by over a (count, lang) struct: count desc, then
+    # lang asc — encode lang ascending by comparing on (count, negated
+    # rank) … simplest deterministic form: greatest of structs with
+    # inverted lexicographic tiebreak is messy, so do explicit CASE.
+    langs = sorted(STOPWORDS)  # tie falls to the first in this order
+    best = F.lit("und")
+    best_hits = F.lit(0)
+    for lang in langs:
+        c = F.col(f"hits_{lang}")
+        better = c > best_hits
+        best = F.when(better, F.lit(lang)).otherwise(best)
+        best_hits = F.when(better, c).otherwise(best_hits)
+    return out.withColumn("lang_guess", best)
+
+
+def fingerprint(df: DataFrame, text_col: str = "text",
+                out_col: str = "fingerprint") -> DataFrame:
+    """Content fingerprint: md5 over the sorted distinct token set —
+    invariant to token order and repetition (bag-of-words identity)."""
+    toks = F.array_sort(F.array_distinct(tokens(text_col)))
+    return df.withColumn(out_col, F.md5(F.concat_ws(" ", toks)))
+
+
+def exact_fingerprint(text_col: str | Column = "text") -> Column:
+    """md5 of whitespace-normalized lower-cased text — exact-dup key."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))

@@ -1,0 +1,207 @@
+"""Deduplication operators for training-data pipelines (charter
+extension — no reference counterpart, SURVEY.md §2.7).
+
+Exact, MinHash+LSH, SimHash, and n-gram-Jaccard dedup over a document
+corpus. All hashing is md5 (cross-engine reproducible: DuckDB oracles
+produce identical values), all comparisons are deterministic, and every
+stage is built-in-expression only (whole-stage codegen; the per-doc
+signature computation is a map-only pass).
+
+Scale design (100 TB corpus):
+- signatures are computed map-side, one pass, no shuffle;
+- LSH banding turns the O(n²) all-pairs problem into a groupBy on band
+  keys + within-bucket pairing, so shuffle volume is (docs × bands) and
+  pair generation only happens inside buckets;
+- the Jaccard verify join carries shingle arrays only for candidate
+  pairs (a tiny fraction of the corpus);
+- exact dedup is a hash-groupBy with map-side combine.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from quasdb_spark.functions.text import exact_fingerprint, tokens
+
+N_MINHASH = 8  # minhash signature length; bands of 4 → 2 bands
+
+
+def shingles(text_col="text", n: int = 3) -> F.Column:
+    """Distinct n-word shingles (the unit of near-dup comparison)."""
+    w = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]))
+    # guard: sequence(0, negative) would generate a DESCENDING sequence
+    # for docs shorter than n tokens
+    return F.when(F.size(w) >= n, F.array_distinct(grams)) \
+            .otherwise(F.array().cast("array<string>"))
+
+
+def with_shingles(df: DataFrame, text_col: str = "text", n: int = 3) -> DataFrame:
+    return df.withColumn("shingles", shingles(text_col, n))
+
+
+def minhash_signature(df: DataFrame, text_col: str = "text", *,
+                      n_hashes: int = N_MINHASH, shingle_n: int = 3) -> DataFrame:
+    """MinHash signature: for each seed, the minimum md5 over the
+    document's shingles. Lexicographic min of fixed-width lowercase hex
+    == numeric min, so signatures are portable strings.
+
+    One map-only pass; O(shingles × n_hashes) per doc, all JVM-side.
+    """
+    sh = shingles(text_col, shingle_n)
+    out = df.withColumn("_sh", sh)
+
+    def hasher(seed: int):
+        tag = F.lit(f"#{seed}")
+        # NB: the lambda must take exactly ONE parameter — F.transform
+        # passes the element index to a second parameter if present.
+        return lambda s: F.md5(F.concat(s, tag))
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_sh"), hasher(seed)))
+        for seed in range(n_hashes)])
+    return out.withColumn("minhash_sig", sig).drop("_sh")
+
+
+def lsh_band_keys(sig_col: str = "minhash_sig", *, n_bands: int = 2,
+                  rows_per_band: int = N_MINHASH // 2) -> list[F.Column]:
+    """Band keys: md5 of each band's concatenated signature slice.
+    Docs sharing any band key are near-dup candidates."""
+    keys = []
+    for b in range(n_bands):
+        lo = b * rows_per_band
+        parts = [F.element_at(F.col(sig_col), i + 1) for i in range(lo, lo + rows_per_band)]
+        keys.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
+    return keys
+
+
+def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
+                            text_col: str = "text", *,
+                            n_hashes: int = N_MINHASH, n_bands: int = 2,
+                            shingle_n: int = 3) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    shuffle = docs × n_bands rows keyed by band hash; pairs are formed
+    only within buckets (self-join on band key), deduped across bands.
+    """
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(df, text_col, n_hashes=n_hashes, shingle_n=shingle_n)
+    bands = sig.select(
+        F.col(id_col),
+        F.explode(F.array(*[k for k in lsh_band_keys(
+            n_bands=n_bands, rows_per_band=rows_per_band)])).alias("band_key"))
+    a = bands.alias("a")
+    b = bands.alias("b")
+    pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"))
+              .distinct())
+    return pairs
+
+
+def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
+                  text_col: str = "text", *, shingle_n: int = 3,
+                  threshold: float = 0.5) -> DataFrame:
+    """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
+    Arrays travel only for candidate pairs (broadcast-able when the
+    candidate set is small; hash join otherwise)."""
+    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n) \
+        .select(id_col, "shingles")
+    j = (pairs
+         .join(sh.withColumnRenamed(id_col, "id_a")
+                 .withColumnRenamed("shingles", "sh_a"), "id_a")
+         .join(sh.withColumnRenamed(id_col, "id_b")
+                 .withColumnRenamed("shingles", "sh_b"), "id_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (j.withColumn("jaccard", F.round(inter.cast("double") / union, 4))
+             .where(F.col("jaccard") >= threshold)
+             .select("id_a", "id_b", "jaccard"))
+
+
+def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
+                   text_col: str = "text", *, threshold: float = 0.5,
+                   shingle_n: int = 3) -> DataFrame:
+    """MinHash-LSH candidates → exact Jaccard verification."""
+    cands = minhash_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n)
+    return jaccard_pairs(df, cands, id_col, text_col,
+                         shingle_n=shingle_n, threshold=threshold)
+
+
+def exact_dedup(df: DataFrame, id_col: str = "doc_id",
+                text_col: str = "text") -> DataFrame:
+    """Exact duplicate groups on normalized-text md5: every doc mapped
+    to its group fingerprint, group size, and canonical (min-id) doc.
+    Hash groupBy — map-side combine, shuffle one row per distinct text."""
+    fp = df.select(F.col(id_col), exact_fingerprint(text_col).alias("fingerprint"))
+    groups = (fp.groupBy("fingerprint")
+                .agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.min(id_col).alias("canonical_id")))
+    return groups
+
+
+def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
+            *, bits: int = 60) -> DataFrame:
+    """SimHash over distinct tokens: bit i of the hash is 1 iff a
+    majority of token-md5s have bit i set (ties → 0). Emitted as a
+    ``bits``-char '0'/'1' string (MSB first) — portable, no int64
+    overflow concerns.
+
+    Implemented as explode(tokens) → md5 → per-bit conditional sums in
+    ONE hash aggregate (map-side partial agg; shuffle is docs × 1 row of
+    ``bits`` counters). Hex digits are decoded arithmetically so the
+    DuckDB oracle can mirror it exactly.
+    """
+    toks = (df.select(F.col(id_col),
+                      F.explode(F.array_distinct(tokens(text_col))).alias("_t"))
+              .withColumn("_h", F.md5(F.col("_t"))))
+    digit_of = "instr('0123456789abcdef', substring(_h, {pos}, 1)) - 1"
+    aggs, names = [], []
+    for i in range(bits):
+        pos = i // 4 + 1   # hex char position, 1-based
+        bit = i % 4        # bit within that hex digit, 3=MSB of digit
+        d = digit_of.format(pos=pos)
+        expr = f"sum(case when (({d}) div {2 ** (3 - bit)}) % 2 = 1 then 1 else 0 end)"
+        name = f"_c{i}"
+        aggs.append(F.expr(expr).alias(name))
+        names.append(name)
+    counted = toks.groupBy(id_col).agg(
+        F.count(F.lit(1)).alias("_n"), *aggs)
+    bitstr = F.concat(*[
+        F.when(F.col(n) * 2 > F.col("_n"), F.lit("1")).otherwise(F.lit("0"))
+        for n in names])
+    return counted.select(F.col(id_col), bitstr.alias("simhash"),
+                          F.col("_n").alias("n_tokens"))
+
+
+def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", *,
+                          max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
+    """Near-dup pairs by SimHash Hamming distance, bucketed by bit
+    prefix so only same-prefix docs are compared (the classic
+    Charikar/Manku trick, here with one prefix block).
+
+    For a full-recall version, repeat with rotated bit blocks; this
+    single-block variant documents the pattern and keeps the pair join
+    bounded.
+    """
+    s = sim.select(F.col(id_col), "simhash",
+                   F.substring("simhash", 1, prefix_bits).alias("_bucket"))
+    a, b = s.alias("a"), s.alias("b")
+    pairs = (a.join(b, (F.col("a._bucket") == F.col("b._bucket")) &
+                    (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
+              .select(F.col(f"a.{id_col}").alias("id_a"),
+                      F.col(f"b.{id_col}").alias("id_b"),
+                      F.col("a.simhash").alias("sh_a"),
+                      F.col("b.simhash").alias("sh_b")))
+    # hamming distance between equal-length bit strings
+    ham = F.size(F.filter(
+        F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""),
+                   lambda x, y: x != y),
+        lambda v: v))
+    return (pairs.withColumn("hamming", ham)
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))

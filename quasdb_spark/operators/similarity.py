@@ -1,0 +1,123 @@
+"""Similarity search over embedding columns (charter extension —
+no reference counterpart, SURVEY.md §2.7).
+
+Brute-force cosine top-k as the exact baseline, and a bucketed variant
+as the approximate scale path. Vector math uses built-in higher-order
+functions (zip_with + aggregate) in double precision — JVM-side, no
+Python UDF, sequential left-fold summation so results are reproducible.
+
+Scale design (billions of vectors):
+- brute-force: broadcast the (small) query set, score map-side, then
+  per-query top-k via window — shuffle carries only candidates;
+- bucketed (LSH/IVF shape): assign each vector to a bucket key map-side,
+  score only within the probe's bucket(s). The bucket function here is
+  sign-bits of leading dimensions (deterministic); swap in random
+  hyperplanes or k-means centroids (IVF) for production recall — the
+  plumbing (bucket column, per-bucket topk) is identical.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Sequential-fold dot product in double (deterministic)."""
+    return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
+                       F.lit(0.0), lambda acc, v: acc + v)
+
+
+def norm(a: Column) -> Column:
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a: Column, b: Column) -> Column:
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def _as_double(col: str) -> Column:
+    return F.col(col).cast("array<double>")
+
+
+def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                id_col: str = "vec_id", vec_col: str = "embedding",
+                query_id_col: str | None = None) -> DataFrame:
+    """Exact top-k neighbors per query by cosine similarity.
+
+    ``queries`` is expected to be small → broadcast; scoring is a
+    map-side nested loop over broadcast queries (no shuffle of the
+    corpus), then one window per query for top-k.
+    """
+    qid = query_id_col or id_col
+    q = queries.select(F.col(qid).alias("query_id"),
+                       _as_double(vec_col).alias("_qv"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("_vv"))
+    scored = (F.broadcast(q).crossJoin(v)
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id",
+                          (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def sign_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
+    """Deterministic LSH-style bucket: sign bits of the first n_bits
+    dimensions, as a bit string. Production recall: replace with random
+    hyperplane projections (same column contract)."""
+    v = _as_double(vec_col)
+    return F.concat(*[
+        F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
+        for i in range(n_bits)])
+
+
+def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  n_bits: int = 8) -> DataFrame:
+    """Approximate top-k: score only vectors in the query's bucket.
+
+    The bucket equality join replaces the cross join — shuffle/compare
+    volume drops by ~2^n_bits. Same output contract as cosine_topk
+    (rank within bucket).
+    """
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_qv"),
+                       sign_bucket(vec_col, n_bits).alias("_bucket"))
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("_vv"),
+                       sign_bucket(vec_col, n_bits).alias("_bucket"))
+    scored = (F.broadcast(q).join(v, "_bucket")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id",
+                          (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         subset_mod: int | None = None) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+
+    ``subset_mod`` restricts the left side to ids ≡ 0 (mod m) — the
+    exact-baseline harness knob; the scale path is bucketed blocking
+    (see bucketed_topk) before pairwise scoring.
+    """
+    a = vectors.select(F.col(id_col).alias("id_a"),
+                       _as_double(vec_col).alias("_va"))
+    if subset_mod:
+        a = a.where(F.col("id_a") % subset_mod == 0)
+    b = vectors.select(F.col(id_col).alias("id_b"),
+                       _as_double(vec_col).alias("_vb"))
+    pairs = (F.broadcast(a).crossJoin(b)
+             .where(F.col("id_a") < F.col("id_b"))
+             .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+             .where(F.col("score") >= threshold))
+    return pairs.select("id_a", "id_b", (F.round("score", 4) + F.lit(0.0)).alias("score"))

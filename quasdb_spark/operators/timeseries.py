@@ -1,0 +1,222 @@
+"""Time-series operators — the typed face of the "tiny time series
+database" (reference README.md:1-2; the reference realizes time series as
+key-encoded range scans over its ordered KV map, kv/include/db.h:38-41 —
+here they are first-class DataFrame operators).
+
+Every operator is a pure DataFrame→DataFrame function built from
+built-in JVM expressions (no Python UDFs), so Catalyst/AQE handle
+pushdown, partial aggregation, and skew. Scale notes are on each op.
+
+Determinism: every operator that orders within a key takes a unique
+``tiebreak_col`` so results are stable across engines and runs.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def tumbling(df: DataFrame, ts_col: str, duration: str, *,
+             keys: list[str] | None = None,
+             aggs: list[F.Column] | None = None) -> DataFrame:
+    """Tumbling-window aggregate (epoch-aligned, e.g. '1 hour').
+
+    Scale: map-side partial agg → shuffle only (keys × windows) groups.
+    """
+    keys = keys or []
+    win = F.window(F.col(ts_col), duration)
+    out = (df.groupBy(win.alias("w"), *keys)
+             .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
+    return out.withColumn("window_start", F.col("w.start")).drop("w")
+
+
+def sliding(df: DataFrame, ts_col: str, duration: str, slide: str, *,
+            keys: list[str] | None = None,
+            aggs: list[F.Column] | None = None) -> DataFrame:
+    """Sliding-window aggregate: each row lands in duration/slide
+    overlapping windows (Spark's window() emits one row per window —
+    the explode happens map-side before partial aggregation)."""
+    keys = keys or []
+    win = F.window(F.col(ts_col), duration, slide)
+    out = (df.groupBy(win.alias("w"), *keys)
+             .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
+    return out.withColumn("window_start", F.col("w.start")).drop("w")
+
+
+def downsample_last(df: DataFrame, ts_col: str, bucket: str, keys: list[str],
+                    value_cols: list[str], tiebreak_col: str) -> DataFrame:
+    """Per (keys, bucket): the row with the greatest (ts, tiebreak) —
+    'last observation per interval' downsampling.
+
+    Uses max_by over a struct (one hash aggregate with map-side combine,
+    no window sort) — at 100 TB this shuffles one row per bucket, not
+    every observation.
+    """
+    win = F.window(F.col(ts_col), bucket)
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    payload = F.struct(*[F.col(c) for c in value_cols])
+    out = (df.groupBy(win.alias("w"), *keys)
+             .agg(F.max_by(payload, order).alias("_last"),
+                  F.count(F.lit(1)).alias("n_obs")))
+    return (out.select(*keys, F.col("w.start").alias("bucket_start"),
+                       *[F.col(f"_last.{c}").alias(c) for c in value_cols],
+                       "n_obs"))
+
+
+def asof_join(left: DataFrame, right: DataFrame, on: list[str],
+              left_ts: str, right_ts: str, *,
+              right_cols: list[str], tolerance_seconds: int | None = None,
+              how: str = "inner") -> DataFrame:
+    """As-of join: for each left row, the newest right row with
+    right_ts <= left_ts on the same keys.
+
+    Implemented as union + running ``last(..., ignoreNulls)`` window —
+    ONE shuffle by the join keys and a single sort, instead of a range
+    join that explodes to |left|×|right-per-key| comparisons. This is
+    the scalable shape for 100 TB: cost is a sort-merge pass per key
+    partition, skew handled by AQE.
+
+    At equal timestamps the right row is considered visible (<=), so
+    rights sort before lefts at the same instant.
+    """
+    lcols = left.columns
+    marker = F.lit(1)
+    lpart = (left.withColumn("_t", F.col(left_ts))
+                 .withColumn("_is_left", marker)
+                 .select(*on, "_t", "_is_left",
+                         F.struct(*[F.col(c) for c in lcols]).alias("_l"),
+                         F.lit(None).cast(right.select(*right_cols).schema).alias("_r")))
+    rpart = (right.withColumn("_t", F.col(right_ts))
+                  .withColumn("_is_left", F.lit(0))
+                  .select(*on, "_t", "_is_left",
+                          F.lit(None).cast(left.select(*lcols).schema).alias("_l"),
+                          F.struct(*[F.col(c) for c in right_cols]).alias("_r")))
+    u = lpart.unionByName(rpart)
+    w = (Window.partitionBy(*on)
+               .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    matched = (u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
+                .where(F.col("_is_left") == 1))
+    if tolerance_seconds is not None:
+        # match only counts if within tolerance of the left timestamp
+        ok = (F.col("_match").isNotNull() &
+              (F.unix_timestamp(F.col("_t")) -
+               F.unix_timestamp(F.col(f"_match.{right_ts}")) <= tolerance_seconds))
+        matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
+    if how == "inner":
+        matched = matched.where(F.col("_match").isNotNull())
+    return matched.select(
+        *[F.col(f"_l.{c}").alias(c) for c in lcols],
+        *[F.col(f"_match.{c}").alias(f"right_{c}") for c in right_cols])
+
+
+def sessionize(df: DataFrame, ts_col: str, keys: list[str],
+               gap_seconds: int, tiebreak_col: str) -> DataFrame:
+    """Gap-based sessions: a new session starts when the time since the
+    previous event on the same keys exceeds ``gap_seconds``.
+
+    lag + conditional cumulative sum — two passes over one
+    key-partitioned sort (a single shuffle).
+    """
+    order = [F.col(ts_col).asc(), F.col(tiebreak_col).asc()]
+    w = Window.partitionBy(*keys).orderBy(*order)
+    prev = F.lag(F.col(ts_col)).over(w)
+    is_new = (prev.isNull() |
+              (F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(prev)
+               > F.lit(gap_seconds))).cast("long")
+    sess = df.withColumn("_new", is_new).withColumn(
+        "session_id", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    return sess.drop("_new")
+
+
+def session_stats(df: DataFrame, ts_col: str, keys: list[str],
+                  gap_seconds: int, tiebreak_col: str) -> DataFrame:
+    """Per-session rollup: start/end/duration/event count."""
+    s = sessionize(df, ts_col, keys, gap_seconds, tiebreak_col)
+    return (s.groupBy(*keys, "session_id")
+             .agg(F.min(ts_col).alias("session_start"),
+                  F.max(ts_col).alias("session_end"),
+                  (F.unix_timestamp(F.max(ts_col)) -
+                   F.unix_timestamp(F.min(ts_col))).alias("duration_s"),
+                  F.count(F.lit(1)).alias("n_events")))
+
+
+def moving_agg(df: DataFrame, ts_col: str, keys: list[str], value_col: str,
+               n_preceding: int, tiebreak_col: str,
+               agg: str = "avg") -> DataFrame:
+    """Rows-based moving aggregate over the previous ``n_preceding``
+    rows + current, per key, ordered by (ts, tiebreak)."""
+    w = (Window.partitionBy(*keys)
+               .orderBy(F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+               .rowsBetween(-n_preceding, Window.currentRow))
+    fn = getattr(F, agg)
+    return df.withColumn(f"mov_{agg}", fn(F.col(value_col)).over(w))
+
+
+def rate(df: DataFrame, ts_col: str, keys: list[str], value_col: str,
+         tiebreak_col: str) -> DataFrame:
+    """Per-key rate of change vs the previous observation:
+    (value - prev_value) / (epoch_seconds - prev_epoch_seconds)."""
+    w = Window.partitionBy(*keys).orderBy(
+        F.col(ts_col).asc(), F.col(tiebreak_col).asc())
+    pv = F.lag(F.col(value_col)).over(w)
+    pt = F.lag(F.col(ts_col)).over(w)
+    dt = F.unix_timestamp(F.col(ts_col)) - F.unix_timestamp(pt)
+    return df.withColumn(
+        "rate", (F.col(value_col) - pv) / F.nullif(dt.cast("double"), F.lit(0.0)))
+
+
+def topk_per_group(df: DataFrame, keys: list[str], order_col: str,
+                   k: int, tiebreak_col: str, *,
+                   descending: bool = True) -> DataFrame:
+    """Top-k rows per group by ``order_col`` (ties broken by the unique
+    tiebreak column). row_number over a key-partitioned sort; at scale
+    AQE splits skewed key partitions."""
+    oc = F.col(order_col).desc() if descending else F.col(order_col).asc()
+    w = Window.partitionBy(*keys).orderBy(oc, F.col(tiebreak_col).asc())
+    return (df.withColumn("rank", F.row_number().over(w))
+              .where(F.col("rank") <= k))
+
+
+def gapfill(df: DataFrame, ts_col: str, bucket_seconds: int,
+            keys: list[str], agg_col: F.Column,
+            fill_value=0) -> DataFrame:
+    """Dense time grid per key: aggregate to buckets, then join against
+    the full per-key [min, max] bucket range (sequence + explode) and
+    fill missing buckets.
+
+    Scale: the grid is generated per key from that key's own span (no
+    driver-side collect, no global grid materialization).
+    """
+    bucketed = (df.withColumn(
+        "_b", F.timestamp_seconds(
+            (F.unix_timestamp(F.col(ts_col)) / bucket_seconds)
+            .cast("long") * bucket_seconds))
+        .groupBy(*keys, "_b").agg(agg_col.alias("agg_value")))
+    spans = (bucketed.groupBy(*keys)
+             .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi")))
+    grid = spans.select(
+        *keys,
+        F.explode(F.sequence(
+            F.col("_lo"), F.col("_hi"),
+            F.expr(f"interval {bucket_seconds} seconds"))).alias("bucket_start"))
+    joined = grid.join(
+        bucketed.withColumnRenamed("_b", "bucket_start"),
+        on=[*keys, "bucket_start"], how="left")
+    return joined.withColumn(
+        "agg_value", F.coalesce(F.col("agg_value"), F.lit(fill_value)))
+
+
+def first_last(df: DataFrame, ts_col: str, keys: list[str],
+               value_col: str, tiebreak_col: str) -> DataFrame:
+    """Per key: first and last observed value, observation count —
+    min_by/max_by hash aggregate (map-side combine, no window)."""
+    order = F.struct(F.col(ts_col), F.col(tiebreak_col))
+    return (df.groupBy(*keys)
+              .agg(F.min_by(F.col(value_col), order).alias("first_value"),
+                   F.max_by(F.col(value_col), order).alias("last_value"),
+                   F.min(ts_col).alias("first_ts"),
+                   F.max(ts_col).alias("last_ts"),
+                   F.count(F.lit(1)).alias("n_obs")))

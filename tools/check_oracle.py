@@ -1,0 +1,97 @@
+"""Local replica of the driver's correctness gate: run every suite
+query on Spark AND its DuckDB oracle at a given sf, compare row count,
+column names, and order-insensitive values.
+
+Usage: python tools/check_oracle.py [sf_dir] [query_name ...]
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import duckdb  # noqa: E402
+
+from quasdb_spark import suite  # noqa: E402
+from quasdb_spark.session import get_spark  # noqa: E402
+from quasdb_spark.sources.tables import TABLES  # noqa: E402
+
+
+def norm_cell(v):
+    if v is None:
+        return "∅"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "nan"
+        return repr(v)
+    if isinstance(v, dt.datetime):
+        return v.replace(tzinfo=None).isoformat()
+    return str(v)
+
+
+def norm_rows(cols, rows):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = [tuple(norm_cell(r[i]) for i in order) for r in rows]
+    return sorted(cols), sorted(out)
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", master="local[16]",
+                      extra_conf={"spark.sql.shuffle.partitions": "16"})
+    con = duckdb.connect()
+    for t in TABLES:
+        p = f"{sf_dir}/{t}.parquet"
+        if os.path.exists(p):
+            con.sql(f"CREATE VIEW {t} AS FROM '{p}'")
+
+    failures = []
+    for name, fn in suite.QUERIES.items():
+        if only and name not in only:
+            continue
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            continue
+        sql = suite.ORACLES.get(name)
+        if sql is None:
+            print(f"skip  {name}: no oracle (rows={len(srows)})")
+            continue
+        try:
+            rel = con.sql(sql)
+            ocols = list(rel.columns)
+            orows = rel.fetchall()
+        except Exception as e:
+            failures.append(name)
+            print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:300]}")
+            continue
+        sc, sr = norm_rows(scols, srows)
+        oc, orr = norm_rows(ocols, orows)
+        if sc != oc:
+            failures.append(name)
+            print(f"FAIL  {name}: schema {sc} != {oc}")
+        elif len(sr) != len(orr):
+            failures.append(name)
+            print(f"FAIL  {name}: rowcount {len(sr)} != {len(orr)}")
+        elif sr != orr:
+            failures.append(name)
+            diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
+            print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+        else:
+            print(f"ok    {name} ({len(sr)} rows)")
+    print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
+    spark.stop()
+    sys.exit(1 if failures else 0)
+
+
+if __name__ == "__main__":
+    main()
