@@ -75,6 +75,12 @@ class Version:
     # snapshot is just a sequence number the compactor must keep visible)
     snapshots: dict[str, int] = field(default_factory=dict)
     schema: dict[str, Any] = field(default_factory=dict)
+    # streaming exactly-once bookkeeping: stream_id -> last committed
+    # micro-batch id (foreachBatch may replay a batch after failure; a
+    # batch whose id is <= the recorded one must be a no-op — the same
+    # role as the reference's log-number/seq recovery checks,
+    # kv/db/db_impl.cpp:322-560)
+    streams: dict[str, int] = field(default_factory=dict)
 
     def to_json(self) -> str:
         d = asdict(self)
@@ -112,7 +118,8 @@ class Manifest:
     # -- commits -------------------------------------------------------
     def commit(self, base: Version, *, add: list[FileEntry] = (),
                remove: set[str] = frozenset(), last_seq: int | None = None,
-               snapshots: dict[str, int] | None = None) -> Version:
+               snapshots: dict[str, int] | None = None,
+               streams: dict[str, int] | None = None) -> Version:
         """Produce and durably install the next version. ``base`` must be
         the current version (single-writer assumption)."""
         nxt = Version(
@@ -121,6 +128,7 @@ class Manifest:
             files=[f for f in base.files if f.path not in remove] + list(add),
             snapshots=dict(snapshots if snapshots is not None else base.snapshots),
             schema=base.schema,
+            streams=dict(streams if streams is not None else base.streams),
         )
         self._write_version(nxt)
         return nxt

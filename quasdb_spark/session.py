@@ -59,7 +59,17 @@ def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
     if master is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
         master = f"local[{cpus}]"
+    # Python workers unpickle Pandas-UDF closures by reference to this
+    # package — make it importable for them regardless of the driver's
+    # cwd. Local mode: PYTHONPATH inherited by worker processes; on a
+    # real cluster ship the package via --py-files / pip instead.
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pp = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pp.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{pp}" if pp else pkg_root
     builder = SparkSession.builder.appName(app_name).master(master)
+    builder = builder.config("spark.executorEnv.PYTHONPATH",
+                             os.environ["PYTHONPATH"])
     conf = dict(_DEFAULTS)
     if extra_conf:
         conf.update(extra_conf)

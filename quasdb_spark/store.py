@@ -157,8 +157,36 @@ class KVStore:
         n = self._commit_append(ver, out, seq)
         return seq
 
+    def ingest_batch(self, df: DataFrame, stream_id: str, batch_id: int,
+                     **ingest_kwargs) -> int | None:
+        """Idempotent micro-batch ingest for Structured Streaming
+        (foreachBatch). A replayed batch (id <= last committed for this
+        stream) is a no-op, giving exactly-once store commits on top of
+        at-least-once batch delivery — the WAL-recovery analogue
+        (kv/db/db_impl.cpp:322-560). Returns the batch seq, or None if
+        the batch was already committed."""
+        ver = self.manifest.current()
+        if ver.streams.get(stream_id, -1) >= batch_id:
+            return None
+        seq = ver.last_seq + 1
+        key_col = ingest_kwargs.pop("key_col", "key")
+        value_col = ingest_kwargs.pop("value_col", "value")
+        op_col = ingest_kwargs.pop("op_col", None)
+        sub_col = ingest_kwargs.pop("sub_col", None)
+        out = df.select(
+            F.col(key_col).cast("string").alias("key"),
+            F.lit(seq).cast("long").alias("seq"),
+            (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
+            (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
+            F.col(value_col).cast("string").alias("value"),
+        )
+        self._commit_append(ver, out, seq,
+                            streams={**ver.streams, stream_id: batch_id})
+        return seq
+
     def _commit_append(self, ver: Version, df: DataFrame, seq: int,
-                       n_rows: int | None = None) -> int:
+                       n_rows: int | None = None,
+                       streams: dict[str, int] | None = None) -> int:
         rel = os.path.join("data", f"b{seq:015d}-{uuid.uuid4().hex[:8]}")
         full = os.path.join(self.path, rel)
         # Sort within partitions by key: gives each Parquet file tight
@@ -170,7 +198,7 @@ class KVStore:
                           rows=n_rows if n_rows is not None else stats["rows"],
                           bytes=stats["bytes"], min_key=stats["min_key"],
                           max_key=stats["max_key"], level=0)
-        self.manifest.commit(ver, add=[entry], last_seq=seq)
+        self.manifest.commit(ver, add=[entry], last_seq=seq, streams=streams)
         return entry.rows
 
     def _dir_stats(self, full_path: str) -> dict:

@@ -1,0 +1,51 @@
+"""Streaming windowed aggregation with late-data handling.
+
+The reference has no streaming window semantics (SURVEY.md §2.7) — this
+is the charter's Structured-Streaming face of the time-series operators
+(operators/timeseries.py): same window shapes, plus watermarks so state
+is bounded on an unbounded stream.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+
+def watermarked_tumbling(stream: DataFrame, ts_col: str, duration: str,
+                         watermark: str, *, keys: list[str] | None = None,
+                         aggs: list[Column] | None = None) -> DataFrame:
+    """Tumbling windows over an event-time stream; rows later than
+    ``watermark`` behind the max seen event time are dropped and window
+    state older than that is evicted (bounded state at any scale)."""
+    keys = keys or []
+    wm = stream.withWatermark(ts_col, watermark)
+    out = (wm.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+             .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
+    return (out.withColumn("window_start", F.col("w.start"))
+               .withColumn("window_end", F.col("w.end")).drop("w"))
+
+
+def watermarked_sliding(stream: DataFrame, ts_col: str, duration: str,
+                        slide: str, watermark: str, *,
+                        keys: list[str] | None = None,
+                        aggs: list[Column] | None = None) -> DataFrame:
+    keys = keys or []
+    wm = stream.withWatermark(ts_col, watermark)
+    out = (wm.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *keys)
+             .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
+    return (out.withColumn("window_start", F.col("w.start"))
+               .withColumn("window_end", F.col("w.end")).drop("w"))
+
+
+def stream_sessions(stream: DataFrame, ts_col: str, gap: str, watermark: str,
+                    *, keys: list[str] | None = None,
+                    aggs: list[Column] | None = None) -> DataFrame:
+    """Gap-based session windows (session_window) — the streaming
+    counterpart of operators.timeseries.sessionize."""
+    keys = keys or []
+    wm = stream.withWatermark(ts_col, watermark)
+    out = (wm.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
+             .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
+    return (out.withColumn("session_start", F.col("w.start"))
+               .withColumn("session_end", F.col("w.end")).drop("w"))

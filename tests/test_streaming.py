@@ -1,0 +1,96 @@
+"""Streaming ingest + recovery tests (the reference's WAL/recovery
+semantics, kv/test/recovery_test.cpp:184-382, re-expressed as
+Structured Streaming checkpoint recovery + idempotent batch commits).
+"""
+
+import json
+import os
+
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql.types import (LongType, StringType, StructField, StructType)
+
+from quasdb_spark.store import KVStore
+from quasdb_spark.streaming import stream_ingest, watermarked_tumbling
+
+OPS_SCHEMA = StructType([
+    StructField("key", StringType()), StructField("value", StringType()),
+    StructField("op", StringType()), StructField("sub", LongType())])
+
+
+def _write_ops_file(dir_path, name, ops):
+    os.makedirs(dir_path, exist_ok=True)
+    with open(os.path.join(dir_path, name), "w") as f:
+        for i, (op, k, v) in enumerate(ops):
+            f.write(json.dumps({"key": k, "value": v, "op": op, "sub": i}) + "\n")
+
+
+def test_stream_ingest_and_recovery(spark, tmp_path):
+    """File-source micro-batches land as atomic store commits; a second
+    run from the same checkpoint ingests only new files; replaying an
+    already-committed batch id is a no-op."""
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    st = KVStore.create(spark, str(tmp_path / "store"))
+
+    _write_ops_file(src, "b0.json", [("put", "a", "1"), ("put", "b", "2")])
+    _write_ops_file(src, "b1.json", [("del", "a", None), ("put", "c", "3")])
+
+    stream = (spark.readStream.schema(OPS_SCHEMA)
+              .option("maxFilesPerTrigger", "1").json(src))
+    q = stream_ingest(st, stream, ckpt, op_col="op", sub_col="sub")
+    q.awaitTermination(120)
+
+    assert st.get("a") is None
+    assert st.get("b") == "2"
+    assert st.get("c") == "3"
+    seq_after_first = st.manifest.current().last_seq
+    assert seq_after_first >= 2  # at least two micro-batch commits
+
+    # restart from the same checkpoint with one new file: only it lands
+    _write_ops_file(src, "b2.json", [("put", "b", "9")])
+    stream2 = (spark.readStream.schema(OPS_SCHEMA)
+               .option("maxFilesPerTrigger", "1").json(src))
+    q2 = stream_ingest(st, stream2, ckpt, op_col="op", sub_col="sub")
+    q2.awaitTermination(120)
+    assert st.get("b") == "9"
+    assert st.get("c") == "3"
+
+    # idempotence: replaying an old batch id directly is a no-op
+    ver = st.manifest.current()
+    df = spark.createDataFrame([("zz", "boom", "put", 0)], OPS_SCHEMA)
+    out = st.ingest_batch(df, "ingest", 0, op_col="op", sub_col="sub")
+    assert out is None
+    assert st.get("zz") is None
+    assert st.manifest.current().version == ver.version
+
+
+def test_stream_windowed_agg(spark, tmp_path, sf_dir):
+    """Watermarked tumbling agg over a bounded stream of the events
+    table equals the batch tumbling agg (complete drain, no late
+    drops)."""
+    from quasdb_spark.operators.timeseries import tumbling
+    from quasdb_spark.sources.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    # stage events as a file stream
+    src = str(tmp_path / "events_stream")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    agg = watermarked_tumbling(
+        stream, "ts", "1 hour", "1 minute", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n")])
+    out_dir = str(tmp_path / "agg_out")
+    q = (agg.writeStream.format("memory").queryName("winagg")
+         .outputMode("complete")
+         .option("checkpointLocation", out_dir)
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = {(r["window_start"], r["event_type"]): r["n"]
+           for r in spark.sql("select * from winagg").collect()}
+    expect = {(r["window_start"], r["event_type"]): r["n"]
+              for r in tumbling(ev, "ts", "1 hour", keys=["event_type"],
+                                aggs=[F.count(F.lit(1)).alias("n")]).collect()}
+    assert got == expect
