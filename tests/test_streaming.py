@@ -18,11 +18,19 @@ OPS_SCHEMA = StructType([
     StructField("op", StringType()), StructField("sub", LongType())])
 
 
-def _write_ops_file(dir_path, name, ops):
+_MTIME_BASE = 1_700_000_000
+
+
+def _write_ops_file(dir_path, name, ops, order: int = 0):
+    """Write one micro-batch file with an explicit mtime: Spark's file
+    source orders by modification time, and sub-second writes can tie —
+    pin distinct mtimes so batch order is deterministic in the test."""
     os.makedirs(dir_path, exist_ok=True)
-    with open(os.path.join(dir_path, name), "w") as f:
+    path = os.path.join(dir_path, name)
+    with open(path, "w") as f:
         for i, (op, k, v) in enumerate(ops):
             f.write(json.dumps({"key": k, "value": v, "op": op, "sub": i}) + "\n")
+    os.utime(path, (_MTIME_BASE + order, _MTIME_BASE + order))
 
 
 def test_stream_ingest_and_recovery(spark, tmp_path):
@@ -33,8 +41,8 @@ def test_stream_ingest_and_recovery(spark, tmp_path):
     ckpt = str(tmp_path / "ckpt")
     st = KVStore.create(spark, str(tmp_path / "store"))
 
-    _write_ops_file(src, "b0.json", [("put", "a", "1"), ("put", "b", "2")])
-    _write_ops_file(src, "b1.json", [("del", "a", None), ("put", "c", "3")])
+    _write_ops_file(src, "b0.json", [("put", "a", "1"), ("put", "b", "2")], order=0)
+    _write_ops_file(src, "b1.json", [("del", "a", None), ("put", "c", "3")], order=1)
 
     stream = (spark.readStream.schema(OPS_SCHEMA)
               .option("maxFilesPerTrigger", "1").json(src))
@@ -48,7 +56,7 @@ def test_stream_ingest_and_recovery(spark, tmp_path):
     assert seq_after_first >= 2  # at least two micro-batch commits
 
     # restart from the same checkpoint with one new file: only it lands
-    _write_ops_file(src, "b2.json", [("put", "b", "9")])
+    _write_ops_file(src, "b2.json", [("put", "b", "9")], order=2)
     stream2 = (spark.readStream.schema(OPS_SCHEMA)
                .option("maxFilesPerTrigger", "1").json(src))
     q2 = stream_ingest(st, stream2, ckpt, op_col="op", sub_col="sub")
