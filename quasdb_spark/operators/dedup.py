@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from quasdb_spark.functions.text import exact_fingerprint, tokens
+from quasdb_spark.plans.parallel import ensure_parallelism
 
 N_MINHASH = 8  # minhash signature length; bands of 4 → 2 bands
 
@@ -51,8 +52,10 @@ def minhash_signature(df: DataFrame, text_col: str = "text", *,
 
     One map-only pass; O(shingles × n_hashes) per doc, all JVM-side.
     """
-    sh = shingles(text_col, shingle_n)
-    out = df.withColumn("_sh", sh)
+    if "shingles" in df.columns:
+        out = df.withColumn("_sh", F.col("shingles"))
+    else:
+        out = ensure_parallelism(df).withColumn("_sh", shingles(text_col, shingle_n))
 
     def hasher(seed: int):
         tag = F.lit(f"#{seed}")
@@ -109,8 +112,11 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
     """Verify candidate pairs with exact shingle-set Jaccard ≥ threshold.
     Arrays travel only for candidate pairs (broadcast-able when the
     candidate set is small; hash join otherwise)."""
-    sh = with_shingles(df.select(id_col, text_col), text_col, shingle_n) \
-        .select(id_col, "shingles")
+    if "shingles" in df.columns:
+        sh = df.select(id_col, "shingles")
+    else:
+        sh = with_shingles(ensure_parallelism(df.select(id_col, text_col)),
+                           text_col, shingle_n).select(id_col, "shingles")
     j = (pairs
          .join(sh.withColumnRenamed(id_col, "id_a")
                  .withColumnRenamed("shingles", "sh_a"), "id_a")
@@ -126,9 +132,18 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", *, threshold: float = 0.5,
                    shingle_n: int = 3) -> DataFrame:
-    """MinHash-LSH candidates → exact Jaccard verification."""
-    cands = minhash_candidate_pairs(df, id_col, text_col, shingle_n=shingle_n)
-    return jaccard_pairs(df, cands, id_col, text_col,
+    """MinHash-LSH candidates → exact Jaccard verification.
+
+    Shingles are computed ONCE and cached: the candidate-generation
+    branch and the verify branch both read the same shingled
+    DataFrame (at 100 TB this halves the dominant map cost; the cache
+    holds shingle arrays, ~2-3× the text bytes, spilling to disk)."""
+    shingled = with_shingles(
+        ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
+    ).persist()
+    cands = minhash_candidate_pairs(shingled, id_col, text_col,
+                                    shingle_n=shingle_n)
+    return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 
 
@@ -156,7 +171,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ``bits`` counters). Hex digits are decoded arithmetically so the
     DuckDB oracle can mirror it exactly.
     """
-    toks = (df.select(F.col(id_col),
+    toks = (ensure_parallelism(df)
+              .select(F.col(id_col),
                       F.explode(F.array_distinct(tokens(text_col))).alias("_t"))
               .withColumn("_h", F.md5(F.col("_t"))))
     digit_of = "instr('0123456789abcdef', substring(_h, {pos}, 1)) - 1"

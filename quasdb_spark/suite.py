@@ -23,6 +23,7 @@ from quasdb_spark.operators import kvlog as KV
 from quasdb_spark.operators import similarity as SIM
 from quasdb_spark.operators import timeseries as TS
 from quasdb_spark.plans.lww import state_view_window
+from quasdb_spark.plans.parallel import ensure_parallelism as _par
 from quasdb_spark.sources.tables import load_table
 
 
@@ -518,25 +519,25 @@ _REL_ORACLES = {
 # =====================================================================
 
 def q_text_stats(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     return T.text_stats(d).select(
         "doc_id", "n_tokens", "n_chars_computed", "avg_token_len",
         "alpha_ratio", "punct_ratio")
 
 
 def q_text_quality(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     return T.quality_score(d).select("doc_id", "quality_score")
 
 
 def q_text_langid(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     return T.langid(d).select("doc_id", "hits_de", "hits_en", "hits_es",
                               "hits_fr", "lang_guess")
 
 
 def q_text_fingerprint(spark, sf_dir):
-    d = _t(spark, sf_dir, "documents")
+    d = _par(_t(spark, sf_dir, "documents"))
     out = T.fingerprint(d)
     return out.select("doc_id", "fingerprint",
                       T.exact_fingerprint("text").alias("exact_fp"))
