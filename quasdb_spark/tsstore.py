@@ -1,0 +1,132 @@
+"""TSStore — the typed time-series face of the engine (SURVEY.md §7.2
+P5; the reference's intended deployment, README.md:1-2: series_id +
+timestamp encoded into the ordered key space so a time-range query is a
+key-range scan, with newest-version-wins from sequence numbers).
+
+Built directly on KVStore: points are stored under key
+``<series_id>:<ts-iso-micros>`` (zero-padded, order-preserving codec),
+value is the JSON-encoded observation. All KV semantics carry over
+unchanged — snapshots, LWW upsert per (series, ts), tombstone deletes,
+compaction. On top, the typed query surface decodes to columns and
+reuses operators/timeseries.py for windowing/downsampling/as-of.
+
+The order-preserving codec is the documented answer to the reference's
+pluggable Comparator (SURVEY.md §7.4 risk 4): arbitrary Python
+comparators can't run inside Catalyst at scale, but any ordering
+expressible as a key codec gives identical semantics with zero UDF
+cost.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from quasdb_spark.store import KVStore
+
+_TS_FMT = "%Y-%m-%dT%H:%M:%S.%f"
+
+
+def encode_ts(ts: dt.datetime) -> str:
+    """Fixed-width ISO micros — lexicographic order == time order."""
+    return ts.strftime(_TS_FMT)
+
+
+def encode_key(series_id: str, ts: dt.datetime) -> str:
+    if ":" in series_id:
+        raise ValueError("series_id must not contain ':'")
+    return f"{series_id}:{encode_ts(ts)}"
+
+
+class TSStore:
+    """Typed time-series store over a KVStore keyspace."""
+
+    def __init__(self, store: KVStore):
+        self.store = store
+
+    @classmethod
+    def create(cls, spark: SparkSession, path: str) -> "TSStore":
+        return cls(KVStore.create(spark, path))
+
+    @classmethod
+    def open(cls, spark: SparkSession, path: str) -> "TSStore":
+        return cls(KVStore.open(spark, path))
+
+    # ------------------------------------------------------------ writes
+    def append(self, points: list[tuple[str, dt.datetime, float, dict | None]]) -> int:
+        """Atomically append [(series_id, ts, value, tags), ...] as one
+        batch (one seq). Same (series, ts) written again upserts (LWW)."""
+        ops = []
+        for series_id, ts, value, tags in points:
+            payload = json.dumps({"v": value, "tags": tags or {}},
+                                 sort_keys=True)
+            ops.append(("put", encode_key(series_id, ts), payload))
+        return self.store.write_batch(ops)
+
+    def delete_point(self, series_id: str, ts: dt.datetime) -> int:
+        return self.store.delete(encode_key(series_id, ts))
+
+    def ingest_df(self, df: DataFrame, *, series_col: str = "series_id",
+                  ts_col: str = "ts", value_col: str = "value") -> int:
+        """Bulk ingest a typed DataFrame as one atomic batch. The key
+        codec runs as built-in expressions (date_format), fully
+        distributed."""
+        keyed = df.select(
+            F.concat(F.col(series_col), F.lit(":"),
+                     F.date_format(F.col(ts_col),
+                                   "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).alias("key"),
+            F.to_json(F.struct(F.col(value_col).alias("v"))).alias("value"))
+        return self.store.ingest(keyed)
+
+    # ------------------------------------------------------------- reads
+    def points(self, series_id: str | None = None, *,
+               t0: dt.datetime | None = None, t1: dt.datetime | None = None,
+               asof: int | None = None) -> DataFrame:
+        """Typed range scan: decode the key-range back to
+        (series_id, ts, value) columns. The time range becomes a key
+        range — a pushed-down Parquet predicate plus manifest file
+        pruning, exactly the reference's iterator-over-key-interval
+        (kv/include/db.h:29-36)."""
+        if series_id is not None:
+            lo = encode_key(series_id, t0) if t0 else f"{series_id}:"
+            hi = encode_key(series_id, t1) if t1 else f"{series_id};"  # ';' = ':'+1
+            st = self.store.state(asof, key_from=lo, key_to=hi)
+        else:
+            st = self.store.state(asof)
+        # split at the FIRST ':' only — the timestamp part itself
+        # contains colons
+        parsed = st.select(
+            F.substring_index("key", ":", 1).alias("series_id"),
+            F.to_timestamp(F.expr("substring(key, instr(key, ':') + 1)"),
+                           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+            F.get_json_object("value", "$.v").cast("double").alias("value"),
+            F.get_json_object("value", "$.tags").alias("tags_json"))
+        return parsed
+
+    def latest(self, series_id: str, asof: int | None = None):
+        """Newest point of a series: reverse scan LIMIT 1 over the
+        series' key prefix (SeekToLast analogue, S4)."""
+        rows = (self.points(series_id, asof=asof)
+                .orderBy(F.col("ts").desc()).limit(1).collect())
+        return rows[0] if rows else None
+
+    def downsample(self, bucket: str, *, series_id: str | None = None,
+                   asof: int | None = None) -> DataFrame:
+        """Per-series bucket aggregates over the state view."""
+        from quasdb_spark.operators.timeseries import tumbling
+
+        pts = self.points(series_id, asof=asof)
+        return tumbling(pts, "ts", bucket, keys=["series_id"], aggs=[
+            F.count(F.lit(1)).alias("n"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+            F.avg("value").alias("avg_value")])
+
+    def snapshot(self, name: str | None = None) -> int:
+        return self.store.snapshot(name)
+
+    def compact(self) -> dict:
+        return self.store.compact()

@@ -1,0 +1,73 @@
+"""Typed time-series store tests: key codec ordering, range scans as
+key ranges, LWW upsert per point, snapshots, downsampling."""
+
+import datetime as dt
+
+from quasdb_spark.tsstore import TSStore, encode_key
+
+
+def _ts(h, m=0, s=0, us=0):
+    return dt.datetime(2024, 1, 1, h, m, s, us)
+
+
+def test_key_codec_order_preserving():
+    pts = [("cpu", _ts(0)), ("cpu", _ts(0, 0, 0, 1)), ("cpu", _ts(12)),
+           ("cpu", _ts(23, 59, 59, 999999)), ("mem", _ts(0))]
+    keys = [encode_key(s, t) for s, t in pts]
+    assert keys == sorted(keys)
+
+
+def test_append_query_upsert_snapshot(spark, tmp_path):
+    ts = TSStore.create(spark, str(tmp_path / "ts"))
+    ts.append([("cpu", _ts(0, i), float(i), None) for i in range(10)])
+    ts.append([("mem", _ts(0, i), 100.0 + i, {"host": "a"}) for i in range(5)])
+
+    # typed range scan: series + time range
+    got = ts.points("cpu", t0=_ts(0, 2), t1=_ts(0, 5)).orderBy("ts").collect()
+    assert [r["value"] for r in got] == [2.0, 3.0, 4.0]
+    assert all(r["series_id"] == "cpu" for r in got)
+
+    # LWW upsert of one point; snapshot isolation of the old value
+    snap = ts.snapshot("before-fix")
+    ts.append([("cpu", _ts(0, 3), 999.0, None)])
+    assert [r["value"] for r in
+            ts.points("cpu", t0=_ts(0, 3), t1=_ts(0, 4)).collect()] == [999.0]
+    assert [r["value"] for r in
+            ts.points("cpu", t0=_ts(0, 3), t1=_ts(0, 4), asof=snap).collect()] == [3.0]
+
+    # latest / delete
+    assert ts.latest("cpu")["value"] == 9.0
+    ts.delete_point("cpu", _ts(0, 9))
+    assert ts.latest("cpu")["value"] == 8.0
+
+    # series isolation: 'mem' untouched
+    assert ts.points("mem").count() == 5
+
+
+def test_downsample_and_compaction(spark, tmp_path):
+    ts = TSStore.create(spark, str(tmp_path / "ts2"))
+    ts.append([("cpu", _ts(h, m), float(h * 60 + m), None)
+               for h in range(3) for m in range(0, 60, 5)])
+    ds = ts.downsample("1 hour")
+    rows = {r["window_start"].hour: r for r in ds.collect()}
+    assert rows[0]["n"] == 12 and rows[1]["n"] == 12
+    assert rows[0]["min_value"] == 0.0 and rows[0]["max_value"] == 55.0
+
+    before = sorted((r["series_id"], r["ts"], r["value"])
+                    for r in ts.points().collect())
+    ts.compact()
+    after = sorted((r["series_id"], r["ts"], r["value"])
+                   for r in ts.points().collect())
+    assert before == after
+
+
+def test_bulk_ingest_df(spark, tmp_path, sf_dir):
+    from quasdb_spark.sources.tables import load_table
+
+    ts = TSStore.create(spark, str(tmp_path / "ts3"))
+    ev = load_table(spark, sf_dir, "events").limit(200)
+    df = ev.selectExpr("concat('u', cast(user_id as string)) as series_id",
+                       "ts", "value")
+    ts.ingest_df(df)
+    n_distinct = df.selectExpr("series_id", "ts").distinct().count()
+    assert ts.points().count() == n_distinct

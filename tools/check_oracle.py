@@ -39,16 +39,17 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
-def main():
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    only = set(sys.argv[2:])
-    spark = get_spark("oracle-check", master="local[16]",
-                      extra_conf={"spark.sql.shuffle.partitions": "16"})
+def run_checks(spark, sf_dir, only=frozenset(), quiet=False):
+    """Compare every suite query against its oracle; returns failures."""
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
         if os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS FROM '{p}'")
+
+    def say(msg):
+        if not quiet:
+            print(msg)
 
     failures = []
     for name, fn in suite.QUERIES.items():
@@ -60,11 +61,11 @@ def main():
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
+            say(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             continue
         sql = suite.ORACLES.get(name)
         if sql is None:
-            print(f"skip  {name}: no oracle (rows={len(srows)})")
+            say(f"skip  {name}: no oracle (rows={len(srows)})")
             continue
         try:
             rel = con.sql(sql)
@@ -72,22 +73,31 @@ def main():
             orows = rel.fetchall()
         except Exception as e:
             failures.append(name)
-            print(f"FAIL  {name}: DUCKDB ERROR {str(e)[:300]}")
+            say(f"FAIL  {name}: DUCKDB ERROR {str(e)[:300]}")
             continue
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
         if sc != oc:
             failures.append(name)
-            print(f"FAIL  {name}: schema {sc} != {oc}")
+            say(f"FAIL  {name}: schema {sc} != {oc}")
         elif len(sr) != len(orr):
             failures.append(name)
-            print(f"FAIL  {name}: rowcount {len(sr)} != {len(orr)}")
+            say(f"FAIL  {name}: rowcount {len(sr)} != {len(orr)}")
         elif sr != orr:
             failures.append(name)
             diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
-            print(f"FAIL  {name}: values differ; first diffs: {diffs}")
+            say(f"FAIL  {name}: values differ; first diffs: {diffs}")
         else:
-            print(f"ok    {name} ({len(sr)} rows)")
+            say(f"ok    {name} ({len(sr)} rows)")
+    return failures
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+    spark = get_spark("oracle-check", master="local[16]",
+                      extra_conf={"spark.sql.shuffle.partitions": "16"})
+    failures = run_checks(spark, sf_dir, only)
     print(f"\n{len(failures)} failures" + (f": {failures}" if failures else ""))
     spark.stop()
     sys.exit(1 if failures else 0)
