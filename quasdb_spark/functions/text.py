@@ -114,3 +114,14 @@ def exact_fingerprint(text_col: str | Column = "text") -> Column:
     """md5 of whitespace-normalized lower-cased text — exact-dup key."""
     c = F.col(text_col) if isinstance(text_col, str) else text_col
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
+
+
+def ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
+    """Non-distinct word n-grams (occurrence counting, unlike
+    dedup.shingles which is a distinct set)."""
+    w = tokens(text_col)
+    idx = F.sequence(F.lit(0), F.size(w) - n)
+    grams = F.transform(idx, lambda i: F.concat_ws(
+        " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]))
+    return F.when(F.size(w) >= n, grams).otherwise(
+        F.array().cast("array<string>"))

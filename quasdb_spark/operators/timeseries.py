@@ -220,3 +220,20 @@ def first_last(df: DataFrame, ts_col: str, keys: list[str],
                    F.min(ts_col).alias("first_ts"),
                    F.max(ts_col).alias("last_ts"),
                    F.count(F.lit(1)).alias("n_obs")))
+
+
+def trailing_range_agg(df: DataFrame, ts_col: str, keys: list[str],
+                       value_col: str, window_seconds: int,
+                       agg: str = "sum") -> DataFrame:
+    """Time-range moving aggregate: value aggregated over the trailing
+    ``window_seconds`` (inclusive) per key, ordered by event time.
+
+    RANGE frame over epoch seconds — one shuffle+sort per key, frame
+    peers resolved by value not row position, so same-timestamp ties
+    are deterministic without a tiebreak column.
+    """
+    epoch = F.unix_timestamp(F.col(ts_col))
+    w = (Window.partitionBy(*keys).orderBy(epoch.cast("long"))
+               .rangeBetween(-(window_seconds - 1), Window.currentRow))
+    fn = getattr(F, agg)
+    return df.withColumn(f"trailing_{agg}", fn(F.col(value_col)).over(w))

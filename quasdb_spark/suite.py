@@ -792,6 +792,169 @@ _SIM_ORACLES = {
 }
 
 
+
+
+# =====================================================================
+# Coverage round 2: JSON, percentiles, rollup, set ops, range windows,
+# n-grams, centroids, pagination, share-of-total windows
+# =====================================================================
+
+def q_events_json_extract(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return (ev.withColumn("k", k)
+              .groupBy((F.col("k") % 10).alias("k_bucket"))
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.avg("value"), 4).alias("avg_value")))
+
+
+def q_ts_percentiles(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    return (ev.groupBy("event_type")
+              .agg(F.round(F.expr("percentile(value, 0.5)"), 4).alias("p50"),
+                   F.round(F.expr("percentile(value, 0.9)"), 4).alias("p90"),
+                   F.round(F.expr("percentile(value, 0.99)"), 4).alias("p99")))
+
+
+def q_rel_rollup(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.rollup("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders"),
+                  F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+def q_rel_set_ops(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    open_cust = o.where("o_orderstatus = 'O'").select("o_custkey").distinct()
+    done_cust = o.where("o_orderstatus = 'F'").select("o_custkey").distinct()
+    both = open_cust.intersect(done_cust).withColumn("category", F.lit("both"))
+    only_open = open_cust.exceptAll(done_cust).withColumn("category", F.lit("open_only"))
+    return both.unionByName(only_open).select("category", "o_custkey")
+
+
+def q_ts_trailing_1h_sum(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    out = TS.trailing_range_agg(ev, "ts", ["user_id"], "value", 3600, "sum")
+    return out.select("user_id", "event_id",
+                      F.round("trailing_sum", 2).alias("trailing_sum"))
+
+
+def q_text_bigram_topk(spark, sf_dir):
+    d = _par(_t(spark, sf_dir, "documents"))
+    grams = d.select("lang", F.explode(T.ngrams("text", 2)).alias("bigram"))
+    counts = grams.groupBy("lang", "bigram").agg(F.count(F.lit(1)).alias("n"))
+    out = TS.topk_per_group(counts, ["lang"], "n", 10, "bigram")
+    return out.select("lang", "rank", "bigram", "n")
+
+
+def q_emb_centroids(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    ex = e.select("label", F.posexplode(F.col("embedding").cast("array<double>"))
+                  .alias("pos", "x"))
+    return (ex.groupBy("label", "pos")
+              .agg(F.round(F.avg("x"), 6).alias("centroid_x"),
+                   F.count(F.lit(1)).alias("n_vecs")))
+
+
+def q_kv_seek_page(spark, sf_dir):
+    st = KV.kv_state(_t(spark, sf_dir, "events"))
+    return (st.where(F.col("key") > "u000050")
+              .orderBy(F.col("key").asc()).limit(20))
+
+
+def q_rel_region_share(spark, sf_dir):
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    nat_rev = (o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+                .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+                .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+                .groupBy("r_name", "n_name")
+                .agg(F.sum("o_totalprice").alias("_rev")))
+    from pyspark.sql import Window as W
+    share = (F.col("_rev") * 100.0 /
+             F.sum("_rev").over(W.partitionBy("r_name")))
+    return nat_rev.select("r_name", "n_name",
+                          F.round("_rev", 2).alias("revenue"),
+                          F.round(share, 4).alias("region_share"))
+
+
+_EXT_ORACLES = {
+    "events_json_extract": """
+        SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
+               count(*) AS n, round(avg(value), 4) AS avg_value
+        FROM events GROUP BY 1""",
+    "ts_percentiles": """
+        SELECT event_type,
+               round(quantile_cont(value, 0.5), 4) AS p50,
+               round(quantile_cont(value, 0.9), 4) AS p90,
+               round(quantile_cont(value, 0.99), 4) AS p99
+        FROM events GROUP BY 1""",
+    "rel_rollup": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
+    "rel_set_ops": """
+        WITH open_cust AS (SELECT DISTINCT o_custkey FROM orders
+                           WHERE o_orderstatus = 'O'),
+             done_cust AS (SELECT DISTINCT o_custkey FROM orders
+                           WHERE o_orderstatus = 'F')
+        SELECT 'both' AS category, o_custkey
+        FROM (SELECT o_custkey FROM open_cust
+              INTERSECT SELECT o_custkey FROM done_cust) t
+        UNION ALL
+        SELECT 'open_only' AS category, o_custkey
+        FROM (SELECT o_custkey FROM open_cust
+              EXCEPT SELECT o_custkey FROM done_cust) t2""",
+    "ts_trailing_1h_sum": """
+        SELECT user_id, event_id,
+               round(sum(value) OVER (
+                   PARTITION BY user_id
+                   ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
+                 AS trailing_sum
+        FROM events""",
+    "text_bigram_topk": f"""
+        WITH t AS (SELECT lang, {_TOKENS_SQL} AS w FROM documents),
+        g AS (SELECT lang,
+                     unnest(list_transform(
+                         generate_series(1, greatest(len(w) - 1, 0)),
+                         i -> w[i] || ' ' || w[i + 1])) AS bigram
+              FROM t),
+        c AS (SELECT lang, bigram, count(*) AS n FROM g GROUP BY 1, 2),
+        r AS (SELECT lang, bigram, n,
+                     row_number() OVER (PARTITION BY lang
+                                        ORDER BY n DESC, bigram) AS rn
+              FROM c)
+        SELECT lang, CAST(rn AS INT) AS rank, bigram, n
+        FROM r WHERE rn <= 10""",
+    "emb_centroids": """
+        WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
+        x AS (SELECT label, v,
+                     unnest(generate_series(1, len(v))) AS pos FROM e)
+        SELECT label, CAST(pos - 1 AS INT) AS pos,
+               round(avg(v[pos]), 6) AS centroid_x,
+               count(*) AS n_vecs
+        FROM x GROUP BY 1, 2""",
+    "kv_seek_page": f"""WITH {_KV_CTE}
+        SELECT key, value FROM state WHERE key > 'u000050'
+        ORDER BY key LIMIT 20""",
+    "rel_region_share": """
+        WITH nat AS (
+          SELECT r_name, n_name, sum(o_totalprice) AS rev
+          FROM orders
+          JOIN customer ON o_custkey = c_custkey
+          JOIN nation ON c_nationkey = n_nationkey
+          JOIN region ON n_regionkey = r_regionkey
+          GROUP BY 1, 2)
+        SELECT r_name, n_name, round(rev, 2) AS revenue,
+               round(rev * 100.0 / sum(rev) OVER (PARTITION BY r_name), 4)
+                 AS region_share
+        FROM nat""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -841,7 +1004,18 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_bucket_topk": q_sim_bucket_topk,
     "sim_neardup_cosine": q_sim_neardup_cosine,
+    # coverage round 2
+    "events_json_extract": q_events_json_extract,
+    "ts_percentiles": q_ts_percentiles,
+    "rel_rollup": q_rel_rollup,
+    "rel_set_ops": q_rel_set_ops,
+    "ts_trailing_1h_sum": q_ts_trailing_1h_sum,
+    "text_bigram_topk": q_text_bigram_topk,
+    "emb_centroids": q_emb_centroids,
+    "kv_seek_page": q_kv_seek_page,
+    "rel_region_share": q_rel_region_share,
 }
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
-           **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES}
+           **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
+           **_EXT_ORACLES}
