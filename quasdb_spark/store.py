@@ -311,8 +311,11 @@ class KVStore:
         self.manifest.commit(ver, snapshots=snaps)
 
     # -------------------------------------------------------- maintenance
-    def compact(self, *, target_files: int | None = None) -> dict:
-        """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220).
+    def compact(self, *, target_files: int | None = None,
+                key_from: str | None = None,
+                key_to: str | None = None) -> dict:
+        """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220);
+        pass key_from/key_to for manual range compaction (CompactRange).
 
         Rewrites the whole log keeping, per key, (a) the newest version
         and (b) the newest version <= each registered snapshot seq; when
@@ -326,31 +329,56 @@ class KVStore:
         ver = self.manifest.current()
         if not ver.files:
             return {"files_before": 0, "files_after": 0}
-        log = self.log_df()
+        # Scoped compaction (CompactRange, kv/db/db_impl.cpp:646-740):
+        # select whole input dirs overlapping [key_from, key_to) — rows
+        # outside the range stay because their dirs are rewritten intact,
+        # mirroring the reference's whole-file inputs. At 100 TB this is
+        # the operational mode: compact hot key ranges incrementally
+        # instead of rewriting the world.
+        selected = []
+        for f in ver.files:
+            if key_from is not None and f.max_key is not None and f.max_key < key_from:
+                continue
+            if key_to is not None and f.min_key is not None and f.min_key >= key_to:
+                continue
+            selected.append(f)
+        if not selected:
+            return {"files_before": len(ver.files), "files_after": len(ver.files)}
+        full_scope = len(selected) == len(ver.files) and key_from is None and key_to is None
+        paths = [os.path.join(self.path, f.path) for f in selected]
+        log = self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
         snaps = sorted(set(ver.snapshots.values()))
-        keep = self._retention_filter(log, snaps, ver.last_seq)
+        # Tombstones may only be purged on a FULL-keyspace compaction:
+        # a partial scope can't prove no older version hides in an
+        # unselected dir (the reference's IsBaseLevelForKey check,
+        # kv/db/db_impl.cpp:1113-1130; here the proof is scope totality).
+        keep = self._retention_filter(log, snaps, ver.last_seq,
+                                      purge_tombstones=full_scope)
 
-        n_out = target_files or max(1, min(len(ver.files), 32))
+        n_out = target_files or max(1, min(len(selected), 32))
         rel = os.path.join("data", f"compact-{ver.version:06d}-{uuid.uuid4().hex[:8]}")
         full = os.path.join(self.path, rel)
         (keep.repartitionByRange(n_out, "key")
              .sortWithinPartitions("key", "seq", "sub")
              .write.mode("errorifexists").parquet(full))
         stats = self._dir_stats(full)
-        entry = FileEntry(path=rel, seq_lo=0, seq_hi=ver.last_seq,
+        seq_hi = max(f.seq_hi for f in selected)
+        entry = FileEntry(path=rel, seq_lo=0, seq_hi=seq_hi,
                           rows=stats["rows"], bytes=stats["bytes"],
                           min_key=stats["min_key"], max_key=stats["max_key"],
                           level=1)
-        old_paths = {f.path for f in ver.files}
+        old_paths = {f.path for f in selected}
         self.manifest.commit(ver, add=[entry], remove=old_paths)
         gone = self.manifest.vacuum()
-        before = sum(f.bytes for f in ver.files)
-        return {"files_before": len(ver.files), "files_after": 1,
+        before = sum(f.bytes for f in selected)
+        return {"files_before": len(ver.files),
+                "files_after": len(ver.files) - len(selected) + 1,
                 "bytes_before": before, "bytes_after": stats["bytes"],
                 "dirs_removed": len(gone)}
 
     @staticmethod
-    def _retention_filter(log: DataFrame, snaps: list[int], last_seq: int) -> DataFrame:
+    def _retention_filter(log: DataFrame, snaps: list[int], last_seq: int,
+                          purge_tombstones: bool = True) -> DataFrame:
         """Rows visible at any retained point {snaps..., latest}.
 
         Implemented as: explode each row to the retained points it is
@@ -368,7 +396,7 @@ class KVStore:
                              F.col("_w.sub").alias("sub"))
                      .distinct())
         kept = log.join(winners, ["key", "seq", "sub"], "left_semi")
-        if not snaps:
+        if not snaps and purge_tombstones:
             # no snapshots: only latest state is retained → tombstones
             # whose older versions are all gone can be purged too
             kept = kept.where(F.col("op") != F.lit(DEL))

@@ -245,3 +245,29 @@ def test_bulk_ingest(spark, tmp_path, sf_dir):
     assert st.state().count() == n
     row = ev.where("event_id = 7").collect()[0]
     assert st.get("7") == str(row["value"])
+
+
+def test_range_scoped_compaction(spark, tmp_path):
+    """CompactRange (kv/db/db_impl.cpp:646-740): only dirs overlapping
+    the range are rewritten; tombstones survive a partial compaction
+    (no IsBaseLevelForKey proof) but die on a full one."""
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"a{i}", "x") for i in range(5)])
+    st.write_batch([("put", f"z{i}", "y") for i in range(5)])
+    st.write_batch([("del", "a0", None), ("del", "z0", None)])
+
+    before = sorted((r["key"], r["value"]) for r in st.scan().collect())
+    stats = st.compact(key_from="a", key_to="b")
+    after = sorted((r["key"], r["value"]) for r in st.scan().collect())
+    assert after == before
+    # the z-only batch was out of scope and kept as-is; the mixed
+    # tombstone batch overlaps and was rewritten
+    assert stats["files_after"] < stats["files_before"]
+    # partial compaction must NOT purge the a0 tombstone's effect
+    assert st.get("a0") is None and st.get("z0") is None
+
+    # full compaction purges tombstones entirely
+    st.compact()
+    assert st.properties()["quasdb.total-rows"] == 8
+    assert sorted(r["key"] for r in st.scan().collect()) == \
+        [f"a{i}" for i in range(1, 5)] + [f"z{i}" for i in range(1, 5)]
