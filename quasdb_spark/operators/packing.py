@@ -1,0 +1,78 @@
+"""Corpus sampling and sequence packing for training-data pipelines
+(charter extension — no reference counterpart).
+
+- ``deterministic_sample``: hash-threshold sampling — membership is a
+  pure function of (salt, id), so the sample is reproducible across
+  runs, engines, and cluster sizes (no RNG state), and per-stratum
+  rates give stratified sampling. Map-only, no shuffle.
+
+- ``pack_by_token_budget``: assign documents (in global id order) to
+  fixed token-budget packs — the "concat documents into 8k-token
+  training sequences" step. Implemented as a TWO-PHASE cumulative sum:
+  per-range-partition running sums plus broadcast partition offsets, so
+  there is no single-partition global window; scales to any corpus
+  (the per-partition totals are one tiny driver round-trip, like
+  Spark's own zipWithIndex).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def sample_hash(id_col: Column, salt: str) -> Column:
+    """First 8 hex chars of md5(salt|id) as a uniform [0, 2^32) draw."""
+    return F.conv(F.substring(F.md5(F.concat(F.lit(salt + "|"),
+                                             id_col.cast("string"))), 1, 8),
+                  16, 10).cast("long")
+
+
+def deterministic_sample(df: DataFrame, id_col: str, rate: float, *,
+                         salt: str = "s1",
+                         stratum_rates: dict[str, float] | None = None,
+                         stratum_col: str | None = None) -> DataFrame:
+    """Keep each row iff hash(salt, id) < rate·2^32; with
+    ``stratum_rates``, the rate is chosen per stratum value (default
+    ``rate`` for unlisted strata)."""
+    h = sample_hash(F.col(id_col), salt)
+    scale = float(1 << 32)
+    if stratum_rates and stratum_col:
+        thr: Column = F.lit(rate * scale)
+        for val, r in sorted(stratum_rates.items()):
+            thr = F.when(F.col(stratum_col) == val, F.lit(r * scale)) \
+                   .otherwise(thr)
+    else:
+        thr = F.lit(rate * scale)
+    return df.where(h < thr)
+
+
+def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
+                         budget: int) -> DataFrame:
+    """Pack rows (in ascending ``id_col`` order) into consecutive packs
+    of ~``budget`` tokens: pack_id = (running_total - own_tokens) div
+    budget — a row starts in the pack where its first token lands.
+
+    Scalable global cumulative sum: range-repartition by id, running
+    sum within each partition, then add broadcast per-partition offsets
+    (computed from the tiny per-partition totals). No global window.
+    """
+    spark = df.sparkSession
+    n_parts = max(1, spark.sparkContext.defaultParallelism)
+    parted = (df.repartitionByRange(n_parts, F.col(id_col))
+                .withColumn("_pid", F.spark_partition_id()))
+    w = (Window.partitionBy("_pid").orderBy(F.col(id_col))
+               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    run = F.sum(F.col(tokens_col)).over(w)
+    # tiny: one row per partition → driver-safe, broadcast back
+    totals = (parted.groupBy("_pid")
+                    .agg(F.sum(F.col(tokens_col)).alias("_tot")))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    offsets = totals.withColumn(
+        "_off", F.sum("_tot").over(woff) - F.col("_tot")).drop("_tot")
+    out = (parted.join(F.broadcast(offsets), "_pid")
+                 .withColumn("_cum", (run + F.col("_off")).cast("long"))
+                 .withColumn("pack_id", F.expr(
+                     f"(_cum - cast({tokens_col} as bigint)) div {budget}")))
+    return out.drop("_pid", "_off", "_cum")

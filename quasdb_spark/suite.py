@@ -106,12 +106,14 @@ def q_kv_version_history(spark, sf_dir):
 
 def q_kv_live_stats(spark, sf_dir):
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
-    winners = state_view_window(log, None, sub_col=None, keep_versions=1)
-    n_live = winners.count()
-    all_keys = log.select("key").distinct().count()
-    return spark.createDataFrame(
-        [(int(all_keys), int(n_live), int(all_keys - n_live))],
-        "n_keys bigint, n_live bigint, n_deleted bigint")
+    winners = log.groupBy("key").agg(
+        F.max_by("op", F.col("seq")).alias("op"))
+    return winners.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum(F.when(F.col("op") == "put", 1).otherwise(0))
+         .cast("long").alias("n_live"),
+        F.sum(F.when(F.col("op") == "del", 1).otherwise(0))
+         .cast("long").alias("n_deleted"))
 
 
 _KV_ORACLES = {
@@ -955,6 +957,48 @@ _EXT_ORACLES = {
 }
 
 
+
+
+def q_doc_sample_stratified(spark, sf_dir):
+    from quasdb_spark.operators.packing import deterministic_sample
+    d = _t(spark, sf_dir, "documents")
+    out = deterministic_sample(d, "doc_id", 0.5, salt="s1",
+                               stratum_rates={"en": 0.1}, stratum_col="lang")
+    return out.select("doc_id", "lang")
+
+
+def q_doc_token_packing(spark, sf_dir):
+    from quasdb_spark.operators.packing import pack_by_token_budget
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
+    out = pack_by_token_budget(toks, "doc_id", "n_tokens", 8192)
+    return out.select("doc_id", "n_tokens", "pack_id")
+
+
+_PACK_ORACLES = {
+    "doc_sample_stratified": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 CAST(('0x' || substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS hv
+          FROM documents)
+        SELECT doc_id, lang FROM h
+        WHERE hv < CASE WHEN lang = 'en'
+                        THEN 0.1 * 4294967296.0
+                        ELSE 0.5 * 4294967296.0 END""",
+    "doc_token_packing": f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t)
+        SELECT doc_id, n_tokens,
+               CAST((CAST(cum AS BIGINT) - n_tokens) // 8192 AS BIGINT) AS pack_id
+        FROM c""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1014,8 +1058,10 @@ QUERIES = {
     "emb_centroids": q_emb_centroids,
     "kv_seek_page": q_kv_seek_page,
     "rel_region_share": q_rel_region_share,
+    "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_token_packing": q_doc_token_packing,
 }
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES}
+           **_EXT_ORACLES, **_PACK_ORACLES}
