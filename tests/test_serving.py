@@ -1,0 +1,72 @@
+"""Config (H2) and HTTP shim (H1) tests."""
+
+import json
+import urllib.request
+
+import pytest
+
+from quasdb_spark.config import Conf
+from quasdb_spark.server import StoreServer
+from quasdb_spark.store import KVStore
+
+
+def _get(port, path):
+    with urllib.request.urlopen(f"http://127.0.0.1:{port}{path}") as r:
+        return r.status, json.loads(r.read())
+
+
+def test_conf_roundtrip(tmp_path):
+    p = tmp_path / "conf.ini"
+    p.write_text("[storage]\nPATH = /data/store\n"
+                 "[spark]\nspark.sql.shuffle.partitions = 64\n"
+                 "[limits]\nmax_files = 1000\nverbose = true\n")
+    c = Conf(str(p))
+    assert c.get("storage.PATH") == "/data/store"
+    assert c.get("limits.max_files", int) == 1000
+    assert c.get("limits.verbose", bool) is True
+    assert c.get("nope.key", default=None) is None
+    with pytest.raises(KeyError):
+        c.get("nope.key")
+    assert c.spark_conf() == {"spark.sql.shuffle.partitions": "64"}
+    with pytest.raises(FileNotFoundError):
+        Conf(str(tmp_path / "missing.ini"))
+
+
+def test_http_store_endpoints(spark, tmp_path):
+    st = KVStore.create(spark, str(tmp_path / "s"))
+    st.write_batch([("put", f"k{i:02d}", str(i)) for i in range(10)])
+    snap = st.snapshot("s1")
+    st.delete("k03")
+
+    (tmp_path / "www").mkdir()
+    (tmp_path / "www" / "index.html").write_text("<h1>quasdb</h1>")
+
+    srv = StoreServer(st, doc_root=str(tmp_path / "www")).start()
+    try:
+        assert _get(srv.port, "/health") == (200, {"status": "ok"})
+        code, props = _get(srv.port, "/props")
+        # seq 1 = the batch, seq 2 = the delete (snapshots are
+        # metadata-only commits and do not consume a seq)
+        assert code == 200 and props["quasdb.last-seq"] == 2
+
+        assert _get(srv.port, "/get?key=k05") == (200, {"key": "k05", "value": "5"})
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv.port, "/get?key=k03")
+        assert e.value.code == 404
+        # as-of read resurrects the deleted key
+        code, body = _get(srv.port, f"/get?key=k03&asof={snap}")
+        assert body["value"] == "3"
+
+        code, body = _get(srv.port, "/scan?from=k02&to=k06&limit=2")
+        assert body["rows"] == [["k02", "2"], ["k04", "4"]]
+        code, body = _get(srv.port, "/scan?reverse=1&limit=1")
+        assert body["rows"] == [["k09", "9"]]
+
+        # static file serving (H1 parity) + traversal protection
+        with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/index.html") as r:
+            assert r.status == 200 and b"quasdb" in r.read()
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv.port, "/../../etc/passwd")
+        assert e.value.code in (403, 404)
+    finally:
+        srv.stop()
