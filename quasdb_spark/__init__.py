@@ -25,9 +25,9 @@ without any hand-scheduling.
 """
 
 from quasdb_spark.session import get_spark
-from quasdb_spark.store import KVStore
+from quasdb_spark.store import KVStore, WriteBatch
 from quasdb_spark.plans.lww import state_view, state_view_window
 
 __version__ = "0.1.0"
 
-__all__ = ["get_spark", "KVStore", "state_view", "state_view_window", "__version__"]
+__all__ = ["get_spark", "KVStore", "WriteBatch", "state_view", "state_view_window", "__version__"]

@@ -71,6 +71,43 @@ def prefix_successor(prefix: str) -> str | None:
     return None  # prefix was all U+10FFFF — unbounded
 
 
+class WriteBatch:
+    """Reorderable op buffer — API parity with the reference's
+    WriteBatch (kv/include/write_batch.h:11-59: Put/Delete/Clear/
+    Append/Iterate/ApproximateSize). Apply with ``store.write(batch)``;
+    ops land atomically in list order (newest wins on same key)."""
+
+    def __init__(self):
+        self.ops: list[tuple[str, str, str | None]] = []
+
+    def put(self, key: str, value: str) -> "WriteBatch":
+        self.ops.append((PUT, key, value))
+        return self
+
+    def delete(self, key: str) -> "WriteBatch":
+        self.ops.append((DEL, key, None))
+        return self
+
+    def clear(self) -> None:
+        self.ops.clear()
+
+    def append(self, other: "WriteBatch") -> "WriteBatch":
+        """WriteBatch::Append (kv/db/write_batch.cpp:166-175)."""
+        self.ops.extend(other.ops)
+        return self
+
+    def __iter__(self):
+        return iter(self.ops)
+
+    def __len__(self) -> int:
+        return len(self.ops)
+
+    def approximate_size(self) -> int:
+        """Rough byte size (the reference reports its encoded rep size,
+        kv/include/write_batch.h:49)."""
+        return sum(len(k) + len(v or "") + 16 for _, k, v in self.ops)
+
+
 class KVStore:
     """A single store (one ordered keyspace). Thread-unsafe by design:
     like the reference, all writers serialize (kv/db/db_impl.cpp:1398)."""
@@ -133,6 +170,10 @@ class KVStore:
         df = self.spark.createDataFrame(rows, LOG_SCHEMA)
         self._commit_append(ver, df, seq, n_rows=len(rows))
         return seq
+
+    def write(self, batch: "WriteBatch") -> int:
+        """DB::Write(options, batch) parity (kv/db/db_impl.cpp:1396)."""
+        return self.write_batch(list(batch))
 
     def ingest(self, df: DataFrame, *, op_col: str | None = None,
                key_col: str = "key", value_col: str = "value",
@@ -420,6 +461,18 @@ class KVStore:
                 total += f.bytes
             out.append(total)
         return out
+
+    def dump(self) -> dict:
+        """DumpFile analogue (M11, kv/db/dumpfile.cpp:134-264):
+        human-inspectable view of the store — current manifest version
+        as a dict and the raw op-log as a DataFrame."""
+        ver = self.manifest.current()
+        import dataclasses
+
+        return {
+            "manifest": dataclasses.asdict(ver),
+            "log": self.log_df(),
+        }
 
     def properties(self) -> dict:
         """GetProperty surface (kv/db/db_impl.cpp:1621-1697)."""

@@ -271,3 +271,33 @@ def test_range_scoped_compaction(spark, tmp_path):
     assert st.properties()["quasdb.total-rows"] == 8
     assert sorted(r["key"] for r in st.scan().collect()) == \
         [f"a{i}" for i in range(1, 5)] + [f"z{i}" for i in range(1, 5)]
+
+
+def test_writebatch_object_api(spark, tmp_path):
+    """WriteBatch parity surface (kv/include/write_batch.h:11-59):
+    put/delete/clear/append/iterate/approximate_size + DB::Write."""
+    from quasdb_spark.store import WriteBatch
+
+    st = _mk(spark, tmp_path)
+    b = WriteBatch().put("a", "1").put("b", "2").delete("a")
+    b2 = WriteBatch().put("c", "3")
+    b.append(b2)
+    assert len(b) == 4
+    assert list(b)[0] == ("put", "a", "1")
+    assert b.approximate_size() > 0
+    st.write(b)
+    assert st.get("a") is None and st.get("b") == "2" and st.get("c") == "3"
+    b.clear()
+    assert len(b) == 0
+    st.write(b)  # empty batch: no-op
+    assert st.manifest.current().last_seq == 1
+
+
+def test_dump_surface(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.put("k", "v")
+    d = st.dump()
+    assert d["manifest"]["last_seq"] == 1
+    assert len(d["manifest"]["files"]) == 1
+    rows = d["log"].collect()
+    assert [(r["key"], r["op"], r["value"]) for r in rows] == [("k", "put", "v")]
