@@ -102,3 +102,50 @@ def test_stream_windowed_agg(spark, tmp_path, sf_dir):
               for r in tumbling(ev, "ts", "1 hour", keys=["event_type"],
                                 aggs=[F.count(F.lit(1)).alias("n")]).collect()}
     assert got == expect
+
+
+def test_stateful_running_lww(spark, tmp_path):
+    """applyInPandasWithState LWW: incrementally maintained winners
+    equal the batch state view; lower-version replays are ignored."""
+    from pyspark.sql.types import LongType as L
+
+    from quasdb_spark.streaming.stateful import running_lww
+
+    src = str(tmp_path / "lww_src")
+    schema = StructType([
+        StructField("key", StringType()), StructField("seq", L()),
+        StructField("sub", L()), StructField("op", StringType()),
+        StructField("value", StringType())])
+
+    def write_batch_file(name, rows, order):
+        os.makedirs(src, exist_ok=True)
+        path = os.path.join(src, name)
+        with open(path, "w") as f:
+            for k, seq, sub, op, v in rows:
+                f.write(json.dumps({"key": k, "seq": seq, "sub": sub,
+                                    "op": op, "value": v}) + "\n")
+        os.utime(path, (_MTIME_BASE + order, _MTIME_BASE + order))
+
+    write_batch_file("b0.json", [("a", 1, 0, "put", "1"), ("b", 1, 1, "put", "2")], 0)
+    write_batch_file("b1.json", [("a", 2, 0, "del", None), ("c", 2, 1, "put", "3"),
+                                 ("b", 0, 0, "put", "stale")], 1)
+
+    stream = (spark.readStream.schema(schema)
+              .option("maxFilesPerTrigger", "1").json(src))
+    out = running_lww(stream)
+    q = (out.writeStream.format("memory").queryName("lwwstate")
+         .outputMode("update")
+         .option("checkpointLocation", str(tmp_path / "lww_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    rows = spark.sql("select * from lwwstate").collect()
+    # final state per key = last emitted update for that key
+    final = {}
+    for r in rows:
+        if r["key"] not in final or (r["seq"], r["sub"]) > \
+                (final[r["key"]]["seq"], final[r["key"]]["sub"]):
+            final[r["key"]] = r
+    assert final["a"]["op"] == "del" and final["a"]["seq"] == 2
+    assert final["b"]["value"] == "2"  # stale (0,0) replay ignored
+    assert final["c"]["value"] == "3"
