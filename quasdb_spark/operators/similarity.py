@@ -121,3 +121,67 @@ def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
              .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
              .where(F.col("score") >= threshold))
     return pairs.select("id_a", "id_b", (F.round("score", 4) + F.lit(0.0)).alias("score"))
+
+
+def label_centroids(vectors: DataFrame, *, label_col: str = "label",
+                    vec_col: str = "embedding", round_to: int = 6) -> DataFrame:
+    """Coarse-quantizer centroids: per-label mean vector.
+
+    In production IVF the centroids come from k-means; here the label
+    column stands in as the trained assignment so the whole pipeline is
+    deterministic. Centroids are rounded so downstream distances are
+    reproducible across engines. posexplode→avg→re-assemble: one
+    shuffle of (labels × dims) rows.
+    """
+    ex = vectors.select(F.col(label_col).alias("c_label"),
+                        F.posexplode(_as_double(vec_col)).alias("pos", "x"))
+    per_dim = (ex.groupBy("c_label", "pos")
+                 .agg(F.round(F.avg("x"), round_to).alias("cx")))
+    return (per_dim.groupBy("c_label")
+            .agg(F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                lambda s: s["cx"]).alias("centroid")))
+
+
+def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+             id_col: str = "vec_id", vec_col: str = "embedding",
+             label_col: str = "label", nprobe: int = 2) -> DataFrame:
+    """IVF-style approximate top-k: assign every vector to its nearest
+    centroid (inverted lists), probe only the query's ``nprobe``
+    nearest lists.
+
+    Scale shape: centroids are tiny and broadcast twice (assignment +
+    probe selection); the corpus is scored only against queries probing
+    its list — search cost drops by ~n_lists/nprobe versus brute force.
+    Swap label_centroids for trained k-means centroids without touching
+    this function.
+    """
+    cents = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+
+    def nearest(df, id_alias, vec_alias, top_n):
+        scored = (df.crossJoin(F.broadcast(cents))
+                    .withColumn("_cs", cosine(F.col(vec_alias), F.col("centroid"))))
+        w = Window.partitionBy(id_alias).orderBy(
+            F.col("_cs").desc(), F.col("c_label").asc())
+        return (scored.withColumn("_cr", F.row_number().over(w))
+                      .where(F.col("_cr") <= top_n)
+                      .select(id_alias, vec_alias, "c_label"))
+
+    v = vectors.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("_vv"))
+    assigned = nearest(v, "neighbor_id", "_vv", 1) \
+        .withColumnRenamed("c_label", "list_label")
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_qv"))
+    probes = nearest(q, "query_id", "_qv", nprobe) \
+        .withColumnRenamed("c_label", "list_label")
+
+    scored = (F.broadcast(probes).join(assigned, "list_label")
+              .where(F.col("query_id") != F.col("neighbor_id"))
+              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select("query_id", "rank", "neighbor_id",
+                          (F.round("score", 4) + F.lit(0.0)).alias("score")))

@@ -999,6 +999,64 @@ _PACK_ORACLES = {
 }
 
 
+
+
+def q_sim_ivf_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    return SIM.ivf_topk(e, queries, 10, nprobe=2)
+
+
+_IVF_ORACLE = {
+    "sim_ivf_topk": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
+        ex AS (SELECT label AS c_label, v,
+                      unnest(generate_series(1, len(v))) AS pos FROM e),
+        per_dim AS (
+          SELECT c_label, pos, round(avg(v[pos]), 6) AS cx
+          FROM ex GROUP BY 1, 2),
+        cents AS (
+          SELECT c_label, list(cx ORDER BY pos) AS centroid
+          FROM per_dim GROUP BY 1),
+        assigned AS (
+          SELECT vec_id AS neighbor_id, v AS vv, c_label AS list_label FROM (
+            SELECT e.vec_id, e.v, c.c_label,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY (list_sum(list_transform(generate_series(1, len(e.v)),
+                                 i -> e.v[i] * c.centroid[i]))
+                       / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))) DESC,
+                       c.c_label ASC) AS cr
+            FROM e, cents c) t
+          WHERE cr = 1),
+        probes AS (
+          SELECT query_id, qv, c_label AS list_label FROM (
+            SELECT e.vec_id AS query_id, e.v AS qv, c.c_label,
+                   row_number() OVER (
+                     PARTITION BY e.vec_id
+                     ORDER BY (list_sum(list_transform(generate_series(1, len(e.v)),
+                                 i -> e.v[i] * c.centroid[i]))
+                       / (sqrt(list_sum(list_transform(e.v, x -> x * x)))
+                        * sqrt(list_sum(list_transform(c.centroid, x -> x * x))))) DESC,
+                       c.c_label ASC) AS cr
+            FROM e, cents c WHERE e.vec_id % 100 = 0) t
+          WHERE cr <= 2),
+        scored AS (
+          SELECT query_id, neighbor_id, {_COS_SQL} AS score
+          FROM probes JOIN assigned USING (list_label)
+          WHERE query_id != neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+               round(score, 4) + 0.0 AS score
+        FROM ranked WHERE rn <= 10""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1048,6 +1106,7 @@ QUERIES = {
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_bucket_topk": q_sim_bucket_topk,
     "sim_neardup_cosine": q_sim_neardup_cosine,
+    "sim_ivf_topk": q_sim_ivf_topk,
     # coverage round 2
     "events_json_extract": q_events_json_extract,
     "ts_percentiles": q_ts_percentiles,
@@ -1064,4 +1123,4 @@ QUERIES = {
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES, **_PACK_ORACLES}
+           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE}
