@@ -301,3 +301,37 @@ def test_dump_surface(spark, tmp_path):
     assert len(d["manifest"]["files"]) == 1
     rows = d["log"].collect()
     assert [(r["key"], r["op"], r["value"]) for r in rows] == [("k", "put", "v")]
+
+
+def test_randomized_long_with_maintenance(spark, tmp_path):
+    """RandomizedLongDB analogue (kv/test/table_test.cpp:821-846):
+    a longer op stream with interleaved compactions, snapshots, and a
+    reopen — every checkpoint checked against the dict oracle."""
+    rng = random.Random(1234)
+    st = _mk(spark, tmp_path, "longdb")
+    oracle = DictOracle()
+    snaps = {}
+    for b in range(15):
+        ops = random_ops(rng, 40, keyspace=60, del_ratio=0.3)
+        seq = st.write_batch(ops)
+        oracle.apply_batch(ops, seq)
+        if b == 4:
+            snaps["s4"] = st.snapshot("s4")
+        if b == 7:
+            st.compact()  # full compaction mid-stream
+        if b == 10:
+            st.compact(key_from="key000010", key_to="key000030")
+        if b == 12:
+            st = KVStore.open(spark, str(tmp_path / "longdb"))  # reopen
+
+    got = [(r["key"], r["value"]) for r in st.scan().collect()]
+    assert got == sorted(oracle.state.items())
+    # snapshot taken before both compactions still answers correctly
+    expect_s4 = oracle.at(snaps["s4"])
+    got_s4 = [(r["key"], r["value"]) for r in st.scan(asof=snaps["s4"]).collect()]
+    assert got_s4 == sorted(expect_s4.items())
+    # version history of a hot key is monotone in seq
+    hot = max(oracle.state, key=lambda k: k)
+    hist = st.versions(hot).collect()
+    seqs = [r["seq"] for r in hist]
+    assert seqs == sorted(seqs, reverse=True)
