@@ -33,7 +33,8 @@ SUITE_BENCH = [
     "rel_pricing_summary", "rel_top_orders", "rel_region_revenue",
     "rel_promo_share",
     "text_quality", "dedup_minhash_pairs", "dedup_simhash",
-    "sim_cosine_topk",
+    "sim_cosine_topk", "sim_ivf_topk", "doc_token_packing",
+    "text_bigram_topk", "ts_trailing_1h_sum",
 ]
 
 
