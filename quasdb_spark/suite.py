@@ -1057,6 +1057,29 @@ _IVF_ORACLE = {
 }
 
 
+
+
+def q_ts_pivot_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    types = ["click", "error", "purchase", "signup", "view"]
+    return (ev.groupBy(F.date_trunc("hour", "ts").alias("hour"))
+              .pivot("event_type", types)
+              .agg(F.count(F.lit(1)))
+              .na.fill(0, types))
+
+
+_PIVOT_ORACLE = {
+    "ts_pivot_hourly": """
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(count(*) FILTER (event_type = 'click') AS BIGINT) AS click,
+               CAST(count(*) FILTER (event_type = 'error') AS BIGINT) AS error,
+               CAST(count(*) FILTER (event_type = 'purchase') AS BIGINT) AS purchase,
+               CAST(count(*) FILTER (event_type = 'signup') AS BIGINT) AS signup,
+               CAST(count(*) FILTER (event_type = 'view') AS BIGINT) AS view
+        FROM events GROUP BY 1""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1107,6 +1130,7 @@ QUERIES = {
     "sim_bucket_topk": q_sim_bucket_topk,
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "ts_pivot_hourly": q_ts_pivot_hourly,
     # coverage round 2
     "events_json_extract": q_events_json_extract,
     "ts_percentiles": q_ts_percentiles,
@@ -1123,4 +1147,4 @@ QUERIES = {
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE}
+           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE}
