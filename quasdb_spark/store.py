@@ -311,6 +311,38 @@ class KVStore:
                 .where(F.col("key") == key).limit(1).collect())
         return rows[0]["value"] if rows else None
 
+    def multi_get(self, keys: list[str], asof: int | None = None) -> dict[str, str]:
+        """Batched point lookup: ONE pruned scan with an IN filter
+        (vs N get() round trips). Missing/deleted keys are absent from
+        the result (NotFound convention)."""
+        if not keys:
+            return {}
+        lo, hi = min(keys), max(keys) + "\0"
+        st = self.state(asof, key_from=lo, key_to=hi) \
+                 .where(F.col("key").isin(list(set(keys))))
+        return {r["key"]: r["value"] for r in st.collect()}
+
+    def scan_iter(self, key_from: str | None = None,
+                  key_to: str | None = None, *, asof: int | None = None,
+                  page_size: int = 10000):
+        """Keyset-paginated iterator over scan results — the cursor
+        surface (Seek/Next, S3/S5) for driver-side consumers that want
+        bounded memory. Each page is one TakeOrderedAndProject job;
+        snapshot consistency across pages comes from pinning ``asof``
+        up front (data immutability does the rest)."""
+        if asof is None:
+            asof = self.manifest.current().last_seq
+        cursor = key_from
+        while True:
+            rows = self.scan(cursor, key_to, asof=asof,
+                             limit=page_size).collect()
+            if not rows:
+                return
+            yield from ((r["key"], r["value"]) for r in rows)
+            if len(rows) < page_size:
+                return
+            cursor = rows[-1]["key"] + "\0"
+
     def scan(self, key_from: str | None = None, key_to: str | None = None, *,
              asof: int | None = None, reverse: bool = False,
              limit: int | None = None, prefix: str | None = None) -> DataFrame:

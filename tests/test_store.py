@@ -335,3 +335,19 @@ def test_randomized_long_with_maintenance(spark, tmp_path):
     hist = st.versions(hot).collect()
     seqs = [r["seq"] for r in hist]
     assert seqs == sorted(seqs, reverse=True)
+
+
+def test_multi_get_and_scan_iter(spark, tmp_path):
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"m{i:03d}", str(i)) for i in range(25)])
+    st.delete("m010")
+    got = st.multi_get(["m003", "m010", "m024", "nope"])
+    assert got == {"m003": "3", "m024": "24"}
+    assert st.multi_get([]) == {}
+    # paged iteration sees a consistent snapshot pinned at first call
+    it = st.scan_iter(page_size=7)
+    first = next(it)
+    st.put("m999", "late")  # not visible to the running iterator
+    rest = list(it)
+    keys = [first[0]] + [k for k, _ in rest]
+    assert keys == [f"m{i:03d}" for i in range(25) if i != 10]
