@@ -233,6 +233,9 @@ class KVStore:
         # Sort within partitions by key: gives each Parquet file tight
         # min/max row-group stats for later range pruning (the SSTable
         # sorted-order analogue) without a global shuffle.
+        # No bloom on fresh batch dirs: parquet sizes blooms for ~1M NDV
+        # (≈1 MB/chunk) which dwarfs small batches; compaction outputs —
+        # the large, long-lived files where point gets land — carry them
         df.sortWithinPartitions("key").write.mode("errorifexists").parquet(full)
         stats = self._dir_stats(full)
         entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
@@ -431,9 +434,14 @@ class KVStore:
         n_out = target_files or max(1, min(len(selected), 32))
         rel = os.path.join("data", f"compact-{ver.version:06d}-{uuid.uuid4().hex[:8]}")
         full = os.path.join(self.path, rel)
+        # Bloom filter on key (capped): a point get skips row groups
+        # whose bloom provably lacks the key — the SSTable bloom-filter
+        # analogue (kv/util/bloom.cpp, kv/table/filter_block.cpp)
         (keep.repartitionByRange(n_out, "key")
              .sortWithinPartitions("key", "seq", "sub")
-             .write.mode("errorifexists").parquet(full))
+             .write.option("parquet.bloom.filter.enabled#key", "true")
+             .option("parquet.bloom.filter.max.bytes", str(128 * 1024))
+             .mode("errorifexists").parquet(full))
         stats = self._dir_stats(full)
         seq_hi = max(f.seq_hi for f in selected)
         entry = FileEntry(path=rel, seq_lo=0, seq_hi=seq_hi,
