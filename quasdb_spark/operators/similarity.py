@@ -185,3 +185,63 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                   .where(F.col("rank") <= k)
                   .select("query_id", "rank", "neighbor_id",
                           (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding") -> DataFrame:
+    """Arrow-batched numpy variant of cosine_topk: queries are
+    collected (small by contract) and shipped in the closure; each
+    Arrow batch of the corpus is scored as ONE numpy matmul.
+
+    Same output contract as cosine_topk; per-batch partial top-k is
+    emitted (k rows per query per batch), then the exact global top-k
+    window runs over candidates only. For wide vectors this trades the
+    expression tree for BLAS throughput.
+    """
+    import numpy as np
+
+    q_rows = queries.select(F.col(id_col).alias("query_id"),
+                            _as_double(vec_col).alias("qv")).collect()
+    if not q_rows:
+        return (vectors.sparkSession
+                .createDataFrame([], "query_id long, rank int, "
+                                     "neighbor_id long, score double"))
+    q_ids = np.array([r["query_id"] for r in q_rows])
+    qm = np.array([r["qv"] for r in q_rows], dtype=np.float64)
+    qm = qm / np.linalg.norm(qm, axis=1, keepdims=True)
+
+    from pyspark.sql.types import (DoubleType, LongType, StructField,
+                                   StructType)
+    out_schema = StructType([
+        StructField("query_id", LongType()),
+        StructField("neighbor_id", LongType()),
+        StructField("score", DoubleType())])
+
+    def score(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            vm = np.array(list(pdf[vec_col]), dtype=np.float64)
+            vm = vm / np.linalg.norm(vm, axis=1, keepdims=True)
+            sims = qm @ vm.T  # (n_queries, batch)
+            top = min(k + 1, sims.shape[1])
+            idx = np.argpartition(-sims, top - 1, axis=1)[:, :top]
+            rows = {"query_id": [], "neighbor_id": [], "score": []}
+            for qi in range(len(q_ids)):
+                for j in idx[qi]:
+                    if ids[j] == q_ids[qi]:
+                        continue
+                    rows["query_id"].append(int(q_ids[qi]))
+                    rows["neighbor_id"].append(int(ids[j]))
+                    rows["score"].append(float(sims[qi, j]))
+            yield pd.DataFrame(rows)
+
+    cands = vectors.select(id_col, vec_col).mapInPandas(score, out_schema)
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score").desc(), F.col("neighbor_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
+                 .where(F.col("rank") <= k)
+                 .select("query_id", "rank", "neighbor_id",
+                         (F.round("score", 4) + F.lit(0.0)).alias("score")))

@@ -1080,6 +1080,40 @@ _PIVOT_ORACLE = {
 }
 
 
+
+
+def q_rel_cube(spark, sf_dir):
+    o = _t(spark, sf_dir, "orders")
+    return (o.cube("o_orderstatus", "o_orderpriority")
+             .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_rel_unpivot(spark, sf_dir):
+    cu = _t(spark, sf_dir, "customer")
+    agg = (cu.groupBy("c_nationkey")
+             .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
+                  F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+                  F.count(F.lit(1)).cast("double").alias("n_customers")))
+    return agg.unpivot("c_nationkey", ["total_bal", "avg_bal", "n_customers"],
+                       "metric", "metric_value")
+
+
+_CUBE_ORACLES = {
+    "rel_cube": """
+        SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders
+        FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)""",
+    "rel_unpivot": """
+        WITH agg AS (
+          SELECT c_nationkey,
+                 round(sum(c_acctbal), 2) AS total_bal,
+                 round(avg(c_acctbal), 4) AS avg_bal,
+                 CAST(count(*) AS DOUBLE) AS n_customers
+          FROM customer GROUP BY 1)
+        SELECT c_nationkey, metric, metric_value FROM agg
+        UNPIVOT (metric_value FOR metric IN (total_bal, avg_bal, n_customers))""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1131,6 +1165,8 @@ QUERIES = {
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "ts_pivot_hourly": q_ts_pivot_hourly,
+    "rel_cube": q_rel_cube,
+    "rel_unpivot": q_rel_unpivot,
     # coverage round 2
     "events_json_extract": q_events_json_extract,
     "ts_percentiles": q_ts_percentiles,
@@ -1147,4 +1183,4 @@ QUERIES = {
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE}
+           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE, **_CUBE_ORACLES}
