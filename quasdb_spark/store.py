@@ -434,13 +434,17 @@ class KVStore:
         n_out = target_files or max(1, min(len(selected), 32))
         rel = os.path.join("data", f"compact-{ver.version:06d}-{uuid.uuid4().hex[:8]}")
         full = os.path.join(self.path, rel)
-        # Bloom filter on key (capped): a point get skips row groups
-        # whose bloom provably lacks the key — the SSTable bloom-filter
-        # analogue (kv/util/bloom.cpp, kv/table/filter_block.cpp)
+        # Bloom filter on key: a point get skips row groups whose bloom
+        # provably lacks the key — the SSTable bloom-filter analogue
+        # (kv/util/bloom.cpp, kv/table/filter_block.cpp). Sized from the
+        # manifest's known input row count (upper bound on NDV) so tiny
+        # stores don't pay the default 1M-NDV bloom footprint.
+        ndv = max(64, sum(f.rows for f in selected) // max(1, n_out))
         (keep.repartitionByRange(n_out, "key")
              .sortWithinPartitions("key", "seq", "sub")
              .write.option("parquet.bloom.filter.enabled#key", "true")
-             .option("parquet.bloom.filter.max.bytes", str(128 * 1024))
+             .option("parquet.bloom.filter.expected.ndv#key", str(ndv))
+             .option("parquet.bloom.filter.max.bytes", str(1024 * 1024))
              .mode("errorifexists").parquet(full))
         stats = self._dir_stats(full)
         seq_hi = max(f.seq_hi for f in selected)

@@ -49,3 +49,19 @@ def stream_sessions(stream: DataFrame, ts_col: str, gap: str, watermark: str,
              .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
     return (out.withColumn("session_start", F.col("w.start"))
                .withColumn("session_end", F.col("w.end")).drop("w"))
+
+
+def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
+                       left_ts: str, right_ts: str, *,
+                       watermark: str = "10 minutes",
+                       max_lag: str = "1 hour") -> DataFrame:
+    """Watermarked stream-stream inner join: right rows match left rows
+    on the key within [left_ts - max_lag, left_ts]. Both sides carry
+    watermarks so join state is evicted once the range condition can no
+    longer match — bounded state on unbounded streams."""
+    lw = left.withWatermark(left_ts, watermark)
+    rw = right.withWatermark(right_ts, watermark)
+    cond = ((lw[on] == rw[on]) &
+            (rw[right_ts] <= lw[left_ts]) &
+            (rw[right_ts] >= lw[left_ts] - F.expr(f"interval {max_lag}")))
+    return lw.join(rw, cond, "inner").drop(rw[on])

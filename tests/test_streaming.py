@@ -149,3 +149,41 @@ def test_stateful_running_lww(spark, tmp_path):
     assert final["a"]["op"] == "del" and final["a"]["seq"] == 2
     assert final["b"]["value"] == "2"  # stale (0,0) replay ignored
     assert final["c"]["value"] == "3"
+
+
+def test_stream_stream_join(spark, tmp_path, sf_dir):
+    """Watermarked stream-stream join: purchases joined to same-user
+    signups within a 2h lag equals the equivalent batch join."""
+    from quasdb_spark.sources.tables import load_table
+    from quasdb_spark.streaming.windows import stream_stream_join
+
+    ev = load_table(spark, sf_dir, "events").limit(400)
+    src = str(tmp_path / "ssj_src")
+    ev.write.mode("overwrite").parquet(src)
+
+    def mk_stream():
+        return spark.readStream.schema(ev.schema).parquet(src)
+
+    p = (mk_stream().where("event_type = 'purchase'")
+         .selectExpr("user_id", "event_id as p_id", "ts as p_ts"))
+    s = (mk_stream().where("event_type = 'signup'")
+         .selectExpr("user_id as s_user", "event_id as s_id", "ts as s_ts"))
+    joined = stream_stream_join(p, s.withColumnRenamed("s_user", "user_id"),
+                                "user_id", "p_ts", "s_ts",
+                                watermark="1 minute", max_lag="2 hours")
+    q = (joined.writeStream.format("memory").queryName("ssj")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ssj_ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+    got = {(r["p_id"], r["s_id"]) for r in spark.sql("select * from ssj").collect()}
+
+    pb = ev.where("event_type = 'purchase'").selectExpr("user_id", "event_id as p_id", "ts as p_ts")
+    sb = ev.where("event_type = 'signup'").selectExpr("user_id", "event_id as s_id", "ts as s_ts")
+    import pyspark.sql.functions as F
+    expect = {(r["p_id"], r["s_id"]) for r in
+              pb.join(sb, "user_id")
+                .where((F.col("s_ts") <= F.col("p_ts")) &
+                       (F.col("s_ts") >= F.col("p_ts") - F.expr("interval 2 hours")))
+                .collect()}
+    assert got == expect and len(got) > 0
