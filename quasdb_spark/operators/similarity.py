@@ -156,7 +156,10 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     Swap label_centroids for trained k-means centroids without touching
     this function.
     """
-    cents = label_centroids(vectors, label_col=label_col, vec_col=vec_col)
+    # tiny (n_lists rows) but its lineage scans the corpus — persist so
+    # the assignment and probe branches don't each recompute it
+    cents = label_centroids(vectors, label_col=label_col,
+                            vec_col=vec_col).persist()
 
     def nearest(df, id_alias, vec_alias, top_n):
         scored = (df.crossJoin(F.broadcast(cents))
