@@ -1,0 +1,69 @@
+"""Edge-path tests for time-series operators not exercised by the
+oracle suite (tolerance windows, left as-of, gapfill zero-fill)."""
+
+import datetime as dt
+
+import pyspark.sql.functions as F
+
+from quasdb_spark.operators.timeseries import (asof_join, gapfill,
+                                               moving_agg, rate)
+
+
+def _df(spark, rows, schema):
+    return spark.createDataFrame(rows, schema)
+
+
+def _ts(m):
+    return dt.datetime(2024, 1, 1, 0, m)
+
+
+def test_asof_join_tolerance_and_left(spark):
+    left = _df(spark, [(1, _ts(10), "p1"), (1, _ts(40), "p2"), (2, _ts(5), "p3")],
+               "user_id long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(9), "s1"), (1, _ts(12), "s2")],
+                "user_id long, rts timestamp, rtag string")
+
+    # inner, no tolerance: nearest right at-or-before
+    out = asof_join(left, right, ["user_id"], "ts", "rts",
+                    right_cols=["rtag", "rts"])
+    got = {(r["tag"], r["right_rtag"]) for r in out.collect()}
+    assert got == {("p1", "s1"), ("p2", "s2")}  # p3: no match dropped
+
+    # tolerance 60s: p2's match (28min stale) rejected
+    out_tol = asof_join(left, right, ["user_id"], "ts", "rts",
+                        right_cols=["rtag", "rts"], tolerance_seconds=60)
+    got_tol = {(r["tag"], r["right_rtag"]) for r in out_tol.collect()}
+    assert got_tol == {("p1", "s1")}
+
+    # how="left": unmatched lefts kept with null match
+    out_l = asof_join(left, right, ["user_id"], "ts", "rts",
+                      right_cols=["rtag", "rts"], how="left")
+    by_tag = {r["tag"]: r["right_rtag"] for r in out_l.collect()}
+    assert by_tag == {"p1": "s1", "p2": "s2", "p3": None}
+
+
+def test_asof_equal_timestamp_right_visible(spark):
+    """A right row at exactly left_ts matches (<= semantics)."""
+    left = _df(spark, [(1, _ts(10), "p")], "k long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(10), "s")], "k long, rts timestamp, rtag string")
+    out = asof_join(left, right, ["k"], "ts", "rts", right_cols=["rtag"])
+    assert out.collect()[0]["right_rtag"] == "s"
+
+
+def test_gapfill_fills_interior_holes(spark):
+    rows = [(1, _ts(0), 1.0), (1, _ts(30), 2.0)]  # 10-min buckets: 0,30 -> holes 10,20
+    df = _df(spark, rows, "k long, ts timestamp, v double")
+    out = gapfill(df, "ts", 600, ["k"], F.count(F.lit(1)), fill_value=0)
+    got = sorted((r["bucket_start"].minute, r["agg_value"]) for r in out.collect())
+    assert got == [(0, 1), (10, 0), (20, 0), (30, 1)]
+
+
+def test_moving_and_rate_edges(spark):
+    rows = [(1, _ts(0), 10.0, 1), (1, _ts(1), 20.0, 2), (1, _ts(1), 30.0, 3)]
+    df = _df(spark, rows, "k long, ts timestamp, v double, id long")
+    mv = moving_agg(df, "ts", ["k"], "v", 1, "id", "avg").orderBy("id").collect()
+    assert [r["mov_avg"] for r in mv] == [10.0, 15.0, 25.0]
+    # same-second events: dt=0 -> rate null (guarded division)
+    rt = rate(df, "ts", ["k"], "v", "id").orderBy("id").collect()
+    assert rt[0]["rate"] is None and rt[2]["rate"] is None
+    assert rt[1]["rate"] == (20.0 - 10.0) / 60
