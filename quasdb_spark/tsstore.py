@@ -113,6 +113,17 @@ class TSStore:
                 .orderBy(F.col("ts").desc()).limit(1).collect())
         return rows[0] if rows else None
 
+    def asof_point(self, series_id: str, ts: dt.datetime,
+                   asof: int | None = None):
+        """Value at-or-before ``ts`` — the canonical TSDB point query.
+        A bounded reverse key-range scan with LIMIT 1: the time bound
+        becomes a key upper bound, so manifest/row-group pruning applies
+        before the top-1 sort."""
+        t1 = ts + dt.timedelta(microseconds=1)
+        rows = (self.points(series_id, asof=asof, t1=t1)
+                .orderBy(F.col("ts").desc()).limit(1).collect())
+        return rows[0] if rows else None
+
     def downsample(self, bucket: str, *, series_id: str | None = None,
                    asof: int | None = None) -> DataFrame:
         """Per-series bucket aggregates over the state view."""

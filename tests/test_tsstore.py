@@ -71,3 +71,19 @@ def test_bulk_ingest_df(spark, tmp_path, sf_dir):
     ts.ingest_df(df)
     n_distinct = df.selectExpr("series_id", "ts").distinct().count()
     assert ts.points().count() == n_distinct
+
+
+def test_asof_point(spark, tmp_path):
+    ts = TSStore.create(spark, str(tmp_path / "asofp"))
+    ts.append([("cpu", _ts(0, m), float(m), None) for m in (0, 10, 20)])
+    # exactly at a sample
+    assert ts.asof_point("cpu", _ts(0, 10))["value"] == 10.0
+    # between samples -> previous
+    assert ts.asof_point("cpu", _ts(0, 15))["value"] == 10.0
+    # before first sample -> None
+    assert ts.asof_point("cpu", _ts(0, 0) - dt.timedelta(minutes=5)) is None
+    # snapshot-pinned
+    snap = ts.snapshot()
+    ts.append([("cpu", _ts(0, 15), 99.0, None)])
+    assert ts.asof_point("cpu", _ts(0, 15))["value"] == 99.0
+    assert ts.asof_point("cpu", _ts(0, 15), asof=snap)["value"] == 10.0
