@@ -1114,6 +1114,48 @@ _CUBE_ORACLES = {
 }
 
 
+
+
+def q_crossmodal_neighbors(spark, sf_dir):
+    """Similarity hits enriched with document metadata: embedding
+    neighbors joined back to the documents table (vec_id == doc_id in
+    the testdata) with each neighbor's text fingerprint."""
+    e = _t(spark, sf_dir, "embeddings")
+    d = _par(_t(spark, sf_dir, "documents"))
+    queries = e.where(F.col("vec_id") % 250 == 0)
+    topk = SIM.cosine_topk(e, queries, 5)
+    fp = d.select(F.col("doc_id"), T.exact_fingerprint("text").alias("neighbor_fp"),
+                  F.col("lang").alias("neighbor_lang"))
+    return (topk.join(F.broadcast(fp), topk.neighbor_id == fp.doc_id)
+                .select("query_id", "rank", "neighbor_id", "score",
+                        "neighbor_lang", "neighbor_fp"))
+
+
+_XMODAL_ORACLE = {
+    "crossmodal_neighbors": f"""
+        WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+                   FROM embeddings WHERE vec_id % 250 = 0),
+        v AS (SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS vv
+              FROM embeddings),
+        scored AS (
+          SELECT query_id, neighbor_id, {_COS_SQL} AS score
+          FROM q, v WHERE query_id != neighbor_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored),
+        topk AS (
+          SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+                 round(score, 4) + 0.0 AS score
+          FROM ranked WHERE rn <= 5)
+        SELECT query_id, rank, neighbor_id, score,
+               d.lang AS neighbor_lang,
+               md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS neighbor_fp
+        FROM topk JOIN documents d ON neighbor_id = d.doc_id""",
+}
+
+
 # =====================================================================
 # Registry
 # =====================================================================
@@ -1167,6 +1209,7 @@ QUERIES = {
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
     "rel_unpivot": q_rel_unpivot,
+    "crossmodal_neighbors": q_crossmodal_neighbors,
     # coverage round 2
     "events_json_extract": q_events_json_extract,
     "ts_percentiles": q_ts_percentiles,
@@ -1183,4 +1226,4 @@ QUERIES = {
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE, **_CUBE_ORACLES}
+           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE, **_CUBE_ORACLES, **_XMODAL_ORACLE}
