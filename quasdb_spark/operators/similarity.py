@@ -104,11 +104,13 @@ def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
 def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
                          subset_mod: int | None = None) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t).
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cos ≥ t),
+    EXACT all-pairs variant — O(n²), kept ONLY as the recall oracle for
+    tests (tests/test_similarity.py). The production/scale path is
+    ``neardup_pairs_banded`` below; do not put this in the suite.
 
-    ``subset_mod`` restricts the left side to ids ≡ 0 (mod m) — the
-    exact-baseline harness knob; the scale path is bucketed blocking
-    (see bucketed_topk) before pairwise scoring.
+    ``subset_mod`` restricts the left side to ids ≡ 0 (mod m) — a
+    harness knob to bound the quadratic cost in tests.
     """
     a = vectors.select(F.col(id_col).alias("id_a"),
                        _as_double(vec_col).alias("_va"))
@@ -121,6 +123,58 @@ def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
              .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
              .where(F.col("score") >= threshold))
     return pairs.select("id_a", "id_b", (F.round("score", 4) + F.lit(0.0)).alias("score"))
+
+
+def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
+                         vec_col: str = "embedding", threshold: float = 0.9,
+                         n_bands: int = 8, band_bits: int = 8,
+                         max_bucket_size: int | None = 1000) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs via banded sign-LSH blocking
+    (id_a < id_b, cos >= threshold) — the 100 TB-safe path.
+
+    The full sign signature (``n_bands * band_bits`` bits of leading
+    dimensions) is cut into ``n_bands`` bands; two vectors become a
+    candidate pair iff they agree on at least one whole band (classic
+    banded LSH, same scheme as the MinHash pair-finder). Only candidates
+    are scored, so the cross join disappears:
+
+    - bands table: n x n_bands rows of (band, key, id) — map-only;
+    - self-equi-join on (band, key): shuffle hash join, quadratic only
+      WITHIN a bucket; ``max_bucket_size`` drops degenerate buckets
+      (standard LSH skew guard) so a hot key cannot O(n^2) a partition;
+    - distinct candidate pairs then join back to the two vectors by id
+      and are scored once.
+
+    Recall is the banded-LSH curve 1-(1-p^band_bits)^n_bands with
+    p = 1 - angle/pi: ~1.0 for genuine near-dups (cos >= 0.9), dropping
+    steeply in the random-similarity regime (cos ~ 0.4 on uniform data)
+    — measured on this repo's testdata in tests/test_suite.py; the
+    brute-force ``neardup_pairs_cosine`` is the recall oracle there.
+    """
+    e = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
+        sign_bucket(vec_col, n_bands * band_bits).alias("_sig"))
+    keys = F.array(*[F.substring("_sig", b * band_bits + 1, band_bits)
+                     for b in range(n_bands)])
+    bands = e.select("_id", F.posexplode(keys).alias("_band", "_key"))
+    if max_bucket_size is not None:
+        ok = (bands.groupBy("_band", "_key")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") <= max_bucket_size)
+                   .drop("_n"))
+        bands = bands.join(ok, ["_band", "_key"])
+    a = bands.select(F.col("_id").alias("id_a"), "_band", "_key")
+    b = bands.select(F.col("_id").alias("id_b"), "_band", "_key")
+    cand = (a.join(b, ["_band", "_key"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    return (cand.join(va, "id_a").join(vb, "id_b")
+                .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+                .where(F.col("score") >= threshold)
+                .select("id_a", "id_b",
+                        (F.round("score", 4) + F.lit(0.0)).alias("score")))
 
 
 def label_centroids(vectors: DataFrame, *, label_col: str = "label",

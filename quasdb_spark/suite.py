@@ -737,8 +737,13 @@ def q_sim_bucket_topk(spark, sf_dir):
 
 
 def q_sim_neardup_cosine(spark, sf_dir):
+    # Banded sign-LSH blocking (8 bands x 8 bits): candidates share >=1
+    # band, only candidates are scored — no cross join anywhere in the
+    # plan. Recall vs brute force is the LSH curve (documented in
+    # operators/similarity.py; measured in tests/test_suite.py).
     e = _t(spark, sf_dir, "embeddings")
-    return SIM.neardup_pairs_cosine(e, threshold=0.40, subset_mod=5)
+    return SIM.neardup_pairs_banded(e, threshold=0.40, n_bands=8,
+                                    band_bits=8, max_bucket_size=1000)
 
 
 _COS_SQL = ("list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * vv[i]))"
@@ -782,13 +787,26 @@ _SIM_ORACLES = {
                round(score, 4) + 0.0 AS score
         FROM ranked WHERE rn <= 5""",
     "sim_neardup_cosine": f"""
-        WITH a AS (SELECT vec_id AS id_a, embedding::DOUBLE[] AS qv
-                   FROM embeddings WHERE vec_id % 5 = 0),
-        b AS (SELECT vec_id AS id_b, embedding::DOUBLE[] AS vv
-              FROM embeddings),
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
+                          concat({", ".join(
+                              f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
+                              for i in range(64))}) AS sig
+                   FROM embeddings),
+        bands AS (SELECT vec_id, b, substr(sig, b * 8 + 1, 8) AS key
+                  FROM e, (SELECT unnest(generate_series(0, 7)) AS b)),
+        ok AS (SELECT b, key FROM bands GROUP BY b, key
+               HAVING count(*) <= 1000),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+                 FROM bands a
+                 JOIN bands c ON a.b = c.b AND a.key = c.key
+                             AND a.vec_id < c.vec_id
+                 JOIN ok ON ok.b = a.b AND ok.key = a.key),
         scored AS (
-          SELECT id_a, id_b, {_COS_SQL} AS score
-          FROM a, b WHERE id_a < id_b)
+          SELECT id_a, id_b,
+                 {_COS_SQL.replace("qv", "ea.v").replace("vv", "eb.v")} AS score
+          FROM cand
+          JOIN e ea ON ea.vec_id = cand.id_a
+          JOIN e eb ON eb.vec_id = cand.id_b)
         SELECT id_a, id_b, round(score, 4) + 0.0 AS score
         FROM scored WHERE score >= 0.40""",
 }
