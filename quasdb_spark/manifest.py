@@ -20,16 +20,21 @@ manifest is tiny, and full snapshots make recovery trivial: read CURRENT,
 read one JSON, done (the reference replays a delta log instead,
 kv/db/version_set.cpp VersionSet::Recover).
 
-Commit protocol (single-writer, crash-safe):
+Commit protocol (multi-writer-safe, crash-safe):
+  0. take an exclusive flock on _manifest/LOCK (the reference's DB lock
+     file + writer-queue serialization, kv/db/db_impl.cpp:1398-1414);
+     re-read CURRENT and verify the commit's base is still the live
+     version — if another writer advanced it, raise CommitConflict (the
+     caller re-reads and retries; KVStore write paths do this
+     automatically, re-stamping the batch at the new seq).
   1. write NNNNNN.json.tmp, fsync
-  2. os.rename to NNNNNN.json (atomic on POSIX)
+  2. os.rename to NNNNNN.json (atomic on POSIX; overwrite is safe under
+     the lock — an existing NNNNNN.json can only be debris from a
+     writer that crashed before step 3, i.e. a version never installed)
   3. write CURRENT.tmp + rename over CURRENT (atomic pointer swap — same
      trick as the reference's SetCurrentFile, kv/db/filename.cpp)
 A crash between steps leaves either the old version live or the new one;
-never a torn state. Concurrent writers are out of scope round-1 (the
-reference also serializes all writers through one queue,
-kv/db/db_impl.cpp:1398-1414); the hook for multi-writer is a
-compare-and-swap on the CURRENT pointer.
+never a torn state; the flock dies with the process.
 
 At 100 TB scale this metadata layer stays small: files are tracked at
 batch-directory granularity with min/max key stats, so manifest size grows
@@ -39,11 +44,20 @@ by the compaction job folding many batch dirs into a few level dirs.
 
 from __future__ import annotations
 
+import contextlib
+import fcntl
 import json
 import os
 import tempfile
 from dataclasses import dataclass, field, asdict
 from typing import Any
+
+
+class CommitConflict(Exception):
+    """Another writer installed a version after this commit's base was
+    read. Re-read current() and retry (lost-update prevention — the
+    analogue of losing the race for the reference's writer queue head,
+    kv/db/db_impl.cpp:1398-1414)."""
 
 
 @dataclass
@@ -120,8 +134,13 @@ class Manifest:
                remove: set[str] = frozenset(), last_seq: int | None = None,
                snapshots: dict[str, int] | None = None,
                streams: dict[str, int] | None = None) -> Version:
-        """Produce and durably install the next version. ``base`` must be
-        the current version (single-writer assumption)."""
+        """Produce and durably install the next version.
+
+        ``base`` must still be the live version at install time; the
+        check runs under an exclusive LOCK flock, so two concurrent
+        writers (handles or processes) cannot both install a successor
+        of the same base — the loser gets CommitConflict and must
+        re-read + retry instead of silently overwriting (ADVICE r1)."""
         nxt = Version(
             version=base.version + 1,
             last_seq=last_seq if last_seq is not None else base.last_seq,
@@ -130,8 +149,25 @@ class Manifest:
             schema=base.schema,
             streams=dict(streams if streams is not None else base.streams),
         )
-        self._write_version(nxt)
+        with self._commit_lock():
+            live = self.current()
+            if live.version != base.version:
+                raise CommitConflict(
+                    f"base version {base.version} superseded by "
+                    f"{live.version} at {self.store_path}")
+            self._write_version(nxt)
         return nxt
+
+    @contextlib.contextmanager
+    def _commit_lock(self):
+        fd = os.open(os.path.join(self.dir, "LOCK"),
+                     os.O_CREAT | os.O_RDWR, 0o644)
+        try:
+            fcntl.flock(fd, fcntl.LOCK_EX)
+            yield
+        finally:
+            fcntl.flock(fd, fcntl.LOCK_UN)
+            os.close(fd)
 
     def _write_version(self, v: Version) -> None:
         name = f"{v.version:06d}.json"
@@ -157,16 +193,37 @@ class Manifest:
     def live_paths(self) -> set[str]:
         return {f.path for f in self.current().files}
 
-    def vacuum(self) -> list[str]:
-        """Delete data dirs not referenced by the current version."""
-        import shutil
+    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
+        """Delete data dirs not referenced by the current version.
 
-        live = self.live_paths()
+        Physical deletion is DEFERRED policy, not a commit side effect
+        (Delta-style): compaction only unlinks dirs from the manifest;
+        readers holding lazy DataFrames (which resolved concrete file
+        paths at construction) keep working until someone explicitly
+        vacuums. ``grace_seconds`` skips dirs modified within the grace
+        window — both a reader grace period and a guard against deleting
+        a concurrent writer's data dir written but not yet committed.
+        Runs under the commit lock so the live set can't move mid-walk.
+        """
+        import shutil
+        import time
+
         data_root = os.path.join(self.store_path, "data")
         removed = []
-        for name in os.listdir(data_root):
-            rel = os.path.join("data", name)
-            if rel not in live:
-                shutil.rmtree(os.path.join(data_root, name), ignore_errors=True)
+        with self._commit_lock():
+            live = self.live_paths()
+            now = time.time()
+            for name in os.listdir(data_root):
+                rel = os.path.join("data", name)
+                full = os.path.join(data_root, name)
+                if rel in live:
+                    continue
+                if grace_seconds > 0:
+                    try:
+                        if now - os.path.getmtime(full) < grace_seconds:
+                            continue
+                    except OSError:
+                        continue
+                shutil.rmtree(full, ignore_errors=True)
                 removed.append(rel)
         return removed

@@ -44,7 +44,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import LongType, StringType, StructField, StructType
 
-from quasdb_spark.manifest import FileEntry, Manifest, Version
+from quasdb_spark.manifest import CommitConflict, FileEntry, Manifest, Version
 from quasdb_spark.plans.lww import state_view, state_view_window
 
 LOG_FIELDS = [("key", StringType()), ("seq", LongType()), ("sub", LongType()),
@@ -162,14 +162,14 @@ class KVStore:
         kv/include/write_batch.h:11-59)."""
         if not ops:
             return self.manifest.current().last_seq
-        ver = self.manifest.current()
-        seq = ver.last_seq + 1
-        # intra-batch order: position in the list, per the reference's
-        # replay-in-order semantics
-        rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(ops)]
-        df = self.spark.createDataFrame(rows, LOG_SCHEMA)
-        self._commit_append(ver, df, seq, n_rows=len(rows))
-        return seq
+
+        def build(seq):
+            # intra-batch order: position in the list, per the
+            # reference's replay-in-order semantics
+            rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(ops)]
+            return self.spark.createDataFrame(rows, LOG_SCHEMA), len(rows)
+
+        return self._append_with_retry(build)
 
     def write(self, batch: "WriteBatch") -> int:
         """DB::Write(options, batch) parity (kv/db/db_impl.cpp:1396)."""
@@ -186,17 +186,16 @@ class KVStore:
         relaxation — pass sub_col when it matters). No global sort or
         window is imposed, so this scales linearly.
         """
-        ver = self.manifest.current()
-        seq = ver.last_seq + 1
-        out = df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.lit(seq).cast("long").alias("seq"),
-            (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
-            (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
-            F.col(value_col).cast("string").alias("value"),
-        )
-        n = self._commit_append(ver, out, seq)
-        return seq
+        def build(seq):
+            return df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.lit(seq).cast("long").alias("seq"),
+                (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
+                (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
+                F.col(value_col).cast("string").alias("value"),
+            ), None
+
+        return self._append_with_retry(build)
 
     def ingest_batch(self, df: DataFrame, stream_id: str, batch_id: int,
                      **ingest_kwargs) -> int | None:
@@ -206,24 +205,66 @@ class KVStore:
         at-least-once batch delivery — the WAL-recovery analogue
         (kv/db/db_impl.cpp:322-560). Returns the batch seq, or None if
         the batch was already committed."""
-        ver = self.manifest.current()
-        if ver.streams.get(stream_id, -1) >= batch_id:
-            return None
-        seq = ver.last_seq + 1
         key_col = ingest_kwargs.pop("key_col", "key")
         value_col = ingest_kwargs.pop("value_col", "value")
         op_col = ingest_kwargs.pop("op_col", None)
         sub_col = ingest_kwargs.pop("sub_col", None)
-        out = df.select(
-            F.col(key_col).cast("string").alias("key"),
-            F.lit(seq).cast("long").alias("seq"),
-            (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
-            (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
-            F.col(value_col).cast("string").alias("value"),
-        )
-        self._commit_append(ver, out, seq,
-                            streams={**ver.streams, stream_id: batch_id})
-        return seq
+
+        def build(seq):
+            return df.select(
+                F.col(key_col).cast("string").alias("key"),
+                F.lit(seq).cast("long").alias("seq"),
+                (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
+                (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
+                F.col(value_col).cast("string").alias("value"),
+            ), None
+
+        return self._append_with_retry(
+            build,
+            skip_if=lambda ver: ver.streams.get(stream_id, -1) >= batch_id,
+            streams_update=lambda ver: {**ver.streams, stream_id: batch_id})
+
+    def _append_with_retry(self, build, *, skip_if=None, streams_update=None,
+                           retries: int = 8) -> int | None:
+        """Run one append commit, retrying on CommitConflict (another
+        writer won the seq). Each retry re-reads the live version and
+        re-stamps the batch at the new seq — ``build(seq)`` must return
+        (df, n_rows|None) and be safe to re-evaluate. Mirrors losing a
+        round of the reference's writer queue and re-queueing
+        (kv/db/db_impl.cpp:1398-1414)."""
+        last = None
+        for _ in range(retries):
+            ver = self.manifest.current()
+            if skip_if is not None and skip_if(ver):
+                return None
+            seq = ver.last_seq + 1
+            df, n_rows = build(seq)
+            try:
+                self._commit_append(
+                    ver, df, seq, n_rows=n_rows,
+                    streams=streams_update(ver) if streams_update else None)
+                return seq
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"gave up after {retries} retries: {last}") from last
+
+    def _meta_commit(self, mutate, retries: int = 16) -> Version:
+        """Metadata-only commit with conflict retry: ``mutate(ver)``
+        returns commit kwargs (or None to no-op)."""
+        last = None
+        for _ in range(retries):
+            ver = self.manifest.current()
+            kwargs = mutate(ver)
+            if kwargs is None:
+                return ver
+            try:
+                self.manifest.commit(ver, **kwargs)
+                return ver
+            except CommitConflict as e:
+                last = e
+        raise CommitConflict(
+            f"gave up after {retries} retries: {last}") from last
 
     def _commit_append(self, ver: Version, df: DataFrame, seq: int,
                        n_rows: int | None = None,
@@ -242,7 +283,15 @@ class KVStore:
                           rows=n_rows if n_rows is not None else stats["rows"],
                           bytes=stats["bytes"], min_key=stats["min_key"],
                           max_key=stats["max_key"], level=0)
-        self.manifest.commit(ver, add=[entry], last_seq=seq, streams=streams)
+        try:
+            self.manifest.commit(ver, add=[entry], last_seq=seq, streams=streams)
+        except CommitConflict:
+            # the data dir was never installed — remove it so the retry
+            # (which re-stamps at a new seq) doesn't leak orphans
+            import shutil
+
+            shutil.rmtree(full, ignore_errors=True)
+            raise
         return entry.rows
 
     def _dir_stats(self, full_path: str) -> dict:
@@ -330,21 +379,33 @@ class KVStore:
                   page_size: int = 10000):
         """Keyset-paginated iterator over scan results — the cursor
         surface (Seek/Next, S3/S5) for driver-side consumers that want
-        bounded memory. Each page is one TakeOrderedAndProject job;
-        snapshot consistency across pages comes from pinning ``asof``
-        up front (data immutability does the rest)."""
+        bounded memory. Each page is one TakeOrderedAndProject job.
+
+        Snapshot consistency across pages: when no ``asof`` is given, a
+        snapshot is REGISTERED at the current seq (and released when the
+        iterator is exhausted or closed), so a compaction running
+        mid-iteration must retain every version this cursor reads — the
+        reference's iterator-pins-a-snapshot semantics
+        (kv/db/db_impl.cpp:1351-1362). Physical file safety comes from
+        deferred vacuum (see compact)."""
+        pinned = None
         if asof is None:
-            asof = self.manifest.current().last_seq
+            pinned = f"scan-{uuid.uuid4().hex[:8]}"
+            asof = self.snapshot(pinned)
         cursor = key_from
-        while True:
-            rows = self.scan(cursor, key_to, asof=asof,
-                             limit=page_size).collect()
-            if not rows:
-                return
-            yield from ((r["key"], r["value"]) for r in rows)
-            if len(rows) < page_size:
-                return
-            cursor = rows[-1]["key"] + "\0"
+        try:
+            while True:
+                rows = self.scan(cursor, key_to, asof=asof,
+                                 limit=page_size).collect()
+                if not rows:
+                    return
+                yield from ((r["key"], r["value"]) for r in rows)
+                if len(rows) < page_size:
+                    return
+                cursor = rows[-1]["key"] + "\0"
+        finally:
+            if pinned is not None:
+                self.release_snapshot(pinned)
 
     def scan(self, key_from: str | None = None, key_to: str | None = None, *,
              asof: int | None = None, reverse: bool = False,
@@ -373,23 +434,36 @@ class KVStore:
         current last_seq so compaction retains visibility at it. Returns
         the seq to pass as ``asof``. Unregistered as-of reads also work
         (data is immutable until compaction drops old versions)."""
-        ver = self.manifest.current()
-        name = name or f"s{ver.last_seq}-{uuid.uuid4().hex[:6]}"
-        snaps = dict(ver.snapshots)
-        snaps[name] = ver.last_seq
-        self.manifest.commit(ver, snapshots=snaps)
-        return ver.last_seq
+        out = {}
+
+        def mutate(ver):
+            snap_name = name or f"s{ver.last_seq}-{uuid.uuid4().hex[:6]}"
+            out["seq"] = ver.last_seq
+            return {"snapshots": {**ver.snapshots, snap_name: ver.last_seq}}
+
+        self._meta_commit(mutate)
+        return out["seq"]
 
     def release_snapshot(self, name_or_seq: str | int) -> None:
-        ver = self.manifest.current()
-        snaps = {n: s for n, s in ver.snapshots.items()
-                 if n != name_or_seq and s != name_or_seq}
-        self.manifest.commit(ver, snapshots=snaps)
+        def mutate(ver):
+            snaps = {n: s for n, s in ver.snapshots.items()
+                     if n != name_or_seq and s != name_or_seq}
+            return None if snaps == ver.snapshots else {"snapshots": snaps}
+
+        self._meta_commit(mutate)
 
     # -------------------------------------------------------- maintenance
+    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
+        """Physically delete data dirs no longer referenced by the
+        current version (RemoveObsoleteFiles, kv/db/db_impl.cpp:248-320).
+        Deletion is decoupled from compaction commits so lazy DataFrames
+        and pinned cursors keep working until the operator opts in;
+        ``grace_seconds`` gives open readers a grace window."""
+        return self.manifest.vacuum(grace_seconds)
+
     def compact(self, *, target_files: int | None = None,
                 key_from: str | None = None,
-                key_to: str | None = None) -> dict:
+                key_to: str | None = None, vacuum: bool = False) -> dict:
         """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220);
         pass key_from/key_to for manual range compaction (CompactRange).
 
@@ -453,8 +527,16 @@ class KVStore:
                           min_key=stats["min_key"], max_key=stats["max_key"],
                           level=1)
         old_paths = {f.path for f in selected}
-        self.manifest.commit(ver, add=[entry], remove=old_paths)
-        gone = self.manifest.vacuum()
+        # Conflict-retrying commit: a concurrent ingest only ADDS dirs,
+        # so re-basing the same add/remove set is safe — input rows all
+        # have seq <= the retention pass's last_seq, and later snapshots
+        # can only be registered at seqs >= that, where the winner among
+        # input rows is unchanged.
+        self._meta_commit(lambda v: {"add": [entry], "remove": old_paths})
+        # Physical deletion is deferred (ADVICE r1): the old dirs stay on
+        # disk — invisible to new reads, still readable by already-built
+        # DataFrames and pinned cursors — until vacuum() is called.
+        gone = self.manifest.vacuum() if vacuum else []
         before = sum(f.bytes for f in selected)
         return {"files_before": len(ver.files),
                 "files_after": len(ver.files) - len(selected) + 1,
