@@ -97,6 +97,15 @@ def _decode_image_real(data: bytes) -> dict[str, Any]:
     return {"width": img.width, "height": img.height, "mode": img.mode}
 
 
+try:  # PIL's corrupt-image error, when the codec is present
+    from PIL import UnidentifiedImageError as _UIE
+
+    _IMAGE_DECODE_ERRORS: tuple[type[BaseException], ...] = (
+        _UIE, OSError, ValueError)
+except ImportError:  # pragma: no cover - PIL present in this container
+    _IMAGE_DECODE_ERRORS = (OSError, ValueError)
+
+
 DECODED_IMAGE_SCHEMA = StructType([
     StructField("media_id", LongType()),
     StructField("width", IntegerType()),
@@ -124,7 +133,12 @@ def decode_images(media: DataFrame) -> DataFrame:
                 try:
                     d = _decode_image_real(blob)
                     w, h, path = d["width"], d["height"], "real"
-                except (NotImplementedError, Exception):
+                except (NotImplementedError, *_IMAGE_DECODE_ERRORS):
+                    # NotImplementedError = codec unavailable; the decode
+                    # errors = codec present but blob isn't a real image
+                    # (QM synthetic blobs land here by design). Anything
+                    # else propagates — a genuinely unexpected failure
+                    # must not silently degrade to the fake parser.
                     try:
                         _, w, h = _parse_header(blob)
                         path = "fake"
@@ -138,6 +152,15 @@ def decode_images(media: DataFrame) -> DataFrame:
             yield pd.DataFrame(out)
 
     return media.mapInPandas(fn, DECODED_IMAGE_SCHEMA)
+
+
+def decode_path_counts(decoded: DataFrame) -> DataFrame:
+    """Per-path decode outcome counts (real / fake / error) — the
+    operational failure-rate surface: corrupt blobs are counted, not
+    silently absorbed."""
+    from pyspark.sql import functions as F
+
+    return decoded.groupBy("decode_path").agg(F.count("*").alias("n"))
 
 
 RESIZED_SCHEMA = StructType([

@@ -1169,7 +1169,7 @@ _XMODAL_ORACLE = {
           FROM ranked WHERE rn <= 5)
         SELECT query_id, rank, neighbor_id, score,
                d.lang AS neighbor_lang,
-               md5(regexp_replace(lower(trim(d.text)), '\s+', ' ', 'g')) AS neighbor_fp
+               md5(regexp_replace(lower(trim(d.text)), '\\s+', ' ', 'g')) AS neighbor_fp
         FROM topk JOIN documents d ON neighbor_id = d.doc_id""",
 }
 

@@ -24,9 +24,14 @@ def test_decode_images_corrupt_blob(spark):
     media = MM.synth_media(spark, 3, "image").withColumn(
         "data", F.when(F.col("media_id") == 1, F.lit(b"garbage"))
                  .otherwise(F.col("data")))
-    rows = {r["media_id"]: r for r in MM.decode_images(media).collect()}
+    decoded = MM.decode_images(media)
+    rows = {r["media_id"]: r for r in decoded.collect()}
     assert rows[1]["decode_path"] == "error" and rows[1]["width"] == -1
     assert rows[0]["decode_path"] in ("real", "fake")
+    # failure-rate surface: corrupt blobs are counted, not absorbed
+    counts = {r["decode_path"]: r["n"]
+              for r in MM.decode_path_counts(decoded).collect()}
+    assert counts["error"] == 1 and sum(counts.values()) == 3
 
 
 def test_resize_images(spark):

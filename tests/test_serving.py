@@ -62,6 +62,14 @@ def test_http_store_endpoints(spark, tmp_path):
         code, body = _get(srv.port, "/scan?reverse=1&limit=1")
         assert body["rows"] == [["k09", "9"]]
 
+        # /scan without limit is capped server-side (default 100) —
+        # never an unbounded collect into one JSON response
+        st.write_batch([("put", f"z{i:03d}", "x") for i in range(120)])
+        code, body = _get(srv.port, "/scan")
+        assert len(body["rows"]) == 100
+        code, body = _get(srv.port, "/scan?limit=99999")  # clamped to max
+        assert len(body["rows"]) <= 10000
+
         # static file serving (H1 parity) + traversal protection
         with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/index.html") as r:
             assert r.status == 200 and b"quasdb" in r.read()
