@@ -67,7 +67,8 @@ def downsample_last(df: DataFrame, ts_col: str, bucket: str, keys: list[str],
 def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str, *,
               right_cols: list[str], tolerance_seconds: int | None = None,
-              how: str = "inner") -> DataFrame:
+              how: str = "inner",
+              right_tiebreak: str | None = None) -> DataFrame:
     """As-of join: for each left row, the newest right row with
     right_ts <= left_ts on the same keys.
 
@@ -78,23 +79,41 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
     partition, skew handled by AQE.
 
     At equal timestamps the right row is considered visible (<=), so
-    rights sort before lefts at the same instant.
+    rights sort before lefts at the same instant. When several right
+    rows share the same (keys, right_ts), pass ``right_tiebreak`` to
+    pick a deterministic winner (greatest tiebreak value wins) — the
+    same determinism contract as every other ordering op here.
     """
     lcols = left.columns
+    # right_ts always rides along inside the match struct (as _rts) so
+    # the tolerance check never depends on the caller including it in
+    # right_cols — that was an implicit, unchecked contract (ADVICE r1).
+    rstruct_cols = [F.col(c) for c in right_cols] + [
+        F.col(right_ts).alias("_rts")]
+    rschema = (right.select(*right_cols, F.col(right_ts).alias("_rts"))
+                    .schema)
     marker = F.lit(1)
     lpart = (left.withColumn("_t", F.col(left_ts))
                  .withColumn("_is_left", marker)
                  .select(*on, "_t", "_is_left",
                          F.struct(*[F.col(c) for c in lcols]).alias("_l"),
-                         F.lit(None).cast(right.select(*right_cols).schema).alias("_r")))
+                         F.lit(None).cast(rschema).alias("_r"),
+                         F.lit(None).cast(
+                             right.schema[right_tiebreak].dataType
+                             if right_tiebreak else "long").alias("_rtb")))
     rpart = (right.withColumn("_t", F.col(right_ts))
                   .withColumn("_is_left", F.lit(0))
                   .select(*on, "_t", "_is_left",
                           F.lit(None).cast(left.select(*lcols).schema).alias("_l"),
-                          F.struct(*[F.col(c) for c in right_cols]).alias("_r")))
+                          F.struct(*rstruct_cols).alias("_r"),
+                          (F.col(right_tiebreak) if right_tiebreak
+                           else F.lit(0)).alias("_rtb")))
     u = lpart.unionByName(rpart)
+    # nulls-first asc puts left rows' null _rtb before right rows only
+    # within the same (_t, _is_left) group, where it cannot matter
     w = (Window.partitionBy(*on)
-               .orderBy(F.col("_t").asc(), F.col("_is_left").asc())
+               .orderBy(F.col("_t").asc(), F.col("_is_left").asc(),
+                        F.col("_rtb").asc())
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     matched = (u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
                 .where(F.col("_is_left") == 1))
@@ -102,7 +121,7 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         # match only counts if within tolerance of the left timestamp
         ok = (F.col("_match").isNotNull() &
               (F.unix_timestamp(F.col("_t")) -
-               F.unix_timestamp(F.col(f"_match.{right_ts}")) <= tolerance_seconds))
+               F.unix_timestamp(F.col("_match._rts")) <= tolerance_seconds))
         matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
     if how == "inner":
         matched = matched.where(F.col("_match").isNotNull())

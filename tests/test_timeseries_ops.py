@@ -50,6 +50,31 @@ def test_asof_equal_timestamp_right_visible(spark):
     assert out.collect()[0]["right_rtag"] == "s"
 
 
+def test_asof_tolerance_without_right_ts_in_cols(spark):
+    """tolerance_seconds must not require right_ts in right_cols —
+    the ts rides along internally (ADVICE r1)."""
+    left = _df(spark, [(1, _ts(10), "p1"), (1, _ts(40), "p2")],
+               "user_id long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(9), "s1")],
+                "user_id long, rts timestamp, rtag string")
+    out = asof_join(left, right, ["user_id"], "ts", "rts",
+                    right_cols=["rtag"], tolerance_seconds=120)
+    assert {(r["tag"], r["right_rtag"]) for r in out.collect()} == {("p1", "s1")}
+    assert "right_rts" not in out.columns  # output shape unchanged
+
+
+def test_asof_right_tiebreak_deterministic(spark):
+    """Equal (keys, right_ts) rights: greatest tiebreak wins, every run."""
+    left = _df(spark, [(1, _ts(10), "p")], "k long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(5), "lo", 1), (1, _ts(5), "hi", 9),
+                        (1, _ts(5), "mid", 5)],
+                "k long, rts timestamp, rtag string, pri long")
+    for _ in range(3):
+        out = asof_join(left, right, ["k"], "ts", "rts",
+                        right_cols=["rtag"], right_tiebreak="pri")
+        assert out.collect()[0]["right_rtag"] == "hi"
+
+
 def test_gapfill_fills_interior_holes(spark):
     rows = [(1, _ts(0), 1.0), (1, _ts(30), 2.0)]  # 10-min buckets: 0,30 -> holes 10,20
     df = _df(spark, rows, "k long, ts timestamp, v double")
