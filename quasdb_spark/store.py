@@ -12,7 +12,8 @@ Catalyst: key-range predicates push down to the Parquet scan, the
 manifest prunes whole files by min/max key first, and AQE handles the
 rest.
 
-Log schema: (key STRING, seq LONG, sub LONG, op STRING, value STRING)
+Log schema: (key STRING|BINARY, seq LONG, sub LONG, op STRING,
+value STRING|BINARY)
   - seq: batch-level sequence, allocated monotonically by the manifest
     (one per committed batch — the reference assigns consecutive per-op
     seqs inside a batch, kv/db/db_impl.cpp:1423-1424; we split that into
@@ -20,6 +21,20 @@ Log schema: (key STRING, seq LONG, sub LONG, op STRING, value STRING)
   - sub: intra-batch order, only meaningful when one batch writes the
     same key more than once (newest wins — WriteBatch replay order,
     kv/db/write_batch.cpp:137-162).
+
+Data model options (fixed at create, persisted in the manifest schema):
+  - ``binary=True``: keys/values are uninterpreted byte strings — the
+    reference's actual contract (kv/include/slice.h:13-82). Spark
+    compares BinaryType by unsigned bytewise order, which IS the
+    reference's BytewiseComparator (kv/util/comparator.cpp:20-58), so
+    every ordering op works unchanged; manifest min/max stats are
+    stored as lowercase hex (order-preserving) for JSON.
+  - ``codec=...``: a custom comparator expressed as an order-preserving
+    key codec (A4, kv/include/comparator.h:14-52). Keys are stored
+    ENCODED, so scans, compaction sort, range pruning and seek all run
+    JVM-side in natural order == codec order; keys are decoded only on
+    API result surfaces (scalar paths in Python, DataFrame paths via an
+    Arrow-batched pandas UDF applied after ordering/limit).
 
 Scale notes (100 TB design review):
   - Point get: manifest min/max prune → Parquet row-group prune → a
@@ -42,14 +57,26 @@ import uuid
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
-from pyspark.sql.types import LongType, StringType, StructField, StructType
+from pyspark.sql.types import (BinaryType, LongType, StringType, StructField,
+                               StructType)
 
+from quasdb_spark.codec import CODECS, IdentityCodec
 from quasdb_spark.manifest import CommitConflict, FileEntry, Manifest, Version
 from quasdb_spark.plans.lww import state_view, state_view_window
 
 LOG_FIELDS = [("key", StringType()), ("seq", LongType()), ("sub", LongType()),
               ("op", StringType()), ("value", StringType())]
 LOG_SCHEMA = StructType([StructField(n, t, True) for n, t in LOG_FIELDS])
+
+
+def _log_schema(binary: bool) -> StructType:
+    kt = BinaryType() if binary else StringType()
+    return StructType([
+        StructField("key", kt, True), StructField("seq", LongType(), True),
+        StructField("sub", LongType(), True),
+        StructField("op", StringType(), True),
+        StructField("value", kt, True)])
+
 
 PUT, DEL = "put", "del"
 
@@ -69,6 +96,19 @@ def prefix_successor(prefix: str) -> str | None:
             return "".join(cps[:-1]) + chr(nxt)
         cps.pop()
     return None  # prefix was all U+10FFFF — unbounded
+
+
+def prefix_successor_bytes(prefix: bytes) -> bytes | None:
+    """Bytes analogue of prefix_successor: smallest byte string greater
+    than every byte string starting with ``prefix`` (the reference's
+    FindShortSuccessor over raw bytes, kv/util/comparator.cpp:60-76)."""
+    b = bytearray(prefix)
+    while b:
+        if b[-1] < 0xFF:
+            b[-1] += 1
+            return bytes(b)
+        b.pop()
+    return None  # prefix was all 0xFF — unbounded
 
 
 class WriteBatch:
@@ -116,15 +156,49 @@ class KVStore:
         self.spark = spark
         self.path = os.path.abspath(path)
         self.manifest = Manifest(self.path)
+        self.binary = False
+        self.codec: type = IdentityCodec
+        if self.manifest.exists():
+            self._load_config()
+
+    def _load_config(self) -> None:
+        """Recover the data-model options persisted at create time."""
+        schema = self.manifest.current().schema or {}
+        self.binary = schema.get("key_type") == "binary"
+        self.codec = CODECS[schema.get("codec", "identity")]
+
+    @property
+    def log_schema(self) -> StructType:
+        return _log_schema(self.binary)
 
     # ---------------------------------------------------------- lifecycle
     @classmethod
-    def create(cls, spark: SparkSession, path: str) -> "KVStore":
+    def create(cls, spark: SparkSession, path: str, *, binary: bool = False,
+               codec: type | str | None = None) -> "KVStore":
+        """Create a store. ``binary=True`` makes keys/values raw byte
+        strings (slice.h parity, bytewise order). ``codec`` installs a
+        custom comparator as an order-preserving key codec (A4); string
+        stores only — binary stores already have bytewise order, the
+        reference default."""
         st = cls(spark, path)
         if st.manifest.exists():
             raise FileExistsError(f"store already exists at {path}")
-        st.manifest.init(schema={"columns": [n for n, _ in LOG_FIELDS]})
+        st.manifest.init(schema=cls._schema_dict(binary, codec))
+        st._load_config()
         return st
+
+    @staticmethod
+    def _schema_dict(binary: bool, codec: type | str | None) -> dict:
+        name = (codec if isinstance(codec, str)
+                else codec.name if codec is not None else "identity")
+        if name not in CODECS:
+            raise ValueError(f"unknown codec {name!r}")
+        if binary and name != "identity":
+            raise ValueError("codecs apply to string stores; binary "
+                             "stores use bytewise order already")
+        kt = "binary" if binary else "string"
+        return {"columns": [n for n, _ in LOG_FIELDS],
+                "key_type": kt, "value_type": kt, "codec": name}
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "KVStore":
@@ -134,11 +208,72 @@ class KVStore:
         return st
 
     @classmethod
-    def open_or_create(cls, spark: SparkSession, path: str) -> "KVStore":
+    def open_or_create(cls, spark: SparkSession, path: str, *,
+                       binary: bool = False,
+                       codec: type | str | None = None) -> "KVStore":
         st = cls(spark, path)
         if not st.manifest.exists():
-            st.manifest.init(schema={"columns": [n for n, _ in LOG_FIELDS]})
+            st.manifest.init(schema=cls._schema_dict(binary, codec))
+            st._load_config()
         return st
+
+    # ------------------------------------------------------ key space
+    def _enc(self, key):
+        """User key -> stored key (codec encode / bytes passthrough)."""
+        if self.binary:
+            if not isinstance(key, (bytes, bytearray)):
+                raise TypeError(f"binary store requires bytes keys, got "
+                                f"{type(key).__name__}")
+            return bytes(key)
+        return self.codec.encode(key)
+
+    def _dec(self, stored):
+        """Stored key -> user key."""
+        if self.binary:
+            return bytes(stored)
+        return self.codec.decode(stored)
+
+    def _enc_value(self, value):
+        if value is None:
+            return None
+        if self.binary:
+            if not isinstance(value, (bytes, bytearray)):
+                raise TypeError(f"binary store requires bytes values, got "
+                                f"{type(value).__name__}")
+            return bytes(value)
+        return value
+
+    def _enc_bound(self, key):
+        """Encode a user range bound (None passes through)."""
+        return None if key is None else self._enc(key)
+
+    def _next_key(self, stored):
+        """Smallest stored key greater than ``stored`` (exclusive-start
+        cursor bound; valid in encoded space, never decoded)."""
+        return stored + (b"\x00" if self.binary else "\0")
+
+    def _stat_key(self, stored):
+        """Stored key -> the manifest-stats representation (binary keys
+        are kept as lowercase hex, which preserves bytewise order)."""
+        if stored is None:
+            return None
+        return stored.hex() if self.binary else stored
+
+    def _decode_keys(self, df: DataFrame, col: str = "key") -> DataFrame:
+        """Decode a stored-key column for user-facing output. Identity
+        and binary stores are pass-through (zero cost); codec stores
+        decode via an Arrow-batched pandas UDF — applied only on result
+        surfaces, after ordering and limits, never in the storage path."""
+        if self.binary or self.codec is IdentityCodec:
+            return df
+        codec = self.codec  # don't capture self in the UDF closure
+        from pyspark.sql.functions import pandas_udf
+
+        @pandas_udf(StringType())
+        def dec(s):
+            return s.map(codec.decode)
+
+        return df.withColumn(col, dec(F.col(col)))
 
     def destroy(self) -> None:
         """DestroyDB analogue (kv/db/db_impl.cpp:1790-1825)."""
@@ -162,12 +297,16 @@ class KVStore:
         kv/include/write_batch.h:11-59)."""
         if not ops:
             return self.manifest.current().last_seq
+        # encode through the store's codec / validate binary payloads
+        # up front (driver-side, tiny), so stored order == codec order
+        enc_ops = [(op, self._enc(k), self._enc_value(v))
+                   for op, k, v in ops]
 
         def build(seq):
             # intra-batch order: position in the list, per the
             # reference's replay-in-order semantics
-            rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(ops)]
-            return self.spark.createDataFrame(rows, LOG_SCHEMA), len(rows)
+            rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(enc_ops)]
+            return self.spark.createDataFrame(rows, self.log_schema), len(rows)
 
         return self._append_with_retry(build)
 
@@ -187,15 +326,35 @@ class KVStore:
         window is imposed, so this scales linearly.
         """
         def build(seq):
-            return df.select(
-                F.col(key_col).cast("string").alias("key"),
-                F.lit(seq).cast("long").alias("seq"),
-                (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
-                (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
-                F.col(value_col).cast("string").alias("value"),
-            ), None
+            return self._log_projection(df, seq, key_col, value_col,
+                                        op_col, sub_col), None
 
         return self._append_with_retry(build)
+
+    def _log_projection(self, df: DataFrame, seq: int, key_col: str,
+                        value_col: str, op_col: str | None,
+                        sub_col: str | None) -> DataFrame:
+        kt = "binary" if self.binary else "string"
+        key = F.col(key_col).cast(kt)
+        if not self.binary and self.codec is not IdentityCodec:
+            # bulk writes under a custom comparator: encode keys with an
+            # Arrow-batched UDF so stored order == codec order (the one
+            # Python touch in the bulk path; identity stores pay nothing)
+            codec = self.codec
+            from pyspark.sql.functions import pandas_udf
+
+            @pandas_udf(StringType())
+            def enc(s):
+                return s.map(codec.encode)
+
+            key = enc(key)
+        return df.select(
+            key.alias("key"),
+            F.lit(seq).cast("long").alias("seq"),
+            (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
+            (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
+            F.col(value_col).cast(kt).alias("value"),
+        )
 
     def ingest_batch(self, df: DataFrame, stream_id: str, batch_id: int,
                      **ingest_kwargs) -> int | None:
@@ -211,13 +370,8 @@ class KVStore:
         sub_col = ingest_kwargs.pop("sub_col", None)
 
         def build(seq):
-            return df.select(
-                F.col(key_col).cast("string").alias("key"),
-                F.lit(seq).cast("long").alias("seq"),
-                (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
-                (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
-                F.col(value_col).cast("string").alias("value"),
-            ), None
+            return self._log_projection(df, seq, key_col, value_col,
+                                        op_col, sub_col), None
 
         return self._append_with_retry(
             build,
@@ -315,64 +469,79 @@ class KVStore:
                             maxs.append(st.max)
                 except Exception:
                     pass
-        as_str = lambda x: x.decode() if isinstance(x, bytes) else x
+        if self.binary:
+            # JSON-safe, order-preserving representation of byte keys
+            as_str = lambda x: bytes(x).hex()
+        else:
+            as_str = lambda x: x.decode() if isinstance(x, bytes) else x
         return {"rows": rows, "bytes": nbytes,
                 "min_key": as_str(min(mins)) if mins else None,
                 "max_key": as_str(max(maxs)) if maxs else None}
 
     # -------------------------------------------------------------- reads
-    def log_df(self, *, key_from: str | None = None, key_to: str | None = None,
+    def log_df(self, *, key_from=None, key_to=None,
                asof: int | None = None) -> DataFrame:
-        """Raw op-log DataFrame over manifest-pruned files.
+        """Raw op-log DataFrame over manifest-pruned files. Bounds are
+        in STORED key space (encoded; bytes for binary stores).
 
         Manifest-level pruning by (min_key, max_key) and seq mirrors the
         reference's FindFile level pruning (kv/db/version_set.cpp:96-119);
         Parquet stats prune row groups inside the surviving files.
         """
         ver = self.manifest.current()
+        lo_stat, hi_stat = self._stat_key(key_from), self._stat_key(key_to)
         paths = []
         for f in ver.files:
             if asof is not None and f.seq_lo > asof:
                 continue
-            if key_from is not None and f.max_key is not None and f.max_key < key_from:
+            if lo_stat is not None and f.max_key is not None and f.max_key < lo_stat:
                 continue
-            if key_to is not None and f.min_key is not None and f.min_key >= key_to:
+            if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:
                 continue
             paths.append(os.path.join(self.path, f.path))
         if not paths:
-            return self.spark.createDataFrame([], LOG_SCHEMA)
-        df = self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
+            return self.spark.createDataFrame([], self.log_schema)
+        df = self.spark.read.schema(self.log_schema).parquet(*paths)
         if key_from is not None:
-            df = df.where(F.col("key") >= key_from)
+            df = df.where(F.col("key") >= F.lit(key_from))
         if key_to is not None:
-            df = df.where(F.col("key") < key_to)
+            df = df.where(F.col("key") < F.lit(key_to))
         if asof is not None:
             df = df.where(F.col("seq") <= asof)
         return df
 
-    def state(self, asof: int | None = None, *, key_from: str | None = None,
-              key_to: str | None = None) -> DataFrame:
-        """The live (key, value) map at ``asof`` (DBIter semantics)."""
+    def state(self, asof: int | None = None, *, key_from=None,
+              key_to=None) -> DataFrame:
+        """The live (key, value) map at ``asof`` (DBIter semantics).
+        Bounds and returned keys are in STORED key space; the public
+        ``scan`` surface handles user-space encode/decode."""
         log = self.log_df(key_from=key_from, key_to=key_to, asof=asof)
         return state_view(log, None).select("key", "value")
 
-    def get(self, key: str, asof: int | None = None) -> str | None:
+    def get(self, key, asof: int | None = None):
         """Point lookup (kv/db/db_impl.cpp:1292-1349). Returns None for
         missing/deleted keys (NotFound convention → None)."""
-        rows = (self.state(asof, key_from=key, key_to=key + "\0")
-                .where(F.col("key") == key).limit(1).collect())
-        return rows[0]["value"] if rows else None
+        enc = self._enc(key)
+        rows = (self.state(asof, key_from=enc, key_to=self._next_key(enc))
+                .where(F.col("key") == F.lit(enc)).limit(1).collect())
+        if not rows:
+            return None
+        v = rows[0]["value"]
+        return bytes(v) if self.binary and v is not None else v
 
-    def multi_get(self, keys: list[str], asof: int | None = None) -> dict[str, str]:
+    def multi_get(self, keys: list, asof: int | None = None) -> dict:
         """Batched point lookup: ONE pruned scan with an IN filter
         (vs N get() round trips). Missing/deleted keys are absent from
         the result (NotFound convention)."""
         if not keys:
             return {}
-        lo, hi = min(keys), max(keys) + "\0"
+        encs = [self._enc(k) for k in keys]
+        lo, hi = min(encs), self._next_key(max(encs))
         st = self.state(asof, key_from=lo, key_to=hi) \
-                 .where(F.col("key").isin(list(set(keys))))
-        return {r["key"]: r["value"] for r in st.collect()}
+                 .where(F.col("key").isin(list(set(encs))))
+        if self.binary:
+            return {bytes(r["key"]): bytes(r["value"]) for r in st.collect()}
+        return {self._dec(r["key"]): r["value"] for r in st.collect()}
 
     def scan_iter(self, key_from: str | None = None,
                   key_to: str | None = None, *, asof: int | None = None,
@@ -392,41 +561,72 @@ class KVStore:
         if asof is None:
             pinned = f"scan-{uuid.uuid4().hex[:8]}"
             asof = self.snapshot(pinned)
-        cursor = key_from
+        # the cursor lives in STORED key space: an exclusive-start bound
+        # (last_stored + "\0") is always valid there even when it is not
+        # itself a decodable key
+        cursor = self._enc_bound(key_from)
+        enc_to = self._enc_bound(key_to)
         try:
             while True:
-                rows = self.scan(cursor, key_to, asof=asof,
-                                 limit=page_size).collect()
+                rows = self._scan_stored(cursor, enc_to, asof=asof,
+                                         limit=page_size).collect()
                 if not rows:
                     return
-                yield from ((r["key"], r["value"]) for r in rows)
+                yield from ((self._dec(r["key"]),
+                             bytes(r["value"]) if self.binary else r["value"])
+                            for r in rows)
                 if len(rows) < page_size:
                     return
-                cursor = rows[-1]["key"] + "\0"
+                cursor = self._next_key(
+                    bytes(rows[-1]["key"]) if self.binary else rows[-1]["key"])
         finally:
             if pinned is not None:
                 self.release_snapshot(pinned)
 
-    def scan(self, key_from: str | None = None, key_to: str | None = None, *,
-             asof: int | None = None, reverse: bool = False,
-             limit: int | None = None, prefix: str | None = None) -> DataFrame:
-        """Ordered range scan [key_from, key_to) — the NewIterator +
-        Seek/Next/Prev surface (kv/db/db_impl.cpp:1351-1362). Reverse scan
-        = ORDER BY key DESC (DBIter::Prev, kv/db/db_iter.cpp:230-314).
-        ``limit`` turns the global sort into TakeOrderedAndProject."""
-        if prefix is not None:
-            key_from, key_to = prefix, prefix_successor(prefix)
+    def _scan_stored(self, key_from=None, key_to=None, *,
+                     asof: int | None = None, reverse: bool = False,
+                     limit: int | None = None) -> DataFrame:
+        """Ordered scan in STORED key space (no decode)."""
         out = self.state(asof, key_from=key_from, key_to=key_to)
         out = out.orderBy(F.col("key").desc() if reverse else F.col("key").asc())
         if limit is not None:
             out = out.limit(limit)
         return out
 
-    def versions(self, key: str, asof: int | None = None) -> DataFrame:
+    def scan(self, key_from=None, key_to=None, *,
+             asof: int | None = None, reverse: bool = False,
+             limit: int | None = None, prefix=None) -> DataFrame:
+        """Ordered range scan [key_from, key_to) in COMPARATOR order —
+        the NewIterator + Seek/Next/Prev surface
+        (kv/db/db_impl.cpp:1351-1362). Reverse scan = ORDER BY key DESC
+        (DBIter::Prev, kv/db/db_iter.cpp:230-314). ``limit`` turns the
+        global sort into TakeOrderedAndProject. Under a codec, bounds
+        and ordering follow the codec's total order (comparator changes
+        every ordering op, kv/include/comparator.h:14-52); returned keys
+        are decoded after ordering/limit."""
+        if prefix is not None:
+            if self.binary:
+                key_from, key_to = prefix, prefix_successor_bytes(prefix)
+                return self._scan_stored(key_from, key_to, asof=asof,
+                                         reverse=reverse, limit=limit)
+            # prefix match commutes with per-char codecs: k startswith p
+            # iff encode(k) startswith encode_prefix(p)
+            enc_p = self.codec.encode_prefix(prefix)
+            out = self._scan_stored(enc_p, prefix_successor(enc_p),
+                                    asof=asof, reverse=reverse, limit=limit)
+            return self._decode_keys(out)
+        out = self._scan_stored(self._enc_bound(key_from),
+                                self._enc_bound(key_to),
+                                asof=asof, reverse=reverse, limit=limit)
+        return self._decode_keys(out)
+
+    def versions(self, key, asof: int | None = None) -> DataFrame:
         """All versions of a key, newest first (debug/introspection)."""
-        log = self.log_df(key_from=key, key_to=key + "\0", asof=asof)
-        return state_view_window(log.where(F.col("key") == key), None,
-                                 keep_versions=1 << 30)
+        enc = self._enc(key)
+        log = self.log_df(key_from=enc, key_to=self._next_key(enc), asof=asof)
+        return self._decode_keys(
+            state_view_window(log.where(F.col("key") == F.lit(enc)), None,
+                              keep_versions=1 << 30))
 
     # --------------------------------------------------------- snapshots
     def snapshot(self, name: str | None = None) -> int:
@@ -485,18 +685,20 @@ class KVStore:
         # mirroring the reference's whole-file inputs. At 100 TB this is
         # the operational mode: compact hot key ranges incrementally
         # instead of rewriting the world.
+        lo_stat = self._stat_key(self._enc_bound(key_from))
+        hi_stat = self._stat_key(self._enc_bound(key_to))
         selected = []
         for f in ver.files:
-            if key_from is not None and f.max_key is not None and f.max_key < key_from:
+            if lo_stat is not None and f.max_key is not None and f.max_key < lo_stat:
                 continue
-            if key_to is not None and f.min_key is not None and f.min_key >= key_to:
+            if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:
                 continue
             selected.append(f)
         if not selected:
             return {"files_before": len(ver.files), "files_after": len(ver.files)}
         full_scope = len(selected) == len(ver.files) and key_from is None and key_to is None
         paths = [os.path.join(self.path, f.path) for f in selected]
-        log = self.spark.read.schema(LOG_SCHEMA).parquet(*paths)
+        log = self.spark.read.schema(self.log_schema).parquet(*paths)
         snaps = sorted(set(ver.snapshots.values()))
         # Tombstones may only be purged on a FULL-keyspace compaction:
         # a partial scope can't prove no older version hides in an
@@ -570,19 +772,21 @@ class KVStore:
         return kept
 
     # ------------------------------------------------------ introspection
-    def approximate_sizes(self, ranges: list[tuple[str, str]]) -> list[int]:
+    def approximate_sizes(self, ranges: list[tuple]) -> list[int]:
         """GetApproximateSizes (kv/db/db_impl.cpp:1699-1717): sum bytes of
         manifest files overlapping each [start, limit) range — same
         file-granularity estimate the reference produces from its index
-        blocks, no data read."""
+        blocks, no data read. Ranges are in comparator order."""
         ver = self.manifest.current()
         out = []
         for start, limit in ranges:
+            lo = self._stat_key(self._enc(start))
+            hi = self._stat_key(self._enc(limit))
             total = 0
             for f in ver.files:
-                if f.max_key is not None and f.max_key < start:
+                if f.max_key is not None and f.max_key < lo:
                     continue
-                if f.min_key is not None and f.min_key >= limit:
+                if f.min_key is not None and f.min_key >= hi:
                     continue
                 total += f.bytes
             out.append(total)

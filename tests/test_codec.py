@@ -11,21 +11,38 @@ from quasdb_spark.store import KVStore
 
 
 def test_reverse_codec_order_properties():
+    """Property test over the FULL supported code-point range
+    [U+0000, U+D7FF] (ADVICE r1: the naive complement mapped
+    U+1FFF..U+27FE onto lone surrogates — unencodable in UTF-8)."""
     rng = random.Random(11)
     keys = ["", "a", "ab", "abc", "b", "key000001", "key0000010", "zzz"]
     keys += ["".join(rng.choice("abcxyz019:/") for _ in range(rng.randrange(1, 12)))
              for _ in range(200)]
+    # full-range keys, deliberately covering the old surrogate trap
+    # (U+1FFF..U+27FE), the mapping boundary pair, and high code points
+    keys += [chr(0x1FFE), chr(0x1FFF), chr(0x2000), chr(0x27FE),
+             chr(0x27FF), chr(0xD7FF),
+             chr(0x1FFF) + "A", chr(0x27FE) + "zz", "a" + chr(0x2192)]
+    keys += ["".join(chr(rng.randrange(0xD800)) for _ in range(rng.randrange(1, 8)))
+             for _ in range(300)]
     enc = {k: ReverseCodec.encode(k) for k in keys}
+    # every encoded key is UTF-8 encodable (no lone surrogates)
+    for e in enc.values():
+        e.encode("utf-8")
     # order is exactly reversed, including prefix ties ("ab" before "a")
-    assert sorted(keys, key=lambda k: enc[k]) == sorted(keys, reverse=True)
+    assert sorted(set(keys), key=lambda k: enc[k]) == sorted(set(keys), reverse=True)
     # round trip
     assert all(ReverseCodec.decode(e) == k for k, e in enc.items())
 
 
-def test_store_scan_under_reverse_codec(spark, tmp_path):
-    """All scan semantics hold under the alternate ordering: a forward
-    scan over encoded keys is a reverse scan over logical keys."""
-    st = KVStore.create(spark, str(tmp_path / "rev"))
+def test_store_wired_reverse_codec(spark, tmp_path):
+    """A4: the codec is a store property (KVStore.create(codec=...)),
+    applied to put/get/scan/prefix/compaction ordering — the
+    comparator-changes-everything semantics of the reference
+    (kv/include/comparator.h:14-52; reverse double,
+    kv/test/table_test.cpp:41-71). Randomized scan mirrors a dict
+    oracle sorted with the reversed order."""
+    st = KVStore.create(spark, str(tmp_path / "rev"), codec=ReverseCodec)
     rng = random.Random(5)
     state = {}
     for _ in range(3):
@@ -33,26 +50,69 @@ def test_store_scan_under_reverse_codec(spark, tmp_path):
         for _ in range(30):
             k = f"k{rng.randrange(20):03d}"
             if rng.random() < 0.2:
-                ops.append(("del", ReverseCodec.encode(k), None))
+                ops.append(("del", k, None))
                 state.pop(k, None)
             else:
                 v = f"v{rng.randrange(100)}"
-                ops.append(("put", ReverseCodec.encode(k), v))
+                ops.append(("put", k, v))
                 state[k] = v
         st.write_batch(ops)
 
-    got = [(ReverseCodec.decode(r["key"]), r["value"])
-           for r in st.scan().collect()]
+    # forward scan = codec order = reversed natural order
+    got = [(r["key"], r["value"]) for r in st.scan().collect()]
     assert got == sorted(state.items(), reverse=True)
+    # reverse scan = natural order
+    got_rev = [(r["key"], r["value"]) for r in st.scan(reverse=True).collect()]
+    assert got_rev == sorted(state.items())
 
-    # range scan in encoded space = logical (lo, hi] reversed
-    lo, hi = "k005", "k015"
-    enc_from, enc_to = ReverseCodec.encode(hi), ReverseCodec.encode(lo)
-    got_rng = [(ReverseCodec.decode(r["key"]), r["value"])
-               for r in st.scan(enc_from, enc_to).collect()]
-    expect = sorted(((k, v) for k, v in state.items() if lo < k <= hi),
+    # range bounds are in COMPARATOR order: from k015 down to k005 excl
+    got_rng = [(r["key"], r["value"])
+               for r in st.scan("k015", "k005").collect()]
+    expect = sorted(((k, v) for k, v in state.items() if "k005" < k <= "k015"),
                     reverse=True)
     assert got_rng == expect
+
+    # prefix scan commutes with the per-char codec
+    got_pfx = [r["key"] for r in st.scan(prefix="k01").collect()]
+    assert got_pfx == sorted((k for k in state if k.startswith("k01")),
+                             reverse=True)
+
+    # point ops
+    some = next(iter(sorted(state)))
+    assert st.get(some) == state[some]
+    assert st.get("nope") is None
+    assert st.multi_get(list(state)[:5]) == {k: state[k] for k in list(state)[:5]}
+
+    # codec survives reopen (persisted in the manifest schema)
+    st2 = KVStore.open(spark, str(tmp_path / "rev"))
+    assert st2.codec is ReverseCodec
+
+    # compaction sorts/ranges in encoded space; state is invariant
+    st2.compact()
+    got_after = [(r["key"], r["value"]) for r in st2.scan().collect()]
+    assert got_after == sorted(state.items(), reverse=True)
+
+
+def test_reverse_codec_bulk_ingest(spark, tmp_path):
+    """Bulk DataFrame ingest under a codec encodes keys in the job
+    (Arrow-batched), so stored order == codec order."""
+    st = KVStore.create(spark, str(tmp_path / "bulk"), codec=ReverseCodec)
+    df = spark.createDataFrame([(f"k{i:02d}", str(i)) for i in range(20)],
+                               "key string, value string")
+    st.ingest(df)
+    got = [r["key"] for r in st.scan(limit=5).collect()]
+    assert got == [f"k{i:02d}" for i in (19, 18, 17, 16, 15)]
+    # cursor iteration pages correctly through encoded space
+    assert [k for k, _ in st.scan_iter(page_size=7)] == \
+        [f"k{i:02d}" for i in range(19, -1, -1)]
+
+
+def test_binary_with_codec_rejected(spark, tmp_path):
+    import pytest
+
+    with pytest.raises(ValueError):
+        KVStore.create(spark, str(tmp_path / "bad"), binary=True,
+                       codec=ReverseCodec)
 
 
 def test_u64_codec():
