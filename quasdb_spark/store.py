@@ -152,6 +152,17 @@ class KVStore:
     """A single store (one ordered keyspace). Thread-unsafe by design:
     like the reference, all writers serialize (kv/db/db_impl.cpp:1398)."""
 
+    # Auto-compaction tunables (the reference's Options/config knobs,
+    # kv/db/dbformat.h config::kL0_CompactionTrigger). Per-handle, like
+    # LevelDB Options at open; auto_compact defaults OFF for ad-hoc
+    # handles (unregistered as-of reads stay valid until the caller
+    # compacts) and ON in the streaming ingest path, where dirs would
+    # otherwise accumulate one-per-micro-batch forever.
+    auto_compact: bool = False
+    l0_compaction_trigger: int = 8
+    level_compaction_trigger: int = 8
+    vacuum_grace: float = 600.0
+
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
         self.path = os.path.abspath(path)
@@ -397,6 +408,8 @@ class KVStore:
                 self._commit_append(
                     ver, df, seq, n_rows=n_rows,
                     streams=streams_update(ver) if streams_update else None)
+                if self.auto_compact:
+                    self.maybe_compact()
                 return seq
             except CommitConflict as e:
                 last = e
@@ -653,6 +666,44 @@ class KVStore:
         self._meta_commit(mutate)
 
     # -------------------------------------------------------- maintenance
+    def compaction_score(self) -> tuple[float, str]:
+        """Size-score compaction picking (VersionSet::Finalize,
+        kv/db/version_set.cpp:1217-1259): level-0 is scored by FILE
+        COUNT over a trigger — exactly the reference's special-casing
+        of L0, whose files all overlap and are merged on every read
+        (here: every un-compacted batch dir is a manifest entry every
+        scan must consider). Deeper levels are scored by the count of
+        compaction-output dirs (tiered analogue of the reference's
+        bytes/MaxBytesForLevel ratio — our outputs overlap in key space
+        until re-folded, so count is what degrades pruning).
+
+        Returns (score, scope): score >= 1.0 means compact now;
+        scope is 'l0' (fold fresh batch dirs only — cost bounded by new
+        data) or 'full' (re-fold everything, amortized)."""
+        ver = self.manifest.current()
+        n_l0 = sum(1 for f in ver.files if f.level == 0)
+        n_deep = sum(1 for f in ver.files if f.level >= 1)
+        s_l0 = n_l0 / self.l0_compaction_trigger
+        s_deep = n_deep / self.level_compaction_trigger
+        return (s_deep, "full") if s_deep >= s_l0 else (s_l0, "l0")
+
+    def maybe_compact(self) -> dict | None:
+        """Auto-compaction maintenance hook (M2): compact when the pick
+        score reaches 1.0, then vacuum unreferenced dirs older than
+        ``vacuum_grace`` seconds (open readers keep working inside the
+        grace window). No-op below the trigger. Invoked automatically
+        after every append when ``auto_compact`` is set (the streaming
+        ingest default — background_compaction_ analogue,
+        kv/db/db_impl.cpp:658-740)."""
+        score, scope = self.compaction_score()
+        if score < 1.0:
+            return None
+        stats = (self.compact(levels={0}) if scope == "l0"
+                 else self.compact())
+        self.vacuum(self.vacuum_grace)
+        stats["scope"] = scope
+        return stats
+
     def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
         """Physically delete data dirs no longer referenced by the
         current version (RemoveObsoleteFiles, kv/db/db_impl.cpp:248-320).
@@ -663,9 +714,12 @@ class KVStore:
 
     def compact(self, *, target_files: int | None = None,
                 key_from: str | None = None,
-                key_to: str | None = None, vacuum: bool = False) -> dict:
+                key_to: str | None = None, vacuum: bool = False,
+                levels: set[int] | None = None) -> dict:
         """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220);
-        pass key_from/key_to for manual range compaction (CompactRange).
+        pass key_from/key_to for manual range compaction (CompactRange),
+        ``levels`` to fold only the given input levels (auto-compaction
+        uses {0} so the cost is bounded by fresh data, not store size).
 
         Rewrites the whole log keeping, per key, (a) the newest version
         and (b) the newest version <= each registered snapshot seq; when
@@ -689,6 +743,8 @@ class KVStore:
         hi_stat = self._stat_key(self._enc_bound(key_to))
         selected = []
         for f in ver.files:
+            if levels is not None and f.level not in levels:
+                continue
             if lo_stat is not None and f.max_key is not None and f.max_key < lo_stat:
                 continue
             if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:

@@ -30,7 +30,8 @@ def stream_ingest(store: KVStore, stream_df: DataFrame, checkpoint_dir: str,
                   *, stream_id: str = "ingest", key_col: str = "key",
                   value_col: str = "value", op_col: str | None = None,
                   sub_col: str | None = None,
-                  trigger: dict | None = None) -> StreamingQuery:
+                  trigger: dict | None = None,
+                  auto_compact: bool = True) -> StreamingQuery:
     """Start a streaming ingest query writing ``stream_df`` into the
     store. ``trigger`` defaults to availableNow (drain-and-stop), pass
     e.g. {"processingTime": "5 seconds"} for continuous micro-batches.
@@ -39,11 +40,19 @@ def stream_ingest(store: KVStore, stream_df: DataFrame, checkpoint_dir: str,
     store.ingest_batch drops replayed batch ids at manifest-commit
     time, so every batch lands exactly once no matter how the query
     dies and restarts.
+
+    ``auto_compact`` (default ON here — a long-running stream commits
+    one data dir per micro-batch forever): after each committed batch,
+    the store's size-score picker (M2) folds batch dirs once the L0
+    trigger is hit, bounding manifest size and restoring pruning power;
+    obsolete dirs are vacuumed after the store's grace window.
     """
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         store.ingest_batch(batch_df, stream_id, batch_id,
                            key_col=key_col, value_col=value_col,
                            op_col=op_col, sub_col=sub_col)
+        if auto_compact:
+            store.maybe_compact()
 
     writer = (stream_df.writeStream
               .foreachBatch(commit)

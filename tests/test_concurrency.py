@@ -65,6 +65,44 @@ def test_threaded_writers_all_batches_land(spark, tmp_path):
     assert st.manifest.current().last_seq == 9
 
 
+def test_auto_compaction_bounds_file_count(spark, tmp_path):
+    """M2 size-score picking: with auto_compact on, N small batches
+    keep the manifest file count bounded by the trigger (Finalize
+    analogue, kv/db/version_set.cpp:1217-1259), the state view is
+    invariant, and obsolete dirs are vacuumed past the grace window."""
+    import os
+
+    st = KVStore.create(spark, str(tmp_path / "auto"))
+    st.auto_compact = True
+    st.l0_compaction_trigger = 4
+    st.level_compaction_trigger = 3
+    st.vacuum_grace = 0.0  # deterministic physical deletion in-test
+    model = {}
+    max_files = 0
+    for i in range(14):
+        k, v = f"k{i % 5}", f"v{i}"
+        st.put(k, v)
+        model[k] = v
+        max_files = max(max_files, st.properties()["quasdb.num-files"])
+    # never more than trigger-1 L0 dirs + a few compaction outputs
+    assert max_files <= st.l0_compaction_trigger + st.level_compaction_trigger
+    assert {r["key"]: r["value"] for r in st.scan().collect()} == model
+    assert st.manifest.current().last_seq == 14  # seqs unaffected
+    # physical dirs bounded too (vacuum ran under zero grace)
+    n_dirs = len(os.listdir(os.path.join(st.path, "data")))
+    assert n_dirs == st.properties()["quasdb.num-files"]
+    # the picker reports below-trigger after the fold
+    score, _scope = st.compaction_score()
+    assert score < 1.0 or st.properties()["quasdb.num-files"] <= 2
+
+
+def test_maybe_compact_noop_below_trigger(spark, tmp_path):
+    st = KVStore.create(spark, str(tmp_path / "noop"))
+    st.put("a", "1")
+    assert st.maybe_compact() is None
+    assert st.properties()["quasdb.num-files"] == 1
+
+
 def test_compact_defers_physical_deletion(spark, tmp_path):
     """Lazy DataFrames built before a compaction still collect after it
     (deferred vacuum); explicit vacuum() removes the old dirs."""
