@@ -197,9 +197,65 @@ def label_centroids(vectors: DataFrame, *, label_col: str = "label",
                 lambda s: s["cx"]).alias("centroid")))
 
 
+def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
+                     id_col: str = "vec_id", vec_col: str = "embedding",
+                     n_iter: int = 2, round_to: int = 6) -> DataFrame:
+    """Trained coarse quantizer: deterministic seeded Lloyd k-means,
+    expressed as DataFrame ops (assignment = broadcast-centroid argmax,
+    update = per-dimension mean), with the tiny centroid set collected
+    to the driver between iterations — the standard distributed-k-means
+    shape (centroids are k×dims floats; the corpus never leaves
+    executors, each iteration is one map-side score + one partial-agg
+    shuffle of (k × dims) cells).
+
+    Determinism (cross-engine reproducible, mirrored by the DuckDB
+    oracle in suite.py): seeds are the ``n_clusters`` vectors ranked by
+    md5(id) (a deterministic pseudo-random draw both engines compute
+    identically); every centroid update rounds to ``round_to`` decimals;
+    assignment ties break on the lowest cluster id. Empty clusters drop
+    out (both engines mirror naturally).
+
+    Returns (c_label LONG, centroid ARRAY<DOUBLE>) — drop-in for
+    ``ivf_topk(centroids=...)``.
+    """
+    spark = vectors.sparkSession
+    v = vectors.select(F.col(id_col).alias("_id"),
+                       _as_double(vec_col).alias("_v"))
+    seeds = (v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+              .limit(n_clusters)
+              .select(F.transform(
+                  "_v", lambda x: F.round(x, round_to)).alias("centroid"))
+              .collect())
+    cents_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
+    schema = "c_label long, centroid array<double>"
+    for _ in range(n_iter):
+        cents = F.broadcast(spark.createDataFrame(cents_rows, schema))
+        scored = (v.crossJoin(cents)
+                   .withColumn("_cs", cosine(F.col("_v"), F.col("centroid"))))
+        # argmax via max_by over (score, -label): one hash aggregate
+        # with map-side combine, no per-id window sort
+        assigned = scored.groupBy("_id").agg(
+            F.max_by("c_label",
+                     F.struct(F.col("_cs"), (-F.col("c_label")).alias("_t"))
+                     ).alias("c_label"),
+            F.first("_v").alias("_v"))
+        ex = assigned.select("c_label", F.posexplode("_v").alias("pos", "x"))
+        per_dim = (ex.groupBy("c_label", "pos")
+                     .agg(F.round(F.avg("x"), round_to).alias("cx")))
+        new_cents = (per_dim.groupBy("c_label")
+                     .agg(F.transform(
+                         F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                         lambda s: s["cx"]).alias("centroid")))
+        cents_rows = [(r["c_label"], list(r["centroid"]))
+                      for r in new_cents.collect()]
+        cents_rows.sort()
+    return spark.createDataFrame(cents_rows, schema)
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
-             label_col: str = "label", nprobe: int = 2) -> DataFrame:
+             label_col: str = "label", nprobe: int = 2,
+             centroids: DataFrame | None = None) -> DataFrame:
     """IVF-style approximate top-k: assign every vector to its nearest
     centroid (inverted lists), probe only the query's ``nprobe``
     nearest lists.
@@ -207,13 +263,16 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     Scale shape: centroids are tiny and broadcast twice (assignment +
     probe selection); the corpus is scored only against queries probing
     its list — search cost drops by ~n_lists/nprobe versus brute force.
-    Swap label_centroids for trained k-means centroids without touching
-    this function.
+    ``centroids`` takes a trained quantizer (kmeans_centroids); without
+    one, the per-label mean stand-in is used.
     """
     # tiny (n_lists rows) but its lineage scans the corpus — persist so
     # the assignment and probe branches don't each recompute it
-    cents = label_centroids(vectors, label_col=label_col,
-                            vec_col=vec_col).persist()
+    if centroids is not None:
+        cents = centroids.select("c_label", "centroid").persist()
+    else:
+        cents = label_centroids(vectors, label_col=label_col,
+                                vec_col=vec_col).persist()
 
     def nearest(df, id_alias, vec_alias, top_n):
         scored = (df.crossJoin(F.broadcast(cents))

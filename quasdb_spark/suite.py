@@ -1020,22 +1020,58 @@ _PACK_ORACLES = {
 
 
 def q_sim_ivf_topk(spark, sf_dir):
+    """IVF with a TRAINED coarse quantizer: deterministic seeded Lloyd
+    k-means (2 iterations, md5-ranked seeds, rounded updates) — the
+    oracle below unrolls the identical training in SQL."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
-    return SIM.ivf_topk(e, queries, 10, nprobe=2)
+    cents = SIM.kmeans_centroids(e, 10, n_iter=2)
+    return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents)
+
+
+def _cos2(a: str, b: str) -> str:
+    """DuckDB cosine between two list-typed SQL expressions."""
+    return (f"(list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i]))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))")
+
+
+def _kmeans_iter_sql(n: int, prev: str) -> str:
+    """One unrolled Lloyd iteration: assign to argmax-cosine centroid
+    (ties -> lowest cluster id), then per-dim rounded mean."""
+    return f"""
+        a{n} AS (
+          SELECT vec_id, v, c_label FROM (
+            SELECT e.vec_id, e.v, s.c_label,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos2('e.v', 's.centroid')} DESC,
+                              s.c_label ASC) AS rn
+            FROM e, {prev} s) t
+          WHERE rn = 1),
+        c{n} AS (
+          SELECT c_label, list(cx ORDER BY pos) AS centroid FROM (
+            SELECT c_label, pos, round(avg(v[pos]), 6) AS cx FROM (
+              SELECT c_label, v,
+                     unnest(generate_series(1, len(v))) AS pos FROM a{n}) u
+            GROUP BY 1, 2) p
+          GROUP BY 1)"""
 
 
 _IVF_ORACLE = {
     "sim_ivf_topk": f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        ex AS (SELECT label AS c_label, v,
-                      unnest(generate_series(1, len(v))) AS pos FROM e),
-        per_dim AS (
-          SELECT c_label, pos, round(avg(v[pos]), 6) AS cx
-          FROM ex GROUP BY 1, 2),
-        cents AS (
-          SELECT c_label, list(cx ORDER BY pos) AS centroid
-          FROM per_dim GROUP BY 1),
+        seeds AS (
+          SELECT CAST(row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
+                 AS BIGINT) AS c_label,
+                 list_transform(v, x -> round(x, 6)) AS centroid
+          FROM e
+          QUALIFY row_number() OVER (
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10),
+        {_kmeans_iter_sql(1, 'seeds')},
+        {_kmeans_iter_sql(2, 'c1')},
+        cents AS (SELECT * FROM c2),
         assigned AS (
           SELECT vec_id AS neighbor_id, v AS vv, c_label AS list_label FROM (
             SELECT e.vec_id, e.v, c.c_label,

@@ -10,7 +10,9 @@ import random
 
 import pyspark.sql.functions as F
 
-from quasdb_spark.operators.similarity import (neardup_pairs_banded,
+from quasdb_spark.operators.similarity import (cosine_topk, ivf_topk,
+                                               kmeans_centroids,
+                                               neardup_pairs_banded,
                                                neardup_pairs_cosine)
 from quasdb_spark.sources.tables import load_table
 
@@ -63,3 +65,56 @@ def test_banded_recall_on_planted_neardups(spark):
     assert len(brute) >= 30  # the plant worked
     recall = len(banded) / len(brute)
     assert recall >= 0.85, f"recall {recall:.2f} below banded-LSH expectation"
+
+
+def test_kmeans_centroids_deterministic_and_trained(spark, sf_dir):
+    """Two runs produce identical centroids (seeded init + rounded
+    updates); the trained quantizer is a valid (c_label, centroid)
+    table with the requested cluster count."""
+    e = load_table(spark, sf_dir, "embeddings")
+    c1 = {r["c_label"]: r["centroid"]
+          for r in kmeans_centroids(e, 8, n_iter=2).collect()}
+    c2 = {r["c_label"]: r["centroid"]
+          for r in kmeans_centroids(e, 8, n_iter=2).collect()}
+    assert c1 == c2
+    assert 1 <= len(c1) <= 8
+    assert all(len(v) == 64 for v in c1.values())
+
+
+def test_kmeans_ivf_recall_vs_brute_force(spark, sf_dir):
+    """recall@10 against the exact brute-force top-10: the trained
+    quantizer must beat the per-label stand-in it replaced (measured:
+    0.46 vs 0.32 at nprobe=2 on the near-uniform testdata, where IVF
+    recall is inherently modest — neighbors scatter across lists)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(e, queries, 10).collect()}
+    label = {(r["query_id"], r["neighbor_id"])
+             for r in ivf_topk(e, queries, 10, nprobe=2).collect()}
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    km = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_topk(e, queries, 10, nprobe=2, centroids=cents).collect()}
+    r_label = len(label & truth) / len(truth)
+    r_km = len(km & truth) / len(truth)
+    assert r_km >= r_label, f"trained {r_km:.2f} < stand-in {r_label:.2f}"
+    assert r_km >= 0.4, f"recall@10 {r_km:.2f} below IVF expectation"
+
+
+def test_kmeans_ivf_on_clustered_data(spark):
+    """On genuinely clustered data the trained quantizer recovers the
+    cluster structure: nprobe=1 recall ~1.0 (measured 1.0)."""
+    rng = random.Random(7)
+    dims = 32
+    centers = [[rng.gauss(0, 1) for _ in range(dims)] for _ in range(8)]
+    rows = [(i, [x + rng.gauss(0, 0.15) for x in centers[i % 8]])
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = df.where(F.col("vec_id") % 40 == 0)
+    truth = {(r["query_id"], r["neighbor_id"])
+             for r in cosine_topk(df, q, 10).collect()}
+    cents = kmeans_centroids(df, 8, n_iter=3)
+    km = {(r["query_id"], r["neighbor_id"])
+          for r in ivf_topk(df, q, 10, nprobe=1, centroids=cents).collect()}
+    recall = len(km & truth) / len(truth)
+    assert recall >= 0.9, f"clustered recall {recall:.2f}"
