@@ -194,15 +194,74 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
                           F.col("_n").alias("n_tokens"))
 
 
+def simhash_hamming_pairs_banded(sim: DataFrame, id_col: str = "doc_id", *,
+                                 max_hamming: int = 3, bits: int = 60,
+                                 n_bands: int | None = None,
+                                 max_bucket_size: int | None = None) -> DataFrame:
+    """FULL-RECALL near-dup pairs by SimHash Hamming distance via the
+    Manku rotated-block trick (Detecting Near-Duplicates for Web
+    Crawling, WWW'07): split the ``bits``-bit hash into
+    ``max_hamming + 1`` blocks — by pigeonhole, two hashes differing in
+    at most ``max_hamming`` bits agree on at least one WHOLE block, so
+    block-equality banding never misses a pair inside the budget, and
+    the exact Hamming verify keeps precision at 1. The banded result is
+    therefore EXACTLY the all-pairs result, with no cross join.
+
+    Scale shape (mirrors neardup_pairs_banded): bands table is a
+    map-only posexplode (docs × n_bands rows); the self-equi-join on
+    (band, block value) is a shuffle hash join, quadratic only within a
+    bucket (each band has 2^(bits/n_bands) buckets — with the default
+    3-of-60 budget, 4 bands × 32768 buckets). ``max_bucket_size`` drops
+    degenerate hot buckets (skew guard; sacrifices the exactness
+    guarantee for those buckets — leave None for exact).
+    """
+    n_bands = n_bands or (max_hamming + 1)
+    base, extra = divmod(bits, n_bands)
+    # band b covers [off_b, off_b + w_b): first `extra` bands one wider
+    offs, widths, off = [], [], 1
+    for b in range(n_bands):
+        w = base + (1 if b < extra else 0)
+        offs.append(off)
+        widths.append(w)
+        off += w
+    s = sim.select(F.col(id_col).alias("_id"), "simhash")
+    keys = F.array(*[F.substring("simhash", offs[b], widths[b])
+                     for b in range(n_bands)])
+    bands = s.select("_id", F.posexplode(keys).alias("_band", "_key"))
+    if max_bucket_size is not None:
+        ok = (bands.groupBy("_band", "_key")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") <= max_bucket_size)
+                   .drop("_n"))
+        bands = bands.join(ok, ["_band", "_key"])
+    a = bands.select(F.col("_id").alias("id_a"), "_band", "_key")
+    b = bands.select(F.col("_id").alias("id_b"), "_band", "_key")
+    cand = (a.join(b, ["_band", "_key"])
+             .where(F.col("id_a") < F.col("id_b"))
+             .select("id_a", "id_b").distinct())
+    sh = s.select(F.col("_id"), F.col("simhash"))
+    pairs = (cand
+             .join(sh.select(F.col("_id").alias("id_a"),
+                             F.col("simhash").alias("sh_a")), "id_a")
+             .join(sh.select(F.col("_id").alias("id_b"),
+                             F.col("simhash").alias("sh_b")), "id_b"))
+    ham = F.size(F.filter(
+        F.zip_with(F.split("sh_a", ""), F.split("sh_b", ""),
+                   lambda x, y: x != y),
+        lambda v: v))
+    return (pairs.withColumn("hamming", ham)
+                 .where(F.col("hamming") <= max_hamming)
+                 .select("id_a", "id_b", "hamming"))
+
+
 def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", *,
                           max_hamming: int = 8, prefix_bits: int = 12) -> DataFrame:
-    """Near-dup pairs by SimHash Hamming distance, bucketed by bit
-    prefix so only same-prefix docs are compared (the classic
-    Charikar/Manku trick, here with one prefix block).
-
-    For a full-recall version, repeat with rotated bit blocks; this
-    single-block variant documents the pattern and keeps the pair join
-    bounded.
+    """Near-dup pairs by SimHash Hamming distance, bucketed by ONE bit
+    prefix so only same-prefix docs are compared — the cheap
+    PARTIAL-RECALL variant (misses pairs whose differing bits land in
+    the prefix). ``simhash_hamming_pairs_banded`` is the full-recall
+    rotated-block version (Manku); this one stays for the loose-budget
+    regime (large max_hamming) where banding degenerates.
     """
     s = sim.select(F.col(id_col), "simhash",
                    F.substring("simhash", 1, prefix_bits).alias("_bucket"))

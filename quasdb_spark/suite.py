@@ -635,8 +635,12 @@ def q_dedup_simhash(spark, sf_dir):
 
 
 def q_dedup_simhash_pairs(spark, sf_dir):
+    # Manku rotated-block banding (4 blocks of 15 bits for a 3-of-60
+    # Hamming budget): FULL recall inside the budget with no cross join,
+    # so the result is exactly the all-pairs answer — which is what the
+    # oracle computes directly.
     d = _t(spark, sf_dir, "documents")
-    return D.simhash_hamming_pairs(D.simhash(d), max_hamming=20)
+    return D.simhash_hamming_pairs_banded(D.simhash(d), max_hamming=3)
 
 
 _SHINGLES_SQL = f"""
@@ -708,16 +712,15 @@ def _simhash_oracle(bits: int = 60) -> str:
 _DEDUP_ORACLES["dedup_simhash"] = _simhash_oracle()
 _DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
     WITH sim AS ({_simhash_oracle()}),
-    b AS (SELECT doc_id, simhash, substr(simhash, 1, 12) AS bucket FROM sim),
     pairs AS (
       SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
              a.simhash AS sh_a, b2.simhash AS sh_b
-      FROM b a JOIN b b2 ON a.bucket = b2.bucket AND a.doc_id < b2.doc_id)
+      FROM sim a JOIN sim b2 ON a.doc_id < b2.doc_id)
     SELECT id_a, id_b,
            CAST(len(list_filter(generate_series(1, 60),
                 i -> sh_a[i] != sh_b[i])) AS INT) AS hamming
     FROM pairs
-    WHERE len(list_filter(generate_series(1, 60), i -> sh_a[i] != sh_b[i])) <= 20"""
+    WHERE len(list_filter(generate_series(1, 60), i -> sh_a[i] != sh_b[i])) <= 3"""
 
 
 # =====================================================================

@@ -1,0 +1,59 @@
+"""SimHash banded pairing: the Manku rotated-block scheme must be
+EXACTLY the all-pairs answer inside the Hamming budget (pigeonhole:
+pairs within d bits agree on >= 1 of d+1 blocks), while staying an
+equi-join plan. Also evidence for why it replaced the single-prefix
+variant: a pair whose differing bit lands in the prefix is missed by
+the prefix bucket but found by banding.
+"""
+
+from quasdb_spark.operators.dedup import (simhash, simhash_hamming_pairs,
+                                          simhash_hamming_pairs_banded)
+from quasdb_spark.sources.tables import load_table
+
+
+def test_simhash_banded_equals_all_pairs(spark, sf_dir):
+    """Full recall + precision 1 => banded result == brute force.
+    Brute force = the prefix variant with prefix_bits=0 (one bucket)."""
+    sim = simhash(load_table(spark, sf_dir, "documents")).persist()
+    try:
+        banded = {(r.id_a, r.id_b, r.hamming)
+                  for r in simhash_hamming_pairs_banded(
+                      sim, max_hamming=3).collect()}
+        brute = {(r.id_a, r.id_b, r.hamming)
+                 for r in simhash_hamming_pairs(
+                     sim, max_hamming=3, prefix_bits=0).collect()}
+        assert banded == brute
+    finally:
+        sim.unpersist()
+
+
+def test_simhash_banded_finds_what_single_prefix_misses(spark):
+    # hamming=1, differing bit inside the 12-bit prefix: prefix bucketing
+    # separates the pair; block 2..4 of the 4x15 banding still match.
+    rows = [("a", "1" + "0" * 59), ("b", "0" * 60)]
+    sim = spark.createDataFrame(rows, "doc_id string, simhash string")
+    banded = simhash_hamming_pairs_banded(sim, max_hamming=3).collect()
+    prefix = simhash_hamming_pairs(sim, max_hamming=3,
+                                   prefix_bits=12).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in banded] == [("a", "b", 1)]
+    assert prefix == []
+
+
+def test_simhash_banded_plan_is_equi_join(spark, sf_dir):
+    sim = simhash(load_table(spark, sf_dir, "documents"))
+    plan = simhash_hamming_pairs_banded(sim)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_simhash_banded_uneven_split_covers_all_bits(spark):
+    # bits=60, max_hamming=4 -> 5 bands of 12; max_hamming=6 -> 7 bands
+    # (4 of 9 + 3 of 8 = 60): uneven widths must still tile the string.
+    rows = [("a", "0" * 60), ("b", "0" * 53 + "1111111")]  # hamming 7
+    sim = spark.createDataFrame(rows, "doc_id string, simhash string")
+    assert simhash_hamming_pairs_banded(sim, max_hamming=6).collect() == []
+    rows2 = [("a", "0" * 60), ("b", "0" * 54 + "111111")]  # hamming 6
+    sim2 = spark.createDataFrame(rows2, "doc_id string, simhash string")
+    got = simhash_hamming_pairs_banded(sim2, max_hamming=6).collect()
+    assert [(r.id_a, r.id_b, r.hamming) for r in got] == [("a", "b", 6)]
