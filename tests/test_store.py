@@ -351,3 +351,29 @@ def test_multi_get_and_scan_iter(spark, tmp_path):
     rest = list(it)
     keys = [first[0]] + [k for k, _ in rest]
     assert keys == [f"m{i:03d}" for i in range(25) if i != 10]
+
+
+def test_dir_stats_distributed_matches_threaded(spark, tmp_path, sf_dir, monkeypatch):
+    """VERDICT r1 #10: footer stats must not be a serial driver walk.
+    Force the Spark-job path (threshold=1) and check it agrees exactly
+    with the thread-pool path on a multi-file ingest."""
+    import quasdb_spark.store as store_mod
+    from quasdb_spark.sources.tables import load_table
+
+    st = _mk(spark, tmp_path)
+    ev = load_table(spark, sf_dir, "events").limit(2000)
+    df = ev.selectExpr("cast(event_id as string) as key",
+                       "cast(value as string) as value").repartition(6)
+    st.ingest(df)
+    import os
+    ver = st.manifest.current()
+    full = os.path.join(st.path, ver.files[-1].path)
+    n_files = sum(fn.endswith(".parquet")
+                  for _r, _d, fs in os.walk(full) for fn in fs)
+    assert n_files > 1
+    threaded = st._dir_stats(full)
+    monkeypatch.setattr(store_mod, "_DIST_STATS_MIN_FILES", 1)
+    distributed = st._dir_stats(full)
+    assert distributed == threaded
+    assert distributed["rows"] == df.count()
+    assert distributed["min_key"] is not None
