@@ -171,17 +171,22 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
     ``bits`` counters). Hex digits are decoded arithmetically so the
     DuckDB oracle can mirror it exactly.
     """
+    n_digits = (bits + 3) // 4
     toks = (ensure_parallelism(df)
               .select(F.col(id_col),
                       F.explode(F.array_distinct(tokens(text_col))).alias("_t"))
-              .withColumn("_h", F.md5(F.col("_t"))))
-    digit_of = "instr('0123456789abcdef', substring(_h, {pos}, 1)) - 1"
+              .withColumn("_h", F.md5(F.col("_t")))
+              # decode each hex digit ONCE per row (4 bits share it)
+              # instead of once per bit — same integer values, 1/4 the
+              # string-search work in the hot aggregate
+              .select(id_col, *[
+                  F.expr(f"instr('0123456789abcdef', substring(_h, {p + 1}, 1)) - 1")
+                   .alias(f"_d{p}") for p in range(n_digits)]))
     aggs, names = [], []
     for i in range(bits):
-        pos = i // 4 + 1   # hex char position, 1-based
+        pos = i // 4       # hex char position, 0-based
         bit = i % 4        # bit within that hex digit, 3=MSB of digit
-        d = digit_of.format(pos=pos)
-        expr = f"sum(case when (({d}) div {2 ** (3 - bit)}) % 2 = 1 then 1 else 0 end)"
+        expr = f"sum(case when ((_d{pos}) div {2 ** (3 - bit)}) % 2 = 1 then 1 else 0 end)"
         name = f"_c{i}"
         aggs.append(F.expr(expr).alias(name))
         names.append(name)

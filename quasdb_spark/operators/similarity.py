@@ -21,6 +21,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from quasdb_spark.plans.parallel import ensure_parallelism
+
 
 def dot(a: Column, b: Column) -> Column:
     """Sequential-fold dot product in double (deterministic)."""
@@ -50,13 +52,18 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     corpus), then one window per query for top-k.
     """
     qid = query_id_col or id_col
+    # norms once per row, not per pair (identical float arithmetic —
+    # same expression on the same input — at 1/3 the per-pair work)
     q = queries.select(F.col(qid).alias("query_id"),
-                       _as_double(vec_col).alias("_qv"))
+                       _as_double(vec_col).alias("_qv"),
+                       norm(_as_double(vec_col)).alias("_qn"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       _as_double(vec_col).alias("_vv"))
+                       _as_double(vec_col).alias("_vv"),
+                       norm(_as_double(vec_col)).alias("_vn"))
     scored = (F.broadcast(q).crossJoin(v)
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+                          / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -86,13 +93,16 @@ def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     """
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
+                       norm(_as_double(vec_col)).alias("_qn"),
                        sign_bucket(vec_col, n_bits).alias("_bucket"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
+                       norm(_as_double(vec_col)).alias("_vn"),
                        sign_bucket(vec_col, n_bits).alias("_bucket"))
     scored = (F.broadcast(q).join(v, "_bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+                          / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
@@ -199,14 +209,27 @@ def label_centroids(vectors: DataFrame, *, label_col: str = "label",
 
 def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
                      id_col: str = "vec_id", vec_col: str = "embedding",
-                     n_iter: int = 2, round_to: int = 6) -> DataFrame:
-    """Trained coarse quantizer: deterministic seeded Lloyd k-means,
-    expressed as DataFrame ops (assignment = broadcast-centroid argmax,
-    update = per-dimension mean), with the tiny centroid set collected
-    to the driver between iterations — the standard distributed-k-means
-    shape (centroids are k×dims floats; the corpus never leaves
-    executors, each iteration is one map-side score + one partial-agg
-    shuffle of (k × dims) cells).
+                     n_iter: int = 2, round_to: int = 6,
+                     sample_cap: int | None = None) -> DataFrame:
+    """Trained coarse quantizer: deterministic seeded Lloyd k-means.
+
+    Two physical strategies, identical semantics:
+
+    - ``sample_cap=None`` (distributed): assignment = broadcast-centroid
+      argmax, update = per-dimension mean, expressed as DataFrame ops;
+      the corpus never leaves executors, each iteration is one map-side
+      score + one partial-agg shuffle of (k × dims) cells.
+    - ``sample_cap=N`` (sampled): train on the ``N`` vectors ranked
+      first by md5(id) — the standard coarse-quantizer practice (FAISS
+      trains on a bounded sample regardless of corpus size). The sample
+      is collected once (bounded by contract: N × dims doubles) and
+      Lloyd runs driver-side in numpy with dimension-sequential
+      accumulation, which is bit-identical to the SQL fold arithmetic —
+      so for corpora ≤ N the two strategies return the same centroids
+      (tested), and iteration latency stops being per-job Spark
+      overhead. At 100 TB this is the only sane shape: the quantizer
+      sees a fixed-size sample; the full corpus is only ever ASSIGNED
+      (one map-side pass in ivf_topk).
 
     Determinism (cross-engine reproducible, mirrored by the DuckDB
     oracle in suite.py): seeds are the ``n_clusters`` vectors ranked by
@@ -219,37 +242,103 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
     ``ivf_topk(centroids=...)``.
     """
     spark = vectors.sparkSession
-    v = vectors.select(F.col(id_col).alias("_id"),
-                       _as_double(vec_col).alias("_v"))
-    seeds = (v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-              .limit(n_clusters)
-              .select(F.transform(
-                  "_v", lambda x: F.round(x, round_to)).alias("centroid"))
-              .collect())
-    cents_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
-    schema = "c_label long, centroid array<double>"
-    for _ in range(n_iter):
-        cents = F.broadcast(spark.createDataFrame(cents_rows, schema))
-        scored = (v.crossJoin(cents)
-                   .withColumn("_cs", cosine(F.col("_v"), F.col("centroid"))))
-        # argmax via max_by over (score, -label): one hash aggregate
-        # with map-side combine, no per-id window sort
-        assigned = scored.groupBy("_id").agg(
-            F.max_by("c_label",
-                     F.struct(F.col("_cs"), (-F.col("c_label")).alias("_t"))
-                     ).alias("c_label"),
-            F.first("_v").alias("_v"))
-        ex = assigned.select("c_label", F.posexplode("_v").alias("pos", "x"))
-        per_dim = (ex.groupBy("c_label", "pos")
-                     .agg(F.round(F.avg("x"), round_to).alias("cx")))
-        new_cents = (per_dim.groupBy("c_label")
-                     .agg(F.transform(
-                         F.array_sort(F.collect_list(F.struct("pos", "cx"))),
-                         lambda s: s["cx"]).alias("centroid")))
-        cents_rows = [(r["c_label"], list(r["centroid"]))
-                      for r in new_cents.collect()]
-        cents_rows.sort()
+    if sample_cap is not None:
+        sample = (vectors
+                  .select(F.col(id_col).alias("_id"),
+                          _as_double(vec_col).alias("_v"))
+                  .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+                  .limit(sample_cap)
+                  .select("_v").collect())
+        rows = _kmeans_numpy([r["_v"] for r in sample], n_clusters,
+                             n_iter=n_iter, round_to=round_to)
+        return spark.createDataFrame(rows, "c_label long, centroid array<double>")
+    # one partition of parquet would serialize every scoring pass on a
+    # single core (and the corpus cast would recompute per iteration):
+    # spread + pin it for the whole training loop
+    v = ensure_parallelism(
+        vectors.select(F.col(id_col).alias("_id"),
+                       _as_double(vec_col).alias("_v"))).persist()
+    try:
+        seeds = (v.orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+                  .limit(n_clusters)
+                  .select(F.transform(
+                      "_v", lambda x: F.round(x, round_to)).alias("centroid"))
+                  .collect())
+        cents_rows = [(i, list(r["centroid"])) for i, r in enumerate(seeds)]
+        schema = "c_label long, centroid array<double>"
+        for _ in range(n_iter):
+            cents = F.broadcast(spark.createDataFrame(cents_rows, schema))
+            scored = (v.crossJoin(cents)
+                       .withColumn("_cs", cosine(F.col("_v"), F.col("centroid"))))
+            # argmax via max_by over (score, -label): one hash aggregate
+            # with map-side combine, no per-id window sort
+            assigned = scored.groupBy("_id").agg(
+                F.max_by("c_label",
+                         F.struct(F.col("_cs"), (-F.col("c_label")).alias("_t"))
+                         ).alias("c_label"),
+                F.first("_v").alias("_v"))
+            ex = assigned.select("c_label", F.posexplode("_v").alias("pos", "x"))
+            per_dim = (ex.groupBy("c_label", "pos")
+                         .agg(F.round(F.avg("x"), round_to).alias("cx")))
+            new_cents = (per_dim.groupBy("c_label")
+                         .agg(F.transform(
+                             F.array_sort(F.collect_list(F.struct("pos", "cx"))),
+                             lambda s: s["cx"]).alias("centroid")))
+            cents_rows = [(r["c_label"], list(r["centroid"]))
+                          for r in new_cents.collect()]
+            cents_rows.sort()
+    finally:
+        v.unpersist()
     return spark.createDataFrame(cents_rows, schema)
+
+
+def _kmeans_numpy(vecs: list, n_clusters: int, *, n_iter: int,
+                  round_to: int) -> list:
+    """Driver-side Lloyd on an md5-ranked sample (already ordered).
+
+    Arithmetic notes: dot/norm accumulate DIMENSION-SEQUENTIALLY
+    (acc = acc + x_i*y_i, one fused elementwise step per dimension),
+    reproducing the exact float64 sequence of the SQL
+    aggregate/zip_with fold — scores, and therefore argmax
+    assignments, are bit-identical to the distributed path. Per-dim
+    means differ from engine sums only in summation order; rounding to
+    ``round_to`` absorbs that (same tolerance the distributed path
+    already relies on vs the DuckDB oracle).
+    """
+    import numpy as np
+
+    def rnd(a):
+        # HALF_UP away from zero — Spark/DuckDB round(), not numpy's
+        # half-even; +0.0 normalizes -0.0
+        s = 10.0 ** round_to
+        return np.sign(a) * np.floor(np.abs(a) * s + 0.5) / s + 0.0
+
+    X = np.asarray(vecs, dtype=np.float64)
+    n, dims = X.shape
+    cents = rnd(X[:n_clusters].copy())
+    labels = np.arange(len(cents))
+    xn = np.zeros(n)
+    for i in range(dims):
+        xn = xn + X[:, i] * X[:, i]
+    xn = np.sqrt(xn)
+    for _ in range(n_iter):
+        k_ = len(cents)
+        cn = np.zeros(k_)
+        dots = np.zeros((n, k_))
+        for i in range(dims):
+            cn = cn + cents[:, i] * cents[:, i]
+            dots = dots + X[:, i:i + 1] * cents[None, :, i]
+        scores = dots / (xn[:, None] * np.sqrt(cn)[None, :])
+        assign = np.argmax(scores, axis=1)  # first max = lowest label
+        new_cents, new_labels = [], []
+        for j in range(k_):
+            members = X[assign == j]
+            if len(members):
+                new_cents.append(rnd(members.mean(axis=0)))
+                new_labels.append(labels[j])
+        cents = np.array(new_cents)
+        labels = np.array(new_labels)
+    return [(int(l), [float(x) for x in c]) for l, c in zip(labels, cents)]
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -273,28 +362,44 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     else:
         cents = label_centroids(vectors, label_col=label_col,
                                 vec_col=vec_col).persist()
+    # centroid norms once per centroid (broadcast side)
+    cn = cents.withColumn("_cn", norm(F.col("centroid")))
 
-    def nearest(df, id_alias, vec_alias, top_n):
-        scored = (df.crossJoin(F.broadcast(cents))
-                    .withColumn("_cs", cosine(F.col(vec_alias), F.col("centroid"))))
+    def nearest(df, id_alias, vec_alias, norm_alias, top_n):
+        scored = (df.crossJoin(F.broadcast(cn))
+                    .withColumn("_cs", dot(F.col(vec_alias), F.col("centroid"))
+                                / (F.col(norm_alias) * F.col("_cn"))))
+        if top_n == 1:
+            # corpus-sized assignment: one hash aggregate (map-side
+            # combine), no per-id window sort over n x n_lists rows
+            return scored.groupBy(id_alias).agg(
+                F.max_by("c_label",
+                         F.struct(F.col("_cs"), (-F.col("c_label")).alias("_t"))
+                         ).alias("c_label"),
+                F.first(vec_alias).alias(vec_alias),
+                F.first(norm_alias).alias(norm_alias))
         w = Window.partitionBy(id_alias).orderBy(
             F.col("_cs").desc(), F.col("c_label").asc())
         return (scored.withColumn("_cr", F.row_number().over(w))
                       .where(F.col("_cr") <= top_n)
-                      .select(id_alias, vec_alias, "c_label"))
+                      .select(id_alias, vec_alias, norm_alias, "c_label"))
 
-    v = vectors.select(F.col(id_col).alias("neighbor_id"),
-                       _as_double(vec_col).alias("_vv"))
-    assigned = nearest(v, "neighbor_id", "_vv", 1) \
+    v = ensure_parallelism(
+        vectors.select(F.col(id_col).alias("neighbor_id"),
+                       _as_double(vec_col).alias("_vv"),
+                       norm(_as_double(vec_col)).alias("_vn")))
+    assigned = nearest(v, "neighbor_id", "_vv", "_vn", 1) \
         .withColumnRenamed("c_label", "list_label")
     q = queries.select(F.col(id_col).alias("query_id"),
-                       _as_double(vec_col).alias("_qv"))
-    probes = nearest(q, "query_id", "_qv", nprobe) \
+                       _as_double(vec_col).alias("_qv"),
+                       norm(_as_double(vec_col)).alias("_qn"))
+    probes = nearest(q, "query_id", "_qv", "_qn", nprobe) \
         .withColumnRenamed("c_label", "list_label")
 
     scored = (F.broadcast(probes).join(assigned, "list_label")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", cosine(F.col("_qv"), F.col("_vv"))))
+              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+                          / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

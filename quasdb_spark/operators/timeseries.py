@@ -201,13 +201,17 @@ def topk_per_group(df: DataFrame, keys: list[str], order_col: str,
 
 def gapfill(df: DataFrame, ts_col: str, bucket_seconds: int,
             keys: list[str], agg_col: F.Column,
-            fill_value=0) -> DataFrame:
+            fill_value=0, chunk_buckets: int = 4096) -> DataFrame:
     """Dense time grid per key: aggregate to buckets, then join against
-    the full per-key [min, max] bucket range (sequence + explode) and
-    fill missing buckets.
+    the full per-key [min, max] bucket range and fill missing buckets.
 
     Scale: the grid is generated per key from that key's own span (no
-    driver-side collect, no global grid materialization).
+    driver-side collect, no global grid materialization), and in TWO
+    explode levels — chunk starts, then ≤ ``chunk_buckets`` buckets per
+    chunk — so a key spanning years at small buckets never materializes
+    its whole span as one array row (the round-1 single-`sequence`
+    version would build a multi-million-element array); peak row size
+    is bounded by ``chunk_buckets`` elements.
     """
     bucketed = (df.withColumn(
         "_b", F.timestamp_seconds(
@@ -216,11 +220,19 @@ def gapfill(df: DataFrame, ts_col: str, bucket_seconds: int,
         .groupBy(*keys, "_b").agg(agg_col.alias("agg_value")))
     spans = (bucketed.groupBy(*keys)
              .agg(F.min("_b").alias("_lo"), F.max("_b").alias("_hi")))
-    grid = spans.select(
+    chunk_span = bucket_seconds * chunk_buckets
+    lo_e, hi_e = F.unix_timestamp("_lo"), F.unix_timestamp("_hi")
+    chunks = spans.select(
+        *keys, hi_e.alias("_hi_e"),
+        F.explode(F.sequence(lo_e, hi_e, F.lit(chunk_span))).alias("_c0"))
+    grid = chunks.select(
         *keys,
         F.explode(F.sequence(
-            F.col("_lo"), F.col("_hi"),
-            F.expr(f"interval {bucket_seconds} seconds"))).alias("bucket_start"))
+            F.col("_c0"),
+            F.least(F.col("_c0") + F.lit(chunk_span - bucket_seconds),
+                    F.col("_hi_e")),
+            F.lit(bucket_seconds))).alias("_bs")
+    ).select(*keys, F.timestamp_seconds("_bs").alias("bucket_start"))
     joined = grid.join(
         bucketed.withColumnRenamed("_b", "bucket_start"),
         on=[*keys, "bucket_start"], how="left")

@@ -899,6 +899,18 @@ class KVStore:
         by_level: dict[int, list[FileEntry]] = {}
         for f in ver.files:
             by_level.setdefault(f.level, []).append(f)
+        # approximate-memory-usage (kv/db/db_impl.cpp:1686-1692): the
+        # reference reports memtable arena bytes; our analogue is the
+        # executor storage memory actually pinned by cached views.
+        tracker = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        mem_used = 0
+        try:
+            it = tracker.values().iterator()
+            while it.hasNext():
+                tot, free = (lambda t: (t._1(), t._2()))(it.next())
+                mem_used += int(tot) - int(free)
+        except Exception:
+            mem_used = None
         return {
             "quasdb.version": ver.version,
             "quasdb.last-seq": ver.last_seq,
@@ -906,6 +918,7 @@ class KVStore:
             "quasdb.total-bytes": sum(f.bytes for f in ver.files),
             "quasdb.total-rows": sum(f.rows for f in ver.files),
             "quasdb.snapshots": dict(ver.snapshots),
+            "quasdb.approximate-memory-usage": mem_used,
             "quasdb.stats": {
                 lvl: {"files": len(fs), "bytes": sum(f.bytes for f in fs),
                       "rows": sum(f.rows for f in fs)}

@@ -1025,10 +1025,14 @@ _PACK_ORACLES = {
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF with a TRAINED coarse quantizer: deterministic seeded Lloyd
     k-means (2 iterations, md5-ranked seeds, rounded updates) — the
-    oracle below unrolls the identical training in SQL."""
+    oracle below unrolls the identical training in SQL. Training runs
+    on the md5-ranked 64k-sample (the bounded-quantizer-training shape;
+    covers the whole corpus at test sfs, so the oracle's full-corpus
+    unroll is the same computation — the cap is mirrored in the
+    oracle's tr CTE)."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
-    cents = SIM.kmeans_centroids(e, 10, n_iter=2)
+    cents = SIM.kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
     return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents)
 
 
@@ -1050,7 +1054,7 @@ def _kmeans_iter_sql(n: int, prev: str) -> str:
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY {_cos2('e.v', 's.centroid')} DESC,
                               s.c_label ASC) AS rn
-            FROM e, {prev} s) t
+            FROM tr e, {prev} s) t
           WHERE rn = 1),
         c{n} AS (
           SELECT c_label, list(cx ORDER BY pos) AS centroid FROM (
@@ -1064,14 +1068,17 @@ def _kmeans_iter_sql(n: int, prev: str) -> str:
 _IVF_ORACLE = {
     "sim_ivf_topk": f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
-        seeds AS (
-          SELECT CAST(row_number() OVER (
-                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) - 1
-                 AS BIGINT) AS c_label,
-                 list_transform(v, x -> round(x, 6)) AS centroid
+        tr AS (
+          -- bounded training sample, md5-ranked (mirrors sample_cap)
+          SELECT vec_id, v, row_number() OVER (
+                   ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
           FROM e
           QUALIFY row_number() OVER (
-            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 10),
+            ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 65536),
+        seeds AS (
+          SELECT CAST(rk - 1 AS BIGINT) AS c_label,
+                 list_transform(v, x -> round(x, 6)) AS centroid
+          FROM tr WHERE rk <= 10),
         {_kmeans_iter_sql(1, 'seeds')},
         {_kmeans_iter_sql(2, 'c1')},
         cents AS (SELECT * FROM c2),

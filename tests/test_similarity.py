@@ -79,6 +79,13 @@ def test_kmeans_centroids_deterministic_and_trained(spark, sf_dir):
     assert c1 == c2
     assert 1 <= len(c1) <= 8
     assert all(len(v) == 64 for v in c1.values())
+    # the bounded-sample numpy path (covering the whole corpus here)
+    # must be bit-identical to the distributed path: same seed draw,
+    # same dim-sequential fold arithmetic, same HALF_UP rounding
+    c3 = {r["c_label"]: r["centroid"]
+          for r in kmeans_centroids(e, 8, n_iter=2,
+                                    sample_cap=100000).collect()}
+    assert c3 == c1
 
 
 def test_kmeans_ivf_recall_vs_brute_force(spark, sf_dir):

@@ -92,3 +92,18 @@ def test_moving_and_rate_edges(spark):
     rt = rate(df, "ts", ["k"], "v", "id").orderBy("id").collect()
     assert rt[0]["rate"] is None and rt[2]["rate"] is None
     assert rt[1]["rate"] == (20.0 - 10.0) / 60
+
+
+def test_gapfill_chunked_span_matches_unchunked(spark):
+    """Two-level chunked grid == single-sequence grid: a span crossing
+    many tiny chunks (chunk_buckets=4) produces exactly the same dense
+    buckets as one covering chunk."""
+    rows = [(1, _ts(0), 1.0), (1, _ts(59), 2.0),   # 10-min buckets, 6 buckets
+            (2, _ts(5), 3.0)]                       # single-bucket key
+    df = _df(spark, rows, "k long, ts timestamp, v double")
+    small = gapfill(df, "ts", 600, ["k"], F.count(F.lit(1)), chunk_buckets=4)
+    big = gapfill(df, "ts", 600, ["k"], F.count(F.lit(1)), chunk_buckets=10000)
+    a = sorted((r["k"], r["bucket_start"], r["agg_value"]) for r in small.collect())
+    b = sorted((r["k"], r["bucket_start"], r["agg_value"]) for r in big.collect())
+    assert a == b
+    assert len(a) == 7  # key 1: 6 buckets (0..50), key 2: 1 bucket
