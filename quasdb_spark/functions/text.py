@@ -116,6 +116,62 @@ def exact_fingerprint(text_col: str | Column = "text") -> Column:
     return F.md5(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "))
 
 
+# Portable regexes (same semantics in Java regex and DuckDB RE2) for
+# the PII/safety scan. Counting is non-overlapping left-to-right in
+# both engines.
+PII_PATTERNS = {
+    "email": r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+    "url": r"https?://[^\s]+",
+    "ipv4": r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b",
+    "long_digits": r"\d{9,}",
+}
+
+
+def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Per-document PII/safety signal counts (emails, URLs, IPv4s, long
+    digit runs) + an any-hit flag — the pre-filter shape of a
+    training-data privacy pass. Map-only regexp_count expressions,
+    whole-stage codegen; a 100 TB scan is one pass, no shuffle.
+    """
+    out = df
+    for name, pat in PII_PATTERNS.items():
+        out = out.withColumn(
+            f"n_{name}", F.regexp_count(F.col(text_col), F.lit(pat)))
+    flag = None
+    for name in PII_PATTERNS:
+        c = F.col(f"n_{name}") > 0
+        flag = c if flag is None else (flag | c)
+    return out.withColumn("pii_flagged", flag)
+
+
+def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
+               text_col: str = "text", k: int = 3) -> DataFrame:
+    """Top-k characteristic terms per document by tf·idf
+    (idf = ln(n_docs / doc_freq), score rounded to 4 before ranking so
+    cross-engine float ulps can't flip the order; ties break on term).
+
+    Scale shape: explode → two hash aggregates (term counts, doc
+    freqs) + a broadcast scalar for n_docs; ranking is a per-doc window
+    over each doc's distinct terms only.
+    """
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term")))
+    tc = toks.groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tc.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    nd = df.select(F.count(F.lit(1)).alias("n_docs"))
+    scored = (tc.join(dfreq, "term")
+                .crossJoin(F.broadcast(nd))
+                .withColumn("score", F.round(
+                    F.col("tf") * F.log(F.col("n_docs").cast("double")
+                                        / F.col("doc_freq")), 4)))
+    from pyspark.sql import Window
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("term").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+                  .where(F.col("rank") <= k)
+                  .select(id_col, "rank", "term", "tf",
+                          (F.col("score") + F.lit(0.0)).alias("score")))
+
+
 def ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
     """Non-distinct word n-grams (occurrence counting, unlike
     dedup.shingles which is a distinct set)."""

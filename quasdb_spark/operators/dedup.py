@@ -159,6 +159,35 @@ def exact_dedup(df: DataFrame, id_col: str = "doc_id",
     return groups
 
 
+def ngram_overlap(corpus: DataFrame, benchmark: DataFrame,
+                  id_col: str = "doc_id", text_col: str = "text", *,
+                  n: int = 3) -> DataFrame:
+    """Benchmark decontamination: corpus documents sharing any distinct
+    word n-gram with the benchmark set, with overlap counts — the
+    standard eval-leakage check in training-data pipelines (the
+    PaLM/GPT-3 style n-gram collision test).
+
+    Scale shape: benchmark gram sets are tiny by contract (eval suites,
+    not corpora) → distinct + broadcast; the corpus side is one
+    map-only shingle pass + explode, the join is broadcast-hash (the
+    corpus never shuffles), and the per-doc count is a partial
+    aggregate. Only contaminated docs are emitted.
+    """
+    c = with_shingles(
+        ensure_parallelism(corpus.select(id_col, text_col)), text_col, n)
+    cg = c.select(F.col(id_col), F.size("shingles").alias("n_grams"),
+                  F.explode("shingles").alias("_g"))
+    bg = (with_shingles(benchmark.select(text_col), text_col, n)
+          .select(F.explode("shingles").alias("_g")).distinct())
+    return (cg.join(F.broadcast(bg), "_g")
+              .groupBy(id_col, "n_grams")
+              .agg(F.count(F.lit(1)).alias("n_overlap"))
+              .withColumn("overlap_frac",
+                          F.round(F.col("n_overlap").cast("double")
+                                  / F.col("n_grams"), 4))
+              .select(id_col, "n_grams", "n_overlap", "overlap_frac"))
+
+
 def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
             *, bits: int = 60) -> DataFrame:
     """SimHash over distinct tokens: bit i of the hash is 1 iff a

@@ -545,6 +545,31 @@ def q_text_fingerprint(spark, sf_dir):
                       T.exact_fingerprint("text").alias("exact_fp"))
 
 
+def q_text_pii_scan(spark, sf_dir):
+    """PII/safety pre-filter: per-doc pattern counts + any-hit flag
+    (map-only regexp_count pipeline; see functions/text.pii_scan)."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.pii_scan(d).select("doc_id", "n_email", "n_url", "n_ipv4",
+                                "n_long_digits", "pii_flagged")
+
+
+def q_text_tfidf_topk(spark, sf_dir):
+    """Top-3 characteristic terms per doc by tf·idf (rounded-score
+    ranking, term tiebreak)."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.tfidf_topk(d, k=3)
+
+
+def q_text_decontaminate(spark, sf_dir):
+    """Eval-leakage check: docs sharing any word 3-gram with the
+    'benchmark' subset (doc_id % 50 == 0), with overlap counts. The
+    benchmark gram set is broadcast; the corpus never shuffles."""
+    d = _t(spark, sf_dir, "documents")
+    corpus = d.where(F.col("doc_id") % 50 != 0)
+    benchmark = d.where(F.col("doc_id") % 50 == 0)
+    return D.ngram_overlap(corpus, benchmark)
+
+
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 _TEXT_ORACLES = {
@@ -606,6 +631,44 @@ def _langid_oracle() -> str:
 
 
 _TEXT_ORACLES["text_langid"] = _langid_oracle()
+
+_PII_SQL = {
+    "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
+    "url": "https?://[^\\s]+",
+    "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
+    "long_digits": "\\d{9,}",
+}
+_TEXT_ORACLES["text_pii_scan"] = f"""
+    SELECT doc_id,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(text, '{p}')) AS INT) AS n_{k}"
+               for k, p in _PII_SQL.items())},
+           ({" OR ".join(
+               f"len(regexp_extract_all(text, '{p}')) > 0"
+               for p in _PII_SQL.values())}) AS pii_flagged
+    FROM documents"""
+
+_TEXT_ORACLES["text_tfidf_topk"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    tc AS (
+      SELECT doc_id, term, count(*) AS tf FROM (
+        SELECT doc_id, unnest(w) AS term FROM t) x
+      GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tc GROUP BY 1),
+    nd AS (SELECT count(*) AS n_docs FROM t),
+    scored AS (
+      SELECT tc.doc_id, tc.term, tc.tf,
+             round(tc.tf * ln(CAST(nd.n_docs AS DOUBLE) / dfreq.doc_freq), 4)
+               AS score
+      FROM tc JOIN dfreq USING (term) CROSS JOIN nd)
+    SELECT doc_id, CAST(rnk AS INT) AS rank, term, tf, score + 0.0 AS score
+    FROM (SELECT *, row_number() OVER (
+            PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
+          FROM scored) r
+    WHERE rnk <= 3"""
+
+# text_decontaminate oracle is defined next to the dedup oracles
+# (it reuses _SHINGLES_SQL, defined there).
 
 
 # =====================================================================
@@ -686,6 +749,20 @@ _DEDUP_ORACLES = {
           JOIN s sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35""",
 }
+
+_TEXT_ORACLES["text_decontaminate"] = f"""
+    WITH c AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+               WHERE doc_id % 50 <> 0),
+    cs AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM c),
+    b AS (SELECT {_TOKENS_SQL} AS w FROM documents WHERE doc_id % 50 = 0),
+    bg AS (SELECT DISTINCT g FROM (
+             SELECT unnest({_SHINGLES_SQL}) AS g FROM b) x),
+    cg AS (SELECT doc_id, len(sh) AS n_grams, unnest(sh) AS g FROM cs)
+    SELECT doc_id, CAST(n_grams AS INT) AS n_grams,
+           count(*) AS n_overlap,
+           round(CAST(count(*) AS DOUBLE) / n_grams, 4) AS overlap_frac
+    FROM cg JOIN bg USING (g)
+    GROUP BY doc_id, n_grams"""
 
 
 def _simhash_oracle(bits: int = 60) -> str:
@@ -1259,6 +1336,9 @@ QUERIES = {
     "text_quality": q_text_quality,
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
+    "text_pii_scan": q_text_pii_scan,
+    "text_tfidf_topk": q_text_tfidf_topk,
+    "text_decontaminate": q_text_decontaminate,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,

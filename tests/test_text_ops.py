@@ -1,0 +1,57 @@
+"""PII scan, tf-idf, and decontamination on planted inputs (the suite
+oracle checks these on the synthetic corpus; here we prove the
+detectors actually detect)."""
+
+from quasdb_spark.functions.text import pii_scan, tfidf_topk
+from quasdb_spark.operators.dedup import ngram_overlap
+
+
+def test_pii_scan_detects_planted_patterns(spark):
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk for details"),
+        (2, "see https://example.com/path?q=1 and http://a.b"),
+        (3, "server at 192.168.001.001 responded"),
+        (4, "card 4111111111111111 leaked"),
+        (5, "perfectly clean prose with no identifiers at all"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pii_scan(df).collect()}
+    assert got[1]["n_email"] == 1 and got[1]["pii_flagged"]
+    assert got[2]["n_url"] == 2 and got[2]["pii_flagged"]
+    assert got[3]["n_ipv4"] == 1 and got[3]["pii_flagged"]
+    assert got[4]["n_long_digits"] == 1 and got[4]["pii_flagged"]
+    assert not got[5]["pii_flagged"]
+    assert got[5]["n_email"] == got[5]["n_url"] == 0
+
+
+def test_tfidf_ranks_distinctive_terms_first(spark):
+    # 'zebra' appears only in doc 1; 'common' appears everywhere ->
+    # idf('common') = ln(1) = 0, so it can never outrank 'zebra'.
+    rows = [
+        (1, "common zebra common zebra zebra"),
+        (2, "common words only common"),
+        (3, "common filler common filler"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    top = tfidf_topk(df, k=2).collect()
+    doc1 = [r for r in top if r["doc_id"] == 1]
+    assert doc1[0]["term"] == "zebra" and doc1[0]["rank"] == 1
+    assert doc1[0]["tf"] == 3
+    common = [r for r in top if r["term"] == "common"]
+    assert all(r["score"] == 0.0 for r in common)
+
+
+def test_ngram_overlap_finds_planted_contamination(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        "doc_id long, text string")
+    corpus = spark.createDataFrame([
+        (1, "intro text then the quick brown fox appears verbatim here"),
+        (2, "completely unrelated sentence about databases and sparks"),
+        (3, "too short"),
+    ], "doc_id long, text string")
+    got = {r["doc_id"]: r for r in ngram_overlap(corpus, bench).collect()}
+    # doc 1 shares 'the quick brown' and 'quick brown fox'
+    assert got[1]["n_overlap"] == 2
+    assert 0 < got[1]["overlap_frac"] <= 1.0
+    assert 2 not in got and 3 not in got  # clean docs are not emitted
