@@ -73,32 +73,69 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
 
 
 def sign_bucket(vec_col: str = "embedding", n_bits: int = 8) -> Column:
-    """Deterministic LSH-style bucket: sign bits of the first n_bits
-    dimensions, as a bit string. Production recall: replace with random
-    hyperplane projections (same column contract)."""
+    """Leading-dimension sign bits — the cheap axis-aligned bucket
+    (kept for tests/compat; ``hyperplane_bucket`` is the real LSH)."""
     v = _as_double(vec_col)
     return F.concat(*[
         F.when(F.element_at(v, i + 1) >= 0, F.lit("1")).otherwise(F.lit("0"))
         for i in range(n_bits)])
 
 
+def hyperplane_signs(n_bits: int, dims: int, seed: int = 0) -> list[list[float]]:
+    """Deterministic ±1 random-hyperplane entries (md5-derived), shared
+    verbatim between the Spark expression and the DuckDB oracle (the
+    weights are inlined as literals on both sides)."""
+    import hashlib
+
+    return [[1.0 if int(hashlib.md5(
+                f"hp:{seed}:{j}:{i}".encode()).hexdigest()[0], 16) < 8
+             else -1.0
+             for i in range(dims)]
+            for j in range(n_bits)]
+
+
+def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
+                      dims: int = 64, seed: int = 0) -> Column:
+    """SimHash-for-vectors bucket: sign of the projection onto
+    ``n_bits`` deterministic ±1 hyperplanes (Charikar rounding — the
+    real LSH family for cosine, P[bits agree] = 1 - angle/pi). Pure
+    sequential-fold expressions: map-only, JVM-side, cross-engine
+    reproducible."""
+    v = _as_double(vec_col)
+    bits = []
+    for w in hyperplane_signs(n_bits, dims, seed):
+        ws = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, t: acc + t)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    return F.concat(*bits)
+
+
 def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
-                  n_bits: int = 8) -> DataFrame:
+                  n_bits: int = 8, hyperplanes: bool = True,
+                  dims: int = 64, seed: int = 0) -> DataFrame:
     """Approximate top-k: score only vectors in the query's bucket.
 
     The bucket equality join replaces the cross join — shuffle/compare
     volume drops by ~2^n_bits. Same output contract as cosine_topk
-    (rank within bucket).
+    (rank within bucket). Buckets are random-hyperplane sign bits
+    (Charikar LSH) by default; ``hyperplanes=False`` falls back to the
+    cheaper axis-aligned leading-dim signs.
     """
+    def bucket():
+        if hyperplanes:
+            return hyperplane_bucket(vec_col, n_bits, dims=dims, seed=seed)
+        return sign_bucket(vec_col, n_bits)
+
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
                        norm(_as_double(vec_col)).alias("_qn"),
-                       sign_bucket(vec_col, n_bits).alias("_bucket"))
+                       bucket().alias("_bucket"))
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
                        norm(_as_double(vec_col)).alias("_vn"),
-                       sign_bucket(vec_col, n_bits).alias("_bucket"))
+                       bucket().alias("_bucket"))
     scored = (F.broadcast(q).join(v, "_bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
@@ -138,14 +175,16 @@ def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
 def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
                          n_bands: int = 8, band_bits: int = 8,
-                         max_bucket_size: int | None = 1000) -> DataFrame:
+                         max_bucket_size: int | None = 1000,
+                         hyperplanes: bool = True, dims: int = 64,
+                         seed: int = 0) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH blocking
     (id_a < id_b, cos >= threshold) — the 100 TB-safe path.
 
-    The full sign signature (``n_bands * band_bits`` bits of leading
-    dimensions) is cut into ``n_bands`` bands; two vectors become a
-    candidate pair iff they agree on at least one whole band (classic
-    banded LSH, same scheme as the MinHash pair-finder). Only candidates
+    The full sign signature (``n_bands * band_bits`` random-hyperplane
+    sign bits, Charikar LSH) is cut into ``n_bands`` bands; two vectors
+    become a candidate pair iff they agree on at least one whole band
+    (classic banded LSH, same scheme as the MinHash pair-finder). Only candidates
     are scored, so the cross join disappears:
 
     - bands table: n x n_bands rows of (band, key, id) — map-only;
@@ -161,9 +200,12 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
     — measured on this repo's testdata in tests/test_suite.py; the
     brute-force ``neardup_pairs_cosine`` is the recall oracle there.
     """
+    sig = (hyperplane_bucket(vec_col, n_bands * band_bits,
+                             dims=dims, seed=seed)
+           if hyperplanes else sign_bucket(vec_col, n_bands * band_bits))
     e = vectors.select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
-        sign_bucket(vec_col, n_bands * band_bits).alias("_sig"))
+        sig.alias("_sig"))
     keys = F.array(*[F.substring("_sig", b * band_bits + 1, band_bits)
                      for b in range(n_bands)])
     bands = e.select("_id", F.posexplode(keys).alias("_band", "_key"))

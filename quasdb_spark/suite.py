@@ -830,6 +830,20 @@ _COS_SQL = ("list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * v
             " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
             " * sqrt(list_sum(list_transform(vv, x -> x * x))))")
 
+
+def _hp_bucket_sql(vec_expr: str, n_bits: int, dims: int = 64,
+                   seed: int = 0) -> str:
+    """DuckDB mirror of similarity.hyperplane_bucket: identical ±1
+    weights inlined as list literals, identical sequential-sum
+    projection per bit."""
+    cases = []
+    for w in SIM.hyperplane_signs(n_bits, dims, seed):
+        lits = "[" + ", ".join(repr(x) for x in w) + "]"
+        proj = (f"list_sum(list_transform(generate_series(1, {dims}),"
+                f" i -> {vec_expr}[i] * ({lits})[i]))")
+        cases.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
+    return "concat(" + ", ".join(cases) + ")"
+
 _SIM_ORACLES = {
     "sim_cosine_topk": f"""
         WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
@@ -848,11 +862,9 @@ _SIM_ORACLES = {
                round(score, 4) + 0.0 AS score
         FROM ranked WHERE rn <= 10""",
     "sim_bucket_topk": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                          concat({", ".join(
-                              f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-                              for i in range(8))}) AS bucket
-                   FROM embeddings),
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 8)} AS bucket
+              FROM e0),
         q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e
               WHERE vec_id % 100 = 0),
         scored AS (
@@ -867,11 +879,9 @@ _SIM_ORACLES = {
                round(score, 4) + 0.0 AS score
         FROM ranked WHERE rn <= 5""",
     "sim_neardup_cosine": f"""
-        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v,
-                          concat({", ".join(
-                              f"CASE WHEN embedding[{i + 1}] >= 0 THEN '1' ELSE '0' END"
-                              for i in range(64))}) AS sig
-                   FROM embeddings),
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 64)} AS sig
+              FROM e0),
         bands AS (SELECT vec_id, b, substr(sig, b * 8 + 1, 8) AS key
                   FROM e, (SELECT unnest(generate_series(0, 7)) AS b)),
         ok AS (SELECT b, key FROM bands GROUP BY b, key
