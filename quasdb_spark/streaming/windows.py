@@ -65,3 +65,24 @@ def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
             (rw[right_ts] <= lw[left_ts]) &
             (rw[right_ts] >= lw[left_ts] - F.expr(f"interval {max_lag}")))
     return lw.join(rw, cond, "inner").drop(rw[on])
+
+
+def stream_dedup(stream: DataFrame, key_cols: list[str], ts_col: str, *,
+                 watermark: str = "10 minutes",
+                 within_watermark: bool = True) -> DataFrame:
+    """Streaming deduplication — the ingest-time face of the batch
+    dedup family (training pipelines dedupe AT ingest so duplicates
+    never hit storage).
+
+    ``within_watermark=True`` uses dropDuplicatesWithinWatermark: state
+    for a key is evicted once the watermark passes it, so memory is
+    bounded by the duplicate-arrival window, not the stream's lifetime
+    — the only sane shape for an unbounded 100 TB/day feed (duplicates
+    arriving further apart than ``watermark`` are NOT caught; size the
+    watermark to the real duplicate lag). ``False`` keeps exact
+    all-time dedup with state growing in distinct keys.
+    """
+    wm = stream.withWatermark(ts_col, watermark)
+    if within_watermark:
+        return wm.dropDuplicatesWithinWatermark(key_cols)
+    return wm.dropDuplicates(key_cols)

@@ -187,3 +187,31 @@ def test_stream_stream_join(spark, tmp_path, sf_dir):
                        (F.col("s_ts") >= F.col("p_ts") - F.expr("interval 2 hours")))
                 .collect()}
     assert got == expect and len(got) > 0
+
+
+def test_stream_dedup_drops_replayed_events(spark, tmp_path, sf_dir):
+    """Ingest-time dedup: a stream carrying every event TWICE (staged
+    as two identical parquet writes) drains to exactly the distinct
+    event set."""
+    from quasdb_spark.sources.tables import load_table
+    from quasdb_spark.streaming.windows import stream_dedup
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type")
+    src = str(tmp_path / "dup_stream")
+    ev.write.mode("overwrite").parquet(src)
+    ev.write.mode("append").parquet(src)  # replay: every event twice
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    deduped = stream_dedup(stream, ["event_id"], "ts",
+                           watermark="1 hour", within_watermark=True)
+    q = (deduped.writeStream.format("memory").queryName("dedup_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = spark.sql("select count(*) n, count(distinct event_id) d "
+                    "from dedup_out").collect()[0]
+    assert got["n"] == ev.count()
+    assert got["d"] == got["n"]
