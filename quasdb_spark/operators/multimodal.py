@@ -76,6 +76,31 @@ def synth_media(spark: SparkSession, n: int, kind: str = "image") -> DataFrame:
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
+def media_from_ids(df: DataFrame, id_col: str = "doc_id",
+                   kind: str = "image") -> DataFrame:
+    """Distributed synthetic-media ingestion shim: packs one
+    deterministic QM blob per input id via mapInPandas (the same
+    Arrow-batched path a real blob ingest would use — synth_media's
+    driver loop is the test-only variant). Header dims are arithmetic
+    in the id (width = 32 + 7·id mod 480, height = 32 + 13·id mod 360)
+    so downstream decodes are oracle-checkable."""
+    import pandas as pd
+
+    def pack(batches: Iterator["pd.DataFrame"]) -> Iterator["pd.DataFrame"]:
+        for pdf in batches:
+            ids = [int(i) for i in pdf[id_col]]
+            yield pd.DataFrame({
+                "media_id": ids,
+                "kind": [kind] * len(ids),
+                "data": [make_blob(kind, 32 + (i * 7) % 480,
+                                   32 + (i * 13) % 360, f"{kind}-{i}")
+                         for i in ids],
+                "meta": [{"source": f"synth://{kind}/{i}"} for i in ids],
+            })
+
+    return df.select(id_col).mapInPandas(pack, MEDIA_SCHEMA)
+
+
 def _parse_header(data: bytes) -> tuple[int, int, int]:
     if data is None or len(data) < 11 or data[:2] != b"QM":
         raise ValueError("not a QM synthetic blob")

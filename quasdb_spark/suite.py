@@ -570,6 +570,30 @@ def q_text_decontaminate(spark, sf_dir):
     return D.ngram_overlap(corpus, benchmark)
 
 
+def q_mm_decode_stats(spark, sf_dir):
+    """Multimodal plumbing end-to-end, oracle-checked: pack one QM blob
+    per document id (Arrow-batched mapInPandas), decode metadata back
+    out (mapInPandas; real-codec attempt falls through to the synthetic
+    header parser by design). Header fields are arithmetic in doc_id,
+    so DuckDB mirrors the whole binary round-trip."""
+    from quasdb_spark.operators.multimodal import decode_images, media_from_ids
+    d = _par(_t(spark, sf_dir, "documents"))
+    return decode_images(media_from_ids(d))
+
+
+_MM_ORACLES = {
+    # blob = 11-byte QM header + 64-byte payload; QM blobs are not real
+    # images, so the decode path is deterministically 'fake'
+    "mm_decode_stats": """
+        SELECT doc_id AS media_id,
+               CAST(32 + (doc_id * 7) % 480 AS INT) AS width,
+               CAST(32 + (doc_id * 13) % 360 AS INT) AS height,
+               CAST(75 AS BIGINT) AS n_bytes,
+               'fake' AS decode_path
+        FROM documents""",
+}
+
+
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
 _TEXT_ORACLES = {
@@ -1376,8 +1400,10 @@ QUERIES = {
     "rel_region_share": q_rel_region_share,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_token_packing": q_doc_token_packing,
+    "mm_decode_stats": q_mm_decode_stats,
 }
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,
-           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE, **_CUBE_ORACLES, **_XMODAL_ORACLE}
+           **_EXT_ORACLES, **_PACK_ORACLES, **_IVF_ORACLE, **_PIVOT_ORACLE, **_CUBE_ORACLES, **_XMODAL_ORACLE,
+           **_MM_ORACLES}

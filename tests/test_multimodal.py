@@ -76,3 +76,16 @@ def test_media_stats_jvm_only(spark):
     row = MM.media_stats(media).collect()[0]
     assert row["kind"] == "audio" and row["n_items"] == 10
     assert row["total_bytes"] == 750
+
+
+def test_media_from_ids_matches_synth(spark):
+    """The distributed packer produces byte-identical blobs to the
+    driver-side synth_media generator for the same ids."""
+    from quasdb_spark.operators.multimodal import media_from_ids, synth_media
+
+    ids = spark.createDataFrame([(i,) for i in range(20)], "doc_id long")
+    packed = {r["media_id"]: bytes(r["data"])
+              for r in media_from_ids(ids).collect()}
+    synth = {r["media_id"]: bytes(r["data"])
+             for r in synth_media(spark, 20).collect()}
+    assert packed == synth
