@@ -1,0 +1,75 @@
+"""Continuous aggregates: a streaming rollup maintained incrementally
+in a KVStore — the hypertable-rollup / materialized-continuous-view
+shape (charter extension; the reference has no streaming semantics,
+SURVEY.md §2.7).
+
+Each micro-batch upserts the windows it touched (update mode), keyed
+``window_start|key...``; the store's LWW state view therefore IS the
+current rollup at any moment — late data inside the watermark re-emits
+its window and simply overwrites the previous aggregate row. Replayed
+micro-batches after a crash are dropped by the store's per-batch-id
+manifest dedup, so the rollup is exactly-once end to end.
+
+Scale: the stream side is a watermark-bounded stateful aggregation
+(state ~ live windows × keys); the store side appends one tiny sorted
+batch per trigger and auto-compacts by size score. Reads are the
+store's normal pruned scan — a dashboard query for one day touches one
+key range.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming import StreamingQuery
+
+from quasdb_spark.store import KVStore
+
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss"
+
+
+def continuous_rollup(store: KVStore, stream_df: DataFrame,
+                      checkpoint_dir: str, *, ts_col: str = "ts",
+                      keys: list[str] | None = None,
+                      duration: str = "1 hour",
+                      watermark: str = "10 minutes",
+                      aggs=None, stream_id: str = "rollup",
+                      trigger: dict | None = None,
+                      auto_compact: bool = True) -> StreamingQuery:
+    """Start the continuous aggregate. ``aggs`` are named aggregate
+    columns (default: row count ``n``); the rollup row for a window is
+    stored as JSON under ``window_start|key...``."""
+    keys = keys or []
+    aggs = aggs or [F.count(F.lit(1)).alias("n")]
+    win = (stream_df.withWatermark(ts_col, watermark)
+           .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
+           .agg(*aggs))
+    agg_names = [c for c in win.columns if c != "w" and c not in keys]
+    key_expr = F.concat_ws("|", F.date_format("w.start", _TS_FMT),
+                           *[F.col(k).cast("string") for k in keys])
+    kv = win.select(key_expr.alias("key"),
+                    F.to_json(F.struct(*agg_names)).alias("value"))
+
+    def commit(batch_df: DataFrame, batch_id: int) -> None:
+        store.ingest_batch(batch_df, stream_id, batch_id)
+        if auto_compact:
+            store.maybe_compact()
+
+    writer = (kv.writeStream.foreachBatch(commit)
+              .option("checkpointLocation", checkpoint_dir)
+              .outputMode("update"))
+    writer = writer.trigger(**(trigger or {"availableNow": True}))
+    return writer.start()
+
+
+def rollup_state(store: KVStore, keys: list[str],
+                 value_schema: str) -> DataFrame:
+    """Current rollup as a typed DataFrame: splits the composite key
+    back into (window_start, keys...) and parses the JSON aggregates
+    with ``value_schema`` (e.g. ``"n long, total double"``)."""
+    parts = F.split("key", r"\|")
+    out = store.state().select(
+        F.to_timestamp(F.element_at(parts, 1), _TS_FMT).alias("window_start"),
+        *[F.element_at(parts, i + 2).alias(k) for i, k in enumerate(keys)],
+        F.from_json("value", value_schema).alias("_v"))
+    return out.select("window_start", *keys, "_v.*")

@@ -215,3 +215,38 @@ def test_stream_dedup_drops_replayed_events(spark, tmp_path, sf_dir):
                     "from dedup_out").collect()[0]
     assert got["n"] == ev.count()
     assert got["d"] == got["n"]
+
+
+def test_continuous_rollup_matches_batch(spark, tmp_path, sf_dir):
+    """Continuous aggregate drained over the events stream == the batch
+    hourly rollup, read back typed through rollup_state. Late windows
+    overwrite via LWW; replayed batches are deduped by batch id."""
+    from quasdb_spark.sources.tables import load_table
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.rollup import continuous_rollup, rollup_state
+
+    ev = load_table(spark, sf_dir, "events").select("ts", "event_type", "value")
+    src = str(tmp_path / "roll_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    st = KVStore.create(spark, str(tmp_path / "roll_store"))
+    q = continuous_rollup(
+        st, stream, str(tmp_path / "roll_ck"),
+        ts_col="ts", keys=["event_type"], duration="1 hour",
+        aggs=[F.count(F.lit(1)).alias("n"),
+              F.round(F.sum("value"), 4).alias("total")])
+    q.awaitTermination(180)
+
+    got = {(r["window_start"], r["event_type"]): (r["n"], r["total"])
+           for r in rollup_state(st, ["event_type"],
+                                 "n long, total double").collect()}
+    expect = {(r["ws"], r["event_type"]): (r["n"], r["total"])
+              for r in ev.groupBy(
+                  F.window("ts", "1 hour").alias("w"), "event_type")
+              .agg(F.count(F.lit(1)).alias("n"),
+                   F.round(F.sum("value"), 4).alias("total"))
+              .select(F.col("w.start").alias("ws"), "event_type",
+                      "n", "total").collect()}
+    assert got == expect
+    assert len(got) > 10
