@@ -748,11 +748,20 @@ class KVStore:
     def compact(self, *, target_files: int | None = None,
                 key_from: str | None = None,
                 key_to: str | None = None, vacuum: bool = False,
-                levels: set[int] | None = None) -> dict:
+                levels: set[int] | None = None,
+                drop_where=None) -> dict:
         """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220);
         pass key_from/key_to for manual range compaction (CompactRange),
         ``levels`` to fold only the given input levels (auto-compaction
         uses {0} so the cost is bounded by fresh data, not store size).
+
+        ``drop_where`` (a Column over the stored log schema) physically
+        purges matching rows during the rewrite — the retention-policy
+        surface (DELETE WHERE; TSStore.drop_before builds on it). It
+        applies AFTER snapshot retention, i.e. it overrides snapshot
+        protection for the purged rows — by design: a retention purge
+        must actually destroy the data. Only rows in the selected scope
+        are affected.
 
         Rewrites the whole log keeping, per key, (a) the newest version
         and (b) the newest version <= each registered snapshot seq; when
@@ -795,6 +804,8 @@ class KVStore:
         # kv/db/db_impl.cpp:1113-1130; here the proof is scope totality).
         keep = self._retention_filter(log, snaps, ver.last_seq,
                                       purge_tombstones=full_scope)
+        if drop_where is not None:
+            keep = keep.where(~drop_where)
 
         n_out = target_files or max(1, min(len(selected), 32))
         rel = os.path.join("data", f"compact-{ver.version:06d}-{uuid.uuid4().hex[:8]}")

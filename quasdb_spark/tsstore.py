@@ -141,3 +141,17 @@ class TSStore:
 
     def compact(self) -> dict:
         return self.store.compact()
+
+    def drop_before(self, cutoff: dt.datetime) -> dict:
+        """Retention policy: physically purge every point with
+        ts < cutoff across all series (the hypertable drop_chunks /
+        retention-policy analogue), as a filtered full compaction —
+        one distributed rewrite, no per-series tombstone storm. The
+        time cut crosses every series' key range, so the scope is the
+        whole store; the encoded-ts comparison is a plain string
+        predicate on the key's fixed-width timestamp suffix."""
+        bound = encode_ts(cutoff)
+        # series_id cannot contain ':' and the encoded ts contains
+        # exactly two, so the last-3-colon-fields suffix IS the ts
+        drop = F.substring_index("key", ":", -3) < F.lit(bound)
+        return self.store.compact(drop_where=drop)

@@ -87,3 +87,29 @@ def test_asof_point(spark, tmp_path):
     ts.append([("cpu", _ts(0, 15), 99.0, None)])
     assert ts.asof_point("cpu", _ts(0, 15))["value"] == 99.0
     assert ts.asof_point("cpu", _ts(0, 15), asof=snap)["value"] == 10.0
+
+
+def test_drop_before_purges_old_points(spark, tmp_path):
+    """Retention: drop_before physically removes pre-cutoff points for
+    every series (and only those), shrinking stored bytes; post-cutoff
+    history and LWW behavior are untouched."""
+    import datetime as dt
+
+    from quasdb_spark.tsstore import TSStore
+
+    st = TSStore.create(spark, str(tmp_path / "ret"))
+    t0 = dt.datetime(2024, 1, 1)
+    pts = [(s, t0 + dt.timedelta(hours=h), float(h), None)
+           for s in ("cpu", "mem") for h in range(48)]
+    st.append(pts)
+    before = st.store.properties()["quasdb.total-rows"]
+    cutoff = t0 + dt.timedelta(hours=24)
+    st.drop_before(cutoff)
+    remaining = st.points().collect()
+    assert len(remaining) == 2 * 24
+    assert all(r["ts"] >= cutoff for r in remaining)
+    assert {r["series_id"] for r in remaining} == {"cpu", "mem"}
+    assert st.store.properties()["quasdb.total-rows"] == before / 2
+    # store still fully functional after the purge
+    st.append([("cpu", t0 + dt.timedelta(hours=100), 1.5, None)])
+    assert st.latest("cpu")["value"] == 1.5
