@@ -52,3 +52,25 @@ def test_lww_state_view_aggregates_partially(spark, tmp_path):
     st.write_batch([("put", f"k{i % 10}", str(i)) for i in range(100)])
     plan = st.state()._jdf.queryExecution().executedPlan().toString()
     assert "partial_max_by" in plan or "partial_" in plan
+
+
+def test_salted_join_equals_plain_join(spark):
+    """Salting only changes physical distribution: results identical on
+    a hot-key-skewed input, for inner and left joins."""
+    import random
+
+    from quasdb_spark.plans.skew import salted_join
+
+    rng = random.Random(3)
+    # 80% of facts hit key 0 (the AQE-resistant regime)
+    facts = spark.createDataFrame(
+        [(0 if rng.random() < 0.8 else rng.randrange(50), i)
+         for i in range(5000)], "k long, payload long")
+    dim = spark.createDataFrame(
+        [(k, f"d{k}") for k in range(40)], "k long, label string")
+
+    for how in ("inner", "left"):
+        plain = {tuple(r) for r in facts.join(dim, ["k"], how).collect()}
+        salted = {tuple(r) for r in
+                  salted_join(facts, dim, ["k"], n_salts=8, how=how).collect()}
+        assert salted == plain, how
