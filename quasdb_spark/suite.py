@@ -966,6 +966,52 @@ def q_rel_set_ops(spark, sf_dir):
     return both.unionByName(only_open).select("category", "o_custkey")
 
 
+def q_rel_inactive_customers(spark, sf_dir):
+    """LEFT ANTI join: customers with no OPEN orders, per nation —
+    the missing-rows shape (NOT EXISTS). Anti join broadcasts the
+    distinct custkey set when small; at scale it's a shuffled hash
+    anti join on the key — no row explosion either way."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .where("o_orderstatus = 'O'").select("o_custkey").distinct())
+    inactive = c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+    return (inactive.groupBy("c_nationkey")
+            .agg(F.count(F.lit(1)).alias("n_inactive"),
+                 F.min("c_custkey").alias("first_custkey"))
+            .select("c_nationkey", "n_inactive", "first_custkey"))
+
+
+def q_rel_above_avg_orders(spark, sf_dir):
+    """Correlated-aggregate shape: orders whose totalprice exceeds
+    1.5x their customer's average — decorrelated into one groupBy +
+    an equi-join (how Catalyst itself rewrites correlated subqueries;
+    no per-row subquery execution)."""
+    o = _t(spark, sf_dir, "orders")
+    avg_per_cust = (o.groupBy("o_custkey")
+                    .agg(F.avg("o_totalprice").alias("_avg"),
+                         F.count(F.lit(1)).alias("n_orders")))
+    out = (o.join(avg_per_cust, "o_custkey")
+           .where((F.col("o_totalprice") > 1.5 * F.col("_avg"))
+                  & (F.col("n_orders") >= 3))
+           .select("o_custkey", "o_orderkey",
+                   F.round("o_totalprice", 2).alias("totalprice"),
+                   F.round(F.col("o_totalprice") / F.col("_avg"), 4)
+                    .alias("ratio_to_avg")))
+    return out
+
+
+def q_sketch_events_profile(spark, sf_dir):
+    """Approximate one-pass profile (HLL ndv + approx percentiles) per
+    event_type. NO ORACLE by design: sketch estimates are
+    engine-specific (Spark HLL++ vs DuckDB approx_distinct differ), so
+    the driver records the rows-only check; the error-bound contract
+    vs exact answers is pinned in tests/test_sketches.py instead."""
+    from quasdb_spark.functions.sketches import sketch_profile
+    ev = _t(spark, sf_dir, "events")
+    out = sketch_profile(ev, ["event_type"], "user_id", "value")
+    return out.select("event_type", "ndv_user_id", "pcts", "n")
+
+
 def q_ts_trailing_1h_sum(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = TS.trailing_range_agg(ev, "ts", ["user_id"], "value", 3600, "sum")
@@ -1049,6 +1095,23 @@ _EXT_ORACLES = {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
                  AS trailing_sum
         FROM events""",
+    "rel_inactive_customers": """
+        SELECT c_nationkey, count(*) AS n_inactive,
+               min(c_custkey) AS first_custkey
+        FROM customer c
+        WHERE NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderstatus = 'O')
+        GROUP BY c_nationkey""",
+    "rel_above_avg_orders": """
+        WITH a AS (SELECT o_custkey, avg(o_totalprice) AS avg_p,
+                          count(*) AS n_orders
+                   FROM orders GROUP BY 1)
+        SELECT o.o_custkey, o.o_orderkey,
+               round(o.o_totalprice, 2) AS totalprice,
+               round(o.o_totalprice / a.avg_p, 4) AS ratio_to_avg
+        FROM orders o JOIN a USING (o_custkey)
+        WHERE o.o_totalprice > 1.5 * a.avg_p AND a.n_orders >= 3""",
     "text_bigram_topk": f"""
         WITH t AS (SELECT lang, {_TOKENS_SQL} AS w FROM documents),
         g AS (SELECT lang,
@@ -1393,6 +1456,9 @@ QUERIES = {
     "ts_percentiles": q_ts_percentiles,
     "rel_rollup": q_rel_rollup,
     "rel_set_ops": q_rel_set_ops,
+    "rel_inactive_customers": q_rel_inactive_customers,
+    "rel_above_avg_orders": q_rel_above_avg_orders,
+    "sketch_events_profile": q_sketch_events_profile,
     "ts_trailing_1h_sum": q_ts_trailing_1h_sum,
     "text_bigram_topk": q_text_bigram_topk,
     "emb_centroids": q_emb_centroids,

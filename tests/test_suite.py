@@ -22,6 +22,7 @@ def test_queries_and_oracles_registered():
     qs, orc = e.queries(), e.oracle_sql()
     assert set(orc) <= set(qs)
     missing_oracle = set(qs) - set(orc)
-    # every query currently has an oracle; if a non-SQL-expressible op
-    # is added later, list it here explicitly
-    assert not missing_oracle
+    # sketch estimates are engine-specific (no cross-engine hash oracle
+    # possible); their correctness contract is the error-bound tests in
+    # tests/test_sketches.py — every OTHER query must carry an oracle
+    assert missing_oracle == {"sketch_events_profile"}
