@@ -85,25 +85,32 @@ _DIST_STATS_MIN_FILES = 33
 
 
 def _footer_stats(path: str) -> tuple:
-    """(rows, bytes, min_key, max_key) from one Parquet footer.
-    Module-level (picklable) so it can run inside a Spark task."""
+    """(rows, bytes, min_key, max_key, seq_lo, seq_hi) from one Parquet
+    footer. Module-level (picklable) so it can run inside a Spark task."""
     import os as _os
 
     import pyarrow.parquet as pq
 
     nbytes = _os.path.getsize(path)
     md = pq.ParquetFile(path).metadata
-    mn = mx = None
+    mn = mx = slo = shi = None
     try:
-        idx = md.schema.to_arrow_schema().get_field_index("key")
+        arrow = md.schema.to_arrow_schema()
+        idx = arrow.get_field_index("key")
+        sidx = arrow.get_field_index("seq")
         for rg in range(md.num_row_groups):
             st = md.row_group(rg).column(idx).statistics
             if st and st.has_min_max:
                 mn = st.min if mn is None or st.min < mn else mn
                 mx = st.max if mx is None or st.max > mx else mx
+            if sidx >= 0:
+                ss = md.row_group(rg).column(sidx).statistics
+                if ss and ss.has_min_max:
+                    slo = ss.min if slo is None or ss.min < slo else slo
+                    shi = ss.max if shi is None or ss.max > shi else shi
     except Exception:
         pass
-    return md.num_rows, nbytes, mn, mx
+    return md.num_rows, nbytes, mn, mx, slo, shi
 
 
 def prefix_successor(prefix: str) -> str | None:
@@ -251,6 +258,54 @@ class KVStore:
         if not st.manifest.exists():
             st.manifest.init(schema=cls._schema_dict(binary, codec))
             st._load_config()
+        return st
+
+    @classmethod
+    def repair(cls, spark: SparkSession, path: str, *, binary: bool = False,
+               codec: type | str | None = None) -> "KVStore":
+        """RepairDB (declared by the reference, kv/include/db.h:112-116;
+        LevelDB semantics: rebuild metadata from the data files).
+        Reconstructs a fresh manifest from the data dirs on disk — per-dir
+        key ranges, row counts, byte sizes and seq ranges all come from
+        Parquet footers (metadata-only, parallel/distributed like every
+        ingest-stats pass; no data scan). Any surviving manifest is moved
+        aside, not deleted.
+
+        Lost by design (the repair contract): registered snapshots and
+        streaming batch-id positions — they exist only in manifest
+        metadata. Data, LWW semantics, and as-of reads at row seqs are
+        fully recovered. The caller supplies the data-model options
+        (binary/codec) since the schema record lived in the manifest.
+        """
+        import shutil
+        import time
+
+        st = cls(spark, path)
+        data_root = os.path.join(st.path, "data")
+        if not os.path.isdir(data_root):
+            raise FileNotFoundError(f"no data directory at {data_root}")
+        if os.path.isdir(st.manifest.dir):
+            shutil.move(st.manifest.dir,
+                        st.manifest.dir + f".corrupt-{int(time.time())}")
+        st.manifest.init(schema=cls._schema_dict(binary, codec))
+        st._load_config()
+        entries, last_seq = [], 0
+        for name in sorted(os.listdir(data_root)):
+            full = os.path.join(data_root, name)
+            if not os.path.isdir(full):
+                continue
+            stats = st._dir_stats(full)
+            if stats["rows"] == 0:
+                continue
+            seq_lo = stats["seq_lo"] if stats["seq_lo"] is not None else 0
+            seq_hi = stats["seq_hi"] if stats["seq_hi"] is not None else seq_lo
+            entries.append(FileEntry(
+                path=os.path.join("data", name), seq_lo=seq_lo,
+                seq_hi=seq_hi, rows=stats["rows"], bytes=stats["bytes"],
+                min_key=stats["min_key"], max_key=stats["max_key"],
+                level=1 if name.startswith("compact-") else 0))
+            last_seq = max(last_seq, seq_hi)
+        st._meta_commit(lambda v: {"add": entries, "last_seq": last_seq})
         return st
 
     # ------------------------------------------------------ key space
@@ -511,10 +566,12 @@ class KVStore:
                 per_file = list(pool.map(_footer_stats, sorted(paths)))
         else:
             per_file = [_footer_stats(p) for p in paths]
-        rows = sum(r for r, _b, _mn, _mx in per_file)
-        nbytes = sum(b for _r, b, _mn, _mx in per_file)
-        mins = [mn for _r, _b, mn, _mx in per_file if mn is not None]
-        maxs = [mx for _r, _b, _mn, mx in per_file if mx is not None]
+        rows = sum(r for r, _b, _mn, _mx, _sl, _sh in per_file)
+        nbytes = sum(b for _r, b, _mn, _mx, _sl, _sh in per_file)
+        mins = [mn for _r, _b, mn, _mx, _sl, _sh in per_file if mn is not None]
+        maxs = [mx for _r, _b, _mn, mx, _sl, _sh in per_file if mx is not None]
+        slos = [sl for _r, _b, _mn, _mx, sl, _sh in per_file if sl is not None]
+        shis = [sh for _r, _b, _mn, _mx, _sl, sh in per_file if sh is not None]
         if self.binary:
             # JSON-safe, order-preserving representation of byte keys
             as_str = lambda x: bytes(x).hex()
@@ -522,7 +579,9 @@ class KVStore:
             as_str = lambda x: x.decode() if isinstance(x, bytes) else x
         return {"rows": rows, "bytes": nbytes,
                 "min_key": as_str(min(mins)) if mins else None,
-                "max_key": as_str(max(maxs)) if maxs else None}
+                "max_key": as_str(max(maxs)) if maxs else None,
+                "seq_lo": min(slos) if slos else None,
+                "seq_hi": max(shis) if shis else None}
 
     # -------------------------------------------------------------- reads
     def log_df(self, *, key_from=None, key_to=None,
