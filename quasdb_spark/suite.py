@@ -14,7 +14,7 @@ Determinism contract (both engines must produce identical hashes):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from quasdb_spark.functions import text as T
@@ -1000,6 +1000,23 @@ def q_rel_above_avg_orders(spark, sf_dir):
     return out
 
 
+def q_rel_customer_quartiles(spark, sf_dir):
+    """Ranking-function coverage: ntile quartiles + percent_rank +
+    cume_dist over per-customer revenue. One window over an
+    aggregated (small) input — the window sorts distinct customers,
+    not raw orders."""
+    o = _t(spark, sf_dir, "orders")
+    rev = (o.groupBy("o_custkey")
+           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
+    return (rev.select(
+        "o_custkey", "revenue",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        .where(F.col("quartile") == 1))
+
+
 def q_sketch_events_profile(spark, sf_dir):
     """Approximate one-pass profile (HLL ndv + approx percentiles) per
     event_type. NO ORACLE by design: sketch estimates are
@@ -1103,6 +1120,16 @@ _EXT_ORACLES = {
                           WHERE o.o_custkey = c.c_custkey
                             AND o.o_orderstatus = 'O')
         GROUP BY c_nationkey""",
+    "rel_customer_quartiles": """
+        WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+                     FROM orders GROUP BY 1)
+        SELECT o_custkey, revenue,
+               CAST(ntile(4) OVER w AS INT) AS quartile,
+               round(percent_rank() OVER w, 6) AS pct_rank,
+               round(cume_dist() OVER w, 6) AS cume
+        FROM rev
+        WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
+        QUALIFY quartile = 1""",
     "rel_above_avg_orders": """
         WITH a AS (SELECT o_custkey, avg(o_totalprice) AS avg_p,
                           count(*) AS n_orders
@@ -1459,6 +1486,7 @@ QUERIES = {
     "rel_inactive_customers": q_rel_inactive_customers,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
+    "rel_customer_quartiles": q_rel_customer_quartiles,
     "ts_trailing_1h_sum": q_ts_trailing_1h_sum,
     "text_bigram_topk": q_text_bigram_topk,
     "emb_centroids": q_emb_centroids,

@@ -250,3 +250,44 @@ def test_continuous_rollup_matches_batch(spark, tmp_path, sf_dir):
                       "n", "total").collect()}
     assert got == expect
     assert len(got) > 10
+
+
+def test_continuous_rollup_incremental_update(spark, tmp_path):
+    """Second drain with late rows for an ALREADY-WRITTEN window must
+    overwrite that window's aggregate in the store (LWW upsert), not
+    duplicate it — the incremental-maintenance contract."""
+    import datetime as dt
+
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.rollup import continuous_rollup, rollup_state
+
+    src = str(tmp_path / "inc_src")
+    ck = str(tmp_path / "inc_ck")
+    schema = "ts timestamp, k string"
+    t0 = dt.datetime(2024, 3, 1, 10, 0)
+    first = [(t0 + dt.timedelta(minutes=m), "a") for m in range(3)]
+    spark.createDataFrame(first, schema).write.mode("overwrite").parquet(src)
+
+    st = KVStore.create(spark, str(tmp_path / "inc_store"))
+
+    def drain():
+        stream = spark.readStream.schema(
+            spark.read.parquet(src).schema).parquet(src)
+        q = continuous_rollup(st, stream, ck, ts_col="ts", keys=["k"],
+                              duration="1 hour", watermark="10 minutes")
+        q.awaitTermination(120)
+
+    drain()
+    before = {(r["window_start"], r["k"]): r["n"]
+              for r in rollup_state(st, ["k"], "n long").collect()}
+    assert before == {(t0, "a"): 3}
+
+    # two more rows in the SAME hour window, appended later
+    more = [(t0 + dt.timedelta(minutes=30 + m), "a") for m in range(2)]
+    spark.createDataFrame(more, schema).write.mode("append").parquet(src)
+    drain()
+    after = {(r["window_start"], r["k"]): r["n"]
+             for r in rollup_state(st, ["k"], "n long").collect()}
+    assert after == {(t0, "a"): 5}  # overwritten, not duplicated
+    # version history shows both aggregate versions (LWW, not in-place)
+    assert st.state().count() == 1
