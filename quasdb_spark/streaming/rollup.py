@@ -62,13 +62,21 @@ def continuous_rollup(store: KVStore, stream_df: DataFrame,
     return writer.start()
 
 
-def rollup_state(store: KVStore, keys: list[str],
-                 value_schema: str) -> DataFrame:
+def rollup_state(store: KVStore, keys: list[str], value_schema: str, *,
+                 window_from=None, window_to=None) -> DataFrame:
     """Current rollup as a typed DataFrame: splits the composite key
     back into (window_start, keys...) and parses the JSON aggregates
-    with ``value_schema`` (e.g. ``"n long, total double"``)."""
+    with ``value_schema`` (e.g. ``"n long, total double"``).
+
+    ``window_from``/``window_to`` (datetimes, [from, to)) become a KEY
+    RANGE on the time-prefixed rollup keys — the store's manifest +
+    row-group pruning then touch only the requested window span, so a
+    one-day dashboard query over a year of rollups reads one key range,
+    not the table."""
+    lo = window_from.strftime("%Y-%m-%dT%H:%M:%S") if window_from else None
+    hi = window_to.strftime("%Y-%m-%dT%H:%M:%S") if window_to else None
     parts = F.split("key", r"\|")
-    out = store.state().select(
+    out = store.state(key_from=lo, key_to=hi).select(
         F.to_timestamp(F.element_at(parts, 1), _TS_FMT).alias("window_start"),
         *[F.element_at(parts, i + 2).alias(k) for i, k in enumerate(keys)],
         F.from_json("value", value_schema).alias("_v"))

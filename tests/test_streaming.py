@@ -291,3 +291,33 @@ def test_continuous_rollup_incremental_update(spark, tmp_path):
     assert after == {(t0, "a"): 5}  # overwritten, not duplicated
     # version history shows both aggregate versions (LWW, not in-place)
     assert st.state().count() == 1
+
+
+def test_rollup_state_window_range_prunes(spark, tmp_path):
+    """Time-range reads of the rollup are key-range scans: only the
+    requested window span comes back (and the range reaches the scan
+    as a pushed key predicate)."""
+    import datetime as dt
+
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.rollup import continuous_rollup, rollup_state
+
+    src = str(tmp_path / "rng_src")
+    t0 = dt.datetime(2024, 5, 1)
+    rows = [(t0 + dt.timedelta(hours=h, minutes=m), "a")
+            for h in range(12) for m in (0, 30)]
+    spark.createDataFrame(rows, "ts timestamp, k string") \
+        .write.parquet(src)
+    st = KVStore.create(spark, str(tmp_path / "rng_store"))
+    q = continuous_rollup(
+        st, spark.readStream.schema("ts timestamp, k string").parquet(src),
+        str(tmp_path / "rng_ck"), ts_col="ts", keys=["k"])
+    q.awaitTermination(120)
+
+    sub = rollup_state(st, ["k"], "n long",
+                       window_from=t0 + dt.timedelta(hours=3),
+                       window_to=t0 + dt.timedelta(hours=6))
+    got = sorted(r["window_start"] for r in sub.collect())
+    assert got == [t0 + dt.timedelta(hours=h) for h in (3, 4, 5)]
+    plan = sub._jdf.queryExecution().executedPlan().toString()
+    assert "PushedFilters" in plan and "GreaterThanOrEqual(key" in plan
