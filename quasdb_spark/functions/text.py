@@ -172,6 +172,48 @@ def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
                           (F.col("score") + F.lit(0.0)).alias("score")))
 
 
+def repetition_stats(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     top_frac_max: float = 0.2,
+                     dup_bigram_max: float = 0.3) -> DataFrame:
+    """Gopher-style repetition filters: type-token ratio, most-common-
+    token dominance, duplicate-bigram fraction, and the combined flag
+    (the published repetition-removal signals from Gopher/MassiveText,
+    restated over tokens since this corpus is single-line).
+
+    Scale shape: top-token dominance goes through explode + two hash
+    aggregates (map-side combine; never a per-row O(distinct×tokens)
+    nested loop); the bigram and TTR signals are map-only array
+    expressions. One shuffle total, keyed by doc.
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("_t"))
+    per_tok = toks.groupBy(id_col, "_t").agg(F.count(F.lit(1)).alias("_c"))
+    dom = per_tok.groupBy(id_col).agg(
+        F.sum("_c").alias("n_tokens"),
+        F.count(F.lit(1)).alias("n_distinct"),
+        F.max("_c").alias("_top"))
+    bi = ngrams(text_col, 2)
+    bigram_stats = df.select(
+        F.col(id_col),
+        F.size(bi).alias("_nb"),
+        F.size(F.array_distinct(bi)).alias("_ndb"))
+    out = (dom.join(bigram_stats, id_col)
+           .withColumn("ttr", F.round(F.col("n_distinct").cast("double")
+                                      / F.col("n_tokens"), 4))
+           .withColumn("top_tok_frac",
+                       F.round(F.col("_top").cast("double")
+                               / F.col("n_tokens"), 4))
+           .withColumn("dup_bigram_frac", F.when(
+               F.col("_nb") > 0,
+               F.round(1.0 - F.col("_ndb").cast("double") / F.col("_nb"), 4))
+               .otherwise(F.lit(0.0))))
+    return (out.withColumn(
+        "rep_flagged", (F.col("top_tok_frac") > top_frac_max)
+        | (F.col("dup_bigram_frac") > dup_bigram_max))
+        .select(id_col, "n_tokens", "n_distinct", "ttr", "top_tok_frac",
+                "dup_bigram_frac", "rep_flagged"))
+
+
 def ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
     """Non-distinct word n-grams (occurrence counting, unlike
     dedup.shingles which is a distinct set)."""

@@ -560,6 +560,13 @@ def q_text_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, k=3)
 
 
+def q_text_repetition(spark, sf_dir):
+    """Gopher-style repetition filters: TTR, top-token dominance,
+    duplicate-bigram fraction + combined flag."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.repetition_stats(d)
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Eval-leakage check: docs sharing any word 3-gram with the
     'benchmark' subset (doc_id % 50 == 0), with overlap counts. The
@@ -662,6 +669,34 @@ _PII_SQL = {
     "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
     "long_digits": "\\d{9,}",
 }
+_TEXT_ORACLES["text_repetition"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+             SELECT doc_id, unnest(w) AS tok FROM t) x GROUP BY 1, 2),
+    dom AS (SELECT doc_id, sum(c) AS n_tokens, count(*) AS n_distinct,
+                   max(c) AS top FROM tc GROUP BY 1),
+    bi AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 2 THEN
+                    list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS b
+           FROM t)
+    SELECT d.doc_id,
+           CAST(d.n_tokens AS BIGINT) AS n_tokens,
+           CAST(d.n_distinct AS BIGINT) AS n_distinct,
+           round(CAST(d.n_distinct AS DOUBLE) / d.n_tokens, 4) AS ttr,
+           round(CAST(d.top AS DOUBLE) / d.n_tokens, 4) AS top_tok_frac,
+           CASE WHEN len(bi.b) > 0 THEN
+             round(1.0 - CAST(len(list_distinct(bi.b)) AS DOUBLE)
+                   / len(bi.b), 4)
+           ELSE 0.0 END AS dup_bigram_frac,
+           (round(CAST(d.top AS DOUBLE) / d.n_tokens, 4) > 0.2 OR
+            (CASE WHEN len(bi.b) > 0 THEN
+               round(1.0 - CAST(len(list_distinct(bi.b)) AS DOUBLE)
+                     / len(bi.b), 4)
+             ELSE 0.0 END) > 0.3) AS rep_flagged
+    FROM dom d JOIN bi USING (doc_id)"""
+
 _TEXT_ORACLES["text_pii_scan"] = f"""
     SELECT doc_id,
            {", ".join(
@@ -1463,6 +1498,7 @@ QUERIES = {
     "text_pii_scan": q_text_pii_scan,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_decontaminate": q_text_decontaminate,
+    "text_repetition": q_text_repetition,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,

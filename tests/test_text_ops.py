@@ -55,3 +55,20 @@ def test_ngram_overlap_finds_planted_contamination(spark):
     assert got[1]["n_overlap"] == 2
     assert 0 < got[1]["overlap_frac"] <= 1.0
     assert 2 not in got and 3 not in got  # clean docs are not emitted
+
+
+def test_repetition_stats_flags_repetitive_docs(spark):
+    from quasdb_spark.functions.text import repetition_stats
+
+    rows = [
+        (1, "spam spam spam spam spam spam spam spam spam spam"),
+        (2, "each word here appears exactly once in this sentence"),
+        (3, "ab cd ab cd ab cd ab cd"),  # repeated bigrams, mixed tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in repetition_stats(df).collect()}
+    assert got[1]["rep_flagged"] and got[1]["top_tok_frac"] == 1.0
+    assert got[1]["ttr"] == 0.1 and got[1]["dup_bigram_frac"] == round(1 - 1 / 9, 4)
+    assert not got[2]["rep_flagged"] and got[2]["ttr"] == 1.0
+    assert got[3]["rep_flagged"]  # dup bigrams dominate
+    assert got[3]["dup_bigram_frac"] == round(1 - 2 / 7, 4)
