@@ -38,6 +38,22 @@ def token_count(text_col: str | Column = "text") -> Column:
     return F.size(tokens(text_col))
 
 
+# GPT-2-style pre-tokenizer, restricted to the lookahead-free regex
+# subset whose semantics are identical in Java (Spark) and RE2
+# (DuckDB): contraction suffixes, optionally space-prefixed word and
+# number runs, punctuation runs. (The published GPT-2 pattern adds a
+# trailing-whitespace lookahead, which RE2 cannot express.)
+BPE_TOKEN_RE = r"'(?:s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+def bpe_token_count(text_col: str | Column = "text") -> Column:
+    """Token count under a BPE-style pre-tokenizer regex — the standard
+    proxy for LLM token budgets when the real vocabulary is not on the
+    cluster. Map-only JVM expression (regexp_count), no Python."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.regexp_count(F.lower(F.trim(c)), F.lit(BPE_TOKEN_RE))
+
+
 def stopword_hits(text_col: str | Column, lang: str) -> Column:
     """Number of tokens (non-distinct) that are stopwords of ``lang``."""
     lst = F.array(*[F.lit(w) for w in STOPWORDS[lang]])

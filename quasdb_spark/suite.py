@@ -560,6 +560,22 @@ def q_text_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, k=3)
 
 
+def q_text_token_counts(spark, sf_dir):
+    """Token budgets per doc: whitespace tokens vs BPE-style
+    pre-tokenizer pieces, plus chars-per-BPE-token (the compression
+    proxy LLM data pipelines budget against). Map-only, no shuffle."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return (d.select(
+                "doc_id",
+                T.token_count("text").alias("ws_tokens"),
+                T.bpe_token_count("text").alias("bpe_tokens"),
+                F.length(F.trim(F.col("text"))).alias("_nc"))
+            .withColumn("chars_per_bpe_token",
+                        F.round(F.col("_nc").cast("double")
+                                / F.nullif(F.col("bpe_tokens"), F.lit(0)), 4))
+            .drop("_nc"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: TTR, top-token dominance,
     duplicate-bigram fraction + combined flag."""
@@ -669,6 +685,17 @@ _PII_SQL = {
     "ipv4": "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b",
     "long_digits": "\\d{9,}",
 }
+_BPE_SQL_PAT = T.BPE_TOKEN_RE.replace("'", "''")
+_TEXT_ORACLES["text_token_counts"] = f"""
+    SELECT doc_id,
+           CAST(len({_TOKENS_SQL}) AS INT) AS ws_tokens,
+           CAST(len(regexp_extract_all(lower(trim(text)),
+                                       '{_BPE_SQL_PAT}')) AS INT) AS bpe_tokens,
+           round(CAST(length(trim(text)) AS DOUBLE)
+                 / nullif(len(regexp_extract_all(lower(trim(text)),
+                                                 '{_BPE_SQL_PAT}')), 0),
+                 4) AS chars_per_bpe_token
+    FROM documents"""
 _TEXT_ORACLES["text_repetition"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM (
@@ -1499,6 +1526,7 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
+    "text_token_counts": q_text_token_counts,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,

@@ -72,3 +72,22 @@ def test_repetition_stats_flags_repetitive_docs(spark):
     assert not got[2]["rep_flagged"] and got[2]["ttr"] == 1.0
     assert got[3]["rep_flagged"]  # dup bigrams dominate
     assert got[3]["dup_bigram_frac"] == round(1 - 2 / 7, 4)
+
+
+def test_bpe_token_count_matches_hand_segmentation(spark):
+    from quasdb_spark.functions.text import bpe_token_count
+
+    rows = [
+        # "don't stop" -> don | 't | _stop            = 3
+        (1, "don't stop"),
+        # "we'll pay $42.50 now!" ->
+        #   we | 'll | _pay | _$ | 42 | . | 50 | _now | !   = 9
+        (2, "we'll pay $42.50 now!"),
+        # "abc123" -> abc | 123                        = 2
+        (3, "abc123"),
+        (4, "   spaced   out   "),  # ws collapse: 2 word tokens
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["n"] for r in
+           df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
+    assert got == {1: 3, 2: 9, 3: 2, 4: 2}
