@@ -576,6 +576,29 @@ def q_text_token_counts(spark, sf_dir):
             .drop("_nc"))
 
 
+def q_pipeline_curation(spark, sf_dir):
+    """Flagship end-to-end curation pipeline: C4-style quality filter,
+    Gopher repetition filters, PII pre-filter, then exact dedup keeping
+    the lowest doc_id per normalized fingerprint (carrying the number
+    of duplicates it absorbed). All filter signals are one map-only
+    codegen pass; repetition adds one doc-keyed aggregate; dedup is one
+    fingerprint-keyed aggregate — bounded shuffles on skew-free md5 /
+    doc_id keys, so the same plan holds at 100 TB."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    feats = (T.pii_scan(T.quality_score(d))
+             .select("doc_id", "quality_score", "pii_flagged",
+                     T.exact_fingerprint("text").alias("exact_fp")))
+    rep = T.repetition_stats(d).select("doc_id", "n_tokens", "rep_flagged")
+    surv = (feats.join(rep, "doc_id")
+            .where((F.col("quality_score") >= 0.5)
+                   & ~F.col("rep_flagged") & ~F.col("pii_flagged")))
+    kept = (surv.groupBy("exact_fp")
+            .agg(F.min("doc_id").alias("doc_id"),
+                 F.count(F.lit(1)).alias("n_exact_dups")))
+    return (surv.join(kept, ["exact_fp", "doc_id"])
+            .select("doc_id", "quality_score", "n_tokens", "n_exact_dups"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: TTR, top-token dominance,
     duplicate-bigram fraction + combined flag."""
@@ -696,6 +719,56 @@ _TEXT_ORACLES["text_token_counts"] = f"""
                                                  '{_BPE_SQL_PAT}')), 0),
                  4) AS chars_per_bpe_token
     FROM documents"""
+_TEXT_ORACLES["pipeline_curation"] = f"""
+    WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id,
+                 CAST(len(w) AS INT) AS nt,
+                 round(CAST(length(text) - length(regexp_replace(text, '[a-zA-Z]', '', 'g')) AS DOUBLE)
+                       / length(text), 4) AS alpha_ratio,
+                 round(CAST(length(text) - length(regexp_replace(text, '[.,;:!?''"()]', '', 'g')) AS DOUBLE)
+                       / length(text), 4) AS punct_ratio
+          FROM t),
+    q AS (SELECT doc_id,
+                 round(0.5 * alpha_ratio + 0.3 * least(1.0, nt / 100.0)
+                       + 0.2 * (1.0 - least(1.0, 5.0 * punct_ratio)), 5)
+                   AS quality_score
+          FROM s),
+    p AS (SELECT doc_id,
+                 ({" OR ".join(f"len(regexp_extract_all(text, '{pp}')) > 0"
+                               for pp in _PII_SQL.values())}) AS pii_flagged
+          FROM documents),
+    tc AS (SELECT doc_id, tok, count(*) AS c FROM (
+             SELECT doc_id, unnest(w) AS tok FROM t) x GROUP BY 1, 2),
+    dom AS (SELECT doc_id, sum(c) AS n_tokens, max(c) AS top
+            FROM tc GROUP BY 1),
+    bi AS (SELECT doc_id,
+                  CASE WHEN len(w) >= 2 THEN
+                    list_transform(generate_series(1, len(w) - 1),
+                                   i -> w[i] || ' ' || w[i + 1])
+                  ELSE [] END AS b
+           FROM t),
+    rep AS (SELECT d.doc_id, CAST(d.n_tokens AS BIGINT) AS n_tokens,
+                   (round(CAST(d.top AS DOUBLE) / d.n_tokens, 4) > 0.2 OR
+                    (CASE WHEN len(bi.b) > 0 THEN
+                       round(1.0 - CAST(len(list_distinct(bi.b)) AS DOUBLE)
+                             / len(bi.b), 4)
+                     ELSE 0.0 END) > 0.3) AS rep_flagged
+            FROM dom d JOIN bi USING (doc_id)),
+    fp AS (SELECT doc_id,
+                  md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+                    AS exact_fp
+           FROM t),
+    surv AS (SELECT q.doc_id, q.quality_score, rep.n_tokens, fp.exact_fp
+             FROM q JOIN rep USING (doc_id) JOIN fp USING (doc_id)
+                  JOIN p USING (doc_id)
+             WHERE q.quality_score >= 0.5
+               AND NOT rep.rep_flagged AND NOT p.pii_flagged),
+    kept AS (SELECT exact_fp, min(doc_id) AS doc_id,
+                    count(*) AS n_exact_dups
+             FROM surv GROUP BY 1)
+    SELECT s2.doc_id, s2.quality_score, s2.n_tokens, k.n_exact_dups
+    FROM surv s2 JOIN kept k
+      ON s2.exact_fp = k.exact_fp AND s2.doc_id = k.doc_id"""
 _TEXT_ORACLES["text_repetition"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM (
@@ -1527,6 +1600,7 @@ QUERIES = {
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
     "text_token_counts": q_text_token_counts,
+    "pipeline_curation": q_pipeline_curation,
     # dedup
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
