@@ -1194,6 +1194,43 @@ def q_kv_seek_page(spark, sf_dir):
               .orderBy(F.col("key").asc()).limit(20))
 
 
+def q_rel_order_count_dist(spark, sf_dir):
+    """TPC-H Q13 shape: distribution of customers by order count,
+    INCLUDING zero-order customers — the left-outer-join + two-level
+    aggregate pattern. Both aggregates are map-side combinable; the
+    second groups a 1-row-per-customer frame on a tiny key domain."""
+    c = _t(spark, sf_dir, "customer")
+    o = (_t(spark, sf_dir, "orders")
+         .where(F.col("o_orderpriority") != "1-URGENT"))
+    per_cust = (c.join(o, c.c_custkey == o.o_custkey, "left_outer")
+                .groupBy("c_custkey")
+                .agg(F.count("o_orderkey").alias("n_orders")))
+    return (per_cust.groupBy("n_orders")
+            .agg(F.count(F.lit(1)).alias("n_customers"))
+            .select("n_orders", "n_customers"))
+
+
+def q_rel_sole_blamed_supplier(spark, sf_dir):
+    """TPC-H Q21 shape: suppliers who were the ONLY supplier with a
+    returned line on a multi-supplier order (EXISTS + NOT EXISTS
+    double correlation). Decorrelated Spark-first into one per-order
+    aggregate + equi-join — the whole query is two shuffles on
+    l_orderkey plus one tiny supplier-keyed count, instead of two
+    correlated subquery probes per row."""
+    li = _t(spark, sf_dir, "lineitem")
+    per_order = (li.groupBy("l_orderkey").agg(
+        F.countDistinct("l_suppkey").alias("_n_supps"),
+        F.countDistinct(F.when(F.col("l_returnflag") == "R",
+                               F.col("l_suppkey"))).alias("_n_ret")))
+    ret = (li.where(F.col("l_returnflag") == "R")
+           .select("l_orderkey", "l_suppkey").distinct())
+    blamed = (ret.join(per_order, "l_orderkey")
+              .where((F.col("_n_supps") >= 2) & (F.col("_n_ret") == 1)))
+    return (blamed.groupBy("l_suppkey")
+            .agg(F.count(F.lit(1)).alias("numwait"))
+            .select(F.col("l_suppkey").alias("suppkey"), "numwait"))
+
+
 def q_rel_region_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -1247,6 +1284,27 @@ _EXT_ORACLES = {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
                  AS trailing_sum
         FROM events""",
+    "rel_sole_blamed_supplier": """
+        WITH ret AS (SELECT DISTINCT l_orderkey, l_suppkey
+                     FROM lineitem WHERE l_returnflag = 'R')
+        SELECT r.l_suppkey AS suppkey, count(*) AS numwait
+        FROM ret r
+        WHERE EXISTS (SELECT 1 FROM lineitem l2
+                      WHERE l2.l_orderkey = r.l_orderkey
+                        AND l2.l_suppkey <> r.l_suppkey)
+          AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                          WHERE l3.l_orderkey = r.l_orderkey
+                            AND l3.l_suppkey <> r.l_suppkey
+                            AND l3.l_returnflag = 'R')
+        GROUP BY 1""",
+    "rel_order_count_dist": """
+        WITH pc AS (
+          SELECT c.c_custkey, count(o.o_orderkey) AS n_orders
+          FROM customer c LEFT JOIN orders o
+            ON c.c_custkey = o.o_custkey
+           AND o.o_orderpriority <> '1-URGENT'
+          GROUP BY 1)
+        SELECT n_orders, count(*) AS n_customers FROM pc GROUP BY 1""",
     "rel_inactive_customers": """
         SELECT c_nationkey, count(*) AS n_inactive,
                min(c_custkey) AS first_custkey
@@ -1622,6 +1680,8 @@ QUERIES = {
     "rel_rollup": q_rel_rollup,
     "rel_set_ops": q_rel_set_ops,
     "rel_inactive_customers": q_rel_inactive_customers,
+    "rel_order_count_dist": q_rel_order_count_dist,
+    "rel_sole_blamed_supplier": q_rel_sole_blamed_supplier,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
     "rel_customer_quartiles": q_rel_customer_quartiles,
