@@ -1430,6 +1430,32 @@ def q_sim_ivf_topk(spark, sf_dir):
     return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents)
 
 
+def q_sim_ivf_quantization(spark, sf_dir):
+    """IVF quantizer health check: per-list size and fit (avg/min
+    cosine of members to their assigned centroid) — the diagnostics
+    that decide nlist / retraining in a production ANN deployment.
+    Plan shape: k centroids broadcast, map-side argmax assignment
+    (max_by partial agg, no per-vector window), then one k-keyed
+    aggregate. The corpus never shuffles. Cosines are rounded to 6
+    before averaging so the cross-engine sum is boundary-safe."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    v = e.select(F.col("vec_id").alias("_id"),
+                 F.col("embedding").cast("array<double>").alias("_v"))
+    scored = (v.crossJoin(F.broadcast(cents))
+              .withColumn("_cs", SIM.cosine(F.col("_v"), F.col("centroid"))))
+    assigned = scored.groupBy("_id").agg(
+        F.max_by(F.struct("c_label", "_cs"),
+                 F.struct(F.col("_cs"),
+                          (-F.col("c_label")).alias("_t"))).alias("_a"))
+    per = assigned.select(F.col("_a.c_label").alias("c_label"),
+                          F.round(F.col("_a._cs"), 6).alias("_cs6"))
+    return (per.groupBy("c_label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.round(F.avg("_cs6"), 4) + F.lit(0.0)).alias("avg_cos"),
+                 (F.round(F.min("_cs6"), 6) + F.lit(0.0)).alias("min_cos")))
+
+
 def _cos2(a: str, b: str) -> str:
     """DuckDB cosine between two list-typed SQL expressions."""
     return (f"(list_sum(list_transform(generate_series(1, len({a})),"
@@ -1459,8 +1485,9 @@ def _kmeans_iter_sql(n: int, prev: str) -> str:
           GROUP BY 1)"""
 
 
-_IVF_ORACLE = {
-    "sim_ivf_topk": f"""
+# Shared training prefix: md5-ranked bounded sample, seeds, two
+# unrolled Lloyd iterations -> `cents` (mirrors kmeans_centroids).
+_IVF_CENTS_CTE = f"""
         WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings),
         tr AS (
           -- bounded training sample, md5-ranked (mirrors sample_cap)
@@ -1475,7 +1502,24 @@ _IVF_ORACLE = {
           FROM tr WHERE rk <= 10),
         {_kmeans_iter_sql(1, 'seeds')},
         {_kmeans_iter_sql(2, 'c1')},
-        cents AS (SELECT * FROM c2),
+        cents AS (SELECT * FROM c2)"""
+
+_IVF_ORACLE = {
+    "sim_ivf_quantization": f"""{_IVF_CENTS_CTE},
+        asg AS (
+          SELECT t.vec_id, t.c_label, round(t.cs, 6) AS cs6 FROM (
+            SELECT e.vec_id, c.c_label,
+                   {_cos2('e.v', 'c.centroid')} AS cs,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos2('e.v', 'c.centroid')} DESC,
+                              c.c_label ASC) AS cr
+            FROM e, cents c) t
+          WHERE cr = 1)
+        SELECT c_label, count(*) AS n_vecs,
+               round(avg(cs6), 4) + 0.0 AS avg_cos,
+               round(min(cs6), 6) + 0.0 AS min_cos
+        FROM asg GROUP BY 1""",
+    "sim_ivf_topk": f"""{_IVF_CENTS_CTE},
         assigned AS (
           SELECT vec_id AS neighbor_id, v AS vv, c_label AS list_label FROM (
             SELECT e.vec_id, e.v, c.c_label,
@@ -1670,6 +1714,7 @@ QUERIES = {
     "sim_bucket_topk": q_sim_bucket_topk,
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_quantization": q_sim_ivf_quantization,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
     "rel_unpivot": q_rel_unpivot,
