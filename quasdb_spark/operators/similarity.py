@@ -450,6 +450,56 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                           (F.round("score", 4) + F.lit(0.0)).alias("score")))
 
 
+def quantize_int8(vectors: DataFrame, *, id_col: str = "vec_id",
+                  vec_col: str = "embedding") -> DataFrame:
+    """Scalar int8 quantization with a per-vector max-abs scale — the
+    standard 4x storage compression for large embedding corpora (the
+    shape FAISS calls SQ8). codes[i] = round(x[i] / scale) with
+    scale = max|x| / 127, so nothing clips and the worst-case per-dim
+    reconstruction error is scale/2.
+
+    Map-only JVM expressions (no shuffle, no Python): at 100 TB this
+    is a single pass that shrinks the embedding column 4x before it
+    ever hits a shuffle or sink. Returns (id, codes ARRAY<TINYINT>,
+    scale DOUBLE); all-zero vectors get NULL codes (scale 0 carries no
+    information to reconstruct).
+    """
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    codes = F.transform(F.col("_v"),
+                        lambda x: F.round(x / F.col("_scale"))
+                        .cast("tinyint"))
+    return (vectors
+            .select(F.col(id_col), v.alias("_v"),
+                    F.nullif(scale, F.lit(0.0)).alias("_scale"))
+            .select(F.col(id_col),
+                    F.when(F.col("_scale").isNotNull(), codes)
+                    .alias("codes"),
+                    F.col("_scale").alias("scale")))
+
+
+def dequantize_error(vectors: DataFrame, *, id_col: str = "vec_id",
+                     vec_col: str = "embedding",
+                     round_to: int = 6) -> DataFrame:
+    """Per-vector int8 quantization diagnostics: the scale and the mean
+    absolute reconstruction error of round-trip quantization. One
+    map-only pass (quantize + dequantize fused — codes never
+    materialize)."""
+    v = _as_double(vec_col)
+    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    base = vectors.select(F.col(id_col), v.alias("_v"),
+                          F.nullif(scale, F.lit(0.0)).alias("_scale"))
+    err = F.aggregate(
+        F.transform(F.col("_v"),
+                    lambda x: F.abs(x - F.round(x / F.col("_scale"))
+                                    * F.col("_scale"))),
+        F.lit(0.0), lambda acc, e: acc + e) / F.size(F.col("_v"))
+    return base.select(
+        F.col(id_col),
+        (F.round(F.col("_scale"), round_to) + F.lit(0.0)).alias("scale"),
+        (F.round(err, round_to) + F.lit(0.0)).alias("mae"))
+
+
 def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int, *,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

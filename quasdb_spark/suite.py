@@ -1456,6 +1456,15 @@ def q_sim_ivf_quantization(spark, sf_dir):
                  (F.round(F.min("_cs6"), 6) + F.lit(0.0)).alias("min_cos")))
 
 
+def q_emb_quantize_int8(spark, sf_dir):
+    """Int8 scalar-quantization diagnostics: per-vector scale and mean
+    absolute reconstruction error (quantize+dequantize fused into one
+    map-only pass — the 4x-compression health check run before
+    switching an ANN corpus to SQ8 storage)."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.dequantize_error(e)
+
+
 def _cos2(a: str, b: str) -> str:
     """DuckDB cosine between two list-typed SQL expressions."""
     return (f"(list_sum(list_transform(generate_series(1, len({a})),"
@@ -1505,6 +1514,19 @@ _IVF_CENTS_CTE = f"""
         cents AS (SELECT * FROM c2)"""
 
 _IVF_ORACLE = {
+    "emb_quantize_int8": """
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        s AS (SELECT vec_id, v,
+                     nullif(list_max(list_transform(v, x -> abs(x))) / 127.0,
+                            0.0) AS scale
+              FROM e)
+        SELECT vec_id,
+               round(scale, 6) + 0.0 AS scale,
+               round(list_sum(list_transform(
+                       generate_series(1, len(v)),
+                       i -> abs(v[i] - round(v[i] / scale) * scale)))
+                     / len(v), 6) + 0.0 AS mae
+        FROM s""",
     "sim_ivf_quantization": f"""{_IVF_CENTS_CTE},
         asg AS (
           SELECT t.vec_id, t.c_label, round(t.cs, 6) AS cs6 FROM (
@@ -1715,6 +1737,7 @@ QUERIES = {
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
+    "emb_quantize_int8": q_emb_quantize_int8,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
     "rel_unpivot": q_rel_unpivot,

@@ -125,3 +125,23 @@ def test_kmeans_ivf_on_clustered_data(spark):
           for r in ivf_topk(df, q, 10, nprobe=1, centroids=cents).collect()}
     recall = len(km & truth) / len(truth)
     assert recall >= 0.9, f"clustered recall {recall:.2f}"
+
+
+def test_int8_quantization_roundtrip_error_bound(spark):
+    from quasdb_spark.operators.similarity import (dequantize_error,
+                                                   quantize_int8)
+
+    rows = [(1, [0.5, -1.27, 0.003, 0.0]),
+            (2, [127.0, -127.0, 1.0, -1.0]),
+            (3, [0.0, 0.0, 0.0, 0.0])]  # all-zero: scale undefined
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    q = {r["vec_id"]: r for r in quantize_int8(df).collect()}
+    # codes bounded, extreme dims hit exactly +/-127
+    assert q[2]["codes"] == [127, -127, 1, -1]
+    assert all(-127 <= c <= 127 for c in q[1]["codes"])
+    assert q[3]["codes"] is None and q[3]["scale"] is None
+    # worst-case per-dim error is scale/2; mae must respect it
+    e = {r["vec_id"]: r for r in dequantize_error(df).collect()}
+    for vid in (1, 2):
+        assert e[vid]["mae"] <= q[vid]["scale"] / 2 + 1e-12
+    assert e[2]["mae"] == 0.0  # exact grid: zero reconstruction error
