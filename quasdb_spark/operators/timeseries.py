@@ -240,6 +240,42 @@ def gapfill(df: DataFrame, ts_col: str, bucket_seconds: int,
         "agg_value", F.coalesce(F.col("agg_value"), F.lit(fill_value)))
 
 
+def gapfill_interpolate(df: DataFrame, ts_col: str, bucket_seconds: int,
+                        keys: list[str], agg_col: F.Column,
+                        chunk_buckets: int = 4096) -> DataFrame:
+    """Gapfill with linear interpolation (TimescaleDB ``interpolate()``
+    semantics): a missing bucket gets the value on the line between the
+    surrounding observed buckets; leading/trailing edges carry the
+    nearest observed value (backfill / LOCF).
+
+    Scale shape: reuses the chunked per-key grid of :func:`gapfill`
+    (bounded row sizes, no driver collect), then two per-key ordered
+    windows (last-observed-before, first-observed-after) — one shuffle
+    keyed by ``keys``, state bounded per key. The observed (t, v) pair
+    travels as a struct so each window carries one column.
+    """
+    filled = gapfill(df, ts_col, bucket_seconds, keys, agg_col,
+                     fill_value=None, chunk_buckets=chunk_buckets)
+    e = F.unix_timestamp(F.col("bucket_start"))
+    wprev = (Window.partitionBy(*keys).orderBy("bucket_start")
+             .rowsBetween(Window.unboundedPreceding, 0))
+    wnext = (Window.partitionBy(*keys).orderBy("bucket_start")
+             .rowsBetween(0, Window.unboundedFollowing))
+    obs = F.when(F.col("agg_value").isNotNull(),
+                 F.struct(e.cast("double").alias("t"),
+                          F.col("agg_value").cast("double").alias("v")))
+    prev = F.last(obs, ignorenulls=True).over(wprev)
+    nxt = F.first(obs, ignorenulls=True).over(wnext)
+    interp = (prev["v"] + (nxt["v"] - prev["v"])
+              * (e.cast("double") - prev["t"]) / (nxt["t"] - prev["t"]))
+    val = (F.when(F.col("agg_value").isNotNull(),
+                  F.col("agg_value").cast("double"))
+           .when(prev.isNotNull() & nxt.isNotNull(), interp)
+           .when(prev.isNotNull(), prev["v"])
+           .otherwise(nxt["v"]))
+    return filled.withColumn("value_interp", val)
+
+
 def first_last(df: DataFrame, ts_col: str, keys: list[str],
                value_col: str, tiebreak_col: str) -> DataFrame:
     """Per key: first and last observed value, observation count —

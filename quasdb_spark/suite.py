@@ -239,6 +239,27 @@ def q_ts_gapfill_hourly(spark, sf_dir):
                       F.col("agg_value").cast("long").alias("n"))
 
 
+def q_ts_gapfill_interp(spark, sf_dir):
+    """Per-user hourly series (90% gaps at test sf): missing buckets
+    linearly interpolated between observed hourly means, edges carried
+    (LOCF/backfill) — TimescaleDB interpolate() semantics. Bucket
+    means are computed as exact integer cents / count (the values sit
+    on a 2-decimal grid) so both engines feed BIT-IDENTICAL doubles
+    into the line arithmetic — a raw avg() differs in summation order
+    and its last-ulp drift lands on round-to-4 boundaries."""
+    ev = _t(spark, sf_dir, "events")
+    mean_cents = (F.sum(F.round(F.col("value") * 100).cast("long"))
+                  .cast("double") / (F.count(F.lit(1)) * F.lit(100.0)))
+    out = TS.gapfill_interpolate(ev, "ts", 3600, ["user_id"], mean_cents)
+    # interpolated values land EXACTLY on 4-decimal midpoints (gap
+    # fractions x 2-decimal inputs), where Spark's BigDecimal round and
+    # DuckDB's double round diverge — so round via identical pure-double
+    # ops on both sides (values are nonnegative here)
+    r4 = F.floor(F.col("value_interp") * 10000.0 + 0.5) / 10000.0
+    return out.select("user_id", "bucket_start",
+                      (r4 + F.lit(0.0)).alias("value_interp"))
+
+
 _TS_ORACLES = {
     "ts_tumbling_hourly": """
         SELECT date_trunc('hour', ts) AS window_start, event_type,
@@ -342,6 +363,44 @@ _TS_ORACLES = {
                    - CAST(floor(epoch(pt)) AS BIGINT) AS DOUBLE), 0.0),
                  4) + 0.0 AS rate
         FROM o""",
+    "ts_gapfill_interp": """
+        WITH b AS (
+          SELECT user_id, date_trunc('hour', ts) AS bs,
+                 CAST(sum(CAST(round(value * 100) AS BIGINT)) AS DOUBLE)
+                   / (count(*) * 100.0) AS v
+          FROM events GROUP BY 1, 2),
+        span AS (SELECT user_id, min(bs) AS lo, max(bs) AS hi
+                 FROM b GROUP BY 1),
+        grid AS (SELECT user_id,
+                        unnest(generate_series(lo, hi, INTERVAL '1 hour'))
+                          AS bucket_start
+                 FROM span),
+        j AS (SELECT g.user_id, g.bucket_start, b.v
+              FROM grid g LEFT JOIN b
+                ON b.user_id = g.user_id AND b.bs = g.bucket_start),
+        w AS (SELECT user_id, bucket_start, v,
+                last_value(CASE WHEN v IS NOT NULL THEN
+                    struct_pack(t := epoch(bucket_start), v := v) END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY bucket_start
+                        ROWS UNBOUNDED PRECEDING) AS p,
+                first_value(CASE WHEN v IS NOT NULL THEN
+                    struct_pack(t := epoch(bucket_start), v := v) END
+                    IGNORE NULLS)
+                  OVER (PARTITION BY user_id ORDER BY bucket_start
+                        ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                  AS n
+              FROM j)
+        SELECT user_id, bucket_start,
+               floor((CASE WHEN v IS NOT NULL THEN v
+                           WHEN p IS NOT NULL AND n IS NOT NULL THEN
+                             p.v + (n.v - p.v)
+                                   * (epoch(bucket_start) - p.t)
+                                   / (n.t - p.t)
+                           WHEN p IS NOT NULL THEN p.v
+                           ELSE n.v END) * 10000.0 + 0.5) / 10000.0
+                 + 0.0 AS value_interp
+        FROM w""",
     "ts_gapfill_hourly": """
         WITH b AS (
           SELECT event_type, date_trunc('hour', ts) AS bs, count(*) AS n
@@ -1705,6 +1764,7 @@ QUERIES = {
     "ts_first_last": q_ts_first_last,
     "ts_rate": q_ts_rate,
     "ts_gapfill_hourly": q_ts_gapfill_hourly,
+    "ts_gapfill_interp": q_ts_gapfill_interp,
     # relational
     "rel_pricing_summary": q_rel_pricing_summary,
     "rel_top_orders": q_rel_top_orders,

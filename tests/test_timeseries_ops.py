@@ -107,3 +107,26 @@ def test_gapfill_chunked_span_matches_unchunked(spark):
     b = sorted((r["k"], r["bucket_start"], r["agg_value"]) for r in big.collect())
     assert a == b
     assert len(a) == 7  # key 1: 6 buckets (0..50), key 2: 1 bucket
+
+
+def test_gapfill_interpolate_lines_and_edges(spark):
+    from quasdb_spark.operators.timeseries import gapfill_interpolate
+    import datetime as dt
+
+    H = 3600
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [  # key a: observed at hours 0 and 4 (gap of 3), value 10 -> 30
+        ("a", t0, 10.0),
+        ("a", t0 + dt.timedelta(hours=4), 30.0),
+        # key b: single point -> no interpolation, just itself
+        ("b", t0 + dt.timedelta(hours=2), 7.0),
+    ]
+    df = spark.createDataFrame(rows, "k string, ts timestamp, value double")
+    out = gapfill_interpolate(df, "ts", H, ["k"], F.avg("value"))
+    got = {(r["k"], r["bucket_start"].hour): r["value_interp"]
+           for r in out.collect()}
+    assert got[("a", 0)] == 10.0 and got[("a", 4)] == 30.0
+    assert got[("a", 1)] == 15.0 and got[("a", 2)] == 20.0 \
+        and got[("a", 3)] == 25.0
+    assert got[("b", 2)] == 7.0
+    assert len(got) == 6
