@@ -47,6 +47,30 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float, *,
     return df.where(h < thr)
 
 
+def fixed_size_sample(df: DataFrame, id_col: str, k: int, *,
+                      salt: str = "s1",
+                      stratum_col: str | None = None) -> DataFrame:
+    """EXACTLY-k deterministic sample (per stratum when ``stratum_col``
+    is given): rank rows by md5(salt|id) and keep the first ``k``.
+    Membership depends only on (salt, the id set) — reproducible across
+    runs, engines and cluster sizes, unlike rate-based sampling whose
+    output size varies.
+
+    Scale shape: stratified → one shuffle keyed by stratum, rank-k
+    window within each stratum (state bounded by k per stratum).
+    Unstratified → ``orderBy(hash).limit(k)``, which Spark plans as
+    TakeOrderedAndProject: each partition keeps its local top-k and
+    only k-row heads merge — never a global sort.
+    """
+    h = sample_hash(F.col(id_col), salt)
+    if stratum_col is None:
+        return df.orderBy(h.asc(), F.col(id_col).asc()).limit(k)
+    w = (Window.partitionBy(stratum_col)
+         .orderBy(h.asc(), F.col(id_col).asc()))
+    return (df.withColumn("_rk", F.row_number().over(w))
+              .where(F.col("_rk") <= k).drop("_rk"))
+
+
 def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
                          budget: int) -> DataFrame:
     """Pack rows (in ascending ``id_col`` order) into consecutive packs

@@ -1441,6 +1441,15 @@ def q_doc_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_doc_sample_fixed_k(spark, sf_dir):
+    """Exactly-20-per-language deterministic sample (md5-ranked):
+    fixed-size stratified draws for eval-set construction."""
+    from quasdb_spark.operators.packing import fixed_size_sample
+    d = _t(spark, sf_dir, "documents")
+    out = fixed_size_sample(d, "doc_id", 20, salt="s1", stratum_col="lang")
+    return out.select("doc_id", "lang")
+
+
 def q_doc_token_packing(spark, sf_dir):
     from quasdb_spark.operators.packing import pack_by_token_budget
     d = _t(spark, sf_dir, "documents")
@@ -1450,6 +1459,17 @@ def q_doc_token_packing(spark, sf_dir):
 
 
 _PACK_ORACLES = {
+    "doc_sample_fixed_k": """
+        WITH h AS (
+          SELECT doc_id, lang,
+                 substr(md5('s1|' || CAST(doc_id AS VARCHAR)), 1, 8) AS hx
+          FROM documents)
+        SELECT doc_id, lang FROM (
+          SELECT doc_id, lang,
+                 row_number() OVER (PARTITION BY lang
+                                    ORDER BY hx, doc_id) AS rk
+          FROM h) t
+        WHERE rk <= 20""",
     "doc_sample_stratified": """
         WITH h AS (
           SELECT doc_id, lang,
@@ -1819,6 +1839,7 @@ QUERIES = {
     "kv_seek_page": q_kv_seek_page,
     "rel_region_share": q_rel_region_share,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_sample_fixed_k": q_doc_sample_fixed_k,
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
 }

@@ -2,6 +2,8 @@
 oracle checks these on the synthetic corpus; here we prove the
 detectors actually detect)."""
 
+import pyspark.sql.functions as F
+
 from quasdb_spark.functions.text import pii_scan, tfidf_topk
 from quasdb_spark.operators.dedup import ngram_overlap
 
@@ -91,3 +93,25 @@ def test_bpe_token_count_matches_hand_segmentation(spark):
     got = {r["doc_id"]: r["n"] for r in
            df.select("doc_id", bpe_token_count("text").alias("n")).collect()}
     assert got == {1: 3, 2: 9, 3: 2, 4: 2}
+
+
+def test_fixed_size_sample_exact_k_and_plan(spark):
+    from quasdb_spark.operators.packing import fixed_size_sample
+    from quasdb_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # stratified: exactly k per stratum, deterministic across calls
+    s1 = fixed_size_sample(d, "doc_id", 7, stratum_col="lang")
+    per = {r["lang"]: r["n"] for r in
+           s1.groupBy("lang").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert all(n == 7 for n in per.values())
+    assert sorted(r["doc_id"] for r in s1.collect()) \
+        == sorted(r["doc_id"] for r in
+                  fixed_size_sample(d, "doc_id", 7,
+                                    stratum_col="lang").collect())
+    # unstratified: exactly k, planned as a distributed partial top-k
+    # (TakeOrderedAndProject), never a single-partition global sort
+    s2 = fixed_size_sample(d, "doc_id", 13)
+    plan = s2._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+    assert s2.count() == 13
