@@ -74,3 +74,38 @@ def test_salted_join_equals_plain_join(spark):
         salted = {tuple(r) for r in
                   salted_join(facts, dim, ["k"], n_salts=8, how=how).collect()}
         assert salted == plain, how
+
+
+def test_curation_pipeline_no_cartesian_all_hash_joins(spark, sf_dir):
+    """The curation pipeline's filter signals must stay map-side
+    expressions (no Python UDFs) and its joins keyed — never a nested
+    loop/cartesian."""
+    plan = _plan(suite.QUERIES["pipeline_curation"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_token_counts_is_map_only(spark, sf_dir):
+    """BPE/whitespace token counting must be a pure scan->project plan:
+    no semantic shuffle (the suite's round-robin parallelism repair is
+    allowed), no Python."""
+    plan = _plan(suite.QUERIES["text_token_counts"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_ivf_quantization_broadcasts_centroids(spark, sf_dir):
+    """Corpus-side assignment must join broadcast centroids (the corpus
+    never shuffles) and aggregate partially map-side."""
+    plan = _plan(suite.QUERIES["sim_ivf_quantization"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+    assert "partial_" in plan
+
+
+def test_quantize_int8_is_map_only(spark, sf_dir):
+    plan = _plan(suite.QUERIES["emb_quantize_int8"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
