@@ -321,3 +321,40 @@ def test_rollup_state_window_range_prunes(spark, tmp_path):
     assert got == [t0 + dt.timedelta(hours=h) for h in (3, 4, 5)]
     plan = sub._jdf.queryExecution().executedPlan().toString()
     assert "PushedFilters" in plan and "GreaterThanOrEqual(key" in plan
+
+
+def test_streaming_curation_filters_match_batch(spark, tmp_path, sf_dir):
+    """The curation pipeline's map-only filter stage (quality + PII +
+    fingerprint) applies unchanged to a document stream — same
+    expressions, no stateful ops — and drains to exactly the batch
+    survivor set. This is the shape of a continuously-ingesting
+    training-data pipeline: filters run on arrival, dedup runs as a
+    later batch/stateful stage."""
+    import pyspark.sql.functions as SF
+    from quasdb_spark.functions.text import (exact_fingerprint, pii_scan,
+                                             quality_score)
+    from quasdb_spark.sources.tables import load_table
+
+    def curate(df):
+        scored = pii_scan(quality_score(df))
+        return (scored.where((SF.col("quality_score") >= 0.5)
+                             & ~SF.col("pii_flagged"))
+                .select("doc_id", "quality_score",
+                        exact_fingerprint("text").alias("exact_fp")))
+
+    docs = load_table(spark, sf_dir, "documents") \
+        .select("doc_id", "text")
+    src = str(tmp_path / "doc_stream")
+    docs.write.mode("overwrite").parquet(src)
+
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = (curate(stream).writeStream.format("memory")
+         .queryName("curated_stream").outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_cur"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in
+                 spark.sql("select * from curated_stream").collect())
+    want = sorted(tuple(r) for r in curate(docs).collect())
+    assert got == want and len(got) > 0
