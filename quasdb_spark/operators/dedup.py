@@ -147,6 +147,50 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                          shingle_n=shingle_n, threshold=threshold)
 
 
+def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
+                   id_col: str = "doc_id", a_col: str = "id_a",
+                   b_col: str = "id_b", n_iter: int = 3,
+                   checkpoint_every: int = 4) -> DataFrame:
+    """Connected components over a near-dup pair graph by UNROLLED
+    min-label propagation — the pairs→clusters→keep-one step every
+    near-dup pipeline runs after LSH. Every node's cluster_id becomes
+    the smallest id reachable within ``n_iter`` hops, which is the true
+    component id once ``n_iter`` >= the component diameter (near-dup
+    components are overwhelmingly tiny — size 2-3 — because LSH pairs
+    are transitively similar documents; convergence for larger
+    diameters is a matter of raising ``n_iter`` or looping to a
+    fixpoint, see tests).
+
+    Scale shape: each iteration is one edge-keyed equi-join + one
+    min-aggregate (both map-side combinable) — 2 bounded shuffles per
+    iteration, never a collect; this is the standard bounded-round
+    label propagation used before switching to large-star/small-star
+    for web-scale graphs. Deterministic for ANY n_iter (min is
+    order-insensitive), so a SQL oracle can unroll the same rounds.
+    """
+    edges = (pairs.select(F.col(a_col).alias("src"),
+                          F.col(b_col).alias("dst"))
+             .union(pairs.select(F.col(b_col).alias("src"),
+                                 F.col(a_col).alias("dst"))))
+    labels = nodes.select(F.col(id_col).alias("id"),
+                          F.col(id_col).alias("label"))
+    for i in range(n_iter):
+        nbr = (edges.join(labels, edges.dst == labels.id)
+               .groupBy("src").agg(F.min("label").alias("nlab")))
+        labels = (labels.join(nbr, labels.id == nbr.src, "left")
+                  .select(F.col("id"),
+                          F.least(F.col("label"),
+                                  F.coalesce(F.col("nlab"), F.col("label")))
+                          .alias("label")))
+        # each round references the previous labels twice, doubling the
+        # lazy plan — break lineage periodically or deep iteration
+        # counts make PLANNING (not execution) the bottleneck
+        if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
+            labels = labels.localCheckpoint(eager=True)
+    return labels.select(F.col("id").alias(id_col),
+                         F.col("label").alias("cluster_id"))
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on normalized-text md5: every doc mapped

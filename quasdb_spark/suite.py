@@ -910,6 +910,21 @@ def q_dedup_minhash_pairs(spark, sf_dir):
     return D.near_dup_pairs(d, threshold=0.35)
 
 
+def q_dedup_clusters(spark, sf_dir):
+    """Near-dup clustering: connected components (3 unrolled min-label
+    rounds) over the MinHash-LSH pair graph; cluster_id is the
+    canonical keep-one doc. Emits only docs that belong to a
+    multi-doc cluster (the interesting rows)."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(d, threshold=0.35)
+    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    return (labels.join(sizes, "cluster_id")
+            .where(F.col("n_members") >= 2)
+            .select("doc_id", "cluster_id", "n_members"))
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d)
@@ -967,6 +982,33 @@ _DEDUP_ORACLES = {
           JOIN s sb ON sb.doc_id = id_b)
         SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35""",
 }
+
+def _label_prop_iter_sql(n: int) -> str:
+    """One unrolled min-label-propagation round (mirrors
+    dedup.cluster_assign)."""
+    return f"""
+        l{n} AS (
+          SELECT n.id, least(n.label, coalesce(min(l.label), n.label))
+                   AS label
+          FROM l{n - 1} n
+          LEFT JOIN e ON e.src = n.id
+          LEFT JOIN l{n - 1} l ON l.id = e.dst
+          GROUP BY n.id, n.label)"""
+
+
+_DEDUP_ORACLES["dedup_clusters"] = f"""
+    WITH pairs AS ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+    {_label_prop_iter_sql(1)},
+    {_label_prop_iter_sql(2)},
+    {_label_prop_iter_sql(3)},
+    sizes AS (SELECT label AS cluster_id, count(*) AS n_members
+              FROM l3 GROUP BY 1)
+    SELECT l3.id AS doc_id, l3.label AS cluster_id, s.n_members
+    FROM l3 JOIN sizes s ON s.cluster_id = l3.label
+    WHERE s.n_members >= 2"""
 
 _TEXT_ORACLES["text_decontaminate"] = f"""
     WITH c AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
@@ -1809,6 +1851,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_clusters": q_dedup_clusters,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # similarity

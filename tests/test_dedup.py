@@ -57,3 +57,37 @@ def test_simhash_banded_uneven_split_covers_all_bits(spark):
     sim2 = spark.createDataFrame(rows2, "doc_id string, simhash string")
     got = simhash_hamming_pairs_banded(sim2, max_hamming=6).collect()
     assert [(r.id_a, r.id_b, r.hamming) for r in got] == [("a", "b", 6)]
+
+
+def test_cluster_assign_matches_union_find(spark):
+    """Unrolled min-label propagation == exact connected components
+    once n_iter >= diameter; randomized graph, python union-find
+    oracle."""
+    import random
+
+    from quasdb_spark.operators.dedup import cluster_assign
+
+    rng = random.Random(7)
+    n = 60
+    edges = sorted({tuple(sorted((rng.randrange(n), rng.randrange(n))))
+                    for _ in range(45) if True})
+    edges = [(a, b) for a, b in edges if a != b]
+
+    parent = list(range(n))
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    # diameter of a 60-node/~40-edge sparse graph: iterate to fixpoint
+    labels = cluster_assign(pairs, nodes, n_iter=20)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == want
