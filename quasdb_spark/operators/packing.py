@@ -47,6 +47,17 @@ def deterministic_sample(df: DataFrame, id_col: str, rate: float, *,
     return df.where(h < thr)
 
 
+def weighted_sample(df: DataFrame, id_col: str, rate_col: Column, *,
+                    salt: str = "s1") -> DataFrame:
+    """Importance sampling with a PER-ROW keep probability (any Column
+    expression in [0,1], e.g. a quality score): keep iff
+    hash(salt, id) < rate·2^32. Deterministic (pure function of salt
+    and id), map-only, no shuffle — the upsampling/downsampling step of
+    quality-weighted corpus mixing."""
+    h = sample_hash(F.col(id_col), salt)
+    return df.where(h < rate_col * float(1 << 32))
+
+
 def fixed_size_sample(df: DataFrame, id_col: str, k: int, *,
                       salt: str = "s1",
                       stratum_col: str | None = None) -> DataFrame:

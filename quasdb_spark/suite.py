@@ -1492,6 +1492,17 @@ def q_doc_sample_fixed_k(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_doc_sample_weighted(spark, sf_dir):
+    """Quality-weighted importance sampling: keep probability =
+    quality_score/2 per doc (deterministic hash draw, map-only)."""
+    from quasdb_spark.operators.packing import weighted_sample
+    d = _t(spark, sf_dir, "documents")
+    scored = T.quality_score(d)
+    out = weighted_sample(scored, "doc_id",
+                          F.col("quality_score") / 2, salt="w1")
+    return out.select("doc_id", "quality_score")
+
+
 def q_doc_token_packing(spark, sf_dir):
     from quasdb_spark.operators.packing import pack_by_token_budget
     d = _t(spark, sf_dir, "documents")
@@ -1501,6 +1512,15 @@ def q_doc_token_packing(spark, sf_dir):
 
 
 _PACK_ORACLES = {
+    "doc_sample_weighted": f"""
+        WITH q AS ({_TEXT_ORACLES["text_quality"]}),
+        h AS (
+          SELECT doc_id, quality_score,
+                 CAST(('0x' || substr(md5('w1|' || CAST(doc_id AS VARCHAR)),
+                                      1, 8))::UINTEGER AS BIGINT) AS hv
+          FROM q)
+        SELECT doc_id, quality_score FROM h
+        WHERE hv < quality_score / 2 * 4294967296.0""",
     "doc_sample_fixed_k": """
         WITH h AS (
           SELECT doc_id, lang,
@@ -1883,6 +1903,7 @@ QUERIES = {
     "rel_region_share": q_rel_region_share,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_sample_fixed_k": q_doc_sample_fixed_k,
+    "doc_sample_weighted": q_doc_sample_weighted,
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
 }

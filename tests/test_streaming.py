@@ -358,3 +358,38 @@ def test_streaming_curation_filters_match_batch(spark, tmp_path, sf_dir):
                  spark.sql("select * from curated_stream").collect())
     want = sorted(tuple(r) for r in curate(docs).collect())
     assert got == want and len(got) > 0
+
+
+def test_stream_curate_into_store_end_to_end(spark, tmp_path, sf_dir):
+    """Full pipeline integration: document stream -> map-only curation
+    filters -> streaming ingest into a KVStore (exactly-once batch
+    commits, auto-compaction) -> LWW state read-back equals the batch
+    survivor set. This is the deployment shape: filters at ingest,
+    store as the curated-corpus sink."""
+    import pyspark.sql.functions as SF
+    from quasdb_spark.functions.text import pii_scan, quality_score
+    from quasdb_spark.sources.tables import load_table
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.ingest import stream_ingest
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    src = str(tmp_path / "docs_src")
+    docs.write.mode("overwrite").parquet(src)
+
+    def curate(df):
+        scored = pii_scan(quality_score(df))
+        return (scored.where((SF.col("quality_score") >= 0.5)
+                             & ~SF.col("pii_flagged"))
+                .select(SF.format_string("d%06d", "doc_id").alias("key"),
+                        SF.col("text").alias("value")))
+
+    store = KVStore.create(spark, str(tmp_path / "curated_store"))
+    stream = spark.readStream.schema(docs.schema).parquet(src)
+    q = stream_ingest(store, curate(stream), str(tmp_path / "ck_pipe"),
+                      stream_id="curation")
+    q.awaitTermination(180)
+
+    state = store.state().collect()
+    want = {r["key"]: r["value"] for r in curate(docs).collect()}
+    assert {r["key"]: r["value"] for r in state} == want
+    assert len(state) == len(want) > 0
