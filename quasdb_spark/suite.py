@@ -1332,6 +1332,46 @@ def q_rel_sole_blamed_supplier(spark, sf_dir):
             .select(F.col("l_suppkey").alias("suppkey"), "numwait"))
 
 
+def q_rel_top_supplier(spark, sf_dir):
+    """TPC-H Q15 shape: supplier(s) with the maximum revenue over a
+    ship-date window — aggregate, global max (a 1-row broadcast), then
+    filter-equal. Revenue is rounded to the cent on both sides before
+    the max/equality so cross-engine double sums cannot straddle the
+    comparison."""
+    li = (_t(spark, sf_dir, "lineitem")
+          .where((F.col("l_shipdate") >= "1996-01-01")
+                 & (F.col("l_shipdate") < "1997-01-01")))
+    rev = (li.groupBy("l_suppkey")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("total_rev")))
+    mx = rev.agg(F.max("total_rev").alias("_m"))
+    return (rev.crossJoin(F.broadcast(mx))
+            .where(F.col("total_rev") == F.col("_m"))
+            .select(F.col("l_suppkey").alias("suppkey"), "total_rev"))
+
+
+def q_events_funnel(spark, sf_dir):
+    """Ordered funnel (view -> click -> purchase): stage times are
+    chained conditional mins — each stage joins the previous stage's
+    per-user time and takes the min event AFTER it. Three aggregates +
+    two equi-joins, all keyed on user_id (one shuffle key end to end);
+    the final count is a single-row summary."""
+    ev = _t(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    v = (ev.where(F.col("event_type") == "view")
+         .groupBy("user_id").agg(F.min("ts").alias("t_view")))
+    c = (ev.where(F.col("event_type") == "click")
+         .join(v, "user_id").where(F.col("ts") > F.col("t_view"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_click")))
+    p = (ev.where(F.col("event_type") == "purchase")
+         .join(c, "user_id").where(F.col("ts") > F.col("t_click"))
+         .groupBy("user_id").agg(F.min("ts").alias("t_purchase")))
+    return (v.join(c, "user_id", "left").join(p, "user_id", "left")
+            .agg(F.count("t_view").alias("n_view"),
+                 F.count("t_click").alias("n_click_after_view"),
+                 F.count("t_purchase").alias("n_purchase_after_click")))
+
+
 def q_rel_region_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -1385,6 +1425,31 @@ _EXT_ORACLES = {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
                  AS trailing_sum
         FROM events""",
+    "rel_top_supplier": """
+        WITH rev AS (
+          SELECT l_suppkey AS suppkey,
+                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                   AS total_rev
+          FROM lineitem
+          WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+          GROUP BY 1)
+        SELECT suppkey, total_rev FROM rev
+        WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "events_funnel": """
+        WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+                   WHERE event_type = 'view' GROUP BY 1),
+        c AS (SELECT e.user_id, min(e.ts) AS t_click
+              FROM events e JOIN v USING (user_id)
+              WHERE e.event_type = 'click' AND e.ts > v.t_view
+              GROUP BY 1),
+        p AS (SELECT e.user_id, min(e.ts) AS t_purchase
+              FROM events e JOIN c USING (user_id)
+              WHERE e.event_type = 'purchase' AND e.ts > c.t_click
+              GROUP BY 1)
+        SELECT count(v.t_view) AS n_view,
+               count(c.t_click) AS n_click_after_view,
+               count(p.t_purchase) AS n_purchase_after_click
+        FROM v LEFT JOIN c USING (user_id) LEFT JOIN p USING (user_id)""",
     "rel_sole_blamed_supplier": """
         WITH ret AS (SELECT DISTINCT l_orderkey, l_suppkey
                      FROM lineitem WHERE l_returnflag = 'R')
@@ -1893,6 +1958,8 @@ QUERIES = {
     "rel_inactive_customers": q_rel_inactive_customers,
     "rel_order_count_dist": q_rel_order_count_dist,
     "rel_sole_blamed_supplier": q_rel_sole_blamed_supplier,
+    "rel_top_supplier": q_rel_top_supplier,
+    "events_funnel": q_events_funnel,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
     "rel_customer_quartiles": q_rel_customer_quartiles,
