@@ -925,6 +925,19 @@ def q_dedup_clusters(spark, sf_dir):
             .select("doc_id", "cluster_id", "n_members"))
 
 
+def q_dedup_apply(spark, sf_dir):
+    """The KEEP action of near-dup removal: corpus minus non-canonical
+    cluster members (LEFT ANTI join against the clustering's
+    doc_id != cluster_id rows). Emits the surviving doc ids — the
+    corpus a training run would actually read."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(d, threshold=0.35)
+    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
+    drop = labels.where(F.col("cluster_id") != F.col("doc_id")) \
+                 .select("doc_id")
+    return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d)
@@ -1009,6 +1022,18 @@ _DEDUP_ORACLES["dedup_clusters"] = f"""
     SELECT l3.id AS doc_id, l3.label AS cluster_id, s.n_members
     FROM l3 JOIN sizes s ON s.cluster_id = l3.label
     WHERE s.n_members >= 2"""
+
+_DEDUP_ORACLES["dedup_apply"] = f"""
+    WITH pairs AS ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
+    {_label_prop_iter_sql(1)},
+    {_label_prop_iter_sql(2)},
+    {_label_prop_iter_sql(3)}
+    SELECT d.doc_id, d.lang
+    FROM documents d
+    WHERE d.doc_id NOT IN (SELECT id FROM l3 WHERE id <> label)"""
 
 _TEXT_ORACLES["text_decontaminate"] = f"""
     WITH c AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
@@ -1937,6 +1962,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_apply": q_dedup_apply,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # similarity
