@@ -1218,6 +1218,31 @@ def q_rel_rollup(spark, sf_dir):
                   F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
 
 
+def q_rel_grouping_sets(spark, sf_dir):
+    """Explicit GROUPING SETS (status-only, priority-only, grand
+    total) — the non-hierarchical cousin of rollup/cube, one shuffle
+    with partial aggregation per set."""
+    o = _t(spark, sf_dir, "orders")
+    return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
+                           "o_orderstatus", "o_orderpriority")
+            .agg(F.count(F.lit(1)).alias("n_orders"),
+                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+def q_ts_ohlc_daily(spark, sf_dir):
+    """OHLC candlesticks: per user/day open-high-low-close via
+    min_by/max_by over a (ts, event_id) struct — one hash aggregate
+    with map-side combine, no per-group window sort."""
+    ev = _t(spark, sf_dir, "events")
+    ob = F.struct(F.col("ts"), F.col("event_id"))
+    return (ev.groupBy("user_id", F.date_trunc("day", "ts").alias("day"))
+            .agg(F.min_by("value", ob).alias("open"),
+                 F.round(F.max("value"), 2).alias("high"),
+                 F.round(F.min("value"), 2).alias("low"),
+                 F.max_by("value", ob).alias("close"),
+                 F.count(F.lit(1)).alias("n_obs")))
+
+
 def q_rel_set_ops(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     open_cust = o.where("o_orderstatus = 'O'").select("o_custkey").distinct()
@@ -1450,6 +1475,30 @@ _EXT_ORACLES = {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
                  AS trailing_sum
         FROM events""",
+    "rel_grouping_sets": """
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders,
+               round(sum(o_totalprice), 2) AS sum_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "ts_ohlc_daily": """
+        WITH x AS (SELECT user_id,
+                          CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+                          value, ts, event_id
+                   FROM events),
+        r AS (SELECT *,
+                row_number() OVER (PARTITION BY user_id, day
+                                   ORDER BY ts, event_id) AS rn_a,
+                row_number() OVER (PARTITION BY user_id, day
+                                   ORDER BY ts DESC, event_id DESC) AS rn_d
+              FROM x)
+        SELECT user_id, day,
+               max(CASE WHEN rn_a = 1 THEN value END) AS open,
+               round(max(value), 2) AS high,
+               round(min(value), 2) AS low,
+               max(CASE WHEN rn_d = 1 THEN value END) AS close,
+               count(*) AS n_obs
+        FROM r GROUP BY 1, 2""",
     "rel_top_supplier": """
         WITH rev AS (
           SELECT l_suppkey AS suppkey,
@@ -1985,6 +2034,8 @@ QUERIES = {
     "rel_order_count_dist": q_rel_order_count_dist,
     "rel_sole_blamed_supplier": q_rel_sole_blamed_supplier,
     "rel_top_supplier": q_rel_top_supplier,
+    "rel_grouping_sets": q_rel_grouping_sets,
+    "ts_ohlc_daily": q_ts_ohlc_daily,
     "events_funnel": q_events_funnel,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
