@@ -115,3 +115,33 @@ def test_fixed_size_sample_exact_k_and_plan(spark):
     plan = s2._jdf.queryExecution().executedPlan().toString()
     assert "TakeOrderedAndProject" in plan
     assert s2.count() == 13
+
+
+def test_bpe_regex_java_re2_equivalence_randomized(spark):
+    """The BPE pre-tokenizer pattern must count identically under
+    Java regex (Spark) and RE2 (DuckDB) — this is the cross-engine
+    contract the oracle relies on. Randomized printable-ASCII inputs.
+    (Known, documented divergence outside this alphabet: Java's \\s
+    includes \\x0B, RE2's does not.)"""
+    import random
+    import duckdb
+
+    from quasdb_spark.functions.text import BPE_TOKEN_RE, bpe_token_count
+
+    rng = random.Random(13)
+    alpha = ("abc xyz 019 .,!? '$%&- " * 3) + "don't we'll it's 42.50"
+    rows = [(i, "".join(rng.choice(alpha)
+                        for _ in range(rng.randrange(0, 80))))
+            for i in range(300)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["n"] for r in
+           df.select("id", bpe_token_count("text").alias("n")).collect()}
+
+    con = duckdb.connect()
+    pat = BPE_TOKEN_RE.replace("'", "''")
+    want = {}
+    for i, t in rows:
+        want[i] = con.execute(
+            f"SELECT len(regexp_extract_all(lower(trim(?)), '{pat}'))",
+            [t]).fetchone()[0]
+    assert got == want
