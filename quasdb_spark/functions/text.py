@@ -230,6 +230,53 @@ def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                 "dup_bigram_frac", "rep_flagged"))
 
 
+def winnow_fingerprints(df: DataFrame, text_col: str = "text", *,
+                        k: int = 3, window: int = 4,
+                        out_col: str = "winnow_fps") -> DataFrame:
+    """Winnowing fingerprints (Schleimer et al., SIGMOD'03 — the
+    rolling-hash document fingerprinting used by MOSS): hash every
+    token ``k``-gram, then keep the MINIMUM hash of each sliding
+    window of ``window`` consecutive gram hashes. Guarantees every
+    match of length >= window+k-1 tokens shares a fingerprint, while
+    storing ~1/window of the grams.
+
+    Declarative realization: the classic algorithm computes gram
+    hashes incrementally ("rolling"); in a vectorized engine the SAME
+    fingerprint set comes from array expressions — positions →
+    md5-derived 32-bit gram hashes → per-window array_min → distinct.
+    Map-only, exact integers, so a DuckDB oracle reproduces it
+    bit-for-bit. The gram-hash array is materialized in its own
+    projection so each window min SLICES it instead of re-deriving it
+    (inlining would make the expression O(grams x windows) md5 calls).
+    Adds ``out_col``: sorted ARRAY<BIGINT>, empty when the doc is
+    shorter than k+window-1 tokens.
+    """
+    w = tokens(text_col)
+    n_grams = F.size(w) - (k - 1)
+
+    def _positions(upper):
+        # ascending 1..upper that is safely EMPTY when upper < 1
+        # (sequence(1, 0) would DESCEND, and ANSI element_at would
+        # then fault on position 0 — filter first, transform after)
+        return F.filter(F.sequence(F.lit(1), F.greatest(upper, F.lit(1))),
+                        lambda i: i <= upper)
+
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        " ", *[F.element_at(w, i + off) for off in range(k)])
+    hashes = F.transform(
+        _positions(n_grams),
+        lambda i: F.conv(F.substring(F.md5(gram(i)), 1, 8), 16, 10)
+        .cast("long"))
+    staged = df.withColumn("_gram_hashes", hashes)
+    gh = F.col("_gram_hashes")
+    mins = F.transform(
+        _positions(F.size(gh) - (window - 1)),
+        lambda j: F.array_min(F.slice(gh, j, window)))
+    return (staged
+            .withColumn(out_col, F.array_sort(F.array_distinct(mins)))
+            .drop("_gram_hashes"))
+
+
 def ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
     """Non-distinct word n-grams (occurrence counting, unlike
     dedup.shingles which is a distinct set)."""

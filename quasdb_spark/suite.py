@@ -658,6 +658,19 @@ def q_pipeline_curation(spark, sf_dir):
             .select("doc_id", "quality_score", "n_tokens", "n_exact_dups"))
 
 
+def q_text_winnow(spark, sf_dir):
+    """Winnowing (rolling-hash) fingerprints: per-doc count and an
+    md5 digest of the sorted fingerprint set (compact, order-stable
+    comparison surface)."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    out = T.winnow_fingerprints(d)
+    return out.select(
+        "doc_id",
+        F.size("winnow_fps").alias("n_fps"),
+        F.md5(F.concat_ws(",", F.transform(
+            "winnow_fps", lambda x: x.cast("string")))).alias("fp_digest"))
+
+
 def q_text_repetition(spark, sf_dir):
     """Gopher-style repetition filters: TTR, top-token dominance,
     duplicate-bigram fraction + combined flag."""
@@ -828,6 +841,24 @@ _TEXT_ORACLES["pipeline_curation"] = f"""
     SELECT s2.doc_id, s2.quality_score, s2.n_tokens, k.n_exact_dups
     FROM surv s2 JOIN kept k
       ON s2.exact_fp = k.exact_fp AND s2.doc_id = k.doc_id"""
+_TEXT_ORACLES["text_winnow"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    g AS (SELECT doc_id, w,
+                 list_transform(
+                   generate_series(1, greatest(len(w) - 2, 0)),
+                   i -> CAST(('0x' || substr(md5(w[i] || ' ' || w[i + 1]
+                                             || ' ' || w[i + 2]), 1, 8))
+                             ::UINTEGER AS BIGINT)) AS gh
+          FROM t),
+    m AS (SELECT doc_id,
+                 list_sort(list_distinct(list_transform(
+                   generate_series(1, greatest(len(gh) - 3, 0)),
+                   j -> list_min(gh[j:j + 3])))) AS fps
+          FROM g)
+    SELECT doc_id,
+           CAST(len(fps) AS INT) AS n_fps,
+           md5(array_to_string(fps, ',')) AS fp_digest
+    FROM m"""
 _TEXT_ORACLES["text_repetition"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     tc AS (SELECT doc_id, tok, count(*) AS c FROM (
@@ -2004,6 +2035,7 @@ QUERIES = {
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
+    "text_winnow": q_text_winnow,
     "text_token_counts": q_text_token_counts,
     "pipeline_curation": q_pipeline_curation,
     # dedup

@@ -145,3 +145,28 @@ def test_bpe_regex_java_re2_equivalence_randomized(spark):
             f"SELECT len(regexp_extract_all(lower(trim(?)), '{pat}'))",
             [t]).fetchone()[0]
     assert got == want
+
+
+def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
+    """Winnowing guarantee: two docs sharing a token run of length
+    >= window + k - 1 (= 6 here) must share at least one fingerprint;
+    short docs get an empty set."""
+    from quasdb_spark.functions.text import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta"  # 6 tokens
+    rows = [
+        (1, f"intro words here {shared} tail one"),
+        (2, f"{shared} completely different ending text"),
+        (3, "unrelated content with no overlap at all whatsoever"),
+        (4, "too short"),  # < k+window-1 tokens -> empty
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: set(r["winnow_fps"]) for r in
+           winnow_fingerprints(df).collect()}
+    assert got[1] & got[2], "shared 6-token run must share a fingerprint"
+    assert not (got[1] & got[3] & got[2])
+    assert got[4] == set()
+    # determinism across recomputation
+    again = {r["doc_id"]: set(r["winnow_fps"]) for r in
+             winnow_fingerprints(df).collect()}
+    assert got == again
