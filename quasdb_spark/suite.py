@@ -1249,6 +1249,43 @@ def q_rel_rollup(spark, sf_dir):
                   F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
 
 
+def q_rel_shipping_priority(spark, sf_dir):
+    """TPC-H Q3 shape: top-10 open orders by accumulated line revenue
+    (dimension filter broadcast, fact-fact equi-join on orderkey, agg,
+    then a 10-row TakeOrdered — never a global sort of the agg)."""
+    cu = _t(spark, sf_dir, "customer").where(F.col("c_nationkey") < 5)
+    o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.join(o, li.l_orderkey == o.o_orderkey)
+           .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+           .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
+           .agg(F.round(F.sum(F.col("l_extendedprice")
+                              * (1 - F.col("l_discount"))), 2)
+                .alias("revenue")))
+    return (rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
+            .limit(10)
+            .select("o_orderkey", "revenue", "o_orderdate",
+                    "o_orderpriority"))
+
+
+def q_text_zipf(spark, sf_dir):
+    """Corpus vocabulary Zipf head: top-50 tokens by frequency with
+    rank and corpus share (explode + one hash aggregate + 50-row
+    TakeOrdered; the total-token count is a 1-row broadcast)."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    tok = d.select(F.explode(T.tokens("text")).alias("tok"))
+    counts = tok.groupBy("tok").agg(F.count(F.lit(1)).alias("n"))
+    total = counts.agg(F.sum("n").alias("_total"))
+    top = (counts.orderBy(F.col("n").desc(), F.col("tok").asc()).limit(50)
+           .crossJoin(F.broadcast(total)))
+    w = Window.orderBy(F.col("n").desc(), F.col("tok").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .withColumn("share",
+                        F.round(F.col("n").cast("double")
+                                / F.col("_total"), 6))
+            .select("rank", "tok", "n", "share"))
+
+
 def q_rel_grouping_sets(spark, sf_dir):
     """Explicit GROUPING SETS (status-only, priority-only, grand
     total) — the non-hierarchical cousin of rollup/cube, one shuffle
@@ -1506,6 +1543,29 @@ _EXT_ORACLES = {
                    RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
                  AS trailing_sum
         FROM events""",
+    "rel_shipping_priority": """
+        SELECT o_orderkey,
+               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               o_orderdate, o_orderpriority
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        WHERE o_orderstatus = 'O' AND c_nationkey < 5
+        GROUP BY o_orderkey, o_orderdate, o_orderpriority
+        ORDER BY revenue DESC, o_orderkey ASC
+        LIMIT 10""",
+    "text_zipf": """
+        WITH tok AS (
+          SELECT unnest(string_split_regex(lower(trim(text)), '\\s+')) AS tok
+          FROM documents),
+        c AS (SELECT tok, count(*) AS n FROM tok GROUP BY 1),
+        t AS (SELECT CAST(sum(n) AS DOUBLE) AS total FROM c),
+        top AS (SELECT tok, n FROM c
+                ORDER BY n DESC, tok ASC LIMIT 50)
+        SELECT CAST(row_number() OVER (ORDER BY n DESC, tok ASC) AS INT)
+                 AS rank,
+               tok, n, round(n / t.total, 6) AS share
+        FROM top, t""",
     "rel_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
@@ -2067,6 +2127,8 @@ QUERIES = {
     "rel_sole_blamed_supplier": q_rel_sole_blamed_supplier,
     "rel_top_supplier": q_rel_top_supplier,
     "rel_grouping_sets": q_rel_grouping_sets,
+    "rel_shipping_priority": q_rel_shipping_priority,
+    "text_zipf": q_text_zipf,
     "ts_ohlc_daily": q_ts_ohlc_daily,
     "events_funnel": q_events_funnel,
     "rel_above_avg_orders": q_rel_above_avg_orders,
