@@ -77,6 +77,27 @@ def q_kv_state_asof(spark, sf_dir):
     return KV.kv_state(ev, asof=half)
 
 
+def q_kv_state_diff(spark, sf_dir):
+    """MVCC time travel: what changed between the as-of-half snapshot
+    and the latest state — added / deleted / changed keys with both
+    values. One full-outer join of two LWW state views (each a single
+    partial-agg shuffle on key)."""
+    ev = _t(spark, sf_dir, "events")
+    half = ev.agg(F.max("event_id")).first()[0] // 2
+    a = KV.kv_state(ev, asof=half).select(
+        "key", F.col("value").alias("old_value"))
+    b = KV.kv_state(ev).select("key", F.col("value").alias("new_value"))
+    j = a.join(b, "key", "full_outer")
+    return (j.withColumn(
+        "change",
+        F.when(F.col("old_value").isNull(), F.lit("added"))
+        .when(F.col("new_value").isNull(), F.lit("deleted"))
+        .otherwise(F.lit("changed")))
+        .where(F.col("old_value").isNull() | F.col("new_value").isNull()
+               | (F.col("old_value") != F.col("new_value")))
+        .select("key", "change", "old_value", "new_value"))
+
+
 def q_kv_range_scan(spark, sf_dir):
     st = KV.kv_state(_t(spark, sf_dir, "events"))
     return st.where((F.col("key") >= "u000020") & (F.col("key") < "u000080"))
@@ -132,6 +153,22 @@ _KV_ORACLES = {
                  row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
           FROM log)
         SELECT key, value FROM ranked WHERE rn = 1 AND op = 'put'""",
+    "kv_state_diff": f"""WITH {_KV_CTE},
+        loga AS (SELECT * FROM log WHERE seq <=
+                   (SELECT CAST(max(event_id) AS BIGINT) // 2 FROM events)),
+        rankeda AS (
+          SELECT key, op, value,
+                 row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+          FROM loga),
+        a AS (SELECT key, value FROM rankeda WHERE rn = 1 AND op = 'put'),
+        b AS (SELECT key, value FROM state)
+        SELECT coalesce(a.key, b.key) AS key,
+               CASE WHEN a.key IS NULL THEN 'added'
+                    WHEN b.key IS NULL THEN 'deleted'
+                    ELSE 'changed' END AS change,
+               a.value AS old_value, b.value AS new_value
+        FROM a FULL JOIN b ON a.key = b.key
+        WHERE a.key IS NULL OR b.key IS NULL OR a.value <> b.value""",
     "kv_range_scan": f"""WITH {_KV_CTE}
         SELECT key, value FROM state WHERE key >= 'u000020' AND key < 'u000080'""",
     "kv_reverse_topn": f"""WITH {_KV_CTE}
@@ -1741,7 +1778,40 @@ def q_doc_token_packing(spark, sf_dir):
     return out.select("doc_id", "n_tokens", "pack_id")
 
 
+def q_doc_pack_manifest(spark, sf_dir):
+    """Pack manifest: per training-sequence pack, the doc count, total
+    tokens, and an md5 digest of the ordered member list — the sink
+    format a sequence-packing job ships to the trainer."""
+    from quasdb_spark.operators.packing import pack_by_token_budget
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
+    packed = pack_by_token_budget(toks, "doc_id", "n_tokens", 8192)
+    return (packed.groupBy("pack_id")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.sum("n_tokens").cast("long").alias("total_tokens"),
+                 F.md5(F.concat_ws(",", F.transform(
+                     F.array_sort(F.collect_list("doc_id")),
+                     lambda x: x.cast("string")))).alias("members_digest")))
+
+
 _PACK_ORACLES = {
+    "doc_pack_manifest": f"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
+                   FROM documents),
+        c AS (SELECT doc_id, n_tokens,
+                     sum(n_tokens) OVER (ORDER BY doc_id
+                                         ROWS UNBOUNDED PRECEDING) AS cum
+              FROM t),
+        p AS (SELECT doc_id, n_tokens,
+                     CAST((CAST(cum AS BIGINT) - n_tokens) // 8192 AS BIGINT)
+                       AS pack_id
+              FROM c)
+        SELECT pack_id, count(*) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               md5(array_to_string(list_sort(list(doc_id)), ','))
+                 AS members_digest
+        FROM p GROUP BY 1""",
     "doc_sample_weighted": f"""
         WITH q AS ({_TEXT_ORACLES["text_quality"]}),
         h AS (
@@ -2059,6 +2129,7 @@ QUERIES = {
     # KV / MVCC
     "kv_state_latest": q_kv_state_latest,
     "kv_state_asof": q_kv_state_asof,
+    "kv_state_diff": q_kv_state_diff,
     "kv_range_scan": q_kv_range_scan,
     "kv_reverse_topn": q_kv_reverse_topn,
     "kv_prefix_scan": q_kv_prefix_scan,
@@ -2142,6 +2213,7 @@ QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_sample_fixed_k": q_doc_sample_fixed_k,
     "doc_sample_weighted": q_doc_sample_weighted,
+    "doc_pack_manifest": q_doc_pack_manifest,
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
 }
