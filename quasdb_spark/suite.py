@@ -1444,6 +1444,31 @@ def q_emb_centroids(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_vecs")))
 
 
+def q_emb_label_separation(spark, sf_dir):
+    """Embedding-space label quality: per label, mean cosine of members
+    to their OWN label centroid vs to the nearest OTHER centroid (a
+    silhouette proxy that stays centroid-based — k broadcast rows, one
+    map pass, one k-keyed aggregate — instead of the O(n^2) all-pairs
+    version that cannot scale). Cosines round to 6 pre-average."""
+    e = _t(spark, sf_dir, "embeddings")
+    cents = SIM.label_centroids(e)
+    v = e.select("vec_id", F.col("label"),
+                 F.col("embedding").cast("array<double>").alias("_v"))
+    scored = (v.crossJoin(F.broadcast(cents))
+              .withColumn("_cs", F.round(
+                  SIM.cosine(F.col("_v"), F.col("centroid")), 6)))
+    per_vec = scored.groupBy("vec_id", "label").agg(
+        F.max(F.when(F.col("label") == F.col("c_label"), F.col("_cs")))
+        .alias("_own"),
+        F.max(F.when(F.col("label") != F.col("c_label"), F.col("_cs")))
+        .alias("_other"))
+    return (per_vec.groupBy("label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.round(F.avg("_own"), 4) + F.lit(0.0)).alias("avg_own_cos"),
+                 (F.round(F.avg("_other"), 4) + F.lit(0.0))
+                 .alias("avg_best_other_cos")))
+
+
 def q_kv_seek_page(spark, sf_dir):
     st = KV.kv_state(_t(spark, sf_dir, "events"))
     return (st.where(F.col("key") > "u000050")
@@ -1543,6 +1568,14 @@ def q_rel_region_share(spark, sf_dir):
     return nat_rev.select("r_name", "n_name",
                           F.round("_rev", 2).alias("revenue"),
                           F.round(share, 4).alias("region_share"))
+
+
+def _cos2(a: str, b: str) -> str:
+    """DuckDB cosine between two list-typed SQL expressions."""
+    return (f"(list_sum(list_transform(generate_series(1, len({a})),"
+            f" i -> {a}[i] * {b}[i]))"
+            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
+            f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))")
 
 
 _EXT_ORACLES = {
@@ -1714,6 +1747,27 @@ _EXT_ORACLES = {
               FROM c)
         SELECT lang, CAST(rn AS INT) AS rank, bigram, n
         FROM r WHERE rn <= 10""",
+    "emb_label_separation": f"""
+        WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                   FROM embeddings),
+        cd AS (SELECT label AS c_label, pos, round(avg(v[pos]), 6) AS cx
+               FROM (SELECT label, v,
+                            unnest(generate_series(1, len(v))) AS pos
+                     FROM e) x
+               GROUP BY 1, 2),
+        cents AS (SELECT c_label, list(cx ORDER BY pos) AS centroid
+                  FROM cd GROUP BY 1),
+        sc AS (SELECT e.vec_id, e.label, c.c_label,
+                      round({_cos2('e.v', 'c.centroid')}, 6) AS cs
+               FROM e, cents c),
+        pv AS (SELECT vec_id, label,
+                      max(CASE WHEN label = c_label THEN cs END) AS own,
+                      max(CASE WHEN label <> c_label THEN cs END) AS oth
+               FROM sc GROUP BY 1, 2)
+        SELECT label, count(*) AS n_vecs,
+               round(avg(own), 4) + 0.0 AS avg_own_cos,
+               round(avg(oth), 4) + 0.0 AS avg_best_other_cos
+        FROM pv GROUP BY 1""",
     "emb_centroids": """
         WITH e AS (SELECT label, embedding::DOUBLE[] AS v FROM embeddings),
         x AS (SELECT label, v,
@@ -1904,14 +1958,6 @@ def q_emb_quantize_int8(spark, sf_dir):
     switching an ANN corpus to SQ8 storage)."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.dequantize_error(e)
-
-
-def _cos2(a: str, b: str) -> str:
-    """DuckDB cosine between two list-typed SQL expressions."""
-    return (f"(list_sum(list_transform(generate_series(1, len({a})),"
-            f" i -> {a}[i] * {b}[i]))"
-            f" / (sqrt(list_sum(list_transform({a}, x -> x * x)))"
-            f" * sqrt(list_sum(list_transform({b}, x -> x * x)))))")
 
 
 def _kmeans_iter_sql(n: int, prev: str) -> str:
@@ -2184,6 +2230,7 @@ QUERIES = {
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
+    "emb_label_separation": q_emb_label_separation,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
     "rel_unpivot": q_rel_unpivot,
