@@ -75,3 +75,18 @@ def test_corrupt_jsonl_line_is_isolated_not_fatal(spark, tmp_path):
         assert bad.first()["_corrupt_record"].startswith("THIS IS NOT")
     finally:
         back.unpersist()
+
+
+def test_jsonl_roundtrip_array_column(spark, tmp_path):
+    """Array-typed columns (embeddings) survive the JSONL hop with an
+    explicit DDL schema."""
+    e = load_table(spark, SF, "embeddings")
+    p = str(tmp_path / "emb_jsonl")
+    write_jsonl(e, p)
+    back = read_jsonl(spark, p, schema_of_table(e))
+    assert back.schema == e.schema
+    a = sorted((r["vec_id"], tuple(r["embedding"]))
+               for r in back.select("vec_id", "embedding").collect())
+    b = sorted((r["vec_id"], tuple(r["embedding"]))
+               for r in e.select("vec_id", "embedding").collect())
+    assert a == b
