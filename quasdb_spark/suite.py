@@ -1006,6 +1006,25 @@ def q_dedup_apply(spark, sf_dir):
     return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
 
 
+def q_dedup_containment(spark, sf_dir):
+    """Asymmetric shingle containment |A∩B|/|A| over the LSH candidate
+    pairs — catches near-SUPERSET duplication (quotes, wrapped
+    reposts) that symmetric Jaccard under-scores. Same banded-LSH
+    blocking as minhash pairs; only candidates carry shingle arrays."""
+    d = _t(spark, sf_dir, "documents")
+    sh = D.with_shingles(d)
+    cands = D.minhash_candidate_pairs(d)
+    sa = sh.select(F.col("doc_id").alias("id_a"), F.col("shingles").alias("_sa"))
+    sb = sh.select(F.col("doc_id").alias("id_b"), F.col("shingles").alias("_sb"))
+    j = cands.join(sa, "id_a").join(sb, "id_b")
+    inter = F.size(F.array_intersect("_sa", "_sb"))
+    return (j.select(
+        "id_a", "id_b",
+        F.round(inter.cast("double") / F.size("_sa"), 4).alias("contain_a"),
+        F.round(inter.cast("double") / F.size("_sb"), 4).alias("contain_b"))
+        .where((F.col("contain_a") >= 0.5) | (F.col("contain_b") >= 0.5)))
+
+
 def q_dedup_simhash(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash(d)
@@ -1090,6 +1109,30 @@ _DEDUP_ORACLES["dedup_clusters"] = f"""
     SELECT l3.id AS doc_id, l3.label AS cluster_id, s.n_members
     FROM l3 JOIN sizes s ON s.cluster_id = l3.label
     WHERE s.n_members >= 2"""
+
+_DEDUP_ORACLES["dedup_containment"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+    m AS (SELECT doc_id, sh, {_MINHASH_COLS_SQL} FROM s),
+    bands AS (
+      SELECT doc_id, md5(concat_ws('|', h0, h1, h2, h3)) AS band_key FROM m
+      UNION
+      SELECT doc_id, md5(concat_ws('|', h4, h5, h6, h7)) AS band_key FROM m),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    scored AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(sa.sh), 4) AS contain_a,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(sb.sh), 4) AS contain_b
+      FROM cand
+      JOIN s sa ON sa.doc_id = id_a
+      JOIN s sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, contain_a, contain_b FROM scored
+    WHERE contain_a >= 0.5 OR contain_b >= 0.5"""
 
 _DEDUP_ORACLES["dedup_apply"] = f"""
     WITH pairs AS ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
@@ -1332,6 +1375,35 @@ def q_rel_grouping_sets(spark, sf_dir):
                            "o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
                  F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+
+
+def q_ts_anomaly_zscore(spark, sf_dir):
+    """Rolling z-score anomaly detection: each event scored against
+    the trailing-100-row mean/std of its user's series; emits |z| > 3.
+    Determinism: the windowed moments are EXACT integer sums of cents
+    and squared cents (bigint), so mean/variance/z are identical pure-
+    double expressions in both engines — no float accumulation drift.
+    Per-key bounded window: one shuffle keyed by user, state = 100
+    rows."""
+    ev = _t(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100).cast("long")
+    w = (Window.partitionBy("user_id").orderBy("ts", "event_id")
+         .rowsBetween(-99, 0))
+    base = ev.select("user_id", "event_id", "ts", cents.alias("_c"))
+    stats = base.select(
+        "user_id", "event_id",
+        F.col("_c").alias("_x"),
+        F.sum("_c").over(w).alias("_s1"),
+        F.sum(F.col("_c") * F.col("_c")).over(w).alias("_s2"),
+        F.count(F.lit(1)).over(w).alias("_n"))
+    mean = F.col("_s1").cast("double") / (F.lit(100.0) * F.col("_n"))
+    ex2 = F.col("_s2").cast("double") / (F.lit(10000.0) * F.col("_n"))
+    var = ex2 - mean * mean
+    z = (F.col("_x").cast("double") / F.lit(100.0) - mean) / F.sqrt(var)
+    out = (stats.withColumn("_z", F.when(var > 0, z))
+           .where(F.abs(F.col("_z")) > 3))
+    return out.select("user_id", "event_id",
+                      (F.round("_z", 4) + F.lit(0.0)).alias("z"))
 
 
 def q_ts_ohlc_daily(spark, sf_dir):
@@ -1642,6 +1714,31 @@ _EXT_ORACLES = {
                round(sum(o_totalprice), 2) AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
+    "ts_anomaly_zscore": """
+        WITH b AS (
+          SELECT user_id, event_id, ts,
+                 CAST(round(value * 100) AS BIGINT) AS c
+          FROM events),
+        s AS (
+          SELECT user_id, event_id, c AS x,
+                 sum(c) OVER w AS s1,
+                 sum(c * c) OVER w AS s2,
+                 count(*) OVER w AS n
+          FROM b
+          WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)),
+        z AS (
+          SELECT user_id, event_id,
+                 CAST(s1 AS DOUBLE) / (100.0 * n) AS mean,
+                 CAST(s2 AS DOUBLE) / (10000.0 * n)
+                   - (CAST(s1 AS DOUBLE) / (100.0 * n))
+                     * (CAST(s1 AS DOUBLE) / (100.0 * n)) AS var,
+                 CAST(x AS DOUBLE) / 100.0 AS xv
+          FROM s)
+        SELECT user_id, event_id,
+               round((xv - mean) / sqrt(var), 4) + 0.0 AS z
+        FROM z
+        WHERE var > 0 AND abs((xv - mean) / sqrt(var)) > 3""",
     "ts_ohlc_daily": """
         WITH x AS (SELECT user_id,
                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
@@ -2221,6 +2318,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
+    "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # similarity
@@ -2248,6 +2346,7 @@ QUERIES = {
     "rel_shipping_priority": q_rel_shipping_priority,
     "text_zipf": q_text_zipf,
     "ts_ohlc_daily": q_ts_ohlc_daily,
+    "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "events_funnel": q_events_funnel,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
