@@ -130,3 +130,29 @@ def test_gapfill_interpolate_lines_and_edges(spark):
         and got[("a", 3)] == 25.0
     assert got[("b", 2)] == 7.0
     assert len(got) == 6
+
+
+def test_anomaly_zscore_detects_planted_spike(spark):
+    """A 10x spike in an otherwise tame series must be the sole |z|>3
+    anomaly (suite query logic on a synthetic frame)."""
+    from quasdb_spark.suite import q_ts_anomaly_zscore  # noqa: F401
+    import quasdb_spark.suite as suite_mod
+
+    rows = []
+    for i in range(120):
+        v = 10.0 + (i % 7) * 0.1          # tame noise around 10
+        rows.append((i, dt.datetime(2024, 1, 1) + dt.timedelta(minutes=i),
+                     1, "view", 100.0 if i == 100 else v, "{}"))
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, "
+              "event_type string, value double, props string")
+    df.createOrReplaceTempView("_anom_events")
+    # reuse the query body by monkey-loading the table
+    orig = suite_mod._t
+    try:
+        suite_mod._t = lambda sp, sf, name: df
+        out = suite_mod.q_ts_anomaly_zscore(spark, "ignored").collect()
+    finally:
+        suite_mod._t = orig
+    assert [r["event_id"] for r in out] == [100]
+    assert out[0]["z"] > 3
