@@ -170,3 +170,19 @@ def test_winnow_guarantee_shared_run_shares_fingerprint(spark):
     again = {r["doc_id"]: set(r["winnow_fps"]) for r in
              winnow_fingerprints(df).collect()}
     assert got == again
+
+
+def test_weighted_sample_rate_extremes(spark):
+    from quasdb_spark.operators.packing import weighted_sample
+    from quasdb_spark.sources.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    n = d.count()
+    assert weighted_sample(d, "doc_id", F.lit(0.0)).count() == 0
+    assert weighted_sample(d, "doc_id", F.lit(1.0)).count() == n
+    # monotone: higher rate keeps a superset
+    lo = {r["doc_id"] for r in
+          weighted_sample(d, "doc_id", F.lit(0.2)).select("doc_id").collect()}
+    hi = {r["doc_id"] for r in
+          weighted_sample(d, "doc_id", F.lit(0.6)).select("doc_id").collect()}
+    assert lo <= hi and 0 < len(lo) < len(hi) < n
