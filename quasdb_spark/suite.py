@@ -810,6 +810,11 @@ def _langid_oracle() -> str:
 
 
 _TEXT_ORACLES["text_langid"] = _langid_oracle()
+_TEXT_ORACLES["text_lang_confusion"] = f"""
+    WITH li AS ({_langid_oracle()})
+    SELECT d.lang, li.lang_guess, count(*) AS n
+    FROM li JOIN documents d USING (doc_id)
+    GROUP BY 1, 2"""
 
 _PII_SQL = {
     "email": "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}",
@@ -1212,6 +1217,40 @@ def q_sim_bucket_topk(spark, sf_dir):
     return SIM.bucketed_topk(e, queries, 5, n_bits=8)
 
 
+def q_sim_knn_graph(spark, sf_dir):
+    """Corpus-to-corpus kNN graph (top-3 neighbors per vector) within
+    hyperplane-LSH buckets — the self-join variant of bucketed ANN
+    used to build similarity graphs for clustering/near-dup mining.
+    The join is bucket-keyed (never all-pairs); per-vector top-3 is a
+    rank window inside the bucket partition."""
+    e = _t(spark, sf_dir, "embeddings")
+    b = e.select(F.col("vec_id"),
+                 F.col("embedding").cast("array<double>").alias("v"),
+                 SIM.hyperplane_bucket("embedding", 8).alias("bucket"))
+    left = b.select(F.col("vec_id").alias("src"),
+                    F.col("v").alias("_lv"), "bucket")
+    right = b.select(F.col("vec_id").alias("dst"),
+                     F.col("v").alias("_rv"), "bucket")
+    scored = (left.join(right, "bucket")
+              .where(F.col("src") != F.col("dst"))
+              .withColumn("_score", SIM.cosine(F.col("_lv"), F.col("_rv"))))
+    w = Window.partitionBy("src").orderBy(F.col("_score").desc(),
+                                          F.col("dst").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= 3)
+            .select("src", "rank", "dst",
+                    (F.round("_score", 4) + F.lit(0.0)).alias("score")))
+
+
+def q_text_lang_confusion(spark, sf_dir):
+    """Language-ID evaluation: confusion matrix of the stopword
+    heuristic's guess vs the labeled lang column (one hash aggregate
+    over map-only features)."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return (T.langid(d).groupBy("lang", "lang_guess")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
 def q_sim_neardup_cosine(spark, sf_dir):
     # Banded sign-LSH blocking (8 bands x 8 bits): candidates share >=1
     # band, only candidates are scored — no cross join anywhere in the
@@ -1274,6 +1313,24 @@ _SIM_ORACLES = {
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
                round(score, 4) + 0.0 AS score
         FROM ranked WHERE rn <= 5""",
+    "sim_knn_graph": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 8)} AS bucket
+              FROM e0),
+        scored AS (
+          SELECT a.vec_id AS src, c.vec_id AS dst,
+                 {_COS_SQL.replace("qv", "a.v").replace("vv", "c.v")}
+                   AS score
+          FROM e a JOIN e c USING (bucket)
+          WHERE a.vec_id != c.vec_id),
+        ranked AS (
+          SELECT src, dst, score,
+                 row_number() OVER (PARTITION BY src
+                                    ORDER BY score DESC, dst) AS rn
+          FROM scored)
+        SELECT src, CAST(rn AS INT) AS rank, dst,
+               round(score, 4) + 0.0 AS score
+        FROM ranked WHERE rn <= 3""",
     "sim_neardup_cosine": f"""
         WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 64)} AS sig
@@ -2324,6 +2381,8 @@ QUERIES = {
     # similarity
     "sim_cosine_topk": q_sim_cosine_topk,
     "sim_bucket_topk": q_sim_bucket_topk,
+    "sim_knn_graph": q_sim_knn_graph,
+    "text_lang_confusion": q_text_lang_confusion,
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
