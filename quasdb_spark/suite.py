@@ -1222,7 +1222,11 @@ def q_sim_knn_graph(spark, sf_dir):
     hyperplane-LSH buckets — the self-join variant of bucketed ANN
     used to build similarity graphs for clustering/near-dup mining.
     The join is bucket-keyed (never all-pairs); per-vector top-3 is a
-    rank window inside the bucket partition."""
+    rank window inside the bucket partition. Within-bucket work is
+    O(sum of bucket_size^2), so n_bits must grow with the corpus
+    (buckets ~ n/2^bits; at 100 TB use 16-20 bits + multiprobe, or the
+    banded variant with its per-bucket cap — see
+    sim_neardup_cosine)."""
     e = _t(spark, sf_dir, "embeddings")
     b = e.select(F.col("vec_id"),
                  F.col("embedding").cast("array<double>").alias("v"),
