@@ -393,3 +393,44 @@ def test_stream_curate_into_store_end_to_end(spark, tmp_path, sf_dir):
     want = {r["key"]: r["value"] for r in curate(docs).collect()}
     assert {r["key"]: r["value"] for r in state} == want
     assert len(state) == len(want) > 0
+
+
+def test_stream_sessions_match_batch_session_window(spark, tmp_path, sf_dir):
+    """Streaming gap-based sessions drained with availableNow must
+    equal the batch session_window aggregation on the same events."""
+    import pyspark.sql.functions as SF
+    from quasdb_spark.sources.tables import load_table
+    from quasdb_spark.streaming.windows import stream_sessions
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts")
+    src = str(tmp_path / "sess_src")
+    ev.write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema(ev.schema).parquet(src)
+
+    q = (stream_sessions(stream, "ts", "30 minutes", "1 hour",
+                         keys=["user_id"])
+         .writeStream.format("memory").queryName("sess_out")
+         .outputMode("append")
+         .option("checkpointLocation", str(tmp_path / "ck_sess"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination(180)
+
+    got = sorted(tuple(r) for r in spark.sql(
+        "select user_id, session_start, session_end, n "
+        "from sess_out").collect())
+    batch = (ev.groupBy(SF.session_window("ts", "30 minutes").alias("w"),
+                        "user_id")
+             .agg(SF.count(SF.lit(1)).alias("n"))
+             .select("user_id", SF.col("w.start").alias("session_start"),
+                     SF.col("w.end").alias("session_end"), "n"))
+    want = sorted(tuple(r) for r in batch.collect())
+    # append mode only FINALIZES sessions older than the watermark at
+    # drain end; the tail sessions stay in state. Everything emitted
+    # must match batch, and every batch session past the watermark
+    # horizon must have been emitted.
+    import datetime as dtm
+    horizon = ev.agg(SF.max("ts")).first()[0] - dtm.timedelta(hours=1)
+    finalized = [t for t in want if t[2] <= horizon]
+    assert set(got) <= set(want)
+    assert set(finalized) <= set(got)
+    assert len(got) > 0.99 * len(want) and len(got) > 0
