@@ -736,6 +736,19 @@ def q_mm_decode_stats(spark, sf_dir):
     return decode_images(media_from_ids(d))
 
 
+def q_mm_resize_roundtrip(spark, sf_dir):
+    """Three chained Arrow/mapInPandas stages, oracle-checked: pack
+    blobs -> resize (stub codec, real batch plumbing) -> decode the
+    resized blobs. Every output header is deterministic (128x96,
+    75-byte QM blob), so DuckDB mirrors the whole chain."""
+    from quasdb_spark.operators.multimodal import (decode_images,
+                                                   media_from_ids,
+                                                   resize_images)
+    d = _par(_t(spark, sf_dir, "documents"))
+    resized = resize_images(media_from_ids(d), 128, 96)
+    return decode_images(resized.select("media_id", "data"))
+
+
 _MM_ORACLES = {
     # blob = 11-byte QM header + 64-byte payload; QM blobs are not real
     # images, so the decode path is deterministically 'fake'
@@ -743,6 +756,13 @@ _MM_ORACLES = {
         SELECT doc_id AS media_id,
                CAST(32 + (doc_id * 7) % 480 AS INT) AS width,
                CAST(32 + (doc_id * 13) % 360 AS INT) AS height,
+               CAST(75 AS BIGINT) AS n_bytes,
+               'fake' AS decode_path
+        FROM documents""",
+    "mm_resize_roundtrip": """
+        SELECT doc_id AS media_id,
+               CAST(128 AS INT) AS width,
+               CAST(96 AS INT) AS height,
                CAST(75 AS BIGINT) AS n_bytes,
                'fake' AS decode_path
         FROM documents""",
@@ -2425,6 +2445,7 @@ QUERIES = {
     "doc_pack_manifest": q_doc_pack_manifest,
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
+    "mm_resize_roundtrip": q_mm_resize_roundtrip,
 }
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
