@@ -749,6 +749,20 @@ def q_mm_resize_roundtrip(spark, sf_dir):
     return decode_images(resized.select("media_id", "data"))
 
 
+def q_mm_frame_sample(spark, sf_dir):
+    """Video frame sampling, oracle-checked: pack one video blob per
+    doc (n_frames = 32 + 7·id mod 480), sample every 10th frame via
+    the map-side mapInPandas explode. Emits (media_id, frame_index,
+    n_bytes) — frame indices are arithmetic in the id so DuckDB
+    mirrors them with generate_series."""
+    from quasdb_spark.operators.multimodal import (media_from_ids,
+                                                   sample_frames)
+    d = _par(_t(spark, sf_dir, "documents"))
+    frames = sample_frames(media_from_ids(d, kind="video"), every_k=10)
+    return frames.select("media_id", "frame_index",
+                         F.length("frame").cast("long").alias("n_bytes"))
+
+
 _MM_ORACLES = {
     # blob = 11-byte QM header + 64-byte payload; QM blobs are not real
     # images, so the decode path is deterministically 'fake'
@@ -758,6 +772,13 @@ _MM_ORACLES = {
                CAST(32 + (doc_id * 13) % 360 AS INT) AS height,
                CAST(75 AS BIGINT) AS n_bytes,
                'fake' AS decode_path
+        FROM documents""",
+    "mm_frame_sample": """
+        SELECT doc_id AS media_id,
+               CAST(unnest(generate_series(
+                 0, CAST(32 + (doc_id * 7) % 480 AS INT) - 1, 10)) AS INT)
+                 AS frame_index,
+               CAST(75 AS BIGINT) AS n_bytes
         FROM documents""",
     "mm_resize_roundtrip": """
         SELECT doc_id AS media_id,
@@ -2446,6 +2467,7 @@ QUERIES = {
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
+    "mm_frame_sample": q_mm_frame_sample,
 }
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
