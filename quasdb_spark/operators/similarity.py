@@ -100,15 +100,30 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
     ``n_bits`` deterministic ±1 hyperplanes (Charikar rounding — the
     real LSH family for cosine, P[bits agree] = 1 - angle/pi). Pure
     sequential-fold expressions: map-only, JVM-side, cross-engine
-    reproducible."""
+    reproducible.
+
+    Bit ``j`` depends only on (seed, j, dims) — never on ``n_bits`` —
+    so ``hyperplane_bucket(c, m)`` is always a prefix of
+    ``hyperplane_bucket(c, n)`` for m < n (what lets callers pick
+    n_bits per corpus size without re-deriving the hash family).
+
+    A vector whose length != ``dims`` RAISES (assert_true in the
+    expression). Silently zip-padding instead would hash every vector
+    to the all-'0' bucket, which a downstream max_bucket_size guard
+    then silently drops — 0 recall with no error."""
     v = _as_double(vec_col)
+    guard = F.assert_true(
+        F.size(v) == dims,
+        F.format_string(
+            "hyperplane_bucket: vector length %s != dims " + str(dims),
+            F.size(v)))
     bits = []
     for w in hyperplane_signs(n_bits, dims, seed):
         ws = F.array(*[F.lit(x) for x in w])
         proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, t: acc + t)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.concat(*bits)
+    return F.when(guard.isNull(), F.concat(*bits))
 
 
 def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -227,6 +242,67 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                 .where(F.col("score") >= threshold)
                 .select("id_a", "id_b",
                         (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def auto_n_bits(n: int, target_bucket_size: int = 128, *,
+                lo: int = 4, hi: int = 24) -> int:
+    """Bucket-bit count for an ``n``-vector corpus: the smallest number
+    of sign bits whose expected bucket (n / 2^bits) is at most
+    ``target_bucket_size``, clamped to [lo, hi]. Within-bucket work is
+    O(sum bucket_size^2), so bits must grow with the corpus — 4 bits
+    at 500 vectors, ~20 bits at a billion."""
+    import math
+
+    if n <= target_bucket_size:
+        return lo
+    return max(lo, min(hi, math.ceil(math.log2(n / target_bucket_size))))
+
+
+def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
+              vec_col: str = "embedding", n_bits: int | None = None,
+              dims: int = 64, seed: int = 0,
+              max_bucket_size: int | None = 1000,
+              target_bucket_size: int = 128) -> DataFrame:
+    """Corpus-to-corpus kNN graph (top-``k`` cosine neighbors per
+    vector) within hyperplane-LSH buckets — the self-join variant of
+    bucketed ANN used to build similarity graphs for clustering and
+    near-dup mining.
+
+    Scale guards (both on by default):
+    - ``n_bits=None`` self-sizes from the corpus count via
+      ``auto_n_bits`` (one count job, metadata-only on parquet), so
+      expected bucket size stays ~``target_bucket_size`` instead of
+      growing linearly with the corpus.
+    - ``max_bucket_size`` drops buckets bigger than the cap BEFORE the
+      self-join (the same pre-filter as neardup_pairs_banded): a hot
+      bucket — skewed data, or every vector identical — would
+      otherwise put O(bucket^2) pairs on one partition. Vectors in a
+      dropped bucket get no neighbors (standard LSH skew-guard
+      trade-off); at scale, re-probe them with more bits instead.
+    """
+    if n_bits is None:
+        n_bits = auto_n_bits(vectors.count(), target_bucket_size)
+    b = vectors.select(
+        F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
+        hyperplane_bucket(vec_col, n_bits, dims=dims,
+                          seed=seed).alias("_bucket"))
+    if max_bucket_size is not None:
+        ok = (b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
+               .where(F.col("_n") <= max_bucket_size).drop("_n"))
+        b = b.join(ok, "_bucket")
+    left = b.select(F.col("_id").alias("src"),
+                    F.col("_v").alias("_lv"), "_bucket")
+    right = b.select(F.col("_id").alias("dst"),
+                     F.col("_v").alias("_rv"), "_bucket")
+    scored = (left.join(right, "_bucket")
+              .where(F.col("src") != F.col("dst"))
+              .withColumn("_score", cosine(F.col("_lv"), F.col("_rv"))))
+    w = Window.partitionBy("src").orderBy(F.col("_score").desc(),
+                                          F.col("dst").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("src", "rank", "dst",
+                    (F.round("_score", 4) + F.lit(0.0)).alias("score")))
 
 
 def label_centroids(vectors: DataFrame, *, label_col: str = "label",

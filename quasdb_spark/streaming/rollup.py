@@ -41,7 +41,8 @@ def continuous_rollup(store: KVStore, stream_df: DataFrame,
     stored as JSON under ``window_start|key...``."""
     keys = keys or []
     aggs = aggs or [F.count(F.lit(1)).alias("n")]
-    win = (stream_df.withWatermark(ts_col, watermark)
+    from quasdb_spark.streaming.windows import ensure_event_time
+    win = (ensure_event_time(stream_df, ts_col).withWatermark(ts_col, watermark)
            .groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
            .agg(*aggs))
     agg_names = [c for c in win.columns if c != "w" and c not in keys]

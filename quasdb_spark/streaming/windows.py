@@ -12,6 +12,19 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 
+def ensure_event_time(stream: DataFrame, ts_col: str) -> DataFrame:
+    """Normalize the event-time column to TIMESTAMP (LTZ).
+
+    Parquet written with session default TIMESTAMP_NTZ (the PySpark 4.x
+    behavior for naive datetimes) is rejected by ``withWatermark``
+    (EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE). The cast is a no-op when the
+    column is already LTZ, so every watermark helper routes through here.
+    """
+    if dict(stream.dtypes).get(ts_col) != "timestamp":
+        return stream.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    return stream
+
+
 def watermarked_tumbling(stream: DataFrame, ts_col: str, duration: str,
                          watermark: str, *, keys: list[str] | None = None,
                          aggs: list[Column] | None = None) -> DataFrame:
@@ -19,7 +32,7 @@ def watermarked_tumbling(stream: DataFrame, ts_col: str, duration: str,
     ``watermark`` behind the max seen event time are dropped and window
     state older than that is evicted (bounded state at any scale)."""
     keys = keys or []
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     out = (wm.groupBy(F.window(F.col(ts_col), duration).alias("w"), *keys)
              .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
     return (out.withColumn("window_start", F.col("w.start"))
@@ -31,7 +44,7 @@ def watermarked_sliding(stream: DataFrame, ts_col: str, duration: str,
                         keys: list[str] | None = None,
                         aggs: list[Column] | None = None) -> DataFrame:
     keys = keys or []
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     out = (wm.groupBy(F.window(F.col(ts_col), duration, slide).alias("w"), *keys)
              .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
     return (out.withColumn("window_start", F.col("w.start"))
@@ -44,7 +57,7 @@ def stream_sessions(stream: DataFrame, ts_col: str, gap: str, watermark: str,
     """Gap-based session windows (session_window) — the streaming
     counterpart of operators.timeseries.sessionize."""
     keys = keys or []
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     out = (wm.groupBy(F.session_window(F.col(ts_col), gap).alias("w"), *keys)
              .agg(*(aggs or [F.count(F.lit(1)).alias("n")])))
     return (out.withColumn("session_start", F.col("w.start"))
@@ -59,8 +72,8 @@ def stream_stream_join(left: DataFrame, right: DataFrame, on: str,
     on the key within [left_ts - max_lag, left_ts]. Both sides carry
     watermarks so join state is evicted once the range condition can no
     longer match — bounded state on unbounded streams."""
-    lw = left.withWatermark(left_ts, watermark)
-    rw = right.withWatermark(right_ts, watermark)
+    lw = ensure_event_time(left, left_ts).withWatermark(left_ts, watermark)
+    rw = ensure_event_time(right, right_ts).withWatermark(right_ts, watermark)
     cond = ((lw[on] == rw[on]) &
             (rw[right_ts] <= lw[left_ts]) &
             (rw[right_ts] >= lw[left_ts] - F.expr(f"interval {max_lag}")))
@@ -82,7 +95,7 @@ def stream_dedup(stream: DataFrame, key_cols: list[str], ts_col: str, *,
     watermark to the real duplicate lag). ``False`` keeps exact
     all-time dedup with state growing in distinct keys.
     """
-    wm = stream.withWatermark(ts_col, watermark)
+    wm = ensure_event_time(stream, ts_col).withWatermark(ts_col, watermark)
     if within_watermark:
         return wm.dropDuplicatesWithinWatermark(key_cols)
     return wm.dropDuplicates(key_cols)

@@ -1261,31 +1261,17 @@ def q_sim_bucket_topk(spark, sf_dir):
 
 def q_sim_knn_graph(spark, sf_dir):
     """Corpus-to-corpus kNN graph (top-3 neighbors per vector) within
-    hyperplane-LSH buckets — the self-join variant of bucketed ANN
-    used to build similarity graphs for clustering/near-dup mining.
-    The join is bucket-keyed (never all-pairs); per-vector top-3 is a
-    rank window inside the bucket partition. Within-bucket work is
-    O(sum of bucket_size^2), so n_bits must grow with the corpus
-    (buckets ~ n/2^bits; at 100 TB use 16-20 bits + multiprobe, or the
-    banded variant with its per-bucket cap — see
-    sim_neardup_cosine)."""
+    hyperplane-LSH buckets — operators/similarity.knn_graph. Both
+    scale guards are on: n_bits self-sizes from the corpus count
+    (auto_n_bits — expected bucket ~128, so within-bucket O(b^2) work
+    stays flat as the corpus grows) and buckets over 1000 vectors are
+    dropped before the self-join (skew guard). The oracle mirrors both
+    in SQL: n_bits from count(*) with the identical clamp formula, the
+    bucket as a prefix of the 24-bit signature (bit j is independent
+    of n_bits by construction), and the same HAVING cap."""
     e = _t(spark, sf_dir, "embeddings")
-    b = e.select(F.col("vec_id"),
-                 F.col("embedding").cast("array<double>").alias("v"),
-                 SIM.hyperplane_bucket("embedding", 8).alias("bucket"))
-    left = b.select(F.col("vec_id").alias("src"),
-                    F.col("v").alias("_lv"), "bucket")
-    right = b.select(F.col("vec_id").alias("dst"),
-                     F.col("v").alias("_rv"), "bucket")
-    scored = (left.join(right, "bucket")
-              .where(F.col("src") != F.col("dst"))
-              .withColumn("_score", SIM.cosine(F.col("_lv"), F.col("_rv"))))
-    w = Window.partitionBy("src").orderBy(F.col("_score").desc(),
-                                          F.col("dst").asc())
-    return (scored.withColumn("rank", F.row_number().over(w))
-            .where(F.col("rank") <= 3)
-            .select("src", "rank", "dst",
-                    (F.round("_score", 4) + F.lit(0.0)).alias("score")))
+    return SIM.knn_graph(e, 3, max_bucket_size=1000,
+                         target_bucket_size=128)
 
 
 def q_text_lang_confusion(spark, sf_dir):
@@ -1359,15 +1345,28 @@ _SIM_ORACLES = {
         SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
                round(score, 4) + 0.0 AS score
         FROM ranked WHERE rn <= 5""",
+    # Mirrors similarity.knn_graph's scale guards exactly: n_bits =
+    # clamp(ceil(log2(count/128)), 4, 24) (auto_n_bits), bucket = the
+    # n_bits-prefix of the 24-bit hyperplane signature (bit j never
+    # depends on n_bits), buckets over 1000 dropped pre-join.
     "sim_knn_graph": f"""
         WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 8)} AS bucket
+        nb AS (SELECT CASE WHEN count(*) <= 128 THEN 4
+                           ELSE GREATEST(4, LEAST(24,
+                                CAST(ceil(log2(count(*) / 128.0)) AS INT)))
+                      END AS bits FROM e0),
+        e AS (SELECT vec_id, v,
+                     substr({_hp_bucket_sql('v', 24)}, 1,
+                            (SELECT bits FROM nb)) AS bucket
               FROM e0),
+        ok AS (SELECT bucket FROM e GROUP BY bucket
+               HAVING count(*) <= 1000),
+        ef AS (SELECT e.* FROM e JOIN ok USING (bucket)),
         scored AS (
           SELECT a.vec_id AS src, c.vec_id AS dst,
                  {_COS_SQL.replace("qv", "a.v").replace("vv", "c.v")}
                    AS score
-          FROM e a JOIN e c USING (bucket)
+          FROM ef a JOIN ef c USING (bucket)
           WHERE a.vec_id != c.vec_id),
         ranked AS (
           SELECT src, dst, score,
@@ -2485,6 +2484,31 @@ QUERIES = {
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
     "mm_frame_sample": q_mm_frame_sample,
 }
+
+# Driver-evidence ordering: the correctness driver samples the FIRST 50
+# entries of this dict. Queries that have never had a driver row
+# (CORRECTNESS_r01-r03 all checked the same 50 keys) lead, so every
+# query accumulates hard driver evidence across rounds; the
+# previously-green 50 follow in their original order.
+_NEVER_DRIVER_CHECKED = [
+    "text_lang_confusion", "sim_neardup_cosine", "sim_ivf_topk",
+    "sim_ivf_quantization", "emb_quantize_int8", "emb_label_separation",
+    "ts_pivot_hourly", "rel_cube", "rel_unpivot", "crossmodal_neighbors",
+    "events_json_extract", "ts_percentiles", "rel_rollup", "rel_set_ops",
+    "rel_inactive_customers", "rel_order_count_dist",
+    "rel_sole_blamed_supplier", "rel_top_supplier", "rel_grouping_sets",
+    "rel_shipping_priority", "text_zipf", "ts_ohlc_daily",
+    "ts_anomaly_zscore", "events_funnel", "rel_above_avg_orders",
+    "sketch_events_profile", "rel_customer_quartiles",
+    "ts_trailing_1h_sum", "text_bigram_topk", "emb_centroids",
+    "kv_seek_page", "rel_region_share", "doc_sample_stratified",
+    "doc_sample_fixed_k", "doc_sample_weighted", "doc_pack_manifest",
+    "doc_token_packing", "mm_decode_stats", "mm_resize_roundtrip",
+    "mm_frame_sample",
+]
+QUERIES = {**{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
+           **{k: v for k, v in QUERIES.items()
+              if k not in set(_NEVER_DRIVER_CHECKED)}}
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,

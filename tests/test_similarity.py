@@ -145,3 +145,67 @@ def test_int8_quantization_roundtrip_error_bound(spark):
     for vid in (1, 2):
         assert e[vid]["mae"] <= q[vid]["scale"] / 2 + 1e-12
     assert e[2]["mae"] == 0.0  # exact grid: zero reconstruction error
+
+
+def test_hyperplane_bucket_dims_mismatch_raises(spark):
+    """Wrong ``dims`` must RAISE, not silently zip-pad every projection
+    to the all-'0' bucket (which a bucket-size cap then drops -> empty
+    result with no error)."""
+    import pytest
+    from py4j.protocol import Py4JJavaError
+    from pyspark.errors import PySparkException
+
+    from quasdb_spark.operators.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64)], "vec_id long, embedding array<double>")
+    ok = df.select(hyperplane_bucket("embedding", 4, dims=64).alias("b"))
+    assert ok.first()["b"] == ok.first()["b"]  # matching dims still works
+    bad = df.select(hyperplane_bucket("embedding", 4, dims=32).alias("b"))
+    with pytest.raises((PySparkException, Py4JJavaError)):
+        bad.collect()
+
+
+def test_hyperplane_bucket_prefix_property(spark):
+    """Bit j is independent of n_bits: a shorter bucket is always a
+    prefix of a longer one (what lets auto_n_bits vary bits per corpus
+    while oracles substring a max-width signature)."""
+    from quasdb_spark.operators.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(i, [((i * 31 + j * 7) % 13) - 6.0 for j in range(64)])
+         for i in range(20)], "vec_id long, embedding array<double>")
+    r = df.select(hyperplane_bucket("embedding", 6).alias("b6"),
+                  hyperplane_bucket("embedding", 24).alias("b24")).collect()
+    assert all(row.b24.startswith(row.b6) for row in r)
+
+
+def test_knn_graph_skew_guard_bounds_hot_bucket(spark):
+    """A degenerate corpus (many identical vectors -> one hot bucket)
+    must NOT produce O(n^2) pairs: the over-cap bucket is dropped
+    before the self-join, normal buckets still get neighbors."""
+    from quasdb_spark.operators.similarity import knn_graph
+
+    rng = random.Random(7)
+    rows = [(i, [1.0] * 64) for i in range(60)]  # hot: identical vecs
+    for i in range(60, 80):  # normal corpus
+        rows.append((i, [rng.gauss(0, 1) for _ in range(64)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    out = knn_graph(df, 3, n_bits=4, max_bucket_size=30).collect()
+    srcs = {r.src for r in out}
+    assert not srcs & set(range(60))  # hot bucket dropped entirely
+    assert srcs  # normal vectors still got neighbors
+    # and with the guard off, the hot bucket IS the quadratic blowup
+    raw = knn_graph(df, 3, n_bits=4, max_bucket_size=None).collect()
+    assert {r.src for r in raw} & set(range(60))
+
+
+def test_knn_graph_auto_bits_scales_with_corpus(spark):
+    from quasdb_spark.operators.similarity import auto_n_bits
+
+    assert auto_n_bits(100) == 4          # tiny corpus -> floor
+    assert auto_n_bits(500) == 4          # sf0.01 embeddings
+    assert auto_n_bits(1 << 20) == 13     # 1M vectors -> ~128/bucket
+    assert auto_n_bits(10 ** 9) == 23     # 1B -> still under the cap
+    assert auto_n_bits(10 ** 12) == 24    # clamped
