@@ -107,23 +107,109 @@ class Version:
         return Version(**d)
 
 
+class ConditionalPutStore:
+    """The single primitive an object store must offer for safe manifest
+    commits: atomic put-if-absent. S3 has it (PutObject with
+    ``If-None-Match: *``, GA since 2024), GCS (``ifGenerationMatch=0``),
+    Azure Blob (``If-None-Match: *`` etags). Two racing writers both
+    try to create the SAME next manifest object; exactly one create
+    succeeds, the loser sees "already exists" and turns it into
+    CommitConflict — no locks, no rename, no CURRENT pointer (the live
+    version is simply the highest-numbered manifest object).
+
+    Subclass per store; `LocalConditionalPut` below is the reference
+    implementation (O_CREAT|O_EXCL is the same primitive on POSIX) and
+    what the unit tests drive.
+    """
+
+    def put_if_absent(self, name: str, content: str) -> bool:
+        """Atomically create ``name`` with ``content``. False if it
+        already exists (the precondition failed); True on success."""
+        raise NotImplementedError
+
+    def read(self, name: str) -> str:
+        raise NotImplementedError
+
+    def list(self) -> list[str]:
+        """All object names in the manifest prefix."""
+        raise NotImplementedError
+
+
+class LocalConditionalPut(ConditionalPutStore):
+    """Conditional put over a local directory via O_CREAT|O_EXCL — the
+    POSIX spelling of S3 If-None-Match. Used by tests to prove the
+    commit protocol is correct given only the conditional-put primitive
+    (no flock, no rename)."""
+
+    def __init__(self, root: str):
+        self.root = root
+        os.makedirs(root, exist_ok=True)
+
+    def put_if_absent(self, name: str, content: str) -> bool:
+        try:
+            fd = os.open(os.path.join(self.root, name),
+                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
+        except FileExistsError:
+            return False
+        with os.fdopen(fd, "w") as f:
+            f.write(content)
+            f.flush()
+            os.fsync(f.fileno())
+        return True
+
+    def read(self, name: str) -> str:
+        with open(os.path.join(self.root, name)) as f:
+            return f.read()
+
+    def list(self) -> list[str]:
+        try:
+            return sorted(os.listdir(self.root))
+        except FileNotFoundError:
+            return []
+
+
 class Manifest:
-    def __init__(self, store_path: str):
+    def __init__(self, store_path: str,
+                 backend: ConditionalPutStore | None = None):
         self.store_path = store_path
         self.dir = os.path.join(store_path, "_manifest")
+        # None = POSIX protocol (flock + atomic rename + CURRENT swap).
+        # A ConditionalPutStore switches to the object-store protocol:
+        # version N+1 is installed by put-if-absent of {N+1:06d}.json and
+        # the live version is the max-numbered object — see SCALE.md §2.
+        self.backend = backend
 
     # -- lifecycle -----------------------------------------------------
     def init(self, schema: dict[str, Any]) -> Version:
-        os.makedirs(self.dir, exist_ok=True)
         os.makedirs(os.path.join(self.store_path, "data"), exist_ok=True)
         v = Version(version=1, schema=schema)
+        if self.backend is not None:
+            if not self.backend.put_if_absent("000001.json", v.to_json()):
+                raise FileExistsError(
+                    f"manifest already initialized at {self.store_path}")
+            return v
+        os.makedirs(self.dir, exist_ok=True)
         self._write_version(v)
         return v
 
     def exists(self) -> bool:
+        if self.backend is not None:
+            return bool(self._backend_versions())
         return os.path.exists(os.path.join(self.dir, "CURRENT"))
 
+    def _backend_versions(self) -> list[str]:
+        return sorted(n for n in self.backend.list()
+                      if n.endswith(".json") and n[:-5].isdigit())
+
     def current(self) -> Version:
+        if self.backend is not None:
+            names = self._backend_versions()
+            if not names:
+                raise FileNotFoundError(
+                    f"no manifest objects at {self.store_path}")
+            # the live version IS the highest-numbered object: a
+            # successful conditional put of N+1 is the commit point
+            return Version.from_json(self.backend.read(names[-1]))
         with open(os.path.join(self.dir, "CURRENT")) as f:
             name = f.read().strip()
         with open(os.path.join(self.dir, name)) as f:
@@ -149,6 +235,19 @@ class Manifest:
             schema=base.schema,
             streams=dict(streams if streams is not None else base.streams),
         )
+        if self.backend is not None:
+            # object-store protocol: no lock, no rename — the atomic
+            # create of the NEXT version object is itself the CAS. A
+            # racing writer that already advanced past base makes the
+            # put fail (object exists) => CommitConflict; a racing
+            # writer still behind can't exist because versions are
+            # dense (base was read from the live max).
+            if not self.backend.put_if_absent(f"{nxt.version:06d}.json",
+                                              nxt.to_json()):
+                raise CommitConflict(
+                    f"version {nxt.version} already installed at "
+                    f"{self.store_path}")
+            return nxt
         with self._commit_lock():
             live = self.current()
             if live.version != base.version:
@@ -210,7 +309,12 @@ class Manifest:
 
         data_root = os.path.join(self.store_path, "data")
         removed = []
-        with self._commit_lock():
+        # under a conditional-put backend there is no lock to take (the
+        # live set only grows monotonically in version number; a stale
+        # read just means vacuuming less this round)
+        lock = (contextlib.nullcontext() if self.backend is not None
+                else self._commit_lock())
+        with lock:
             live = self.live_paths()
             now = time.time()
             for name in os.listdir(data_root):

@@ -69,7 +69,8 @@ def _make_handler(store: KVStore | None, doc_root: str | None):
                     df = store.scan(q.get("from"), q.get("to"), asof=asof,
                                     reverse=q.get("reverse") == "1",
                                     limit=limit)
-                    rows = [[r["key"], r["value"]] for r in df.collect()]
+                    rows = [[r["key"], store._row_value(r)]
+                            for r in df.collect()]
                     return self._json(200, {"rows": rows})
                 if doc_root is not None:
                     # static files (H1), with traversal protection

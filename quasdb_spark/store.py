@@ -69,13 +69,39 @@ LOG_FIELDS = [("key", StringType()), ("seq", LongType()), ("sub", LongType()),
 LOG_SCHEMA = StructType([StructField(n, t, True) for n, t in LOG_FIELDS])
 
 
-def _log_schema(binary: bool) -> StructType:
+_RESERVED_COLS = ("key", "seq", "sub", "op")
+
+
+def _log_schema(binary: bool,
+                value_schema: StructType | None = None) -> StructType:
     kt = BinaryType() if binary else StringType()
-    return StructType([
-        StructField("key", kt, True), StructField("seq", LongType(), True),
-        StructField("sub", LongType(), True),
-        StructField("op", StringType(), True),
-        StructField("value", kt, True)])
+    head = [StructField("key", kt, True), StructField("seq", LongType(), True),
+            StructField("sub", LongType(), True),
+            StructField("op", StringType(), True)]
+    if value_schema is not None:
+        return StructType(head + [StructField(f.name, f.dataType, True)
+                                  for f in value_schema.fields])
+    return StructType(head + [StructField("value", kt, True)])
+
+
+def _parse_value_schema(value_schema) -> StructType | None:
+    """Accept a StructType or a DDL string ('n long, total double')."""
+    if value_schema is None or isinstance(value_schema, StructType):
+        schema = value_schema
+    else:
+        from pyspark.sql.types import _parse_datatype_string
+
+        schema = _parse_datatype_string(value_schema)
+        if not isinstance(schema, StructType):
+            raise ValueError("value_schema must describe a struct of "
+                             f"columns, got {schema.simpleString()}")
+    if schema is not None:
+        for f in schema.fields:
+            if f.name in _RESERVED_COLS:
+                raise ValueError(f"value_schema column {f.name!r} collides "
+                                 f"with a reserved log column "
+                                 f"{_RESERVED_COLS}")
+    return schema
 
 
 PUT, DEL = "put", "del"
@@ -194,6 +220,17 @@ class KVStore:
     l0_compaction_trigger: int = 8
     level_compaction_trigger: int = 8
     vacuum_grace: float = 600.0
+    # Abandoned scan_iter cursors pin their snapshot forever (the
+    # generator finally-block never runs if the caller drops it);
+    # vacuum reaps scan-* snapshots older than this (seconds).
+    scan_snapshot_ttl: float = 6 * 3600.0
+    # Footer-stats fan-out policy: the distributed path ships LOCAL
+    # filesystem paths into tasks, which is only valid when executors
+    # see the driver's filesystem — local[*] masters, or a shared
+    # mount/object-store the operator vouches for with "always".
+    # "auto" (default) = distributed only under a local master;
+    # "never" = always driver-side threads. See SCALE.md §3.
+    dist_stats: str = "auto"
 
     def __init__(self, spark: SparkSession, path: str):
         self.spark = spark
@@ -201,37 +238,63 @@ class KVStore:
         self.manifest = Manifest(self.path)
         self.binary = False
         self.codec: type = IdentityCodec
+        self.value_schema: StructType | None = None
         if self.manifest.exists():
             self._load_config()
 
     def _load_config(self) -> None:
         """Recover the data-model options persisted at create time."""
+        import json as _json
+
         schema = self.manifest.current().schema or {}
         self.binary = schema.get("key_type") == "binary"
         self.codec = CODECS[schema.get("codec", "identity")]
+        vs = schema.get("value_schema")
+        self.value_schema = (StructType.fromJson(_json.loads(vs))
+                             if vs else None)
 
     @property
     def log_schema(self) -> StructType:
-        return _log_schema(self.binary)
+        return _log_schema(self.binary, self.value_schema)
+
+    @property
+    def value_cols(self) -> list[str]:
+        """User-facing value column names: the typed schema's fields, or
+        the classic single ``value`` column."""
+        return ([f.name for f in self.value_schema.fields]
+                if self.value_schema is not None else ["value"])
 
     # ---------------------------------------------------------- lifecycle
     @classmethod
     def create(cls, spark: SparkSession, path: str, *, binary: bool = False,
-               codec: type | str | None = None) -> "KVStore":
+               codec: type | str | None = None,
+               value_schema: StructType | str | None = None) -> "KVStore":
         """Create a store. ``binary=True`` makes keys/values raw byte
         strings (slice.h parity, bytewise order). ``codec`` installs a
         custom comparator as an order-preserving key codec (A4); string
         stores only — binary stores already have bytewise order, the
-        reference default."""
+        reference default.
+
+        ``value_schema`` (SURVEY §1.4; a StructType or DDL string like
+        ``"n long, total double"``) makes the store's value a set of
+        TYPED columns instead of one string: rows are stored as native
+        Parquet columns, so reads get column pruning and predicate
+        pushdown on value fields — the idiomatic face the reference's
+        byte-string contract (kv/include/slice.h:13-26) can't offer.
+        put/get then speak dicts; state()/scan() return the typed
+        columns."""
         st = cls(spark, path)
         if st.manifest.exists():
             raise FileExistsError(f"store already exists at {path}")
-        st.manifest.init(schema=cls._schema_dict(binary, codec))
+        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema))
         st._load_config()
         return st
 
     @staticmethod
-    def _schema_dict(binary: bool, codec: type | str | None) -> dict:
+    def _schema_dict(binary: bool, codec: type | str | None,
+                     value_schema: StructType | str | None = None) -> dict:
+        import json as _json
+
         name = (codec if isinstance(codec, str)
                 else codec.name if codec is not None else "identity")
         if name not in CODECS:
@@ -239,9 +302,18 @@ class KVStore:
         if binary and name != "identity":
             raise ValueError("codecs apply to string stores; binary "
                              "stores use bytewise order already")
+        vs = _parse_value_schema(value_schema)
+        if binary and vs is not None:
+            raise ValueError("value_schema applies to string-key stores; "
+                             "binary stores keep the byte-string contract")
         kt = "binary" if binary else "string"
-        return {"columns": [n for n, _ in LOG_FIELDS],
-                "key_type": kt, "value_type": kt, "codec": name}
+        out = {"columns": [n for n, _ in LOG_FIELDS],
+               "key_type": kt, "value_type": kt, "codec": name}
+        if vs is not None:
+            out["value_type"] = "struct"
+            out["columns"] = list(_RESERVED_COLS) + [f.name for f in vs.fields]
+            out["value_schema"] = _json.dumps(vs.jsonValue())
+        return out
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "KVStore":
@@ -253,16 +325,19 @@ class KVStore:
     @classmethod
     def open_or_create(cls, spark: SparkSession, path: str, *,
                        binary: bool = False,
-                       codec: type | str | None = None) -> "KVStore":
+                       codec: type | str | None = None,
+                       value_schema: StructType | str | None = None) -> "KVStore":
         st = cls(spark, path)
         if not st.manifest.exists():
-            st.manifest.init(schema=cls._schema_dict(binary, codec))
+            st.manifest.init(schema=cls._schema_dict(binary, codec,
+                                                     value_schema))
             st._load_config()
         return st
 
     @classmethod
     def repair(cls, spark: SparkSession, path: str, *, binary: bool = False,
-               codec: type | str | None = None) -> "KVStore":
+               codec: type | str | None = None,
+               value_schema: StructType | str | None = None) -> "KVStore":
         """RepairDB (declared by the reference, kv/include/db.h:112-116;
         LevelDB semantics: rebuild metadata from the data files).
         Reconstructs a fresh manifest from the data dirs on disk — per-dir
@@ -287,7 +362,7 @@ class KVStore:
         if os.path.isdir(st.manifest.dir):
             shutil.move(st.manifest.dir,
                         st.manifest.dir + f".corrupt-{int(time.time())}")
-        st.manifest.init(schema=cls._schema_dict(binary, codec))
+        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema))
         st._load_config()
         entries, last_seq = [], 0
         for name in sorted(os.listdir(data_root)):
@@ -326,7 +401,20 @@ class KVStore:
 
     def _enc_value(self, value):
         if value is None:
-            return None
+            return (None,) * len(self.value_cols) \
+                if self.value_schema is not None else None
+        if self.value_schema is not None:
+            # typed store: value is a mapping of field -> value; missing
+            # fields store NULL, unknown fields are an error
+            if not isinstance(value, dict):
+                raise TypeError("typed store requires dict values "
+                                f"({', '.join(self.value_cols)}), got "
+                                f"{type(value).__name__}")
+            unknown = set(value) - set(self.value_cols)
+            if unknown:
+                raise ValueError(f"unknown value fields {sorted(unknown)}; "
+                                 f"schema has {self.value_cols}")
+            return tuple(value.get(f) for f in self.value_cols)
         if self.binary:
             if not isinstance(value, (bytes, bytearray)):
                 raise TypeError(f"binary store requires bytes values, got "
@@ -393,10 +481,13 @@ class KVStore:
         enc_ops = [(op, self._enc(k), self._enc_value(v))
                    for op, k, v in ops]
 
+        typed = self.value_schema is not None
+
         def build(seq):
             # intra-batch order: position in the list, per the
             # reference's replay-in-order semantics
-            rows = [(k, seq, i, op, v) for i, (op, k, v) in enumerate(enc_ops)]
+            rows = [(k, seq, i, op, *v) if typed else (k, seq, i, op, v)
+                    for i, (op, k, v) in enumerate(enc_ops)]
             return self.spark.createDataFrame(rows, self.log_schema), len(rows)
 
         return self._append_with_retry(build)
@@ -439,13 +530,19 @@ class KVStore:
                 return s.map(codec.encode)
 
             key = enc(key)
-        return df.select(
+        head = [
             key.alias("key"),
             F.lit(seq).cast("long").alias("seq"),
             (F.col(sub_col).cast("long") if sub_col else F.lit(0).cast("long")).alias("sub"),
             (F.col(op_col) if op_col else F.lit(PUT)).alias("op"),
-            F.col(value_col).cast(kt).alias("value"),
-        )
+        ]
+        if self.value_schema is not None:
+            # typed store: the value columns come straight off the input
+            # DataFrame, cast to the declared types (value_col ignored)
+            return df.select(*head, *[
+                F.col(f.name).cast(f.dataType).alias(f.name)
+                for f in self.value_schema.fields])
+        return df.select(*head, F.col(value_col).cast(kt).alias("value"))
 
     def ingest_batch(self, df: DataFrame, stream_id: str, batch_id: int,
                      **ingest_kwargs) -> int | None:
@@ -555,7 +652,7 @@ class KVStore:
         for root, _dirs, files in os.walk(full_path):
             paths.extend(os.path.join(root, fn) for fn in files
                          if fn.endswith(".parquet"))
-        if len(paths) >= _DIST_STATS_MIN_FILES:
+        if len(paths) >= _DIST_STATS_MIN_FILES and self._dist_stats_safe():
             per_file = (self.spark.sparkContext
                         .parallelize(sorted(paths),
                                      min(len(paths) // 4 + 1, 64))
@@ -582,6 +679,19 @@ class KVStore:
                 "max_key": as_str(max(maxs)) if maxs else None,
                 "seq_lo": min(slos) if slos else None,
                 "seq_hi": max(shis) if shis else None}
+
+    def _dist_stats_safe(self) -> bool:
+        """Whether tasks may read the store's files by driver-local
+        path (the distributed footer-stats fan-out)."""
+        if self.dist_stats == "always":
+            return True
+        if self.dist_stats == "never":
+            return False
+        try:
+            master = self.spark.conf.get("spark.master", "")
+        except Exception:
+            master = ""
+        return master.startswith("local")
 
     # -------------------------------------------------------------- reads
     def log_df(self, *, key_from=None, key_to=None,
@@ -621,7 +731,15 @@ class KVStore:
         Bounds and returned keys are in STORED key space; the public
         ``scan`` surface handles user-space encode/decode."""
         log = self.log_df(key_from=key_from, key_to=key_to, asof=asof)
-        return state_view(log, None).select("key", "value")
+        return state_view(log, None).select("key", *self.value_cols)
+
+    def _row_value(self, row):
+        """A result row's user-facing value: bytes (binary), a dict of
+        typed fields (typed store), or the plain string."""
+        if self.value_schema is not None:
+            return {f: row[f] for f in self.value_cols}
+        v = row["value"]
+        return bytes(v) if self.binary and v is not None else v
 
     def get(self, key, asof: int | None = None):
         """Point lookup (kv/db/db_impl.cpp:1292-1349). Returns None for
@@ -631,8 +749,7 @@ class KVStore:
                 .where(F.col("key") == F.lit(enc)).limit(1).collect())
         if not rows:
             return None
-        v = rows[0]["value"]
-        return bytes(v) if self.binary and v is not None else v
+        return self._row_value(rows[0])
 
     def multi_get(self, keys: list, asof: int | None = None) -> dict:
         """Batched point lookup: ONE pruned scan with an IN filter
@@ -644,16 +761,18 @@ class KVStore:
         lo, hi = min(encs), self._next_key(max(encs))
         st = self.state(asof, key_from=lo, key_to=hi) \
                  .where(F.col("key").isin(list(set(encs))))
-        if self.binary:
-            return {bytes(r["key"]): bytes(r["value"]) for r in st.collect()}
-        return {self._dec(r["key"]): r["value"] for r in st.collect()}
+        return {self._dec(r["key"]): self._row_value(r) for r in st.collect()}
 
     def scan_iter(self, key_from: str | None = None,
                   key_to: str | None = None, *, asof: int | None = None,
-                  page_size: int = 10000):
+                  reverse: bool = False, page_size: int = 10000):
         """Keyset-paginated iterator over scan results — the cursor
         surface (Seek/Next, S3/S5) for driver-side consumers that want
         bounded memory. Each page is one TakeOrderedAndProject job.
+        ``reverse=True`` walks the range backwards (DBIter::Prev parity,
+        kv/db/db_iter.cpp:230-314): same [key_from, key_to) bounds and
+        the same pinned snapshot, pages ordered descending, the cursor
+        tightening the EXCLUSIVE upper bound page by page.
 
         Snapshot consistency across pages: when no ``asof`` is given, a
         snapshot is REGISTERED at the current seq (and released when the
@@ -661,29 +780,36 @@ class KVStore:
         mid-iteration must retain every version this cursor reads — the
         reference's iterator-pins-a-snapshot semantics
         (kv/db/db_impl.cpp:1351-1362). Physical file safety comes from
-        deferred vacuum (see compact)."""
+        deferred vacuum (see compact). Abandoned cursors (a generator
+        the caller never exhausts or closes) are reaped by vacuum's
+        scan-snapshot janitor after ``scan_snapshot_ttl`` seconds."""
+        import time as _time
+
         pinned = None
         if asof is None:
-            pinned = f"scan-{uuid.uuid4().hex[:8]}"
+            pinned = f"scan-{int(_time.time())}-{uuid.uuid4().hex[:8]}"
             asof = self.snapshot(pinned)
         # the cursor lives in STORED key space: an exclusive-start bound
         # (last_stored + "\0") is always valid there even when it is not
-        # itself a decodable key
-        cursor = self._enc_bound(key_from)
-        enc_to = self._enc_bound(key_to)
+        # itself a decodable key; the reverse cursor needs no successor
+        # trick at all because the upper bound is already exclusive
+        lo, hi = self._enc_bound(key_from), self._enc_bound(key_to)
         try:
             while True:
-                rows = self._scan_stored(cursor, enc_to, asof=asof,
+                rows = self._scan_stored(lo, hi, asof=asof, reverse=reverse,
                                          limit=page_size).collect()
                 if not rows:
                     return
-                yield from ((self._dec(r["key"]),
-                             bytes(r["value"]) if self.binary else r["value"])
+                yield from ((self._dec(r["key"]), self._row_value(r))
                             for r in rows)
                 if len(rows) < page_size:
                     return
-                cursor = self._next_key(
-                    bytes(rows[-1]["key"]) if self.binary else rows[-1]["key"])
+                last = (bytes(rows[-1]["key"]) if self.binary
+                        else rows[-1]["key"])
+                if reverse:
+                    hi = last
+                else:
+                    lo = self._next_key(last)
         finally:
             if pinned is not None:
                 self.release_snapshot(pinned)
@@ -801,8 +927,43 @@ class KVStore:
         current version (RemoveObsoleteFiles, kv/db/db_impl.cpp:248-320).
         Deletion is decoupled from compaction commits so lazy DataFrames
         and pinned cursors keep working until the operator opts in;
-        ``grace_seconds`` gives open readers a grace window."""
+        ``grace_seconds`` gives open readers a grace window. Also reaps
+        expired scan-cursor snapshots (see ``scan_snapshot_ttl``)."""
+        self.reap_scan_snapshots()
         return self.manifest.vacuum(grace_seconds)
+
+    def reap_scan_snapshots(self, ttl: float | None = None) -> list[str]:
+        """Release scan_iter snapshots older than ``ttl`` seconds
+        (default: ``scan_snapshot_ttl``). Cursor snapshots embed their
+        creation epoch in the name (scan-<epoch>-<id>); an abandoned
+        iterator would otherwise pin compaction retention forever."""
+        import time as _time
+
+        ttl = self.scan_snapshot_ttl if ttl is None else ttl
+        now = _time.time()
+
+        def expired(name: str) -> bool:
+            if not name.startswith("scan-"):
+                return False
+            parts = name.split("-")
+            try:
+                born = int(parts[1])
+            except (IndexError, ValueError):
+                return False
+            return now - born > ttl
+
+        reaped: list[str] = []
+
+        def mutate(ver):
+            stale = [n for n in ver.snapshots if expired(n)]
+            if not stale:
+                return None
+            reaped[:] = stale
+            return {"snapshots": {n: s for n, s in ver.snapshots.items()
+                                  if n not in set(stale)}}
+
+        self._meta_commit(mutate)
+        return reaped
 
     def compact(self, *, target_files: int | None = None,
                 key_from: str | None = None,

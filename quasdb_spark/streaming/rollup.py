@@ -48,8 +48,18 @@ def continuous_rollup(store: KVStore, stream_df: DataFrame,
     agg_names = [c for c in win.columns if c != "w" and c not in keys]
     key_expr = F.concat_ws("|", F.date_format("w.start", _TS_FMT),
                            *[F.col(k).cast("string") for k in keys])
-    kv = win.select(key_expr.alias("key"),
-                    F.to_json(F.struct(*agg_names)).alias("value"))
+    if store.value_schema is not None:
+        # typed store (create(value_schema=...)): aggregates land as
+        # native Parquet columns — no JSON round-trip, and rollup reads
+        # get column pruning + predicate pushdown on the agg fields
+        missing = [f for f in store.value_cols if f not in agg_names]
+        if missing:
+            raise ValueError(f"store value_schema fields {missing} not "
+                             f"produced by aggs {agg_names}")
+        kv = win.select(key_expr.alias("key"), *store.value_cols)
+    else:
+        kv = win.select(key_expr.alias("key"),
+                        F.to_json(F.struct(*agg_names)).alias("value"))
 
     def commit(batch_df: DataFrame, batch_id: int) -> None:
         store.ingest_batch(batch_df, stream_id, batch_id)
@@ -63,11 +73,18 @@ def continuous_rollup(store: KVStore, stream_df: DataFrame,
     return writer.start()
 
 
-def rollup_state(store: KVStore, keys: list[str], value_schema: str, *,
+def rollup_state(store: KVStore, keys: list[str],
+                 value_schema: str | None = None, *,
                  window_from=None, window_to=None) -> DataFrame:
     """Current rollup as a typed DataFrame: splits the composite key
-    back into (window_start, keys...) and parses the JSON aggregates
-    with ``value_schema`` (e.g. ``"n long, total double"``).
+    back into (window_start, keys...) plus the aggregate columns.
+
+    On a typed store (created with ``value_schema=...``) the aggregates
+    are already native columns — read as-is, with column pruning and
+    value-predicate pushdown straight to the Parquet scan (no JSON
+    parse anywhere in the plan). On a classic string store, pass
+    ``value_schema`` (e.g. ``"n long, total double"``) to parse the
+    stored JSON.
 
     ``window_from``/``window_to`` (datetimes, [from, to)) become a KEY
     RANGE on the time-prefixed rollup keys — the store's manifest +
@@ -77,8 +94,13 @@ def rollup_state(store: KVStore, keys: list[str], value_schema: str, *,
     lo = window_from.strftime("%Y-%m-%dT%H:%M:%S") if window_from else None
     hi = window_to.strftime("%Y-%m-%dT%H:%M:%S") if window_to else None
     parts = F.split("key", r"\|")
-    out = store.state(key_from=lo, key_to=hi).select(
-        F.to_timestamp(F.element_at(parts, 1), _TS_FMT).alias("window_start"),
-        *[F.element_at(parts, i + 2).alias(k) for i, k in enumerate(keys)],
-        F.from_json("value", value_schema).alias("_v"))
+    head = [F.to_timestamp(F.element_at(parts, 1), _TS_FMT).alias("window_start"),
+            *[F.element_at(parts, i + 2).alias(k) for i, k in enumerate(keys)]]
+    st = store.state(key_from=lo, key_to=hi)
+    if store.value_schema is not None:
+        return st.select(*head, *store.value_cols)
+    if value_schema is None:
+        raise ValueError("value_schema is required for string stores "
+                         "(JSON-encoded rollup values)")
+    out = st.select(*head, F.from_json("value", value_schema).alias("_v"))
     return out.select("window_start", *keys, "_v.*")

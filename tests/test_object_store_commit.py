@@ -1,0 +1,111 @@
+"""Object-store manifest commits via conditional put (SCALE.md §5).
+
+The protocol must be correct given ONLY atomic put-if-absent (what
+S3 If-None-Match / GCS ifGenerationMatch=0 provide): live version =
+highest-numbered manifest object; installing N+1 is one conditional
+create; exactly one racing writer wins. LocalConditionalPut spells the
+primitive as O_CREAT|O_EXCL — no flock, no rename, no CURRENT file.
+"""
+
+import threading
+
+import pytest
+
+from quasdb_spark.manifest import (CommitConflict, FileEntry,
+                                   LocalConditionalPut, Manifest)
+
+
+def _mk(tmp_path, name="os-store"):
+    root = tmp_path / name
+    backend = LocalConditionalPut(str(root / "_manifest"))
+    return Manifest(str(root), backend=backend)
+
+
+def test_init_current_and_linear_commits(tmp_path):
+    mf = _mk(tmp_path)
+    assert not mf.exists()
+    mf.init(schema={"key_type": "string"})
+    assert mf.exists()
+    v1 = mf.current()
+    assert v1.version == 1 and v1.schema["key_type"] == "string"
+
+    e = FileEntry(path="data/b1", seq_lo=1, seq_hi=1, rows=10, bytes=100)
+    v2 = mf.commit(v1, add=[e], last_seq=1)
+    assert mf.current().version == 2
+    assert [f.path for f in mf.current().files] == ["data/b1"]
+    mf.commit(v2, remove={"data/b1"}, last_seq=2)
+    assert mf.current().version == 3 and mf.current().files == []
+    # no POSIX-protocol artifacts anywhere
+    names = mf.backend.list()
+    assert "CURRENT" not in names and "LOCK" not in names
+
+
+def test_double_init_fails(tmp_path):
+    mf = _mk(tmp_path)
+    mf.init(schema={})
+    with pytest.raises(FileExistsError):
+        mf.init(schema={})
+
+
+def test_stale_base_commit_conflicts(tmp_path):
+    mf = _mk(tmp_path)
+    mf.init(schema={})
+    base = mf.current()
+    mf.commit(base, last_seq=1)  # someone advances
+    with pytest.raises(CommitConflict):
+        mf.commit(base, last_seq=2)  # same base again -> object exists
+
+
+def test_racing_writers_single_winner(tmp_path):
+    """Two writers commit against the SAME base concurrently: exactly
+    one conditional put succeeds, the loser gets CommitConflict —
+    single-winner semantics from put-if-absent alone."""
+    mf = _mk(tmp_path)
+    mf.init(schema={})
+    base = mf.current()
+    results = []
+    barrier = threading.Barrier(2)
+
+    def writer(tag):
+        barrier.wait()
+        try:
+            mf.commit(base, add=[FileEntry(
+                path=f"data/{tag}", seq_lo=1, seq_hi=1, rows=1, bytes=1)],
+                last_seq=1)
+            results.append(("ok", tag))
+        except CommitConflict:
+            results.append(("conflict", tag))
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in ("a", "b")]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert sorted(r[0] for r in results) == ["conflict", "ok"]
+    live = mf.current()
+    assert live.version == 2 and len(live.files) == 1
+    winner = [tag for ok, tag in results if ok == "ok"][0]
+    assert live.files[0].path == f"data/{winner}"
+
+
+def test_kvstore_append_retry_over_conditional_put(tmp_path, spark):
+    """KVStore's write path (retry loop re-stamping seqs) works
+    unchanged over the object-store protocol: put/get/scan/compact
+    round-trip with the backend swapped in."""
+    from quasdb_spark.store import KVStore
+
+    st = KVStore(spark, str(tmp_path / "kv"))
+    st.manifest = Manifest(st.path, backend=LocalConditionalPut(
+        str(tmp_path / "kv" / "_manifest")))
+    st.manifest.init(schema=KVStore._schema_dict(False, None))
+    st._load_config()
+
+    st.put("a", "1")
+    st.put("b", "2")
+    st.delete("a")
+    st.write_batch([("put", "c", "3"), ("put", "b", "22")])
+    assert st.get("a") is None and st.get("b") == "22"
+    assert [(r["key"], r["value"]) for r in st.scan().collect()] == [
+        ("b", "22"), ("c", "3")]
+    st.compact()
+    st.vacuum(0.0)  # nullcontext lock path under a backend
+    assert [(r["key"], r["value"]) for r in st.scan().collect()] == [
+        ("b", "22"), ("c", "3")]

@@ -407,3 +407,65 @@ def test_repair_rebuilds_manifest_from_data(spark, tmp_path):
     # levels inferred from dir names
     levels = {f.level for f in rep.manifest.current().files}
     assert 1 in levels
+
+
+def test_scan_iter_reverse_paging_under_compaction(spark, tmp_path):
+    """Bidirectional cursor parity (DBIter::Prev, db_iter.cpp:230-314):
+    forward and reverse paging over the same pinned snapshot must yield
+    the dict oracle's items in opposite orders — even when writes,
+    compaction, AND vacuum land mid-iteration."""
+    import random
+
+    rng = random.Random(99)
+    st = _mk(spark, tmp_path)
+    model = {}
+    for i in range(60):
+        k = f"r{rng.randrange(200):03d}"
+        if rng.random() < 0.2:
+            st.delete(k)
+            model.pop(k, None)
+        else:
+            st.put(k, f"v{i}")
+            model[k] = f"v{i}"
+
+    fwd = st.scan_iter(key_from="r020", key_to="r180", page_size=5)
+    rev = st.scan_iter(key_from="r020", key_to="r180", reverse=True,
+                       page_size=5)
+    expect = sorted((k, v) for k, v in model.items() if "r020" <= k < "r180")
+    got_f, got_r = [next(fwd)], [next(rev)]
+    # mutate + compact + vacuum mid-iteration: pinned snapshots protect
+    # both cursors (retention keeps their versions; paths re-resolve)
+    st.put("r100", "mutated")
+    st.delete("r050")
+    st.compact()
+    st.vacuum(0.0)
+    got_f += list(fwd)
+    got_r += list(rev)
+    assert got_f == expect
+    assert got_r == list(reversed(expect))
+
+
+def test_abandoned_scan_snapshot_reaped_by_vacuum(spark, tmp_path):
+    """An abandoned cursor pins a scan-* snapshot; vacuum's janitor
+    reaps it after the TTL (and not before)."""
+    st = _mk(spark, tmp_path)
+    for i in range(5):
+        st.put(f"k{i}", str(i))
+    # CPython GC closes a dropped generator (finally runs), but a cursor
+    # abandoned in a crashed/killed driver never releases — simulate that
+    # by registering snapshots exactly the way scan_iter names them
+    import time
+    import uuid as _uuid
+    old = f"scan-{int(time.time()) - 10**6}-{_uuid.uuid4().hex[:8]}"
+    young = f"scan-{int(time.time())}-{_uuid.uuid4().hex[:8]}"
+    st.snapshot(old)
+    st.snapshot(young)
+    reaped = st.reap_scan_snapshots()  # default TTL: only `old` expired
+    assert reaped == [old]
+    snaps = st.manifest.current().snapshots
+    assert young in snaps and old not in snaps
+    # vacuum() runs the janitor too
+    st.scan_snapshot_ttl = -1.0
+    st.vacuum(0.0)
+    assert not [n for n in st.manifest.current().snapshots
+                if n.startswith("scan-")]
