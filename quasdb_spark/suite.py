@@ -764,9 +764,30 @@ def q_mm_frame_sample(spark, sf_dir):
                          F.length("frame").cast("long").alias("n_bytes"))
 
 
+def q_mm_audio_stats(spark, sf_dir):
+    """Audio metadata decode, oracle-checked: pack one QM audio blob
+    per doc (sample_rate = 32 + 7·id mod 480, n_samples = 32 + 13·id
+    mod 360) and decode through operators/multimodal.decode_audio —
+    the real→fake ladder lands on the synthetic header ('fake' path;
+    the 'real' stdlib-wave path is exercised by
+    tests/test_multimodal.py on in-test generated WAV bytes)."""
+    from quasdb_spark.operators.multimodal import decode_audio, media_from_ids
+    d = _par(_t(spark, sf_dir, "documents"))
+    return decode_audio(media_from_ids(d, kind="audio")).select(
+        "media_id", "sample_rate", "n_channels", "n_samples",
+        "decode_path")
+
+
 _MM_ORACLES = {
     # blob = 11-byte QM header + 64-byte payload; QM blobs are not real
     # images, so the decode path is deterministically 'fake'
+    "mm_audio_stats": """
+        SELECT doc_id AS media_id,
+               CAST(32 + (doc_id * 7) % 480 AS INT) AS sample_rate,
+               CAST(1 AS INT) AS n_channels,
+               CAST(32 + (doc_id * 13) % 360 AS BIGINT) AS n_samples,
+               'fake' AS decode_path
+        FROM documents""",
     "mm_decode_stats": """
         SELECT doc_id AS media_id,
                CAST(32 + (doc_id * 7) % 480 AS INT) AS width,
@@ -2483,6 +2504,7 @@ QUERIES = {
     "mm_decode_stats": q_mm_decode_stats,
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
     "mm_frame_sample": q_mm_frame_sample,
+    "mm_audio_stats": q_mm_audio_stats,
 }
 
 # Driver-evidence ordering: the correctness driver samples the FIRST 50
@@ -2504,7 +2526,7 @@ _NEVER_DRIVER_CHECKED = [
     "kv_seek_page", "rel_region_share", "doc_sample_stratified",
     "doc_sample_fixed_k", "doc_sample_weighted", "doc_pack_manifest",
     "doc_token_packing", "mm_decode_stats", "mm_resize_roundtrip",
-    "mm_frame_sample",
+    "mm_frame_sample", "mm_audio_stats",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
            **{k: v for k, v in QUERIES.items()

@@ -89,3 +89,72 @@ def test_media_from_ids_matches_synth(spark):
     synth = {r["media_id"]: bytes(r["data"])
              for r in synth_media(spark, 20).collect()}
     assert packed == synth
+
+
+def _wav_bytes(rate=8000, channels=2, frames=1000):
+    import io
+    import wave
+
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(2)
+        w.setframerate(rate)
+        w.writeframes(b"\x00\x00" * channels * frames)
+    return buf.getvalue()
+
+
+def test_decode_audio_real_wav_roundtrip(spark):
+    """In-test generated WAV decodes through the REAL path (stdlib
+    wave), not the synthetic-header fake."""
+    rows = [(1, "audio", _wav_bytes(8000, 2, 1000), {}),
+            (2, "audio", _wav_bytes(44100, 1, 441), {})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.decode_audio(df).collect()}
+    assert got[1]["decode_path"] == "real"
+    assert (got[1]["sample_rate"], got[1]["n_channels"],
+            got[1]["n_samples"]) == (8000, 2, 1000)
+    assert got[2]["sample_rate"] == 44100
+    assert abs(got[2]["duration_s"] - 0.01) < 1e-6
+
+
+def test_decode_audio_fake_and_error_paths(spark):
+    df = spark.createDataFrame(
+        [(7, "audio", MM.make_blob("audio", 16000, 320, "a7"), {}),
+         (8, "audio", b"garbage-bytes", {}),
+         (9, "audio", MM.make_blob("image", 64, 48, "i9"), {})],
+        MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.decode_audio(df).collect()}
+    assert (got[7]["decode_path"], got[7]["sample_rate"],
+            got[7]["n_samples"]) == ("fake", 16000, 320)
+    assert got[8]["decode_path"] == "error"
+    assert got[9]["decode_path"] == "error"  # image blob is not audio
+
+
+def _mjpeg_frames(n_frames=5):
+    """Minimal JPEG-framed byte strings: SOI+APP0 ... EOI. No codec
+    needed to build or split them; payload varies per frame so exact
+    byte round-trip is checkable."""
+    return [b"\xff\xd8\xff\xe0" + bytes([i]) * 20 + b"\xff\xd9"
+            for i in range(n_frames)]
+
+
+def test_sample_frames_real_mjpeg_roundtrip(spark):
+    """In-test generated MJPEG (concatenated JPEG frames) samples the
+    REAL frame bytes: each sampled frame equals its source frame
+    byte-for-byte (no synthetic substitution)."""
+    frames_src = _mjpeg_frames(5)
+    df = spark.createDataFrame([(3, "video", b"".join(frames_src), {})],
+                               MM.MEDIA_SCHEMA)
+    got = MM.sample_frames(df, every_k=2).collect()
+    assert [f["frame_index"] for f in got] == [0, 2, 4]
+    assert [bytes(f["frame"]) for f in got] == [
+        frames_src[0], frames_src[2], frames_src[4]]
+
+
+def test_sample_frames_qm_fake_unchanged(spark):
+    """QM synthetic videos keep the deterministic fake frames (the
+    oracle contract for mm_frame_sample)."""
+    df = MM.synth_media(spark, 3, kind="video")
+    frames = MM.sample_frames(df, every_k=10).collect()
+    assert frames and all(len(bytes(f["frame"])) == 75 for f in frames)
