@@ -51,3 +51,32 @@ def kv_versions(events: DataFrame, key: str, *, keep: int = 1 << 30) -> DataFram
     """Version history of one key, newest first (debug surface)."""
     log = events_as_oplog(events).where(F.col("key") == key)
     return state_view_window(log, None, sub_col=None, keep_versions=keep)
+
+
+def events_as_typed_oplog(events: DataFrame) -> DataFrame:
+    """The TYPED-value projection (KVStore.create(value_schema=...)
+    storage model): value FIELDS are native columns — amount double,
+    etype string — not an encoded string. state_view carries arbitrary
+    payload columns unchanged, and value predicates on the result push
+    down to the scan (tests/test_typed_store.py asserts the plan)."""
+    return events.select(
+        F.expr(KEY_EXPR).alias("key"),
+        F.col("event_id").cast("long").alias("seq"),
+        F.expr(OP_EXPR).alias("op"),
+        (F.round(F.col("value"), 6) + F.lit(0.0)).alias("amount"),
+        F.col("event_type").alias("etype"),
+    )
+
+
+def kv_typed_state(events: DataFrame, asof: int | None = None,
+                   min_amount: float | None = None) -> DataFrame:
+    """Live typed state: latest (amount, etype) per key, tombstones
+    masked, optionally filtered on a typed VALUE field — the read shape
+    the typed store exists for (filter reaches the scan instead of
+    parsing strings)."""
+    log = events_as_typed_oplog(events)
+    out = state_view(log, asof, sub_col=None).select("key", "amount",
+                                                     "etype")
+    if min_amount is not None:
+        out = out.where(F.col("amount") >= min_amount)
+    return out

@@ -129,7 +129,8 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
 def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   n_bits: int = 8, hyperplanes: bool = True,
-                  dims: int = 64, seed: int = 0) -> DataFrame:
+                  dims: int = 64, seed: int = 0,
+                  probe_hamming: int = 0) -> DataFrame:
     """Approximate top-k: score only vectors in the query's bucket.
 
     The bucket equality join replaces the cross join — shuffle/compare
@@ -137,16 +138,38 @@ def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     (rank within bucket). Buckets are random-hyperplane sign bits
     (Charikar LSH) by default; ``hyperplanes=False`` falls back to the
     cheaper axis-aligned leading-dim signs.
+
+    ``probe_hamming=1`` is classic multiprobe LSH: each query also
+    probes every bucket one bit-flip away (n_bits+1 probes), catching
+    neighbors that fell just across a hyperplane — recall rises
+    steeply for ~(n_bits+1)× the candidate volume, which is still
+    2^n_bits/(n_bits+1) cheaper than exact. The probe fan-out explodes
+    the QUERY side only (broadcast-tiny); vector buckets partition the
+    corpus, so a neighbor is seen at most once — no dedup stage.
     """
     def bucket():
         if hyperplanes:
             return hyperplane_bucket(vec_col, n_bits, dims=dims, seed=seed)
         return sign_bucket(vec_col, n_bits)
 
+    if probe_hamming not in (0, 1):
+        raise ValueError("probe_hamming supports 0 (exact bucket) or 1 "
+                         "(all one-bit-flip probes)")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
                        norm(_as_double(vec_col)).alias("_qn"),
-                       bucket().alias("_bucket"))
+                       bucket().alias("_b0"))
+    if probe_hamming == 1:
+        def flip(i: int) -> Column:
+            c = F.substring("_b0", i + 1, 1)
+            return F.concat(
+                F.substring("_b0", 1, i),
+                F.when(c == "1", F.lit("0")).otherwise(F.lit("1")),
+                F.substring("_b0", i + 2, n_bits - i - 1))
+        probes = F.array(F.col("_b0"), *[flip(i) for i in range(n_bits)])
+        q = q.withColumn("_bucket", F.explode(probes)).drop("_b0")
+    else:
+        q = q.withColumnRenamed("_b0", "_bucket")
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
                        norm(_as_double(vec_col)).alias("_vn"),

@@ -126,6 +126,16 @@ def q_kv_version_history(spark, sf_dir):
     return out.withColumnRenamed("_version_rank", "version_rank")
 
 
+def q_kv_typed_state(spark, sf_dir):
+    """Typed-value store read shape (KVStore.create(value_schema=...),
+    SURVEY §1.4): LWW state over TYPED payload columns (amount double,
+    etype string) with a value-predicate filter — the filter reaches
+    the Parquet scan on a typed store (tests/test_typed_store.py
+    asserts PushedFilters), which string/JSON values cannot do."""
+    return KV.kv_typed_state(_t(spark, sf_dir, "events"),
+                             min_amount=0.5)
+
+
 def q_kv_live_stats(spark, sf_dir):
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
     winners = log.groupBy("key").agg(
@@ -185,6 +195,20 @@ _KV_ORACLES = {
         SELECT (SELECT count(DISTINCT key) FROM log) AS n_keys,
                (SELECT count(*) FROM state) AS n_live,
                (SELECT count(DISTINCT key) FROM log) - (SELECT count(*) FROM state) AS n_deleted""",
+    "kv_typed_state": """
+        WITH log AS (
+          SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS key,
+                 CAST(event_id AS BIGINT) AS seq,
+                 CASE WHEN event_type = 'error' THEN 'del' ELSE 'put' END AS op,
+                 round(value, 6) + 0.0 AS amount,
+                 event_type AS etype
+          FROM events),
+        ranked AS (
+          SELECT key, op, amount, etype,
+                 row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+          FROM log)
+        SELECT key, amount, etype FROM ranked
+        WHERE rn = 1 AND op = 'put' AND amount >= 0.5""",
 }
 
 
@@ -1280,6 +1304,18 @@ def q_sim_bucket_topk(spark, sf_dir):
     return SIM.bucketed_topk(e, queries, 5, n_bits=8)
 
 
+def q_sim_probe_topk(spark, sf_dir):
+    """Multiprobe LSH ANN (classic multiprobe, Lv et al.): each query
+    probes its own bucket plus all n_bits one-bit-flip buckets —
+    recall recovers the neighbors that landed just across one
+    hyperplane, at (n_bits+1)/2^n_bits of exact cost. Probe fan-out is
+    on the broadcast query side only; corpus buckets partition, so no
+    dedup stage. The oracle unrolls the identical flips in SQL."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    return SIM.bucketed_topk(e, queries, 5, n_bits=8, probe_hamming=1)
+
+
 def q_sim_knn_graph(spark, sf_dir):
     """Corpus-to-corpus kNN graph (top-3 neighbors per vector) within
     hyperplane-LSH buckets — operators/similarity.knn_graph. Both
@@ -1357,6 +1393,32 @@ _SIM_ORACLES = {
               WHERE vec_id % 100 = 0),
         scored AS (
           SELECT query_id, e.vec_id AS neighbor_id, {_COS_SQL.replace("vv", "e.v")} AS score
+          FROM q JOIN e USING (bucket) WHERE query_id != e.vec_id),
+        ranked AS (
+          SELECT query_id, neighbor_id, score,
+                 row_number() OVER (PARTITION BY query_id
+                                    ORDER BY score DESC, neighbor_id) AS rn
+          FROM scored)
+        SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+               round(score, 4) + 0.0 AS score
+        FROM ranked WHERE rn <= 5""",
+    "sim_probe_topk": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 8)} AS bucket
+              FROM e0),
+        q0 AS (SELECT vec_id AS query_id, v AS qv, bucket AS b0 FROM e
+               WHERE vec_id % 100 = 0),
+        q AS (SELECT query_id, qv, unnest(list_prepend(b0, [
+                {", ".join(
+                    f"substr(b0, 1, {i}) || "
+                    f"(CASE WHEN substr(b0, {i + 1}, 1) = '1' "
+                    f"THEN '0' ELSE '1' END) || substr(b0, {i + 2})"
+                    for i in range(8))}
+              ])) AS bucket
+              FROM q0),
+        scored AS (
+          SELECT query_id, e.vec_id AS neighbor_id,
+                 {_COS_SQL.replace("vv", "e.v")} AS score
           FROM q JOIN e USING (bucket) WHERE query_id != e.vec_id),
         ranked AS (
           SELECT query_id, neighbor_id, score,
@@ -2505,6 +2567,8 @@ QUERIES = {
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_audio_stats": q_mm_audio_stats,
+    "kv_typed_state": q_kv_typed_state,
+    "sim_probe_topk": q_sim_probe_topk,
 }
 
 # Driver-evidence ordering: the correctness driver samples the FIRST 50
@@ -2526,7 +2590,8 @@ _NEVER_DRIVER_CHECKED = [
     "kv_seek_page", "rel_region_share", "doc_sample_stratified",
     "doc_sample_fixed_k", "doc_sample_weighted", "doc_pack_manifest",
     "doc_token_packing", "mm_decode_stats", "mm_resize_roundtrip",
-    "mm_frame_sample", "mm_audio_stats",
+    "mm_frame_sample", "mm_audio_stats", "kv_typed_state",
+    "sim_probe_topk",
 ]
 QUERIES = {**{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
            **{k: v for k, v in QUERIES.items()
