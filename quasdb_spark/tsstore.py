@@ -4,8 +4,11 @@ timestamp encoded into the ordered key space so a time-range query is a
 key-range scan, with newest-version-wins from sequence numbers).
 
 Built directly on KVStore: points are stored under key
-``<series_id>:<ts-iso-micros>`` (zero-padded, order-preserving codec),
-value is the JSON-encoded observation. All KV semantics carry over
+``<series_id>:<ts-iso-micros>`` (zero-padded, order-preserving codec);
+the observation is stored TYPED (value_schema="v double, tags_json
+string" — native Parquet columns, so value predicates push down to the
+scan; stores created by older rounds with JSON string values still
+open and read through the same surface). All KV semantics carry over
 unchanged — snapshots, LWW upsert per (series, ts), tombstone deletes,
 compaction. On top, the typed query surface decodes to columns and
 reuses operators/timeseries.py for windowing/downsampling/as-of.
@@ -47,9 +50,15 @@ class TSStore:
     def __init__(self, store: KVStore):
         self.store = store
 
+    VALUE_SCHEMA = "v double, tags_json string"
+
     @classmethod
-    def create(cls, spark: SparkSession, path: str) -> "TSStore":
-        return cls(KVStore.create(spark, path))
+    def create(cls, spark: SparkSession, path: str, *,
+               typed: bool = True) -> "TSStore":
+        """``typed=True`` (default) stores observations as native typed
+        columns; ``typed=False`` keeps the legacy JSON-string value."""
+        return cls(KVStore.create(
+            spark, path, value_schema=cls.VALUE_SCHEMA if typed else None))
 
     @classmethod
     def open(cls, spark: SparkSession, path: str) -> "TSStore":
@@ -59,10 +68,16 @@ class TSStore:
     def append(self, points: list[tuple[str, dt.datetime, float, dict | None]]) -> int:
         """Atomically append [(series_id, ts, value, tags), ...] as one
         batch (one seq). Same (series, ts) written again upserts (LWW)."""
+        typed = self.store.value_schema is not None
         ops = []
         for series_id, ts, value, tags in points:
-            payload = json.dumps({"v": value, "tags": tags or {}},
-                                 sort_keys=True)
+            if typed:
+                payload = {"v": float(value),
+                           "tags_json": json.dumps(tags or {},
+                                                   sort_keys=True)}
+            else:
+                payload = json.dumps({"v": value, "tags": tags or {}},
+                                     sort_keys=True)
             ops.append(("put", encode_key(series_id, ts), payload))
         return self.store.write_batch(ops)
 
@@ -74,11 +89,17 @@ class TSStore:
         """Bulk ingest a typed DataFrame as one atomic batch. The key
         codec runs as built-in expressions (date_format), fully
         distributed."""
-        keyed = df.select(
-            F.concat(F.col(series_col), F.lit(":"),
-                     F.date_format(F.col(ts_col),
-                                   "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).alias("key"),
-            F.to_json(F.struct(F.col(value_col).alias("v"))).alias("value"))
+        key = F.concat(F.col(series_col), F.lit(":"),
+                       F.date_format(F.col(ts_col),
+                                     "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")).alias("key")
+        if self.store.value_schema is not None:
+            keyed = df.select(
+                key, F.col(value_col).cast("double").alias("v"),
+                F.lit(None).cast("string").alias("tags_json"))
+        else:
+            keyed = df.select(
+                key,
+                F.to_json(F.struct(F.col(value_col).alias("v"))).alias("value"))
         return self.store.ingest(keyed)
 
     # ------------------------------------------------------------- reads
@@ -98,13 +119,16 @@ class TSStore:
             st = self.store.state(asof)
         # split at the FIRST ':' only — the timestamp part itself
         # contains colons
-        parsed = st.select(
-            F.substring_index("key", ":", 1).alias("series_id"),
-            F.to_timestamp(F.expr("substring(key, instr(key, ':') + 1)"),
-                           "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts"),
+        head = [F.substring_index("key", ":", 1).alias("series_id"),
+                F.to_timestamp(F.expr("substring(key, instr(key, ':') + 1)"),
+                               "yyyy-MM-dd'T'HH:mm:ss.SSSSSS").alias("ts")]
+        if self.store.value_schema is not None:
+            # typed store: native columns, no JSON parse in the plan
+            return st.select(*head, F.col("v").alias("value"), "tags_json")
+        return st.select(
+            *head,
             F.get_json_object("value", "$.v").cast("double").alias("value"),
             F.get_json_object("value", "$.tags").alias("tags_json"))
-        return parsed
 
     def latest(self, series_id: str, asof: int | None = None):
         """Newest point of a series: reverse scan LIMIT 1 over the

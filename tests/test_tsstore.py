@@ -113,3 +113,29 @@ def test_drop_before_purges_old_points(spark, tmp_path):
     # store still fully functional after the purge
     st.append([("cpu", t0 + dt.timedelta(hours=100), 1.5, None)])
     assert st.latest("cpu")["value"] == 1.5
+
+
+def test_typed_and_legacy_stores_equivalent(spark, tmp_path):
+    """Typed (default) and legacy-JSON TSStores expose identical
+    points(); the typed plan contains no JSON parse and its value
+    column is a native pushdown-able Parquet column."""
+    import datetime as dt
+
+    pts = [("s1", dt.datetime(2024, 1, 1, 0, 0, i), float(i), {"k": str(i)})
+           for i in range(5)]
+    typed = TSStore.create(spark, str(tmp_path / "typed"))
+    legacy = TSStore.create(spark, str(tmp_path / "legacy"), typed=False)
+    typed.append(pts)
+    legacy.append(pts)
+
+    t_rows = {(r["series_id"], r["ts"], r["value"])
+              for r in typed.points().collect()}
+    l_rows = {(r["series_id"], r["ts"], r["value"])
+              for r in legacy.points().collect()}
+    assert t_rows == l_rows and len(t_rows) == 5
+
+    plan = typed.points()._jdf.queryExecution().executedPlan().toString()
+    assert "get_json_object" not in plan
+    filtered_plan = (typed.store.log_df().where("v > 2.0")._jdf
+                     .queryExecution().executedPlan().toString())
+    assert "GreaterThan(v,2.0" in filtered_plan  # pushed to the scan
