@@ -109,3 +109,26 @@ def test_quantize_int8_is_map_only(spark, sf_dir):
     plan = _plan(suite.QUERIES["emb_quantize_int8"](spark, sf_dir))
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_probe_and_knn_stay_bucket_joined(spark, sf_dir):
+    """Multiprobe ANN and the guarded kNN graph must never degrade to
+    a cartesian/BNLJ product — the probe fan-out and bucket caps only
+    reshape equality joins."""
+    for name in ("sim_probe_topk", "sim_knn_graph"):
+        plan = _plan(suite.QUERIES[name](spark, sf_dir))
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_typed_store_rollup_state_has_no_json(spark, tmp_path):
+    """Typed-store rollup reads must stay JSON-free end to end (the
+    whole point of value_schema: native columns all the way down)."""
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.rollup import rollup_state
+
+    st = KVStore.create(spark, str(tmp_path / "ts"),
+                        value_schema="n long, total double")
+    st.put("2024-01-01T00:00:00|a", {"n": 3, "total": 1.5})
+    plan = _plan(rollup_state(st, ["k"]))
+    assert "from_json" not in plan.lower()
