@@ -1091,6 +1091,49 @@ class KVStore:
             kept = kept.where(F.col("op") != F.lit(DEL))
         return kept
 
+    def checkpoint(self, dest: str) -> "KVStore":
+        """Consistent zero-copy clone of the store at the current
+        version (the RocksDB Checkpoint idea — the reference declares
+        no equivalent; charter extension). Every live data file is
+        HARD-LINKED into ``dest`` (copy fallback across filesystems),
+        then a fresh manifest referencing the same relative paths is
+        committed there. Cost is O(files) metadata ops, zero data
+        bytes; the clone is immune to the source's later compactions
+        and vacuums (links pin the inodes). Snapshots and streaming
+        positions are carried over so the clone is a faithful restore
+        point; scan-cursor snapshots are dropped (their iterators
+        can't follow the clone)."""
+        import shutil
+
+        dest = os.path.abspath(dest)
+        clone = KVStore(self.spark, dest)
+        if clone.manifest.exists():
+            raise FileExistsError(f"store already exists at {dest}")
+        ver = self.manifest.current()
+        for f in ver.files:
+            src_dir = os.path.join(self.path, f.path)
+            dst_dir = os.path.join(dest, f.path)
+            os.makedirs(dst_dir, exist_ok=True)
+            for root, _dirs, files in os.walk(src_dir):
+                rel_root = os.path.relpath(root, src_dir)
+                for fn in files:
+                    src = os.path.join(root, fn)
+                    dst = os.path.join(dst_dir, rel_root, fn) \
+                        if rel_root != "." else os.path.join(dst_dir, fn)
+                    os.makedirs(os.path.dirname(dst), exist_ok=True)
+                    try:
+                        os.link(src, dst)
+                    except OSError:
+                        shutil.copy2(src, dst)
+        clone.manifest.init(schema=dict(ver.schema))
+        snaps = {n: s for n, s in ver.snapshots.items()
+                 if not n.startswith("scan-")}
+        clone._meta_commit(lambda v: {
+            "add": list(ver.files), "last_seq": ver.last_seq,
+            "snapshots": snaps, "streams": dict(ver.streams)})
+        clone._load_config()
+        return clone
+
     # ------------------------------------------------------ introspection
     def approximate_sizes(self, ranges: list[tuple]) -> list[int]:
         """GetApproximateSizes (kv/db/db_impl.cpp:1699-1717): sum bytes of

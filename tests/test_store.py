@@ -469,3 +469,42 @@ def test_abandoned_scan_snapshot_reaped_by_vacuum(spark, tmp_path):
     st.vacuum(0.0)
     assert not [n for n in st.manifest.current().snapshots
                 if n.startswith("scan-")]
+
+
+def test_checkpoint_clone_is_isolated_and_cheap(spark, tmp_path):
+    """checkpoint() = consistent hard-link clone: same state at clone
+    time, immune to the source's later writes, compaction AND vacuum
+    (links pin inodes); typed schema and snapshots carry over."""
+    import os
+
+    st = KVStore.create(spark, str(tmp_path / "src"),
+                        value_schema="n long, tag string")
+    for i in range(10):
+        st.put(f"k{i}", {"n": i, "tag": "x"})
+    st.delete("k3")
+    snap = st.snapshot("restore-point")
+
+    clone = st.checkpoint(str(tmp_path / "clone"))
+    assert clone.value_cols == ["n", "tag"]
+    assert "restore-point" in clone.manifest.current().snapshots
+
+    before = {r["key"]: r["n"] for r in clone.state().collect()}
+    # hard links, not copies: same inode for at least one data file
+    src_files = [os.path.join(r, f)
+                 for r, _d, fs in os.walk(str(tmp_path / "src" / "data"))
+                 for f in fs if f.endswith(".parquet")]
+    assert any(os.stat(p).st_nlink >= 2 for p in src_files)
+
+    # mutate + compact + vacuum the SOURCE: clone must not move
+    st.put("k0", {"n": 999, "tag": "mutated"})
+    st.delete("k5")
+    st.compact()
+    st.vacuum(0.0)
+    after = {r["key"]: r["n"] for r in clone.state().collect()}
+    assert after == before
+    assert clone.get("k0") == {"n": 0, "tag": "x"}
+    # clone's as-of at the carried snapshot works
+    assert clone.state(snap).count() == len(before)
+    # and the clone is independently writable
+    clone.put("only-clone", {"n": 1, "tag": "c"})
+    assert st.get("only-clone") is None
