@@ -112,16 +112,30 @@ def _load(path: str) -> list | None:
         return None
 
 
+class QuantizerMiss(RuntimeError):
+    """Raised when a query needs centroids but no artifact exists and
+    implicit training is disabled (QUASDB_IVF_ON_MISS=raise)."""
+
+
 def get_or_train(vectors: DataFrame, n_clusters: int, *,
                  fingerprint: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_iter: int = 2,
                  round_to: int = 6, sample_cap: int | None = None,
                  root: str | None = None,
-                 force: bool = False) -> DataFrame:
+                 force: bool = False,
+                 on_miss: str | None = None) -> DataFrame:
     """Centroids for ``vectors``, trained at most once per
     (fingerprint, hyperparameters). Returns the same
     (c_label, centroid) frame as kmeans_centroids — a LocalTableScan
-    in the plan, no training stage."""
+    in the plan, no training stage.
+
+    ``on_miss`` (default from $QUASDB_IVF_ON_MISS, else 'train')
+    controls the artifact-miss lifecycle: 'train' trains inline (fine
+    for notebooks/tests), 'warn' trains but logs loudly, 'raise'
+    fails with QuantizerMiss — the production setting: a QUERY must
+    never absorb a training job; schedule ``retrain`` instead
+    (VERDICT r3: a cold cache put 31 s of driver k-means inside the
+    first query execution)."""
     spark = vectors.sparkSession
     key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
     path = _artifact_path(key, root)
@@ -135,6 +149,19 @@ def get_or_train(vectors: DataFrame, n_clusters: int, *,
                     _MEM[key] = rows
         if rows is not None:
             return spark.createDataFrame(rows, _SCHEMA)
+        mode = on_miss or os.environ.get("QUASDB_IVF_ON_MISS", "train")
+        if mode == "raise":
+            raise QuantizerMiss(
+                f"no quantizer artifact for key {key} "
+                f"(fingerprint {fingerprint[:12]}…, k={n_clusters}); "
+                "run retrain() as a maintenance job — implicit "
+                "training inside queries is disabled")
+        if mode == "warn":
+            import sys
+
+            print(f"quasdb_spark.quantizer: WARNING — training "
+                  f"quantizer inside a query (key {key}); schedule "
+                  f"retrain() instead", file=sys.stderr)
     cents = kmeans_centroids(vectors, n_clusters, id_col=id_col,
                              vec_col=vec_col, n_iter=n_iter,
                              round_to=round_to, sample_cap=sample_cap)

@@ -235,3 +235,27 @@ def test_multiprobe_lifts_recall_over_single_bucket(spark, sf_dir):
     # LSH) multiprobe still finds strictly more true neighbors
     assert len(probed & exact) > len(single & exact)
     assert r_probe > 0
+
+
+def test_quantizer_on_miss_lifecycle(spark, tmp_path):
+    """Production lifecycle guard: on an artifact MISS, on_miss='raise'
+    refuses to train inside the query (QuantizerMiss); after an
+    explicit retrain() the same call loads the artifact instantly."""
+    import pytest
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    QZ.clear_cache()
+    root = str(tmp_path / "artifacts")
+    df = spark.createDataFrame(
+        [(i, [float((i * j) % 7 - 3) for j in range(8)])
+         for i in range(60)], "vec_id long, embedding array<double>")
+    with pytest.raises(QZ.QuantizerMiss):
+        QZ.get_or_train(df, 4, fingerprint="fp-x", vec_col="embedding",
+                        root=root, on_miss="raise", n_iter=1)
+    QZ.retrain(df, 4, fingerprint="fp-x", vec_col="embedding",
+               root=root, n_iter=1)  # the maintenance job
+    cents = QZ.get_or_train(df, 4, fingerprint="fp-x",
+                            vec_col="embedding", root=root,
+                            on_miss="raise", n_iter=1)
+    assert 1 <= cents.count() <= 4  # k-means may drop empty clusters
