@@ -218,11 +218,22 @@ _KV_ORACLES = {
 # =====================================================================
 
 def q_ts_tumbling_hourly(spark, sf_dir):
+    """Hourly tumbling aggregate. Cross-engine determinism at ANY sf:
+    values are exact cents, so the sum runs over integer cents (order-
+    free — float sums are order-dependent and the two engines reduce
+    in different orders) and the 4-decimal avg is scale-then-integer
+    rounding (round(x*10^4)/10^4), which every engine computes
+    identically — round(x, d) diverges at half-way points because
+    Spark rounds the shortest-repr decimal while DuckDB rounds a
+    scaled binary (observed at sf0.1: 51.51125 → 51.5113 vs
+    51.5112)."""
     ev = _t(spark, sf_dir, "events")
+    ev = ev.withColumn("_vc", F.round(F.col("value") * 100).cast("long"))
     out = TS.tumbling(ev, "ts", "1 hour", keys=["event_type"], aggs=[
         F.count(F.lit(1)).alias("n"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
-        F.round(F.avg("value"), 4).alias("avg_value")])
+        (F.sum("_vc") / 100.0).alias("sum_value"),
+        (F.round(F.sum("_vc") * 100 / F.count(F.lit(1)), 0)
+         / 10000.0).alias("avg_value")])
     return out.select("window_start", "event_type", "n", "sum_value", "avg_value")
 
 
@@ -267,10 +278,19 @@ def q_ts_sessionize(spark, sf_dir):
 
 
 def q_ts_moving_avg(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = TS.moving_agg(ev, "ts", ["user_id"], "value", 6, "event_id", "avg")
-    return out.select("user_id", "event_id",
-                      F.round("mov_avg", 4).alias("mov_avg"))
+    """Rows-based moving average. Cross-engine determinism: the window
+    aggregates integer cents (exact at any window size/order) and the
+    4-decimal output is scale-then-integer rounding — round(avg, 4)
+    diverges between engines exactly at the half-way averages that
+    cent data hits constantly (see q_ts_tumbling_hourly)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_vc", F.round(F.col("value") * 100).cast("long"))
+    out = TS.moving_agg(ev, "ts", ["user_id"], "_vc", 6, "event_id", "sum")
+    out = TS.moving_agg(out, "ts", ["user_id"], "_vc", 6, "event_id",
+                        "count")
+    mov = (F.round(F.col("mov_sum") * 100 / F.col("mov_count"), 0)
+           / 10000.0)
+    return out.select("user_id", "event_id", mov.alias("mov_avg"))
 
 
 def q_ts_topk_per_type(spark, sf_dir):
@@ -287,10 +307,16 @@ def q_ts_first_last(spark, sf_dir):
 
 
 def q_ts_rate(spark, sf_dir):
+    """Per-row derivative. The 4-decimal output uses scale-then-
+    integer rounding (round(x*10^4)/10^4) — identical in every engine,
+    where round(x, 4) diverges at half-way points (see
+    q_ts_tumbling_hourly)."""
     ev = _t(spark, sf_dir, "events")
     out = TS.rate(ev, "ts", ["user_id"], "value", "event_id")
-    return out.select("user_id", "event_id",
-                      (F.round("rate", 4) + F.lit(0.0)).alias("rate"))
+    return out.select(
+        "user_id", "event_id",
+        (F.round(F.col("rate") * 10000, 0) / 10000.0
+         + F.lit(0.0)).alias("rate"))
 
 
 def q_ts_gapfill_hourly(spark, sf_dir):
@@ -324,10 +350,13 @@ def q_ts_gapfill_interp(spark, sf_dir):
 
 _TS_ORACLES = {
     "ts_tumbling_hourly": """
-        SELECT date_trunc('hour', ts) AS window_start, event_type,
-               count(*) AS n, round(sum(value), 2) AS sum_value,
-               round(avg(value), 4) AS avg_value
-        FROM events GROUP BY 1, 2""",
+        WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events)
+        SELECT ws AS window_start, event_type,
+               count(*) AS n, sum(vc) / 100.0 AS sum_value,
+               round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
+        FROM e GROUP BY 1, 2""",
     "ts_sliding_1h_15m": """
         WITH w AS (
           SELECT time_bucket(INTERVAL '15 minutes', ts)
@@ -384,12 +413,15 @@ _TS_ORACLES = {
                count(*) AS n_events
         FROM sess GROUP BY 1, 2""",
     "ts_moving_avg": """
+        WITH b AS (SELECT user_id, event_id, ts,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events)
         SELECT user_id, event_id,
-               round(avg(value) OVER (PARTITION BY user_id
-                                      ORDER BY ts, event_id
-                                      ROWS BETWEEN 6 PRECEDING AND CURRENT ROW),
-                     4) AS mov_avg
-        FROM events""",
+               round(sum(vc) OVER w * 100 / count(*) OVER w) / 10000.0
+                 AS mov_avg
+        FROM b
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN 6 PRECEDING AND CURRENT ROW)""",
     "ts_topk_per_type": """
         SELECT event_type, CAST(rn AS INT) AS rank, event_id, value FROM (
           SELECT event_type, event_id, value,
@@ -420,10 +452,10 @@ _TS_ORACLES = {
                                ORDER BY ts, event_id) AS pt
           FROM events)
         SELECT user_id, event_id,
-               round((value - pv) / nullif(CAST(
+               round(((value - pv) / nullif(CAST(
                    CAST(floor(epoch(ts)) AS BIGINT)
-                   - CAST(floor(epoch(pt)) AS BIGINT) AS DOUBLE), 0.0),
-                 4) + 0.0 AS rate
+                   - CAST(floor(epoch(pt)) AS BIGINT) AS DOUBLE), 0.0))
+                 * 10000) / 10000.0 + 0.0 AS rate
         FROM o""",
     "ts_gapfill_interp": """
         WITH b AS (
@@ -484,17 +516,53 @@ _TS_ORACLES = {
 # declared + oracle-checked so the judge sees the full query surface)
 # =====================================================================
 
+# Exact-units columns for money aggregates. TPC-H money columns are
+# exact cents and l_discount exact percent; summing DOUBLES is
+# order-dependent (engines reduce in different orders — at sf1 the
+# accumulated error crosses 2-decimal boundaries) and round(x, d)
+# itself diverges between engines at half-way points (Spark rounds the
+# shortest-repr decimal, DuckDB a scaled binary). Summing integer
+# units is order-free and exact; the final rounding is always
+# scale-then-round-to-integer, which every engine computes
+# identically. Revenue cents*(100-disc) fits long through ~sf1000.
+def _qty_l():
+    return F.col("l_quantity").cast("long")
+
+
+def _price_c():
+    return F.round(F.col("l_extendedprice") * 100).cast("long")
+
+
+def _disc_c():
+    return F.round(F.col("l_discount") * 100).cast("long")
+
+
+def _rev_u4():  # 1e-4-dollar units, exact; fits long through ~sf1000
+    return _price_c() * (100 - _disc_c())
+
+_QTY_SQL = "CAST(l_quantity AS BIGINT)"
+_PRICE_C_SQL = "CAST(round(l_extendedprice * 100) AS BIGINT)"
+_DISC_C_SQL = "CAST(round(l_discount * 100) AS BIGINT)"
+_REV_U4_SQL = f"{_PRICE_C_SQL} * (100 - {_DISC_C_SQL})"
+
+
 def q_rel_pricing_summary(spark, sf_dir):
+    """TPC-H Q1 shape over exact integer units (see _REV_U4 note):
+    order-free sums, engine-identical rounding at any sf."""
     li = _t(spark, sf_dir, "lineitem")
+    n = F.count(F.lit(1))
     return (li.groupBy("l_returnflag", "l_linestatus")
-              .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-                   F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-                   F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
-                   F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-                   F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-                   F.round(F.avg("l_discount"), 6).alias("avg_disc"),
-                   F.count(F.lit(1)).alias("count_order")))
+              .agg(F.sum(_qty_l()).cast("double").alias("sum_qty"),
+                   (F.sum(_price_c()) / 100.0).alias("sum_base_price"),
+                   (F.round(F.sum(_rev_u4()) / 100.0, 0)
+                    / 100.0).alias("sum_disc_price"),
+                   (F.round(F.sum(_qty_l()) * 10000 / n, 0)
+                    / 10000.0).alias("avg_qty"),
+                   (F.round(F.sum(_price_c()) * 100 / n, 0)
+                    / 10000.0).alias("avg_price"),
+                   (F.round(F.sum(_disc_c()) * 10000 / n, 0)
+                    / 1000000.0).alias("avg_disc"),
+                   n.alias("count_order")))
 
 
 def q_rel_top_orders(spark, sf_dir):
@@ -505,8 +573,8 @@ def q_rel_top_orders(spark, sf_dir):
              .join(F.broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")),
                    o.o_custkey == cu.c_custkey)
              .groupBy("o_orderkey", "o_orderdate")
-             .agg(F.round(F.sum(F.col("l_extendedprice")
-                                * (1 - F.col("l_discount"))), 2).alias("revenue")))
+             .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                   / 100.0).alias("revenue")))
     return rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc()).limit(10)
 
 
@@ -521,20 +589,23 @@ def q_rel_region_revenue(spark, sf_dir):
               .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .groupBy("r_name")
-              .agg(F.round(F.sum(F.col("l_extendedprice")
-                                 * (1 - F.col("l_discount"))), 2).alias("revenue"),
+              .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                    / 100.0).alias("revenue"),
                    F.countDistinct("o_orderkey").alias("n_orders")))
 
 
 def q_rel_promo_share(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     li = _t(spark, sf_dir, "lineitem")
-    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    # exact integer revenue units; the share ratio is then a single
+    # deterministic double expression (identical inputs + identical op
+    # order on both engines), scale-rounded at 4
+    promo_u4 = F.sum(F.when(F.col("p_type") == "PROMO", _rev_u4())
+                     .otherwise(F.lit(0).cast("long")))
     return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
               .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
-              .agg(F.round(100.0 * F.sum(F.when(F.col("p_type") == "PROMO", rev)
-                                          .otherwise(F.lit(0.0)))
-                           / F.sum(rev), 4).alias("promo_share"),
+              .agg((F.round(F.lit(100.0) * promo_u4 / F.sum(_rev_u4())
+                            * 10000, 0) / 10000.0).alias("promo_share"),
                    F.count(F.lit(1)).alias("n_lines")))
 
 
@@ -542,10 +613,12 @@ def q_rel_order_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     big = li.where(F.col("l_quantity") > 45).select("l_orderkey").distinct()
+    tc = F.round(F.col("o_totalprice") * 100).cast("long")
     return (o.join(big, o.o_orderkey == big.l_orderkey, "left_semi")
              .groupBy("o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.round(F.avg("o_totalprice"), 4).alias("avg_price")))
+                  (F.round(F.sum(tc) * 100 / F.count(F.lit(1)), 0)
+                   / 10000.0).alias("avg_price")))
 
 
 def q_rel_customer_rank(spark, sf_dir):
@@ -575,17 +648,17 @@ def q_rel_price_histogram(spark, sf_dir):
 _REL_ORACLES = {
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
-               round(sum(l_quantity), 2) AS sum_qty,
-               round(sum(l_extendedprice), 2) AS sum_base_price,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-               round(avg(l_quantity), 4) AS avg_qty,
-               round(avg(l_extendedprice), 4) AS avg_price,
-               round(avg(l_discount), 6) AS avg_disc,
+               CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 AS sum_base_price,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0) / 100.0 AS sum_disc_price,
+               round(sum(CAST(l_quantity AS BIGINT)) * 10000 / count(*)) / 10000.0 AS avg_qty,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) * 100 / count(*)) / 10000.0 AS avg_price,
+               round(sum(CAST(round(l_discount * 100) AS BIGINT)) * 10000 / count(*)) / 1000000.0 AS avg_disc,
                count(*) AS count_order
         FROM lineitem GROUP BY 1, 2""",
     "rel_top_orders": """
         SELECT o_orderkey, o_orderdate,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0) / 100.0 AS revenue
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
         JOIN customer ON o_custkey = c_custkey
@@ -594,7 +667,7 @@ _REL_ORACLES = {
         ORDER BY revenue DESC, o_orderkey LIMIT 10""",
     "rel_region_revenue": """
         SELECT r_name,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0) / 100.0 AS revenue,
                count(DISTINCT o_orderkey) AS n_orders
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -605,15 +678,16 @@ _REL_ORACLES = {
     "rel_promo_share": """
         SELECT CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS ship_month,
                round(100.0 * sum(CASE WHEN p_type = 'PROMO'
-                                      THEN l_extendedprice * (1 - l_discount)
-                                      ELSE 0.0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4) AS promo_share,
+                                      THEN CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))
+                                      ELSE CAST(0 AS BIGINT) END)
+                     / sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) * 10000) / 10000.0 AS promo_share,
                count(*) AS n_lines
         FROM lineitem JOIN part ON l_partkey = p_partkey
         GROUP BY 1""",
     "rel_order_priority": """
         SELECT o_orderpriority, count(*) AS n_orders,
-               round(avg(o_totalprice), 4) AS avg_price
+               round(sum(CAST(round(o_totalprice * 100) AS BIGINT)) * 100
+                     / count(*)) / 10000.0 AS avg_price
         FROM orders
         WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem
                              WHERE l_quantity > 45)
@@ -1496,7 +1570,10 @@ def q_events_json_extract(spark, sf_dir):
     return (ev.withColumn("k", k)
               .groupBy((F.col("k") % 10).alias("k_bucket"))
               .agg(F.count(F.lit(1)).alias("n"),
-                   F.round(F.avg("value"), 4).alias("avg_value")))
+                   (F.round(F.sum(F.round(F.col("value") * 100)
+                                  .cast("long")) * 100
+                            / F.count(F.lit(1)), 0)
+                    / 10000.0).alias("avg_value")))
 
 
 def q_ts_percentiles(spark, sf_dir):
@@ -1509,9 +1586,10 @@ def q_ts_percentiles(spark, sf_dir):
 
 def q_rel_rollup(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
+    tc = F.round(F.col("o_totalprice") * 100).cast("long")
     return (o.rollup("o_orderstatus", "o_orderpriority")
              .agg(F.count(F.lit(1)).alias("n_orders"),
-                  F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+                  (F.sum(tc) / 100.0).alias("sum_price")))
 
 
 def q_rel_shipping_priority(spark, sf_dir):
@@ -1524,8 +1602,7 @@ def q_rel_shipping_priority(spark, sf_dir):
     rev = (li.join(o, li.l_orderkey == o.o_orderkey)
            .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
+           .agg((F.round(F.sum(_rev_u4()) / 100.0, 0) / 100.0)
                 .alias("revenue")))
     return (rev.orderBy(F.col("revenue").desc(), F.col("o_orderkey").asc())
             .limit(10)
@@ -1556,10 +1633,11 @@ def q_rel_grouping_sets(spark, sf_dir):
     total) — the non-hierarchical cousin of rollup/cube, one shuffle
     with partial aggregation per set."""
     o = _t(spark, sf_dir, "orders")
+    tc = F.round(F.col("o_totalprice") * 100).cast("long")
     return (o.groupingSets([["o_orderstatus"], ["o_orderpriority"], []],
                            "o_orderstatus", "o_orderpriority")
             .agg(F.count(F.lit(1)).alias("n_orders"),
-                 F.round(F.sum("o_totalprice"), 2).alias("sum_price")))
+                 (F.sum(tc) / 100.0).alias("sum_price")))
 
 
 def q_ts_anomaly_zscore(spark, sf_dir):
@@ -1634,17 +1712,23 @@ def q_rel_above_avg_orders(spark, sf_dir):
     1.5x their customer's average — decorrelated into one groupBy +
     an equi-join (how Catalyst itself rewrites correlated subqueries;
     no per-row subquery execution)."""
-    o = _t(spark, sf_dir, "orders")
+    o = _t(spark, sf_dir, "orders").withColumn(
+        "_tc", F.round(F.col("o_totalprice") * 100).cast("long"))
     avg_per_cust = (o.groupBy("o_custkey")
-                    .agg(F.avg("o_totalprice").alias("_avg"),
+                    .agg(F.sum("_tc").alias("_sc"),
                          F.count(F.lit(1)).alias("n_orders")))
+    # threshold as an EXACT integer comparison (tc > 1.5*avg  <=>
+    # 2*tc*n > 3*sum): float avgs put boundary rows on different sides
+    # per engine; integers cannot
     out = (o.join(avg_per_cust, "o_custkey")
-           .where((F.col("o_totalprice") > 1.5 * F.col("_avg"))
+           .where((F.col("_tc") * 2 * F.col("n_orders")
+                   > F.col("_sc") * 3)
                   & (F.col("n_orders") >= 3))
            .select("o_custkey", "o_orderkey",
-                   F.round("o_totalprice", 2).alias("totalprice"),
-                   F.round(F.col("o_totalprice") / F.col("_avg"), 4)
-                    .alias("ratio_to_avg")))
+                   (F.col("_tc") / 100.0).alias("totalprice"),
+                   (F.round(F.col("_tc") * F.col("n_orders") * 10000
+                            / F.col("_sc"), 0)
+                    / 10000.0).alias("ratio_to_avg")))
     return out
 
 
@@ -1678,10 +1762,13 @@ def q_sketch_events_profile(spark, sf_dir):
 
 
 def q_ts_trailing_1h_sum(spark, sf_dir):
-    ev = _t(spark, sf_dir, "events")
-    out = TS.trailing_range_agg(ev, "ts", ["user_id"], "value", 3600, "sum")
+    """Trailing range sum over integer cents — exact and order-free at
+    any sf (float range-sums drift with accumulation order)."""
+    ev = _t(spark, sf_dir, "events").withColumn(
+        "_vc", F.round(F.col("value") * 100).cast("long"))
+    out = TS.trailing_range_agg(ev, "ts", ["user_id"], "_vc", 3600, "sum")
     return out.select("user_id", "event_id",
-                      F.round("trailing_sum", 2).alias("trailing_sum"))
+                      (F.col("trailing_sum") / 100.0).alias("trailing_sum"))
 
 
 def q_text_bigram_topk(spark, sf_dir):
@@ -1818,13 +1905,15 @@ def q_rel_region_share(spark, sf_dir):
                 .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
                 .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
                 .groupBy("r_name", "n_name")
-                .agg(F.sum("o_totalprice").alias("_rev")))
+                .agg(F.sum(F.round(F.col("o_totalprice") * 100)
+                           .cast("long")).alias("_rc")))
     from pyspark.sql import Window as W
-    share = (F.col("_rev") * 100.0 /
-             F.sum("_rev").over(W.partitionBy("r_name")))
+    share = (F.round(F.col("_rc") * 100.0 /
+                     F.sum("_rc").over(W.partitionBy("r_name"))
+                     * 10000, 0) / 10000.0)
     return nat_rev.select("r_name", "n_name",
-                          F.round("_rev", 2).alias("revenue"),
-                          F.round(share, 4).alias("region_share"))
+                          (F.col("_rc") / 100.0).alias("revenue"),
+                          share.alias("region_share"))
 
 
 def _cos2(a: str, b: str) -> str:
@@ -1838,7 +1927,9 @@ def _cos2(a: str, b: str) -> str:
 _EXT_ORACLES = {
     "events_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
-               count(*) AS n, round(avg(value), 4) AS avg_value
+               count(*) AS n,
+               round(sum(CAST(round(value * 100) AS BIGINT)) * 100
+                     / count(*)) / 10000.0 AS avg_value
         FROM events GROUP BY 1""",
     "ts_percentiles": """
         SELECT event_type,
@@ -1848,7 +1939,8 @@ _EXT_ORACLES = {
         FROM events GROUP BY 1""",
     "rel_rollup": """
         SELECT o_orderstatus, o_orderpriority, count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS sum_price
         FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)""",
     "rel_set_ops": """
         WITH open_cust AS (SELECT DISTINCT o_custkey FROM orders
@@ -1863,16 +1955,19 @@ _EXT_ORACLES = {
         FROM (SELECT o_custkey FROM open_cust
               EXCEPT SELECT o_custkey FROM done_cust) t2""",
     "ts_trailing_1h_sum": """
+        WITH b AS (SELECT user_id, event_id, ts,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events)
         SELECT user_id, event_id,
-               round(sum(value) OVER (
+               sum(vc) OVER (
                    PARTITION BY user_id
                    ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
-                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW), 2)
+                   RANGE BETWEEN 3599 PRECEDING AND CURRENT ROW) / 100.0
                  AS trailing_sum
-        FROM events""",
+        FROM b""",
     "rel_shipping_priority": """
         SELECT o_orderkey,
-               round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+               round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0) / 100.0 AS revenue,
                o_orderdate, o_orderpriority
         FROM lineitem
         JOIN orders ON l_orderkey = o_orderkey
@@ -1896,7 +1991,8 @@ _EXT_ORACLES = {
     "rel_grouping_sets": """
         SELECT o_orderstatus, o_orderpriority,
                count(*) AS n_orders,
-               round(sum(o_totalprice), 2) AS sum_price
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                 AS sum_price
         FROM orders
         GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())""",
     "ts_anomaly_zscore": """
@@ -2007,14 +2103,16 @@ _EXT_ORACLES = {
         WINDOW w AS (ORDER BY revenue DESC, o_custkey ASC)
         QUALIFY quartile = 1""",
     "rel_above_avg_orders": """
-        WITH a AS (SELECT o_custkey, avg(o_totalprice) AS avg_p,
-                          count(*) AS n_orders
-                   FROM orders GROUP BY 1)
-        SELECT o.o_custkey, o.o_orderkey,
-               round(o.o_totalprice, 2) AS totalprice,
-               round(o.o_totalprice / a.avg_p, 4) AS ratio_to_avg
-        FROM orders o JOIN a USING (o_custkey)
-        WHERE o.o_totalprice > 1.5 * a.avg_p AND a.n_orders >= 3""",
+        WITH b AS (SELECT o_custkey, o_orderkey,
+                          CAST(round(o_totalprice * 100) AS BIGINT) AS tc
+                   FROM orders),
+        a AS (SELECT o_custkey, sum(tc) AS sc, count(*) AS n_orders
+              FROM b GROUP BY 1)
+        SELECT b.o_custkey, b.o_orderkey,
+               b.tc / 100.0 AS totalprice,
+               round(b.tc * n_orders * 10000 / sc) / 10000.0 AS ratio_to_avg
+        FROM b JOIN a USING (o_custkey)
+        WHERE b.tc * 2 * a.n_orders > a.sc * 3 AND a.n_orders >= 3""",
     "text_bigram_topk": f"""
         WITH t AS (SELECT lang, {_TOKENS_SQL} AS w FROM documents),
         g AS (SELECT lang,
@@ -2063,15 +2161,16 @@ _EXT_ORACLES = {
         ORDER BY key LIMIT 20""",
     "rel_region_share": """
         WITH nat AS (
-          SELECT r_name, n_name, sum(o_totalprice) AS rev
+          SELECT r_name, n_name,
+                 sum(CAST(round(o_totalprice * 100) AS BIGINT)) AS rc
           FROM orders
           JOIN customer ON o_custkey = c_custkey
           JOIN nation ON c_nationkey = n_nationkey
           JOIN region ON n_regionkey = r_regionkey
           GROUP BY 1, 2)
-        SELECT r_name, n_name, round(rev, 2) AS revenue,
-               round(rev * 100.0 / sum(rev) OVER (PARTITION BY r_name), 4)
-                 AS region_share
+        SELECT r_name, n_name, rc / 100.0 AS revenue,
+               round(rc * 100.0 / sum(rc) OVER (PARTITION BY r_name)
+                     * 10000) / 10000.0 AS region_share
         FROM nat""",
 }
 
