@@ -146,16 +146,26 @@ class LocalConditionalPut(ConditionalPutStore):
         os.makedirs(root, exist_ok=True)
 
     def put_if_absent(self, name: str, content: str) -> bool:
+        # Object-store PUT is atomic: the object is visible only once
+        # complete. The POSIX spelling is write-to-temp + fsync +
+        # hard-LINK to the final name — link() is the atomic
+        # create-if-absent, and the linked file is already fully
+        # written (create-then-write would expose torn reads to
+        # concurrent current() calls; caught by the racing-writer
+        # stress test).
+        fd, tmp = tempfile.mkstemp(dir=self.root, suffix=".tmp")
         try:
-            fd = os.open(os.path.join(self.root, name),
-                         os.O_CREAT | os.O_EXCL | os.O_WRONLY, 0o644)
-        except FileExistsError:
-            return False
-        with os.fdopen(fd, "w") as f:
-            f.write(content)
-            f.flush()
-            os.fsync(f.fileno())
-        return True
+            with os.fdopen(fd, "w") as f:
+                f.write(content)
+                f.flush()
+                os.fsync(f.fileno())
+            try:
+                os.link(tmp, os.path.join(self.root, name))
+            except FileExistsError:
+                return False
+            return True
+        finally:
+            os.unlink(tmp)
 
     def read(self, name: str) -> str:
         with open(os.path.join(self.root, name)) as f:

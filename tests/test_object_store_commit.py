@@ -109,3 +109,43 @@ def test_kvstore_append_retry_over_conditional_put(tmp_path, spark):
     st.vacuum(0.0)  # nullcontext lock path under a backend
     assert [(r["key"], r["value"]) for r in st.scan().collect()] == [
         ("b", "22"), ("c", "3")]
+
+
+def test_many_racing_writers_converge_with_retries(tmp_path):
+    """8 writers x 5 commits each, all racing through put-if-absent
+    with the standard read-retry loop: every commit eventually lands,
+    versions stay dense, and no writer's file entry is lost — the
+    object-store protocol's liveness + safety under real contention."""
+    import random
+
+    mf = _mk(tmp_path, "race-many")
+    mf.init(schema={})
+    n_writers, n_commits = 8, 5
+    errors = []
+
+    def writer(tag):
+        rng = random.Random(tag)
+        for i in range(n_commits):
+            for attempt in range(200):
+                base = mf.current()
+                try:
+                    mf.commit(base, add=[FileEntry(
+                        path=f"data/{tag}-{i}", seq_lo=1, seq_hi=1,
+                        rows=1, bytes=1)], last_seq=base.last_seq + 1)
+                    break
+                except CommitConflict:
+                    if rng.random() < 0.5:
+                        continue
+            else:
+                errors.append(f"{tag}-{i} starved")
+
+    ts = [threading.Thread(target=writer, args=(t,)) for t in range(n_writers)]
+    [t.start() for t in ts]
+    [t.join() for t in ts]
+    assert not errors
+    live = mf.current()
+    assert live.version == 1 + n_writers * n_commits  # dense versions
+    assert live.last_seq == n_writers * n_commits
+    paths = {f.path for f in live.files}
+    assert paths == {f"data/{t}-{i}" for t in range(n_writers)
+                     for i in range(n_commits)}
