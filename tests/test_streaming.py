@@ -434,3 +434,33 @@ def test_stream_sessions_match_batch_session_window(spark, tmp_path, sf_dir):
     assert set(got) <= set(want)
     assert set(finalized) <= set(got)
     assert len(got) > 0.99 * len(want) and len(got) > 0
+
+
+def test_quota_limit_caps_per_key_across_batches(spark, tmp_path):
+    """Per-domain ingest quota: state persists across micro-batches
+    (the same key keeps counting), under-quota keys pass through
+    untouched, output schema is the input schema."""
+    from quasdb_spark.streaming.quota import quota_limit
+
+    src = str(tmp_path / "src")
+    spark.createDataFrame(
+        [("a", i) for i in range(6)] + [("b", i) for i in range(2)],
+        "domain string, doc_id long").coalesce(1).write.parquet(src)
+    spark.createDataFrame(
+        [("a", 100 + i) for i in range(6)] + [("c", i) for i in range(3)],
+        "domain string, doc_id long").coalesce(1).write.mode(
+        "append").parquet(src)
+
+    stream = (spark.readStream.schema("domain string, doc_id long")
+              .option("maxFilesPerTrigger", "1").parquet(src))
+    capped = quota_limit(stream, ["domain"], 4)
+    assert capped.schema == stream.schema
+    q = (capped.writeStream.format("memory").queryName("tq_out")
+         .outputMode("append").trigger(availableNow=True)
+         .option("checkpointLocation", str(tmp_path / "ck")).start())
+    q.awaitTermination(120)
+    got = {r["domain"]: r["n"] for r in spark.sql(
+        "select domain, count(*) n from tq_out group by domain").collect()}
+    # 'a' wrote 12 rows over two micro-batches -> capped at 4 TOTAL
+    # (proves the counter survives between batches); b/c under quota
+    assert got == {"a": 4, "b": 2, "c": 3}
