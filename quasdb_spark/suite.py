@@ -1739,7 +1739,8 @@ def q_rel_customer_quartiles(spark, sf_dir):
     not raw orders."""
     o = _t(spark, sf_dir, "orders")
     rev = (o.groupBy("o_custkey")
-           .agg(F.round(F.sum("o_totalprice"), 2).alias("revenue")))
+           .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
+                 / 100.0).alias("revenue")))
     w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
     return (rev.select(
         "o_custkey", "revenue",
@@ -1866,8 +1867,7 @@ def q_rel_top_supplier(spark, sf_dir):
           .where((F.col("l_shipdate") >= "1996-01-01")
                  & (F.col("l_shipdate") < "1997-01-01")))
     rev = (li.groupBy("l_suppkey")
-           .agg(F.round(F.sum(F.col("l_extendedprice")
-                              * (1 - F.col("l_discount"))), 2)
+           .agg((F.round(F.sum(_rev_u4()) / 100.0, 0) / 100.0)
                 .alias("total_rev")))
     mx = rev.agg(F.max("total_rev").alias("_m"))
     return (rev.crossJoin(F.broadcast(mx))
@@ -2041,7 +2041,7 @@ _EXT_ORACLES = {
     "rel_top_supplier": """
         WITH rev AS (
           SELECT l_suppkey AS suppkey,
-                 round(sum(l_extendedprice * (1 - l_discount)), 2)
+                 round(sum(CAST(round(l_extendedprice * 100) AS BIGINT) * (100 - CAST(round(l_discount * 100) AS BIGINT))) / 100.0) / 100.0
                    AS total_rev
           FROM lineitem
           WHERE l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
@@ -2093,7 +2093,9 @@ _EXT_ORACLES = {
                             AND o.o_orderstatus = 'O')
         GROUP BY c_nationkey""",
     "rel_customer_quartiles": """
-        WITH rev AS (SELECT o_custkey, round(sum(o_totalprice), 2) AS revenue
+        WITH rev AS (SELECT o_custkey,
+                            sum(CAST(round(o_totalprice * 100) AS BIGINT))
+                              / 100.0 AS revenue
                      FROM orders GROUP BY 1)
         SELECT o_custkey, revenue,
                CAST(ntile(4) OVER w AS INT) AS quartile,
@@ -2497,9 +2499,11 @@ def q_rel_cube(spark, sf_dir):
 
 def q_rel_unpivot(spark, sf_dir):
     cu = _t(spark, sf_dir, "customer")
+    bc = F.round(F.col("c_acctbal") * 100).cast("long")
     agg = (cu.groupBy("c_nationkey")
-             .agg(F.round(F.sum("c_acctbal"), 2).alias("total_bal"),
-                  F.round(F.avg("c_acctbal"), 4).alias("avg_bal"),
+             .agg((F.sum(bc) / 100.0).alias("total_bal"),
+                  (F.round(F.sum(bc) * 100 / F.count(F.lit(1)), 0)
+                   / 10000.0).alias("avg_bal"),
                   F.count(F.lit(1)).cast("double").alias("n_customers")))
     return agg.unpivot("c_nationkey", ["total_bal", "avg_bal", "n_customers"],
                        "metric", "metric_value")
@@ -2512,8 +2516,10 @@ _CUBE_ORACLES = {
     "rel_unpivot": """
         WITH agg AS (
           SELECT c_nationkey,
-                 round(sum(c_acctbal), 2) AS total_bal,
-                 round(avg(c_acctbal), 4) AS avg_bal,
+                 sum(CAST(round(c_acctbal * 100) AS BIGINT)) / 100.0
+                   AS total_bal,
+                 round(sum(CAST(round(c_acctbal * 100) AS BIGINT)) * 100
+                       / count(*)) / 10000.0 AS avg_bal,
                  CAST(count(*) AS DOUBLE) AS n_customers
           FROM customer GROUP BY 1)
         SELECT c_nationkey, metric, metric_value FROM agg
