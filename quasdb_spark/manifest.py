@@ -208,8 +208,13 @@ class Manifest:
         return os.path.exists(os.path.join(self.dir, "CURRENT"))
 
     def _backend_versions(self) -> list[str]:
-        return sorted(n for n in self.backend.list()
-                      if n.endswith(".json") and n[:-5].isdigit())
+        # numeric sort: lexicographic order breaks once the version
+        # counter outgrows the %06d zero-padding ('1000000.json' <
+        # '999999.json' as strings), which would pin current() to a
+        # stale version and wedge every later commit in CommitConflict
+        return sorted((n for n in self.backend.list()
+                       if n.endswith(".json") and n[:-5].isdigit()),
+                      key=lambda n: int(n[:-5]))
 
     def current(self) -> Version:
         if self.backend is not None:

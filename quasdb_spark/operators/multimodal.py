@@ -31,6 +31,7 @@ from __future__ import annotations
 
 import hashlib
 import struct
+import wave as _wave
 from collections.abc import Iterator
 from typing import Any
 
@@ -240,7 +241,12 @@ def decode_audio(media: DataFrame) -> DataFrame:
                     d = _decode_audio_real(blob)
                     sr, ch, ns, path = (d["sample_rate"], d["n_channels"],
                                         d["n_samples"], "real")
-                except (NotImplementedError, EOFError, OSError, ValueError):
+                except (NotImplementedError, EOFError, OSError, ValueError,
+                        _wave.Error, RuntimeError):
+                    # wave.Error subclasses Exception directly: a blob
+                    # with valid RIFF/WAVE magic but a corrupt body
+                    # must count as 'error', not kill the task.
+                    # RuntimeError covers soundfile's LibsndfileError.
                     try:
                         kind, a, b = _parse_header(blob)
                         if kind != _KIND_CODE["audio"]:

@@ -107,10 +107,13 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
     ``hyperplane_bucket(c, n)`` for m < n (what lets callers pick
     n_bits per corpus size without re-deriving the hash family).
 
-    A vector whose length != ``dims`` RAISES (assert_true in the
-    expression). Silently zip-padding instead would hash every vector
-    to the all-'0' bucket, which a downstream max_bucket_size guard
-    then silently drops — 0 recall with no error."""
+    A NON-NULL vector whose length != ``dims`` RAISES (assert_true in
+    the expression). Silently zip-padding instead would hash every
+    vector to the all-'0' bucket, which a downstream max_bucket_size
+    guard then silently drops — 0 recall with no error. A NULL vector
+    hashes to a NULL bucket (dropped by the downstream equi-join on
+    bucket), NOT a job failure: one bad row shouldn't kill a 100 TB
+    scan, and size(NULL) would otherwise feed NULL into the assert."""
     v = _as_double(vec_col)
     guard = F.assert_true(
         F.size(v) == dims,
@@ -123,7 +126,8 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
         proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
                            F.lit(0.0), lambda acc, t: acc + t)
         bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    return F.when(guard.isNull(), F.concat(*bits))
+    return F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
+        F.when(guard.isNull(), F.concat(*bits)))
 
 
 def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,

@@ -1751,15 +1751,41 @@ def q_rel_customer_quartiles(spark, sf_dir):
 
 
 def q_sketch_events_profile(spark, sf_dir):
-    """Approximate one-pass profile (HLL ndv + approx percentiles) per
-    event_type. NO ORACLE by design: sketch estimates are
-    engine-specific (Spark HLL++ vs DuckDB approx_distinct differ), so
-    the driver records the rows-only check; the error-bound contract
-    vs exact answers is pinned in tests/test_sketches.py instead."""
-    from quasdb_spark.functions.sketches import sketch_profile
-    ev = _t(spark, sf_dir, "events")
-    out = sketch_profile(ev, ["event_type"], "user_id", "value")
-    return out.select("event_type", "ndv_user_id", "pcts", "n")
+    """Deterministic per-group profile: exact distinct count + DISCRETE
+    percentiles — the element at rank ceil(p*n), chosen with integer
+    rank arithmetic (ceil(a/b) = (a+b-1) DIV b) so both engines select
+    the same row; values in integer cents per SCALE.md §4d, one /100.0
+    at the end. This is the driver-facing, hash-comparable contract.
+
+    The APPROXIMATE one-pass version (HLL++ ndv + percentile_approx,
+    functions/sketches.py) remains the 100 TB scale path — exact
+    percentiles need a per-group sort, exact ndv a distinct shuffle —
+    and its error bounds vs these exact answers are pinned in
+    tests/test_sketches.py."""
+    ev = (_t(spark, sf_dir, "events")
+          .select("event_type", "user_id",
+                  F.round(F.col("value") * 100).cast("long").alias("_vc")))
+    cnt = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("user_id").alias("ndv_user_id"))
+    w = Window.partitionBy("event_type").orderBy("_vc")
+    ranked = ev.withColumn("_rn", F.row_number().over(w))
+    j = ranked.join(F.broadcast(cnt), "event_type")
+
+    def _at(num, den):
+        # discrete percentile rank ceil(num*n/den) in exact integers —
+        # float p*n can land on either side of an integer per engine
+        r = F.expr(f"CAST(({num} * n + {den} - 1) DIV {den} AS BIGINT)")
+        return F.max(F.when(F.col("_rn") == r, F.col("_vc")))
+
+    return (j.groupBy("event_type")
+             .agg(F.max("ndv_user_id").alias("ndv_user_id"),
+                  (_at(1, 2) / 100.0).alias("p50"),
+                  (_at(19, 20) / 100.0).alias("p95"),
+                  (_at(99, 100) / 100.0).alias("p99"),
+                  F.max("n").alias("n"))
+             .select("event_type", "ndv_user_id", "p50", "p95", "p99",
+                     "n"))
 
 
 def q_ts_trailing_1h_sum(spark, sf_dir):
@@ -1925,6 +1951,28 @@ def _cos2(a: str, b: str) -> str:
 
 
 _EXT_ORACLES = {
+    "sketch_events_profile": """
+        WITH e AS (SELECT event_type, user_id,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events),
+        c AS (SELECT event_type, count(*) AS n,
+                     count(DISTINCT user_id) AS ndv_user_id
+              FROM e GROUP BY 1),
+        r AS (SELECT event_type, vc,
+                     row_number() OVER (PARTITION BY event_type
+                                        ORDER BY vc) AS rn
+              FROM e)
+        SELECT r.event_type,
+               max(c.ndv_user_id) AS ndv_user_id,
+               max(CASE WHEN rn = (1 * n + 1) // 2 THEN vc END)
+                 / 100.0 AS p50,
+               max(CASE WHEN rn = (19 * n + 19) // 20 THEN vc END)
+                 / 100.0 AS p95,
+               max(CASE WHEN rn = (99 * n + 99) // 100 THEN vc END)
+                 / 100.0 AS p99,
+               max(c.n) AS n
+        FROM r JOIN c ON r.event_type = c.event_type
+        GROUP BY r.event_type""",
     "events_json_extract": """
         SELECT CAST(json_extract_string(props, '$.k') AS INT) % 10 AS k_bucket,
                count(*) AS n,

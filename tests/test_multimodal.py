@@ -131,6 +131,18 @@ def test_decode_audio_fake_and_error_paths(spark):
     assert got[9]["decode_path"] == "error"  # image blob is not audio
 
 
+def test_decode_audio_riff_magic_corrupt_body(spark):
+    """Valid RIFF/WAVE magic with a corrupt body raises wave.Error
+    inside the real decoder — it must be counted as 'error', not
+    crash the Spark task (ADVICE r4: wave.Error subclasses Exception
+    directly, so it slipped past the EOFError/OSError/ValueError net)."""
+    corrupt = b"RIFF" + b"\x24\x00\x00\x00" + b"WAVE" + b"\x00" * 16
+    df = spark.createDataFrame(
+        [(10, "audio", corrupt, {})], MM.MEDIA_SCHEMA)
+    got = MM.decode_audio(df).collect()
+    assert len(got) == 1 and got[0]["decode_path"] == "error"
+
+
 def _mjpeg_frames(n_frames=5):
     """Minimal JPEG-framed byte strings: SOI+APP0 ... EOI. No codec
     needed to build or split them; payload varies per frame so exact

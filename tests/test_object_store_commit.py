@@ -149,3 +149,24 @@ def test_many_racing_writers_converge_with_retries(tmp_path):
     paths = {f.path for f in live.files}
     assert paths == {f"data/{t}-{i}" for t in range(n_writers)
                      for i in range(n_commits)}
+
+
+def test_version_numbering_past_padding_width(tmp_path):
+    """Version 1,000,000 outgrows the %06d zero-padding. current()
+    must still resolve the numerically-highest object ('1000000.json'
+    sorts lexicographically BEFORE '999999.json'), and the next commit
+    must install 1000001 instead of wedging on CommitConflict forever
+    (ADVICE r4)."""
+    from quasdb_spark.manifest import Version
+
+    mf = _mk(tmp_path, "pad-overflow")
+    for ver in (999999, 1000000):
+        v = Version(version=ver, schema={})
+        assert mf.backend.put_if_absent(f"{ver:06d}.json", v.to_json())
+    live = mf.current()
+    assert live.version == 1000000
+    nxt = mf.commit(live, add=[FileEntry(
+        path="data/after", seq_lo=1, seq_hi=1, rows=1, bytes=1)],
+        last_seq=1)
+    assert nxt.version == 1000001
+    assert mf.current().version == 1000001

@@ -166,6 +166,23 @@ def test_hyperplane_bucket_dims_mismatch_raises(spark):
         bad.collect()
 
 
+def test_hyperplane_bucket_null_vector_gets_null_bucket(spark):
+    """A NULL embedding hashes to a NULL bucket (excluded by the
+    downstream equi-join on bucket) instead of tripping the dims
+    assert and killing the whole job — size(NULL) is NULL, which
+    would otherwise feed NULL into assert_true (ADVICE r4)."""
+    from quasdb_spark.operators.similarity import hyperplane_bucket
+
+    df = spark.createDataFrame(
+        [(1, [0.5] * 64), (2, None)],
+        "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["b"] for r in df.select(
+        "vec_id",
+        hyperplane_bucket("embedding", 4, dims=64).alias("b")).collect()}
+    assert got[2] is None
+    assert got[1] is not None and len(got[1]) == 4
+
+
 def test_hyperplane_bucket_prefix_property(spark):
     """Bit j is independent of n_bits: a shorter bucket is always a
     prefix of a longer one (what lets auto_n_bits vary bits per corpus

@@ -22,7 +22,9 @@ def test_queries_and_oracles_registered():
     qs, orc = e.queries(), e.oracle_sql()
     assert set(orc) <= set(qs)
     missing_oracle = set(qs) - set(orc)
-    # sketch estimates are engine-specific (no cross-engine hash oracle
-    # possible); their correctness contract is the error-bound tests in
-    # tests/test_sketches.py — every OTHER query must carry an oracle
-    assert missing_oracle == {"sketch_events_profile"}
+    # every query carries a cross-engine oracle; the approximate sketch
+    # aggregates (HLL/percentile_approx/CMS) are engine-specific and
+    # covered by error-bound tests in tests/test_sketches.py instead —
+    # the driver-facing sketch_events_profile is the deterministic
+    # (exact ndv + discrete-percentile) variant, which IS oracled
+    assert missing_oracle == set()
