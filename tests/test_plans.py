@@ -105,6 +105,20 @@ def test_ivf_quantization_broadcasts_centroids(spark, sf_dir):
     assert "partial_" in plan
 
 
+def test_ivf_topk_probes_pruned_lists(spark, sf_dir):
+    """The served IVF query must PROBE materialized inverted lists,
+    never re-assign the corpus: the lists scan carries a dynamic-
+    partition-pruning filter on list_label (only probed lists are
+    read), and the probe side joins broadcast — at 100 TB the
+    per-query cost is |probed lists|, not the corpus (VERDICT r4)."""
+    df = suite.QUERIES["sim_ivf_topk"](spark, sf_dir)
+    formatted = df._jdf.queryExecution().explainString(
+        spark._jvm.org.apache.spark.sql.execution.ExplainMode
+        .fromString("formatted"))
+    assert "dynamicpruningexpression(list_label" in formatted
+    assert "CartesianProduct" not in formatted
+
+
 def test_quantize_int8_is_map_only(spark, sf_dir):
     plan = _plan(suite.QUERIES["emb_quantize_int8"](spark, sf_dir))
     assert "Exchange" not in plan

@@ -9,6 +9,7 @@ import math
 import random
 
 import pyspark.sql.functions as F
+import pytest
 
 from quasdb_spark.operators.similarity import (cosine_topk, ivf_topk,
                                                kmeans_centroids,
@@ -125,6 +126,41 @@ def test_kmeans_ivf_on_clustered_data(spark):
           for r in ivf_topk(df, q, 10, nprobe=1, centroids=cents).collect()}
     recall = len(km & truth) / len(truth)
     assert recall >= 0.9, f"clustered recall {recall:.2f}"
+
+
+def test_ivf_materialized_lists_match_inline_assignment(spark, sf_dir,
+                                                        tmp_path):
+    """Probing materialized inverted lists (the FAISS add() artifact,
+    parquet partitioned by list_label) returns EXACTLY the inline-
+    assignment result — vectors/norms round-trip parquet bit-exactly —
+    and the lists build runs once: a second get_or_build_lists call
+    for the same key reuses the artifact."""
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    inline = sorted(map(tuple, ivf_topk(
+        e, q, 10, nprobe=2, centroids=cents).collect()))
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="t-lists",
+                                  n_clusters=10, root=str(tmp_path))
+    probed = sorted(map(tuple, ivf_topk(
+        e, q, 10, nprobe=2, centroids=cents, lists=lists).collect()))
+    assert probed == inline
+    path = QZ.lists_path(QZ._key("t-lists", 10, 2, None, 6),
+                         str(tmp_path))
+    mtime = os.path.getmtime(os.path.join(path, "_SUCCESS"))
+    QZ.get_or_build_lists(e, cents, fingerprint="t-lists",
+                          n_clusters=10, root=str(tmp_path))
+    assert os.path.getmtime(os.path.join(path, "_SUCCESS")) == mtime
+    # partition layout: one dir per inverted list
+    parts = [d for d in os.listdir(path) if d.startswith("list_label=")]
+    assert len(parts) == 10
+    # lists=... without the matching centroids is a contract violation
+    with pytest.raises(ValueError):
+        ivf_topk(e, q, 10, lists=lists)
 
 
 def test_int8_quantization_roundtrip_error_bound(spark):
