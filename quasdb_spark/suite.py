@@ -136,6 +136,35 @@ def q_kv_typed_state(spark, sf_dir):
                              min_amount=0.5)
 
 
+def q_kv_state_postcompact(spark, sf_dir):
+    """Compaction-invariance under the ORACLE (M1/M7 driver-level
+    evidence): build a REAL KVStore from the events op-log in three
+    seq batches, run a major compaction (multi-file k-way merge +
+    tombstone/obsolete-version drop + CAS manifest swap), then read
+    state() — which must equal the LWW state the raw op-log defines.
+    The reference pins the same semantic-no-op contract in
+    kv/test/autocompact_test.cpp:55-116."""
+    import os
+    import tempfile
+
+    from quasdb_spark.store import KVStore
+
+    ev = _t(spark, sf_dir, "events")
+    log = KV.events_as_oplog(ev)
+    mx = ev.agg(F.max("event_id")).first()[0]
+    st = KVStore.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-postc-"),
+                            "store"))
+    # three batches in event_id order: (batch seq asc, sub asc) then
+    # reproduces the oracle's global ORDER BY seq exactly
+    for lo, hi in ((0, mx // 3), (mx // 3, 2 * mx // 3),
+                   (2 * mx // 3, mx + 1)):
+        st.ingest(log.where((F.col("seq") >= lo) & (F.col("seq") < hi)),
+                  op_col="op", sub_col="seq")
+    st.compact()
+    return st.state()
+
+
 def q_kv_live_stats(spark, sf_dir):
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
     winners = log.groupBy("key").agg(
@@ -150,6 +179,10 @@ def q_kv_live_stats(spark, sf_dir):
 
 _KV_ORACLES = {
     "kv_state_latest": f"WITH {_KV_CTE} SELECT key, value FROM state",
+    # compaction must be a semantic no-op: post-compact state == the
+    # LWW state of the raw op-log (same CTE as kv_state_latest)
+    "kv_state_postcompact":
+        f"WITH {_KV_CTE} SELECT key, value FROM state",
     "kv_state_asof": f"""
         WITH log AS (
           SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS key,
@@ -579,13 +612,19 @@ def q_rel_top_orders(spark, sf_dir):
 
 
 def q_rel_region_revenue(spark, sf_dir):
+    """Broadcast hints ONLY on the constant-size dims (region = 5
+    rows, nation = 25 at every sf). Customer grows ~1.5M rows/sf: a
+    forced broadcast hint — which AQE cannot override — OOMs at the
+    100x target, so its join strategy is left to AQE's runtime size
+    estimate (broadcast while it fits, shuffle join beyond; pinned in
+    test_plans.py). Same for lineitem x orders."""
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     return (li.join(o, li.l_orderkey == o.o_orderkey)
-              .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+              .join(cu, o.o_custkey == cu.c_custkey)
               .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
               .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
               .groupBy("r_name")
@@ -2654,6 +2693,7 @@ QUERIES = {
     "kv_point_get": q_kv_point_get,
     "kv_version_history": q_kv_version_history,
     "kv_live_stats": q_kv_live_stats,
+    "kv_state_postcompact": q_kv_state_postcompact,
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
@@ -2746,31 +2786,37 @@ QUERIES = {
     "sim_probe_topk": q_sim_probe_topk,
 }
 
-# Driver-evidence ordering: the correctness driver samples the FIRST 50
-# entries of this dict. Queries that have never had a driver row
-# (CORRECTNESS_r01-r03 all checked the same 50 keys) lead, so every
-# query accumulates hard driver evidence across rounds; the
-# previously-green 50 follow in their original order.
-_NEVER_DRIVER_CHECKED = [
-    "text_lang_confusion", "sim_neardup_cosine", "sim_ivf_topk",
-    "sim_ivf_quantization", "emb_quantize_int8", "emb_label_separation",
-    "ts_pivot_hourly", "rel_cube", "rel_unpivot", "crossmodal_neighbors",
-    "events_json_extract", "ts_percentiles", "rel_rollup", "rel_set_ops",
-    "rel_inactive_customers", "rel_order_count_dist",
-    "rel_sole_blamed_supplier", "rel_top_supplier", "rel_grouping_sets",
-    "rel_shipping_priority", "text_zipf", "ts_ohlc_daily",
-    "ts_anomaly_zscore", "events_funnel", "rel_above_avg_orders",
-    "sketch_events_profile", "rel_customer_quartiles",
-    "ts_trailing_1h_sum", "text_bigram_topk", "emb_centroids",
-    "kv_seek_page", "rel_region_share", "doc_sample_stratified",
-    "doc_sample_fixed_k", "doc_sample_weighted", "doc_pack_manifest",
-    "doc_token_packing", "mm_decode_stats", "mm_resize_roundtrip",
-    "mm_frame_sample", "mm_audio_stats", "kv_typed_state",
-    "sim_probe_topk",
+# Driver-evidence rotation: the correctness driver samples the FIRST
+# 50 entries of this dict. Evidence re-accumulates round-robin
+# (VERDICT r4 #8): this round leads with (a) queries whose code
+# changed or whose last driver row was not green — sketch (r4 row
+# ERRed on the old ARRAY output), the IVF pair (materialized lists),
+# region_revenue (un-forced broadcast) — then (b) the 43 queries whose
+# only driver rows are from round-1..3 code (CORRECTNESS_r04 checked
+# the other 50). Newly added queries always join the head of this
+# list so their first driver row lands the same round they ship.
+_DRIVER_CHECK_FIRST = [
+    "kv_state_postcompact",  # new in r5: first driver row this round
+    "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
+    # r3-era rows only (not in CORRECTNESS_r04):
+    "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
+    "ts_sliding_1h_15m", "ts_downsample_10m_last", "ts_asof_join",
+    "ts_sessionize", "ts_moving_avg", "ts_topk_per_type",
+    "ts_first_last", "ts_rate", "ts_gapfill_hourly",
+    "ts_gapfill_interp", "rel_pricing_summary", "rel_top_orders",
+    "rel_region_revenue", "rel_promo_share", "rel_order_priority",
+    "rel_customer_rank", "rel_supplier_volume", "rel_price_histogram",
+    "text_stats", "text_quality", "text_langid", "text_fingerprint",
+    "text_pii_scan", "text_tfidf_topk", "text_decontaminate",
+    "text_repetition", "text_winnow", "text_token_counts",
+    "pipeline_curation", "dedup_exact", "dedup_minhash_sig",
+    "dedup_minhash_pairs", "dedup_clusters", "dedup_apply",
+    "dedup_containment", "dedup_simhash", "dedup_simhash_pairs",
+    "sim_cosine_topk", "sim_bucket_topk", "sim_knn_graph",
 ]
-QUERIES = {**{k: QUERIES[k] for k in _NEVER_DRIVER_CHECKED},
+QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},
            **{k: v for k, v in QUERIES.items()
-              if k not in set(_NEVER_DRIVER_CHECKED)}}
+              if k not in set(_DRIVER_CHECK_FIRST)}}
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,

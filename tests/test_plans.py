@@ -24,9 +24,36 @@ def test_point_get_pushes_key_filter(spark, tmp_path):
 
 
 def test_region_revenue_joins_all_broadcast(spark, sf_dir):
+    """At test sf, AQE's size estimates broadcast every dim (orders/
+    customer are tiny here) — the fact table never shuffles."""
     plan = _plan(suite.QUERIES["rel_region_revenue"](spark, sf_dir))
     assert "SortMergeJoin" not in plan
     assert "BroadcastHashJoin" in plan
+
+
+def test_region_revenue_no_forced_broadcast_of_growing_dims(spark,
+                                                            sf_dir):
+    """At 100 TB customer/orders no longer fit in a broadcast, and a
+    HINT would force one anyway (AQE cannot override hints) — so with
+    size-based broadcasting disabled, the only broadcasts left must be
+    the constant-size region/nation hints; lineitem x orders and
+    x customer fall back to shuffle joins (VERDICT r4)."""
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    old_aqe = spark.conf.get(
+        "spark.sql.adaptive.autoBroadcastJoinThreshold", None)
+    try:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+        spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold",
+                       "-1")
+        df = suite.QUERIES["rel_region_revenue"](spark, sf_dir)
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+        assert plan.count("BroadcastHashJoin") == 2  # region + nation
+        assert "SortMergeJoin" in plan  # li x o, x customer shuffle
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+        if old_aqe is not None:
+            spark.conf.set(
+                "spark.sql.adaptive.autoBroadcastJoinThreshold", old_aqe)
 
 
 def test_pricing_summary_prunes_columns(spark, sf_dir):
