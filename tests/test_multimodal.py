@@ -131,6 +131,53 @@ def test_decode_audio_fake_and_error_paths(spark):
     assert got[9]["decode_path"] == "error"  # image blob is not audio
 
 
+def _png_bytes(w, h, color=2):
+    """A real, valid PNG built with stdlib only (zlib + struct)."""
+    import struct
+    import zlib
+
+    def chunk(typ, body):
+        return (struct.pack(">I", len(body)) + typ + body +
+                struct.pack(">I", zlib.crc32(typ + body) & 0xFFFFFFFF))
+
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    raw = b"".join(b"\x00" + b"\x80" * (w * 3) for _ in range(h))
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr) +
+            chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _jpeg_bytes(w, h):
+    """Minimal real JPEG header: SOI + SOF0 carrying the dimensions."""
+    import struct
+
+    sof0 = (b"\xff\xc0" + struct.pack(">H", 17) + b"\x08" +
+            struct.pack(">HH", h, w) + b"\x03" +
+            b"\x01\x11\x00\x02\x11\x01\x03\x11\x01")
+    return b"\xff\xd8" + sof0 + b"\xff\xd9"
+
+
+def test_decode_images_real_png_jpeg(spark):
+    """In-test generated PNG/JPEG decode through the REAL branch
+    (pure-stdlib IHDR/SOF parse — no PIL in this container), and a
+    PNG with a corrupted IHDR CRC is counted as 'error', not trusted
+    (VERDICT r4 #6: the real branch must not be dead code)."""
+    good_png = _png_bytes(320, 200)
+    bad_crc = bytearray(good_png)
+    bad_crc[30] ^= 0xFF  # flip one IHDR CRC byte
+    rows = [(1, "image", good_png, {}),
+            (2, "image", _jpeg_bytes(640, 480), {}),
+            (3, "image", bytes(bad_crc), {}),
+            (4, "image", MM.make_blob("image", 100, 50, "qm4"), {})]
+    df = spark.createDataFrame(rows, MM.MEDIA_SCHEMA)
+    got = {r["media_id"]: r for r in MM.decode_images(df).collect()}
+    assert (got[1]["decode_path"], got[1]["width"],
+            got[1]["height"]) == ("real", 320, 200)
+    assert (got[2]["decode_path"], got[2]["width"],
+            got[2]["height"]) == ("real", 640, 480)
+    assert got[3]["decode_path"] == "error"
+    assert (got[4]["decode_path"], got[4]["width"]) == ("fake", 100)
+
+
 def test_decode_audio_riff_magic_corrupt_body(spark):
     """Valid RIFF/WAVE magic with a corrupt body raises wave.Error
     inside the real decoder — it must be counted as 'error', not

@@ -197,6 +197,49 @@ def test_compaction_invariance_and_shrink(spark, tmp_path):
     assert st.properties()["quasdb.total-rows"] < 6 * 40 + 40
 
 
+def test_tiered_compaction_bounds_write_amplification(spark, tmp_path):
+    """Size-tiered picking (M2, version_set.cpp:41-54 in spirit):
+    folding tier g touches ONLY tier-g dirs — the generation-2 fold's
+    inputs are exactly the three generation-1 outputs, never the fresh
+    L0 batch sitting next to them — so a record is rewritten at most
+    once per generation and compaction cost is bounded per tier, not
+    by store size (VERDICT r4 #1). State stays invariant through every
+    fold, deletes included."""
+    st = _mk(spark, tmp_path, "tiered")
+    st.l0_compaction_trigger = 3
+    st.level_compaction_trigger = 3
+    st.vacuum_grace = 0.0
+    model = {}
+    scopes = []
+    for b in range(9):
+        ops = [("put", f"k{i:03d}", f"v{b}-{i}") for i in range(20)]
+        if b % 3 == 2:  # deletes must survive tier folds (no purge
+            ops.append(("del", f"k{b:03d}", None))  # below full scope)
+        st.write_batch(ops)
+        for op, k, v in ops:
+            model[k] = v
+            if op == "del":
+                model.pop(k, None)
+        s = st.maybe_compact()
+        if s:
+            scopes.append(s["scope"])
+    # three L0 folds so far; the third left 3 generation-1 dirs
+    assert scopes == ["tier0", "tier0", "tier0"]
+    g1 = [f for f in st.manifest.current().files if f.level == 1]
+    assert len(g1) == 3
+    g1_bytes = sum(f.bytes for f in g1)
+    st.write_batch([("put", "extra", "x")])
+    model["extra"] = "x"
+    s = st.maybe_compact()
+    assert s is not None and s["scope"] == "tier1"
+    # bounded inputs: the tier-1 fold read exactly the 3 g1 dirs
+    assert s["bytes_before"] == g1_bytes
+    levels = sorted(f.level for f in st.manifest.current().files)
+    assert levels == [0, 2]  # untouched fresh batch + new generation-2
+    got = {r["key"]: r["value"] for r in st.scan().collect()}
+    assert got == model
+
+
 def test_compaction_purges_tombstones_without_snapshots(spark, tmp_path):
     st = _mk(spark, tmp_path)
     st.write_batch([("put", f"k{i}", "v") for i in range(10)])
