@@ -231,6 +231,11 @@ class KVStore:
     l0_compaction_trigger: int = 8
     level_compaction_trigger: int = 8
     vacuum_grace: float = 600.0
+    # Seek-stats compaction (R3): a dir's seek budget is
+    # max(floor, bytes / bytes_per_seek) — the reference's "one seek
+    # costs what compacting 16 KB costs" model (version_set.cpp:775-790)
+    seek_budget_bytes_per_seek: int = 16384
+    seek_budget_floor: int = 16
     # Abandoned scan_iter cursors pin their snapshot forever (the
     # generator finally-block never runs if the caller drops it);
     # vacuum reaps scan-* snapshots older than this (seconds).
@@ -250,6 +255,13 @@ class KVStore:
         self.binary = False
         self.codec: type = IdentityCodec
         self.value_schema: StructType | None = None
+        # Seek-stats compaction state (R3, kv/db/version_set.cpp:475-489
+        # seeding :775-790): in-memory like the reference's
+        # allowed_seeks — reads RECORD fragmentation cost here, the
+        # next maybe_compact() tick ACTS on it (we have no background
+        # thread; maintenance is the tick).
+        self._seek_budget: dict[str, int] = {}
+        self._seek_pending: tuple | None = None
         if self.manifest.exists():
             self._load_config()
 
@@ -716,7 +728,7 @@ class KVStore:
         """
         ver = self.manifest.current()
         lo_stat, hi_stat = self._stat_key(key_from), self._stat_key(key_to)
-        paths = []
+        paths, survivors = [], []
         for f in ver.files:
             if asof is not None and f.seq_lo > asof:
                 continue
@@ -725,6 +737,9 @@ class KVStore:
             if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:
                 continue
             paths.append(os.path.join(self.path, f.path))
+            survivors.append(f)
+        if key_from is not None or key_to is not None:
+            self._record_seeks(survivors)
         if not paths:
             return self.spark.createDataFrame([], self.log_schema)
         df = self.spark.read.schema(self.log_schema).parquet(*paths)
@@ -932,6 +947,33 @@ class KVStore:
                 best_score, best_gen = s, g
         return best_score, best_gen
 
+    def _record_seeks(self, survivors: list) -> None:
+        """Seek-stats accounting (R3, version_set.cpp:475-489): a
+        bounded read that still has to merge MULTIPLE dirs pays a
+        fragmentation tax — charge one seek to every surviving dir.
+        A well-compacted range (one dir survives pruning) charges
+        nothing, so budgets only drain where reads actually suffer.
+        When a dir's budget (max(floor, bytes/bytes_per_seek) — the
+        reference's "one seek costs ~16 KB of compaction" model)
+        hits zero, its key range is queued; the next maybe_compact()
+        tick runs a range-scoped compaction there ("this file keeps
+        getting probed — compact it"). State is in-memory per handle,
+        exactly like the reference's allowed_seeks."""
+        if len(survivors) < 2:
+            return
+        for f in survivors:
+            left = self._seek_budget.get(f.path)
+            if left is None:
+                left = max(self.seek_budget_floor,
+                           f.bytes // self.seek_budget_bytes_per_seek)
+            left -= 1
+            if left <= 0:
+                self._seek_budget.pop(f.path, None)
+                if self._seek_pending is None and f.min_key is not None:
+                    self._seek_pending = (f.min_key, f.max_key)
+            else:
+                self._seek_budget[f.path] = left
+
     def maybe_compact(self) -> dict | None:
         """Auto-compaction maintenance hook (M2): when the pick score
         reaches 1.0, fold the picked GENERATION's dirs (only) into one
@@ -943,11 +985,23 @@ class KVStore:
         kv/db/db_impl.cpp:658-740). Cost is bounded by the picked
         tier's bytes — never the store's (see compaction_score)."""
         score, gen = self.compaction_score()
-        if score < 1.0:
+        if score >= 1.0:
+            stats = self.compact(levels={gen})
+            stats["scope"] = f"tier{gen}"
+        elif self._seek_pending is not None:
+            # seek-triggered (R3): a hot range kept paying multi-dir
+            # merge cost — fold the dirs overlapping the exhausted
+            # dir's key range ("self-healing" for read-hot ranges the
+            # size triggers never reach, version_set.cpp:475-489)
+            lo, hi = self._seek_pending
+            stats = self.compact(_lo_stat=lo,
+                                 _hi_stat=None if hi is None
+                                 else hi + "\0")
+            stats["scope"] = "seek"
+        else:
             return None
-        stats = self.compact(levels={gen})
+        self._seek_pending = None
         self.vacuum(self.vacuum_grace)
-        stats["scope"] = f"tier{gen}"
         return stats
 
     def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
@@ -997,7 +1051,7 @@ class KVStore:
                 key_from: str | None = None,
                 key_to: str | None = None, vacuum: bool = False,
                 levels: set[int] | None = None,
-                drop_where=None) -> dict:
+                drop_where=None, _lo_stat=None, _hi_stat=None) -> dict:
         """Major compaction (DoCompactionWork, kv/db/db_impl.cpp:1031-1220);
         pass key_from/key_to for manual range compaction (CompactRange),
         ``levels`` to fold only the given input levels (auto-compaction
@@ -1029,8 +1083,13 @@ class KVStore:
         # mirroring the reference's whole-file inputs. At 100 TB this is
         # the operational mode: compact hot key ranges incrementally
         # instead of rewriting the world.
-        lo_stat = self._stat_key(self._enc_bound(key_from))
-        hi_stat = self._stat_key(self._enc_bound(key_to))
+        # _lo_stat/_hi_stat: internal stat-space bounds (seek-triggered
+        # compaction passes manifest stats directly — they are already
+        # in stored/stat space, so they must not be re-encoded)
+        lo_stat = (_lo_stat if _lo_stat is not None
+                   else self._stat_key(self._enc_bound(key_from)))
+        hi_stat = (_hi_stat if _hi_stat is not None
+                   else self._stat_key(self._enc_bound(key_to)))
         selected = []
         for f in ver.files:
             if levels is not None and f.level not in levels:
@@ -1042,7 +1101,9 @@ class KVStore:
             selected.append(f)
         if not selected:
             return {"files_before": len(ver.files), "files_after": len(ver.files)}
-        full_scope = len(selected) == len(ver.files) and key_from is None and key_to is None
+        full_scope = (len(selected) == len(ver.files)
+                      and key_from is None and key_to is None
+                      and _lo_stat is None and _hi_stat is None)
         paths = [os.path.join(self.path, f.path) for f in selected]
         log = self.spark.read.schema(self.log_schema).parquet(*paths)
         snaps = sorted(set(ver.snapshots.values()))
@@ -1227,6 +1288,7 @@ class KVStore:
             "quasdb.total-rows": sum(f.rows for f in ver.files),
             "quasdb.snapshots": dict(ver.snapshots),
             "quasdb.approximate-memory-usage": mem_used,
+            "quasdb.seek-compaction-pending": self._seek_pending is not None,
             "quasdb.stats": {
                 lvl: {"files": len(fs), "bytes": sum(f.bytes for f in fs),
                       "rows": sum(f.rows for f in fs)}

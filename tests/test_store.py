@@ -240,6 +240,36 @@ def test_tiered_compaction_bounds_write_amplification(spark, tmp_path):
     assert got == model
 
 
+def test_seek_stats_trigger_range_compaction(spark, tmp_path):
+    """R3 seek-stats compaction (version_set.cpp:475-489): a hot key
+    range that keeps paying multi-dir merge cost self-heals — repeated
+    bounded reads drain the overlapping dirs' seek budgets, the next
+    maybe_compact() tick folds THAT range (scope 'seek'), and the
+    range collapses to one dir so reads stop charging. A cold read
+    over a single dir never charges."""
+    st = _mk(spark, tmp_path, "seekstats")
+    st.seek_budget_floor = 3  # drain quickly in-test
+    st.vacuum_grace = 0.0
+    # fragmented hot range: 4 overlapping batches over the same keys
+    for b in range(4):
+        st.write_batch([("put", f"h{i:02d}", f"v{b}") for i in range(10)])
+    model = {f"h{i:02d}": "v3" for i in range(10)}
+    assert st.properties()["quasdb.num-files"] == 4
+    # below the size trigger: size score must NOT be the thing firing
+    assert st.compaction_score()[0] < 1.0
+    for _ in range(3):  # bounded reads over the fragmented range
+        st.scan("h00", "h99").collect()
+    assert st.properties()["quasdb.seek-compaction-pending"]
+    s = st.maybe_compact()
+    assert s is not None and s["scope"] == "seek"
+    assert st.properties()["quasdb.num-files"] == 1
+    assert {r["key"]: r["value"] for r in st.scan().collect()} == model
+    # well-compacted now: further bounded reads charge nothing
+    st.scan("h00", "h99").collect()
+    assert not st.properties()["quasdb.seek-compaction-pending"]
+    assert st.maybe_compact() is None
+
+
 def test_compaction_purges_tombstones_without_snapshots(spark, tmp_path):
     st = _mk(spark, tmp_path)
     st.write_batch([("put", f"k{i}", "v") for i in range(10)])
