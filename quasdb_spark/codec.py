@@ -100,6 +100,103 @@ class ReverseCodec:
 CODECS: dict[str, type] = {c.name: c for c in (IdentityCodec, ReverseCodec)}
 
 
+def register_codec(cls: type, *, replace: bool = False) -> type:
+    """Register a custom codec class under ``cls.name`` so stores
+    created with it can be REOPENED: the manifest persists only the
+    codec's name (comparator.h:20-24 — the reference likewise persists
+    the comparator Name() and refuses to open a DB with a different
+    one), so the class must be findable by name at ``KVStore.open``
+    time. Usable as a decorator. Idempotent for the same class;
+    refuses to silently shadow a different class unless ``replace``."""
+    name = getattr(cls, "name", None)
+    if not isinstance(name, str) or not name:
+        raise ValueError("codec class needs a non-empty string `name`")
+    for attr in ("encode", "decode"):
+        if not callable(getattr(cls, attr, None)):
+            raise ValueError(f"codec {name!r} must define {attr}()")
+    if name in CODECS and CODECS[name] is not cls and not replace:
+        raise ValueError(f"codec name {name!r} already registered to a "
+                         "different class (pass replace=True to override)")
+    CODECS[name] = cls
+    return cls
+
+
+def make_codec(name: str, encode, decode, *, encode_prefix=None,
+               register: bool = True) -> type:
+    """THE porting path for a custom comparator (A4,
+    kv/include/comparator.h:14-52): instead of Compare(a, b), supply an
+    ORDER-PRESERVING key transform — ``encode`` such that
+    Compare(a, b) < 0 iff encode(a) < encode(b) codepoint-wise — plus
+    its inverse ``decode``. The encode runs once per key at write time
+    (Arrow-batched inside the ingest job); every ordering operator
+    (range/reverse scan, seek, min/max, compaction sort) then runs
+    entirely JVM-side on the encoded column, which is exactly where the
+    reference invokes its comparator on every key visit. Check the
+    transform against the original comparator with
+    :func:`validate_codec`.
+
+    ``encode_prefix`` (optional): encoded-space prefix function with
+    the contract ``k.startswith(p) iff encode(k).startswith(
+    encode_prefix(p))``; omit it and prefix scans on the store raise
+    (range scans still work — not every ordering admits prefix
+    commutation)."""
+    if encode_prefix is None:
+        def encode_prefix(prefix: str):  # noqa: ANN001
+            raise NotImplementedError(
+                f"codec {name!r} was built without encode_prefix; "
+                "prefix scans are unavailable (use key_from/key_to "
+                "range bounds instead)")
+    cls = type(f"FunctionCodec_{name}", (), {
+        "name": name,
+        "encode": staticmethod(encode),
+        "decode": staticmethod(decode),
+        "encode_prefix": staticmethod(encode_prefix),
+    })
+    if register:
+        register_codec(cls)
+    return cls
+
+
+def validate_codec(codec: type, compare, keys, *,
+                   check_roundtrip: bool = True) -> int:
+    """Evidence bridge for comparator ports: verify on a key sample
+    that the codec agrees with the original comparator. For every pair
+    (a, b) in ``keys``, sign(compare(a, b)) must equal the sign of the
+    codepoint comparison of the encoded keys (Spark's string order —
+    UTF-8 byte order — equals codepoint order, so this is exactly the
+    order every store operator will use). Also checks
+    decode(encode(k)) == k and that encoded keys are UTF-8-storable
+    (no lone surrogates). Returns the number of pairs checked; raises
+    ValueError naming the first offending pair. O(n²) pairs — meant
+    for a representative sample, not a corpus."""
+    ks = list(keys)
+    enc = {}
+    for k in ks:
+        e = codec.encode(k)
+        try:
+            e.encode("utf-8")
+        except UnicodeEncodeError as exc:
+            raise ValueError(
+                f"encode({k!r}) produced a non-UTF-8-storable string "
+                f"({exc}); encoded keys must avoid the surrogate "
+                "block") from None
+        if check_roundtrip and codec.decode(e) != k:
+            raise ValueError(f"decode(encode({k!r})) != {k!r}")
+        enc[k] = e
+    n = 0
+    for i, a in enumerate(ks):
+        for b in ks[i + 1:]:
+            want = compare(a, b)
+            want = (want > 0) - (want < 0)
+            got = (enc[a] > enc[b]) - (enc[a] < enc[b])
+            if want != got:
+                raise ValueError(
+                    f"order violation: compare({a!r}, {b!r}) sign is "
+                    f"{want} but encoded order sign is {got}")
+            n += 1
+    return n
+
+
 def encode_u64(n: int, width: int = 20) -> str:
     """Zero-padded decimal: numeric order == lexicographic order."""
     if n < 0:

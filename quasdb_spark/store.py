@@ -271,7 +271,16 @@ class KVStore:
 
         schema = self.manifest.current().schema or {}
         self.binary = schema.get("key_type") == "binary"
-        self.codec = CODECS[schema.get("codec", "identity")]
+        cname = schema.get("codec", "identity")
+        try:
+            self.codec = CODECS[cname]
+        except KeyError:
+            # comparator.h:20-24 parity: a DB created with a custom
+            # comparator can only open when that comparator is supplied
+            raise LookupError(
+                f"store at {self.path} was created with custom codec "
+                f"{cname!r}; register it first via "
+                "quasdb_spark.codec.register_codec / make_codec") from None
         vs = schema.get("value_schema")
         self.value_schema = (StructType.fromJson(_json.loads(vs))
                              if vs else None)

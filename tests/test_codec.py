@@ -140,3 +140,125 @@ def test_torn_commit_invisible_and_vacuumed(spark, tmp_path):
     assert any("b999999999999999" in p for p in removed)
     assert not os.path.exists(orphan)
     assert st.get("a") == "1"
+
+
+def _version_compare(a: str, b: str) -> int:
+    ta = tuple(int(p) for p in a.split("."))
+    tb = tuple(int(p) for p in b.split("."))
+    return (ta > tb) - (ta < tb)
+
+
+def _make_version_codec(register=True):
+    from quasdb_spark.codec import make_codec
+
+    return make_codec(
+        "version",
+        encode=lambda k: ".".join(p.zfill(8) for p in k.split(".")),
+        decode=lambda e: ".".join(str(int(p)) for p in e.split(".")),
+        register=register,
+    )
+
+
+def test_make_codec_comparator_port(spark, tmp_path):
+    """A4 porting path: a user with a custom C++ comparator
+    (kv/include/comparator.h:14-52) re-expresses Compare() as an
+    order-preserving encode via make_codec, proves equivalence with
+    validate_codec, and gets every ordering operator (scan, reverse,
+    range, seek-limit, compaction) in comparator order — here a
+    version-number ordering where '1.2.10' > '1.2.9' (lexicographic
+    order gets this wrong, so the test is discriminating)."""
+    import pytest
+
+    from quasdb_spark.codec import CODECS, validate_codec
+
+    ver = _make_version_codec()
+    try:
+        rng = random.Random(7)
+        keys = list({f"{rng.randrange(3)}.{rng.randrange(12)}.{rng.randrange(30)}"
+                     for _ in range(120)})
+        keys += ["1.2", "1.2.0", "1.2.9", "1.2.10", "10.0", "9.9.9"]
+        keys = sorted(set(keys))
+        # the bridge: codec order == comparator order, proven on sample
+        n_pairs = validate_codec(ver, _version_compare, keys)
+        assert n_pairs == len(keys) * (len(keys) - 1) // 2
+
+        st = KVStore.create(spark, str(tmp_path / "ver"), codec=ver)
+        rng.shuffle(keys)
+        st.write_batch([("put", k, f"v-{k}") for k in keys])
+        st.write_batch([("del", "1.2.9", None)])
+        live = sorted((k for k in keys if k != "1.2.9"),
+                      key=lambda k: tuple(int(p) for p in k.split(".")))
+
+        got = [r["key"] for r in st.scan().collect()]
+        assert got == live
+        # the discriminating pair: 1.2.10 after 1.2.9's neighbors, not
+        # between 1.2.1 and 1.2.2 as plain string order would put it
+        assert got != sorted(live)
+
+        got_rev = [r["key"] for r in st.scan(reverse=True, limit=3).collect()]
+        assert got_rev == live[::-1][:3]
+
+        # range bounds [from, to) in comparator order
+        got_rng = [r["key"] for r in st.scan("1.2", "2.0").collect()]
+        assert got_rng == [k for k in live
+                           if _version_compare(k, "1.2") >= 0
+                           and _version_compare(k, "2.0") < 0]
+
+        # no encode_prefix supplied -> prefix scans raise, ranges fine
+        with pytest.raises(NotImplementedError):
+            st.scan(prefix="1.")
+
+        # compaction sorts in encoded space; state invariant
+        st.compact()
+        assert [r["key"] for r in st.scan().collect()] == live
+
+        # reopen in a fresh process that forgot to register: LookupError
+        del CODECS["version"]
+        with pytest.raises(LookupError):
+            KVStore.open(spark, str(tmp_path / "ver"))
+        # after registering, reopen works and order persists
+        ver2 = _make_version_codec()
+        st2 = KVStore.open(spark, str(tmp_path / "ver"))
+        assert st2.codec is ver2
+        assert [r["key"] for r in st2.scan(limit=4).collect()] == live[:4]
+    finally:
+        CODECS.pop("version", None)
+
+
+def test_validate_codec_catches_wrong_port():
+    """validate_codec rejects a BROKEN port: plain identity encoding is
+    not order-preserving for the version comparator ('1.10' < '1.9'
+    lexicographically but > numerically) — and names the pair."""
+    import pytest
+
+    from quasdb_spark.codec import make_codec, validate_codec
+
+    bad = make_codec("bad_version", encode=lambda k: k, decode=lambda e: e,
+                     register=False)
+    with pytest.raises(ValueError, match="order violation"):
+        validate_codec(bad, _version_compare, ["1.9", "1.10", "2.0"])
+
+
+def test_register_codec_guards():
+    import pytest
+
+    from quasdb_spark.codec import CODECS, make_codec, register_codec
+
+    a = make_codec("dupname", encode=str, decode=str, register=True)
+    try:
+        # same class again: idempotent
+        register_codec(a)
+        b = make_codec("dupname", encode=str, decode=str, register=False)
+        with pytest.raises(ValueError, match="already registered"):
+            register_codec(b)
+        register_codec(b, replace=True)
+        assert CODECS["dupname"] is b
+    finally:
+        CODECS.pop("dupname", None)
+
+    class NoName:
+        encode = staticmethod(str)
+        decode = staticmethod(str)
+
+    with pytest.raises(ValueError):
+        register_codec(NoName)
