@@ -160,6 +160,27 @@ def pii_scan(df: DataFrame, text_col: str = "text") -> DataFrame:
     return out.withColumn("pii_flagged", flag)
 
 
+def pii_redact(df: DataFrame, text_col: str = "text", *,
+               patterns: dict[str, str] | None = None,
+               out_col: str = "redacted") -> DataFrame:
+    """The ACTION to pii_scan's signal: replace every PII span with a
+    typed placeholder (``<EMAIL>``, ``<URL>``, ...) — the transform a
+    training-data privacy pass actually applies before tokenization.
+    Patterns are applied as a chained ``regexp_replace`` in dict order
+    (order matters when patterns overlap: emails inside URLs are
+    consumed by whichever pattern runs first — the order IS the
+    policy, so it is deterministic and mirrorable by a SQL oracle).
+
+    Scale shape: map-only expression chain, whole-stage codegen, no
+    shuffle — a 100 TB redaction pass is one scan + rewrite.
+    """
+    pats = PII_PATTERNS if patterns is None else patterns
+    red = F.col(text_col)
+    for name, pat in pats.items():
+        red = F.regexp_replace(red, pat, f"<{name.upper()}>")
+    return df.withColumn(out_col, red)
+
+
 def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
                text_col: str = "text", k: int = 3) -> DataFrame:
     """Top-k characteristic terms per document by tf·idf

@@ -271,6 +271,48 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                         (F.round("score", 4) + F.lit(0.0)).alias("score")))
 
 
+def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
+                   vec_col: str = "embedding", threshold: float = 0.9,
+                   n_bands: int = 8, band_bits: int = 8,
+                   max_bucket_size: int | None = 1000, dims: int = 64,
+                   seed: int = 0, n_iter: int = 3) -> DataFrame:
+    """Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
+    arXiv:2303.09540): embeddings whose cosine exceeds ``threshold``
+    are semantic duplicates of each other; keep exactly ONE
+    representative per duplicate component and drop the rest — the
+    embedding-space analogue of MinHash near-dup removal, and the
+    step that catches paraphrases exact/shingle methods miss.
+
+    Composition of this repo's scale-safe pieces, end to end:
+    banded sign-LSH pair finding (``neardup_pairs_banded`` — no cross
+    join, bucket-size skew guard), bounded-round min-label connected
+    components (``dedup.cluster_assign`` — 2 shuffles/round, no
+    collect), then min-id survivor per component (``cluster_id`` IS
+    the survivor id by construction). Deterministic for a fixed seed,
+    so a SQL oracle can replay it exactly.
+
+    Returns one row per vector: (id, cluster_id, is_kept, n_members);
+    singletons are their own cluster and kept. The drop set is
+    ``is_kept = false``; apply with a LEFT ANTI join (cf.
+    dedup.exact_dedup / q_dedup_apply).
+    """
+    from quasdb_spark.operators.dedup import cluster_assign
+
+    pairs = neardup_pairs_banded(
+        vectors, id_col=id_col, vec_col=vec_col, threshold=threshold,
+        n_bands=n_bands, band_bits=band_bits,
+        max_bucket_size=max_bucket_size, hyperplanes=True, dims=dims,
+        seed=seed)
+    labels = cluster_assign(pairs, vectors.select(id_col),
+                            id_col=id_col, n_iter=n_iter)
+    sizes = labels.groupBy("cluster_id").agg(
+        F.count(F.lit(1)).alias("n_members"))
+    return (labels.join(sizes, "cluster_id")
+            .select(id_col, "cluster_id",
+                    (F.col(id_col) == F.col("cluster_id")).alias("is_kept"),
+                    "n_members"))
+
+
 def auto_n_bits(n: int, target_bucket_size: int = 128, *,
                 lo: int = 4, hi: int = 24) -> int:
     """Bucket-bit count for an ``n``-vector corpus: the smallest number

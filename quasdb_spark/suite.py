@@ -787,6 +787,22 @@ def q_text_pii_scan(spark, sf_dir):
                                 "n_long_digits", "pii_flagged")
 
 
+def q_text_pii_redact(spark, sf_dir):
+    """The redaction ACTION to pii_scan's signal: every PII span
+    replaced by a typed placeholder (functions/text.pii_redact —
+    chained regexp_replace, map-only, one pass at 100 TB). Emits the
+    redacted-text fingerprint + per-type placeholder counts so the
+    oracle verifies the exact output string, not just counts."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    r = T.pii_redact(d)
+    return r.select(
+        "doc_id",
+        F.md5("redacted").alias("redacted_fp"),
+        (F.length("redacted") - F.length("text")).alias("len_delta"),
+        *[F.regexp_count("redacted", F.lit(f"<{k.upper()}>"))
+           .alias(f"n_{k}") for k in T.PII_PATTERNS])
+
+
 def q_text_tfidf_topk(spark, sf_dir):
     """Top-3 characteristic terms per doc by tf·idf (rounded-score
     ranking, term tiebreak)."""
@@ -1139,6 +1155,25 @@ _TEXT_ORACLES["text_pii_scan"] = f"""
                for p in _PII_SQL.values())}) AS pii_flagged
     FROM documents"""
 
+def _pii_redact_sql(text_expr: str = "text") -> str:
+    """Nested regexp_replace chain in _PII_SQL dict order — the same
+    order pii_redact applies (order IS the policy; see text.py)."""
+    out = text_expr
+    for k, p in _PII_SQL.items():
+        out = f"regexp_replace({out}, '{p}', '<{k.upper()}>', 'g')"
+    return out
+
+
+_TEXT_ORACLES["text_pii_redact"] = f"""
+    WITH r AS (SELECT doc_id, text, {_pii_redact_sql()} AS redacted
+               FROM documents)
+    SELECT doc_id, md5(redacted) AS redacted_fp,
+           CAST(length(redacted) - length(text) AS INT) AS len_delta,
+           {", ".join(
+               f"CAST(len(regexp_extract_all(redacted, '<{k.upper()}>')) "
+               f"AS INT) AS n_{k}" for k in _PII_SQL)}
+    FROM r"""
+
 _TEXT_ORACLES["text_tfidf_topk"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     tc AS (
@@ -1463,6 +1498,19 @@ def q_sim_neardup_cosine(spark, sf_dir):
                                     band_bits=8, max_bucket_size=1000)
 
 
+def q_emb_semdedup(spark, sf_dir):
+    """SemDeDup (Abbas et al. 2023) end-to-end: banded sign-LSH pairs
+    (cos >= 0.40) → 3-round min-label connected components → min-id
+    survivor per component. Emits the multi-member components with
+    their keep/drop verdicts — the rows a curation run acts on. Same
+    pair graph as sim_neardup_cosine, so the oracle composes that SQL
+    with the dedup_clusters label-propagation rounds."""
+    e = _t(spark, sf_dir, "embeddings")
+    return (SIM.semantic_dedup(e, threshold=0.40, n_bands=8, band_bits=8,
+                               max_bucket_size=1000, n_iter=3)
+            .where(F.col("n_members") >= 2))
+
+
 _COS_SQL = ("list_sum(list_transform(generate_series(1, len(qv)), i -> qv[i] * vv[i]))"
             " / (sqrt(list_sum(list_transform(qv, x -> x * x)))"
             " * sqrt(list_sum(list_transform(vv, x -> x * x))))")
@@ -1594,6 +1642,21 @@ _SIM_ORACLES = {
         SELECT id_a, id_b, round(score, 4) + 0.0 AS score
         FROM scored WHERE score >= 0.40""",
 }
+
+_SIM_ORACLES["emb_semdedup"] = f"""
+    WITH pairs AS ({_SIM_ORACLES["sim_neardup_cosine"]}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
+    {_label_prop_iter_sql(1)},
+    {_label_prop_iter_sql(2)},
+    {_label_prop_iter_sql(3)},
+    sizes AS (SELECT label AS cluster_id, count(*) AS n_members
+              FROM l3 GROUP BY 1)
+    SELECT l3.id AS vec_id, l3.label AS cluster_id,
+           l3.id = l3.label AS is_kept, s.n_members
+    FROM l3 JOIN sizes s ON s.cluster_id = l3.label
+    WHERE s.n_members >= 2"""
 
 
 
@@ -2721,6 +2784,7 @@ QUERIES = {
     "text_langid": q_text_langid,
     "text_fingerprint": q_text_fingerprint,
     "text_pii_scan": q_text_pii_scan,
+    "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
@@ -2742,6 +2806,7 @@ QUERIES = {
     "sim_knn_graph": q_sim_knn_graph,
     "text_lang_confusion": q_text_lang_confusion,
     "sim_neardup_cosine": q_sim_neardup_cosine,
+    "emb_semdedup": q_emb_semdedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
@@ -2796,7 +2861,8 @@ QUERIES = {
 # the other 50). Newly added queries always join the head of this
 # list so their first driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    "kv_state_postcompact",  # new in r5: first driver row this round
+    # new in r5: first driver rows this round
+    "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",

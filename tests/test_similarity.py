@@ -312,3 +312,37 @@ def test_quantizer_on_miss_lifecycle(spark, tmp_path):
                             vec_col="embedding", root=root,
                             on_miss="raise", n_iter=1)
     assert 1 <= cents.count() <= 4  # k-means may drop empty clusters
+
+
+def test_semantic_dedup_keeps_one_per_component(spark):
+    """SemDeDup semantics on planted duplicate groups: exactly one
+    survivor (the min id) per duplicate component, singletons kept,
+    kept+dropped partition the corpus."""
+    rng = random.Random(9)
+    dims = 64
+    rows = []
+    for i in range(60):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dims)]))
+    # two planted groups of 3 near-identical vectors each
+    for base_id, new_ids in ((3, (100, 101)), (7, (200, 201))):
+        base = rows[base_id][1]
+        for nid in new_ids:
+            noise = [rng.gauss(0, 0.02) for _ in range(dims)]
+            rows.append((nid, [b + n for b, n in zip(base, noise)]))
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    from quasdb_spark.operators.similarity import semantic_dedup
+
+    out = {r["vec_id"]: r for r in
+           semantic_dedup(df, threshold=0.95).collect()}
+    assert len(out) == len(rows)  # one row per vector
+    for base_id, new_ids in ((3, (100, 101)), (7, (200, 201))):
+        grp = [out[base_id]] + [out[n] for n in new_ids]
+        assert all(r["cluster_id"] == base_id for r in grp)
+        assert all(r["n_members"] == 3 for r in grp)
+        assert [r["is_kept"] for r in grp] == [True, False, False]
+    # exactly one kept per cluster, clusters partition the corpus
+    kept = [r for r in out.values() if r["is_kept"]]
+    assert len({r["cluster_id"] for r in out.values()}) == len(kept)
+    # a random singleton is its own kept cluster
+    assert out[42]["is_kept"] and out[42]["n_members"] == 1

@@ -186,3 +186,34 @@ def test_weighted_sample_rate_extremes(spark):
     hi = {r["doc_id"] for r in
           weighted_sample(d, "doc_id", F.lit(0.6)).select("doc_id").collect()}
     assert lo <= hi and 0 < len(lo) < len(hi) < n
+
+
+def test_pii_redact_replaces_and_scan_goes_clean(spark):
+    """Redaction is the ACTION to pii_scan's signal: after pii_redact,
+    re-scanning the redacted column must find NOTHING (the placeholder
+    tokens contain no digits/@/scheme, so every detector goes quiet) —
+    the closed-loop contract a privacy pass needs."""
+    from quasdb_spark.functions.text import pii_redact
+
+    rows = [
+        (1, "contact me at alice.smith+work@example.co.uk for details"),
+        (2, "see https://example.com/path?q=1 and http://a.b"),
+        (3, "server at 192.168.001.001 responded"),
+        (4, "card 4111111111111111 leaked"),
+        (5, "perfectly clean prose with no identifiers at all"),
+        (6, "mix: bob@x.io then https://user@example.com/a then 123456789"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r["redacted"] for r in pii_redact(df).collect()}
+    assert "<EMAIL>" in got[1] and "@" not in got[1]
+    assert got[2].count("<URL>") == 2 and "http" not in got[2]
+    assert "<IPV4>" in got[3]
+    assert "<LONG_DIGITS>" in got[4]
+    assert got[5] == rows[4][1]  # clean text untouched
+    # chain order: the email inside the URL is consumed first, then the
+    # URL pattern swallows the remainder — deterministic policy
+    assert "<EMAIL>" in got[6] and "<URL>" in got[6]
+
+    rescanned = pii_scan(
+        pii_redact(df).select("doc_id", F.col("redacted").alias("text")))
+    assert all(not r["pii_flagged"] for r in rescanned.collect())
