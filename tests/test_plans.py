@@ -66,10 +66,20 @@ def test_pricing_summary_prunes_columns(spark, sf_dir):
 
 def test_no_cartesian_products_in_pair_finders(spark, sf_dir):
     for name in ("dedup_minhash_pairs", "dedup_simhash_pairs",
-                 "sim_neardup_cosine"):
+                 "sim_neardup_cosine", "emb_semdedup"):
         plan = _plan(suite.QUERIES[name](spark, sf_dir))
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
+
+
+def test_pii_redact_is_map_only(spark, sf_dir):
+    """Redaction is a scan->regexp_replace projection: no shuffle
+    beyond the suite's parallelism repair, no Python — a 100 TB pass
+    is one codegen stage."""
+    plan = _plan(suite.QUERIES["text_pii_redact"](spark, sf_dir))
+    assert "Exchange hashpartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
 
 
 def test_lww_state_view_aggregates_partially(spark, tmp_path):
