@@ -15,10 +15,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import pyspark.sql.functions as F
 
 from quasdb_spark import get_spark
-from quasdb_spark.functions.text import (bpe_token_count, pii_scan,
-                                         quality_score, repetition_stats)
+from quasdb_spark.functions.text import (bpe_token_count, pii_redact,
+                                         pii_scan, quality_score,
+                                         repetition_stats)
 from quasdb_spark.operators.dedup import cluster_assign, near_dup_pairs
-from quasdb_spark.operators.similarity import dequantize_error
+from quasdb_spark.operators.similarity import dequantize_error, semantic_dedup
 from quasdb_spark.sources.tables import load_table
 
 
@@ -58,6 +59,24 @@ def main(sf_dir: str = "/root/testdata/sf0.001"):
           f"-> {n2} after near-dup removal")
     print(f"surviving BPE token budget: {budget['bpe_tokens']:,}")
     print(f"int8 embedding reconstruction MAE: {err['avg_mae']}")
+
+    # 5. redact (not just flag) PII in the survivors — the text a
+    # training run would actually consume. The synthetic corpus is
+    # PII-free, so plant two dirty docs to show the transform firing.
+    dirty = spark.createDataFrame(
+        [(10**6, "mail me: eve@example.com or call 5551234567890"),
+         (10**6 + 1, "mirror at https://data.example.org/dump")],
+        "doc_id long, text string")
+    red = pii_redact(kept.select("doc_id", "text").unionByName(dirty))
+    n_redacted = red.where(F.col("redacted") != F.col("text")).count()
+
+    # 6. semantic dedup over embeddings (SemDeDup): drops paraphrase
+    # duplicates that shingle-based near-dup can't see
+    sem = semantic_dedup(emb, threshold=0.4)
+    n_sem_dropped = sem.where(~F.col("is_kept")).count()
+
+    print(f"PII-redacted docs: {n_redacted}; "
+          f"semantic-dup embeddings dropped: {n_sem_dropped}")
     spark.stop()
 
 
