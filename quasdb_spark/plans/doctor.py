@@ -1,0 +1,131 @@
+"""Plan doctor — static scale-readiness lint for a DataFrame's plan.
+
+The repo pins its own operators' plan shapes in tests/test_plans.py;
+this module gives USERS the same checks for their ad-hoc queries:
+point it at any DataFrame and it reports the patterns that decide
+whether the plan survives a 100 TB input — the exact checklist
+SCALE.md grades this engine by:
+
+- O(n·m) joins (CartesianProduct / BroadcastNestedLoopJoin)
+- row-at-a-time Python in the hot path (BatchEvalPython)
+- filters that failed to reach the parquet scan (PushedFilters: [])
+- global sorts that aren't TakeOrdered (full-data sort on one pass)
+- single-partition exchanges (global serialization points)
+
+`lint_plan(df)` returns structured findings; `check_plan(df)` raises
+on severity="error" findings — usable as a CI guard for user query
+suites, the same way this repo's own tests pin plan shapes.
+
+All checks read the executedPlan STRING (public Spark surface, stable
+enough across 3.x/4.x for these node names); nothing here executes
+the query.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+
+
+def _plan_str(df: DataFrame) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def lint_plan(df: DataFrame) -> list[dict]:
+    """Inspect ``df``'s physical plan; return findings as dicts with
+    ``rule``, ``severity`` ("error" | "warn" | "info"), ``detail``.
+    An empty list means nothing suspicious was detected (it is a lint,
+    not a proof)."""
+    plan = _plan_str(df)
+    out: list[dict] = []
+
+    if "CartesianProduct" in plan:
+        out.append(dict(
+            rule="cartesian_product", severity="error",
+            detail="CartesianProduct joins are O(n*m); at scale this "
+                   "never finishes. Add an equi-join key, or block "
+                   "into buckets (LSH/banding) as the dedup/similarity "
+                   "operators here do."))
+    if "BroadcastNestedLoopJoin" in plan:
+        out.append(dict(
+            rule="broadcast_nested_loop", severity="error",
+            detail="BroadcastNestedLoopJoin evaluates every pair "
+                   "against a non-equi condition. Rewrite the "
+                   "condition as an equality on a derived key (range "
+                   "bucketing for intervals, as-of union trick for "
+                   "temporal joins)."))
+    if "BatchEvalPython" in plan:
+        out.append(dict(
+            rule="python_row_udf", severity="error",
+            detail="BatchEvalPython = row-at-a-time Python UDF: "
+                   "10-100x slower than builtin expressions and "
+                   "breaks codegen. Use pyspark.sql.functions, or a "
+                   "pandas_udf if Python is genuinely required."))
+    if "ArrowEvalPython" in plan or "FlatMapGroupsInPandas" in plan \
+            or "MapInPandas" in plan:
+        out.append(dict(
+            rule="python_vectorized", severity="info",
+            detail="Arrow-batched Python stage present. Fine when a "
+                   "Python library is required; keep it off the "
+                   "hottest path and ensure batches are large "
+                   "(spark.sql.execution.arrow.maxRecordsPerBatch)."))
+
+    # filters that did not reach the scan: a Filter node while some
+    # scan advertises no pushed filters at all
+    if re.search(r"PushedFilters:\s*\[\]", plan) and "Filter " in plan:
+        out.append(dict(
+            rule="filter_not_pushed", severity="warn",
+            detail="A scan has PushedFilters: [] while the plan "
+                   "filters rows above it. If the filter references "
+                   "scanned columns, it should prune at the source — "
+                   "casts/UDFs around the column defeat pushdown "
+                   "(compare on the column's native type instead)."))
+
+    # global sort that is not a TakeOrdered (sort+limit fuses into
+    # TakeOrderedAndProject; a surviving global Sort re-sorts the
+    # whole dataset). "Sort [...], true, 0" — the boolean is global.
+    if re.search(r"\bSort \[[^\]]*\], true,", plan) \
+            and "TakeOrderedAndProject" not in plan:
+        out.append(dict(
+            rule="global_sort", severity="warn",
+            detail="Global sort over the full dataset. If this feeds "
+                   "a limit, keep sort+limit adjacent so Spark plans "
+                   "TakeOrderedAndProject; if it orders output files, "
+                   "prefer repartitionByRange + sortWithinPartitions."))
+
+    n_single = plan.count("Exchange SinglePartition")
+    if n_single:
+        out.append(dict(
+            rule="single_partition_exchange", severity="warn",
+            detail=f"{n_single} Exchange SinglePartition stage(s): "
+                   "all data funnels through one task. Expected for a "
+                   "final tiny aggregate/limit; a problem mid-plan "
+                   "(e.g. a window with no PARTITION BY)."))
+
+    n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
+    if n_ex:
+        out.append(dict(
+            rule="shuffle_count", severity="info",
+            detail=f"{n_ex} shuffle exchange(s). Each is a full "
+                   "re-materialization of its input at scale — check "
+                   "that none repartitions on a key a previous stage "
+                   "already partitioned by (reuse partitioning), and "
+                   "consider bucketed layout (plans/bucketing.py) for "
+                   "repeated joins."))
+    return out
+
+
+def check_plan(df: DataFrame, *, allow: set[str] = frozenset()) -> None:
+    """Raise ValueError if ``lint_plan`` finds severity="error"
+    patterns (excluding rules in ``allow``) — a one-line CI guard:
+
+        check_plan(my_query(spark))            # fails on cartesians
+        check_plan(df, allow={"python_row_udf"})
+    """
+    bad = [f for f in lint_plan(df)
+           if f["severity"] == "error" and f["rule"] not in allow]
+    if bad:
+        raise ValueError(
+            "plan fails scale lint:\n" + "\n".join(
+                f"- [{f['rule']}] {f['detail']}" for f in bad))

@@ -217,3 +217,35 @@ def test_pii_redact_replaces_and_scan_goes_clean(spark):
     rescanned = pii_scan(
         pii_redact(df).select("doc_id", F.col("redacted").alias("text")))
     assert all(not r["pii_flagged"] for r in rescanned.collect())
+
+
+def test_pii_redact_java_re2_equivalence_randomized(spark):
+    """The redacted BYTES must be identical under Java regex (Spark)
+    and RE2 (DuckDB) — the contract text_pii_redact's oracle hash
+    relies on. Randomized inputs seeded with partial/complete PII
+    fragments to exercise boundary behavior of every pattern."""
+    import random
+    import duckdb
+
+    from quasdb_spark.functions.text import PII_PATTERNS, pii_redact
+
+    rng = random.Random(29)
+    frags = ["bob", "@", "example", ".com", "https://", "http", "://",
+             "a.b", " ", "192.168.", "1.1", "12345", "6789012345",
+             "x%+-y", "_tag", "end.", "..", "w w", "€", "naïve"]
+    rows = [(i, "".join(rng.choice(frags)
+                        for _ in range(rng.randrange(0, 12))))
+            for i in range(400)]
+    df = spark.createDataFrame(rows, "id long, text string")
+    got = {r["id"]: r["redacted"]
+           for r in pii_redact(df).collect()}
+
+    con = duckdb.connect()
+    expr = "?"
+    for name, pat in PII_PATTERNS.items():
+        p = pat.replace("'", "''")
+        expr = f"regexp_replace({expr}, '{p}', '<{name.upper()}>', 'g')"
+    want = {}
+    for i, t in rows:
+        want[i] = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
+    assert got == want
