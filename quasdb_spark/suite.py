@@ -270,6 +270,54 @@ def q_ts_tumbling_hourly(spark, sf_dir):
     return out.select("window_start", "event_type", "n", "sum_value", "avg_value")
 
 
+def q_stream_tumbling_hourly(spark, sf_dir):
+    """Structured Streaming under the CORRECTNESS gate (not just
+    pytest): the events parquet is replayed as a file STREAM, drained
+    one-shot (availableNow) through streaming.windows.
+    watermarked_tumbling into a memory sink, and the drained sink is
+    the returned DataFrame. The whole file arrives in one micro-batch,
+    so no row can be late relative to the watermark and 'complete'
+    mode emits final window states — the stream provably computes the
+    batch answer, which is why the oracle is the SAME SQL as
+    ts_tumbling_hourly. Streaming parity evidence for the ingest
+    face (W4 group commit = micro-batch; SURVEY §2.7)."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+    from quasdb_spark.streaming.windows import watermarked_tumbling
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    # the file-stream source wants a DIRECTORY (its basePath); stage
+    # the single testdata file into one via symlink — zero copy, and
+    # exactly how a production stream would watch a landing dir
+    stage = tempfile.mkdtemp(prefix="stream_events_")
+    _os.symlink(_os.path.abspath(path),
+                _os.path.join(stage, "events.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stage)
+    for col in _ns_timestamp_cols(path):
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    ev = ev.withColumn("_vc", F.round(F.col("value") * 100).cast("long"))
+    out = watermarked_tumbling(
+        ev, "ts", "1 hour", "1 hour", keys=["event_type"],
+        aggs=[F.count(F.lit(1)).alias("n"),
+              (F.sum("_vc") / 100.0).alias("sum_value"),
+              (F.round(F.sum("_vc") * 100 / F.count(F.lit(1)), 0)
+               / 10000.0).alias("avg_value")])
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select("window_start", "event_type", "n",
+                                    "sum_value", "avg_value")
+
+
 def q_ts_sliding_1h_15m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = TS.sliding(ev, "ts", "1 hour", "15 minutes", aggs=[
@@ -383,6 +431,14 @@ def q_ts_gapfill_interp(spark, sf_dir):
 
 _TS_ORACLES = {
     "ts_tumbling_hourly": """
+        WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events)
+        SELECT ws AS window_start, event_type,
+               count(*) AS n, sum(vc) / 100.0 AS sum_value,
+               round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
+        FROM e GROUP BY 1, 2""",
+    "stream_tumbling_hourly": """
         WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
                           CAST(round(value * 100) AS BIGINT) AS vc
                    FROM events)
@@ -2759,6 +2815,7 @@ QUERIES = {
     "kv_state_postcompact": q_kv_state_postcompact,
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
+    "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
     "ts_downsample_10m_last": q_ts_downsample_10m_last,
     "ts_asof_join": q_ts_asof_join,
@@ -2863,6 +2920,7 @@ QUERIES = {
 _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
+    "stream_tumbling_hourly",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
