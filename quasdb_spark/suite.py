@@ -165,6 +165,44 @@ def q_kv_state_postcompact(spark, sf_dir):
     return st.state()
 
 
+def q_kv_stream_state(spark, sf_dir):
+    """The STREAMING write path under the correctness gate: the events
+    op-log replayed as a file stream through streaming.ingest.
+    stream_ingest (foreachBatch → ingest_batch exactly-once commits,
+    auto-compacting — W4 group commit / W6 WAL-checkpoint semantics),
+    then the store's LWW state view. The oracle is the same SQL as
+    kv_state_latest: however the stream slices the log into
+    micro-batches, last-writer-wins on seq must produce the identical
+    state — the replay-invariance contract of the reference's WAL
+    recovery (kv/db/log_reader.cpp + db_impl.cpp recovery path)."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.ingest import stream_ingest
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_oplog_")
+    _os.symlink(_os.path.abspath(path),
+                _os.path.join(stage, "events.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stage)
+    for col in _ns_timestamp_cols(path):
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    log = KV.events_as_oplog(ev)
+
+    root = tempfile.mkdtemp(prefix="kv_stream_")
+    st = KVStore.create(spark, _os.path.join(root, "store"))
+    q = stream_ingest(st, log, _os.path.join(root, "ckpt"),
+                      stream_id=f"gate_{_uuid.uuid4().hex[:8]}",
+                      op_col="op", sub_col="seq")
+    q.awaitTermination()
+    return st.state()
+
+
 def q_kv_live_stats(spark, sf_dir):
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
     winners = log.groupBy("key").agg(
@@ -179,6 +217,9 @@ def q_kv_live_stats(spark, sf_dir):
 
 _KV_ORACLES = {
     "kv_state_latest": f"WITH {_KV_CTE} SELECT key, value FROM state",
+    # streamed ingest must land the identical LWW state (replay
+    # invariance) — same oracle as the batch path
+    "kv_stream_state": f"WITH {_KV_CTE} SELECT key, value FROM state",
     # compaction must be a semantic no-op: post-compact state == the
     # LWW state of the raw op-log (same CTE as kv_state_latest)
     "kv_state_postcompact":
@@ -2812,6 +2853,7 @@ QUERIES = {
     "kv_point_get": q_kv_point_get,
     "kv_version_history": q_kv_version_history,
     "kv_live_stats": q_kv_live_stats,
+    "kv_stream_state": q_kv_stream_state,
     "kv_state_postcompact": q_kv_state_postcompact,
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
@@ -2920,7 +2962,7 @@ QUERIES = {
 _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
-    "stream_tumbling_hourly",
+    "stream_tumbling_hourly", "kv_stream_state",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
