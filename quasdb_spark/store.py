@@ -423,7 +423,18 @@ class KVStore:
                 raise TypeError(f"binary store requires bytes keys, got "
                                 f"{type(key).__name__}")
             return bytes(key)
-        return self.codec.encode(key)
+        stored = self.codec.encode(key)
+        if not isinstance(stored, str):
+            # Guard the write/read boundary: IdentityCodec passes any
+            # type through, so without this a bytes key lands in the
+            # string key column and every later read fails confusingly
+            # (or not at all). Fail here, before anything is committed.
+            raise TypeError(
+                f"string store requires str keys (codec "
+                f"{self.codec.name!r} encoded {type(key).__name__} to "
+                f"{type(stored).__name__}); create the store with "
+                f"binary=True for bytes keys")
+        return stored
 
     def _dec(self, stored):
         """Stored key -> user key."""
@@ -452,6 +463,10 @@ class KVStore:
                 raise TypeError(f"binary store requires bytes values, got "
                                 f"{type(value).__name__}")
             return bytes(value)
+        if not isinstance(value, str):
+            raise TypeError(f"string store requires str values, got "
+                            f"{type(value).__name__}; create the store "
+                            f"with binary=True for bytes values")
         return value
 
     def _enc_bound(self, key):

@@ -781,6 +781,109 @@ def q_rel_price_histogram(spark, sf_dir):
              .agg(F.count(F.lit(1)).alias("n_orders")))
 
 
+def q_rel_forecast_revenue(spark, sf_dir):
+    """TPC-H Q6 shape: scan → filter → 1-row aggregate. No join; the
+    only exchange is the final partial-agg merge. All four predicates
+    are plain comparisons, so they reach the Parquet scan as
+    PushedFilters and prune row groups by footer min/max — at 100 TB
+    this query reads only the 1996 slice of the shipdate-clustered
+    files. Revenue is price_cents x discount_percent summed as exact
+    integer 1e-4-dollar units (order-free, engine-identical)."""
+    li = _t(spark, sf_dir, "lineitem")
+    filtered = li.where(
+        (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("l_discount") >= 0.05) & (F.col("l_discount") <= 0.07)
+        & (F.col("l_quantity") < 24))
+    return filtered.agg(
+        (F.sum(_price_c() * _disc_c()) / 10000.0).alias("revenue"),
+        F.count(F.lit(1)).alias("n_lines"))
+
+
+def q_rel_nation_volume(spark, sf_dir):
+    """TPC-H Q7 shape: revenue shipped between two nations by year.
+    nation (25 rows at every sf) is force-broadcast; supplier and
+    customer GROW with sf, so their join strategy is left to AQE —
+    after the nation filter each side is ~2/25 of its table, and AQE's
+    runtime size estimate broadcasts exactly while that fits. The
+    year filter lands on the lineitem scan as a pushed predicate."""
+    n = _t(spark, sf_dir, "nation")
+    s = _t(spark, sf_dir, "supplier")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    pair = ("NATION_3", "NATION_8")
+    n1 = n.select(F.col("n_nationkey").alias("s_nk"),
+                  F.col("n_name").alias("supp_nation"))
+    n2 = n.select(F.col("n_nationkey").alias("c_nk"),
+                  F.col("n_name").alias("cust_nation"))
+    sup = (s.join(F.broadcast(n1), s.s_nationkey == F.col("s_nk"))
+            .where(F.col("supp_nation").isin(*pair))
+            .select("s_suppkey", "supp_nation"))
+    cus = (cu.join(F.broadcast(n2), cu.c_nationkey == F.col("c_nk"))
+             .where(F.col("cust_nation").isin(*pair))
+             .select("c_custkey", "cust_nation"))
+    shipped = (li.where(
+                   (F.col("l_shipdate") >= F.lit("1995-01-01").cast("timestamp"))
+                   & (F.col("l_shipdate") < F.lit("1997-01-01").cast("timestamp")))
+                 .join(sup, li.l_suppkey == sup.s_suppkey)
+                 .join(o, li.l_orderkey == o.o_orderkey)
+                 .join(cus, o.o_custkey == cus.c_custkey)
+                 .where(F.col("supp_nation") != F.col("cust_nation")))
+    return (shipped.groupBy("supp_nation", "cust_nation",
+                            F.year("l_shipdate").alias("l_year"))
+                   .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                         / 100.0).alias("revenue"),
+                        F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_rel_market_share(spark, sf_dir):
+    """TPC-H Q8 shape: a brand's share of revenue among one region's
+    customers, per order year. Same hint policy as region_revenue:
+    only the constant-size dims (region 5 rows, nation 25) are
+    force-broadcast; part/customer/orders grow with sf and are left
+    to AQE. The share ratio follows the promo_share determinism
+    pattern (exact integer units in, one double expression out)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    brand_u4 = F.sum(F.when(F.col("p_brand") == "Brand#1", _rev_u4())
+                     .otherwise(F.lit(0).cast("long")))
+    return (li.join(p.select("p_partkey", "p_brand"),
+                    li.l_partkey == p.p_partkey)
+              .join(o, li.l_orderkey == o.o_orderkey)
+              .join(cu, o.o_custkey == cu.c_custkey)
+              .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+              .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+              .where(F.col("r_name") == "EUROPE")
+              .groupBy(F.year("o_orderdate").alias("o_year"))
+              .agg((F.round(F.lit(100.0) * brand_u4 / F.sum(_rev_u4())
+                            * 10000, 0) / 10000.0).alias("brand_share"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_rel_large_volume_customers(spark, sf_dir):
+    """TPC-H Q18 shape: orders whose total quantity exceeds 300, with
+    their customer. The HAVING-subquery becomes a two-phase integer
+    aggregate on l_orderkey (map-side partial combine, shuffle carries
+    one row per surviving order), then two key-joins that AQE plans
+    from runtime sizes — the filtered side is tiny (~0.05% of orders)
+    so both finish as broadcasts at any sf."""
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    big = (li.groupBy("l_orderkey")
+             .agg(F.sum(_qty_l()).cast("double").alias("sum_qty"))
+             .where(F.col("sum_qty") > 300))
+    return (o.join(big, o.o_orderkey == big.l_orderkey)
+             .join(cu, o.o_custkey == cu.c_custkey)
+             .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+                     "o_totalprice", "sum_qty"))
+
+
 _REL_ORACLES = {
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
@@ -844,6 +947,53 @@ _REL_ORACLES = {
         SELECT CAST(floor(o_totalprice / 10000) AS BIGINT) AS price_bucket,
                count(*) AS n_orders
         FROM orders GROUP BY 1""",
+    "rel_forecast_revenue": f"""
+        SELECT sum({_PRICE_C_SQL} * {_DISC_C_SQL}) / 10000.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+          AND l_discount >= 0.05 AND l_discount <= 0.07
+          AND l_quantity < 24""",
+    "rel_nation_volume": f"""
+        SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+               CAST(year(l_shipdate) AS INT) AS l_year,
+               round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        WHERE n1.n_name IN ('NATION_3', 'NATION_8')
+          AND n2.n_name IN ('NATION_3', 'NATION_8')
+          AND n1.n_name <> n2.n_name
+          AND l_shipdate >= TIMESTAMP '1995-01-01'
+          AND l_shipdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3""",
+    "rel_market_share": f"""
+        SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+               round(100.0 * sum(CASE WHEN p_brand = 'Brand#1'
+                                      THEN {_REV_U4_SQL}
+                                      ELSE CAST(0 AS BIGINT) END)
+                     / sum({_REV_U4_SQL}) * 10000) / 10000.0 AS brand_share,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+        GROUP BY 1""",
+    "rel_large_volume_customers": f"""
+        SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+               sum_qty
+        FROM (SELECT l_orderkey, CAST(sum({_QTY_SQL}) AS DOUBLE) AS sum_qty
+              FROM lineitem GROUP BY 1 HAVING sum_qty > 300) big
+        JOIN orders ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey""",
 }
 
 
@@ -2877,6 +3027,10 @@ QUERIES = {
     "rel_customer_rank": q_rel_customer_rank,
     "rel_supplier_volume": q_rel_supplier_volume,
     "rel_price_histogram": q_rel_price_histogram,
+    "rel_forecast_revenue": q_rel_forecast_revenue,
+    "rel_nation_volume": q_rel_nation_volume,
+    "rel_market_share": q_rel_market_share,
+    "rel_large_volume_customers": q_rel_large_volume_customers,
     # text
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -2963,6 +3117,8 @@ _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
+    "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
+    "rel_large_volume_customers",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",

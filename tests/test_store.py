@@ -81,6 +81,22 @@ def test_empty_value_and_edge_keys(spark, tmp_path):
     assert st.get("") == "empty-key"
 
 
+def test_string_store_rejects_bytes_before_commit(spark, tmp_path):
+    """A bytes key/value on a string store must fail AT THE WRITE, with
+    a message pointing at binary=True — not land in the string column
+    and break every later read (regression: put(b'k', b'v') committed,
+    then get() died with "can't concat str to bytes")."""
+    st = _mk(spark, tmp_path)
+    with pytest.raises(TypeError, match="binary=True"):
+        st.put(b"k1", b"v1")
+    with pytest.raises(TypeError, match="binary=True"):
+        st.put("k1", b"v1")
+    # nothing was committed by the failed writes
+    st.put("k1", "v1")
+    assert st.get("k1") == "v1"
+    assert st.state().count() == 1
+
+
 @pytest.mark.parametrize("n_batches,ops_per,keyspace", [(8, 25, 30), (5, 60, 10)])
 def test_randomized_model(spark, tmp_path, n_batches, ops_per, keyspace):
     """Randomized harness: batches of skewed random put/del vs dict
