@@ -130,6 +130,73 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
         *[F.col(f"_match.{c}").alias(f"right_{c}") for c in right_cols])
 
 
+def interval_join(left: DataFrame, right: DataFrame, on: list[str],
+                  left_ts: str, right_ts: str, *,
+                  lower_seconds: int, upper_seconds: int,
+                  right_cols: list[str],
+                  bucket_seconds: int | None = None,
+                  max_explode: int = 64) -> DataFrame:
+    """Flink-style interval join: pair each left row ``l`` with the
+    right rows ``r`` sharing its keys whose timestamp falls in
+    ``[l.ts + lower_seconds, l.ts + upper_seconds]`` (both inclusive).
+
+    Scale shape: a plain key-equi-join with a range post-filter makes
+    every hot key a |L_k| x |R_k| cross inside its sort-merge group —
+    quadratic in the key's row count. Instead both sides are bucketed
+    on ``floor(ts / W)`` with W defaulting to the window span: the
+    right row lands in exactly one bucket, the left row explodes to
+    the (at most 2 when W >= span) buckets its window can touch, and
+    the join key becomes (keys..., bucket). The per-group cross is
+    then bounded by rows per (key, W-wide time slice), not rows per
+    key — the standard range-join binning rewrite (same idea as the
+    RANGE_JOIN bin hint in Spark-based warehouses), expressed with
+    sequence + explode so Catalyst still sees a plain equi-join with
+    pushed filters on both scans.
+
+    Pass ``bucket_seconds`` to override W: finer buckets trade a
+    larger left explode factor (guarded by ``max_explode``) for
+    tighter per-bucket crosses on dense data. Output = all left
+    columns + ``right_<c>`` for each of ``right_cols`` (inner join;
+    each qualifying (l, r) pair appears exactly once because a right
+    row occupies exactly one bucket).
+    """
+    if upper_seconds < lower_seconds:
+        raise ValueError(f"empty interval: [{lower_seconds}, "
+                         f"{upper_seconds}]")
+    span = upper_seconds - lower_seconds
+    w = int(bucket_seconds) if bucket_seconds else max(span, 1)
+    if w <= 0:
+        raise ValueError(f"bucket_seconds must be positive, got {w}")
+    factor = span // w + 2  # worst-case buckets a left window touches
+    if factor > max_explode:
+        raise ValueError(
+            f"window span {span}s over {w}s buckets explodes each left "
+            f"row into up to {factor} copies (> max_explode="
+            f"{max_explode}); raise bucket_seconds")
+    lcols = left.columns
+    lsec = F.unix_timestamp(F.col(left_ts))
+    lx = left.withColumn(
+        "_b", F.explode(F.sequence(
+            F.floor((lsec + F.lit(lower_seconds)) / w).cast("long"),
+            F.floor((lsec + F.lit(upper_seconds)) / w).cast("long"))))
+    rsel = right.select(
+        *[F.col(k).alias(f"_rk{i}") for i, k in enumerate(on)],
+        F.col(right_ts).alias("_rts"),
+        *[F.col(c).alias(f"right_{c}") for c in right_cols])
+    rx = rsel.withColumn(
+        "_b", F.floor(F.unix_timestamp(F.col("_rts")) / w).cast("long"))
+    cond = lx["_b"] == rx["_b"]
+    for i, k in enumerate(on):
+        cond = cond & (lx[k] == rx[f"_rk{i}"])
+    lref = F.unix_timestamp(lx[left_ts])
+    rref = F.unix_timestamp(rx["_rts"])
+    matched = (lx.join(rx, cond, "inner")
+                 .where((rref >= lref + F.lit(lower_seconds)) &
+                        (rref <= lref + F.lit(upper_seconds))))
+    return matched.select(*lcols,
+                          *[f"right_{c}" for c in right_cols])
+
+
 def sessionize(df: DataFrame, ts_col: str, keys: list[str],
                gap_seconds: int, tiebreak_col: str) -> DataFrame:
     """Gap-based sessions: a new session starts when the time since the

@@ -392,6 +392,27 @@ def q_ts_asof_join(spark, sf_dir):
          F.unix_timestamp("right_signup_ts")).alias("gap_s"))
 
 
+def q_ts_interval_join(spark, sf_dir):
+    """Attribution: clicks by the same user in the hour before each
+    purchase (inclusive bounds, second resolution — interval_join
+    compares unix_timestamp, so the oracle floors epochs the same
+    way). The bucketed rewrite keeps the per-user cross bounded by
+    one-hour slices, never the user's full history."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = (ev.where(F.col("event_type") == "purchase")
+                   .select("user_id", "event_id", "ts"))
+    clicks = (ev.where(F.col("event_type") == "click")
+                .select("user_id", F.col("ts").alias("c_ts"),
+                        F.col("event_id").alias("click_id")))
+    j = TS.interval_join(purchases, clicks, ["user_id"], "ts", "c_ts",
+                         lower_seconds=-3600, upper_seconds=0,
+                         right_cols=["click_id"])
+    return (j.groupBy("user_id", "event_id")
+             .agg(F.count(F.lit(1)).alias("n_clicks"),
+                  F.min("right_click_id").alias("min_click_id"),
+                  F.max("right_click_id").alias("max_click_id")))
+
+
 def q_ts_sessionize(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     return TS.session_stats(ev, "ts", ["user_id"], 1800, "event_id") \
@@ -471,6 +492,19 @@ def q_ts_gapfill_interp(spark, sf_dir):
 
 
 _TS_ORACLES = {
+    "ts_interval_join": """
+        SELECT p.user_id, p.event_id,
+               count(*) AS n_clicks,
+               min(c.event_id) AS min_click_id,
+               max(c.event_id) AS max_click_id
+        FROM events p JOIN events c
+          ON p.user_id = c.user_id
+         AND CAST(floor(epoch(c.ts)) AS BIGINT)
+               >= CAST(floor(epoch(p.ts)) AS BIGINT) - 3600
+         AND CAST(floor(epoch(c.ts)) AS BIGINT)
+               <= CAST(floor(epoch(p.ts)) AS BIGINT)
+        WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+        GROUP BY 1, 2""",
     "ts_tumbling_hourly": """
         WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
                           CAST(round(value * 100) AS BIGINT) AS vc
@@ -3011,6 +3045,7 @@ QUERIES = {
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
     "ts_downsample_10m_last": q_ts_downsample_10m_last,
     "ts_asof_join": q_ts_asof_join,
+    "ts_interval_join": q_ts_interval_join,
     "ts_sessionize": q_ts_sessionize,
     "ts_moving_avg": q_ts_moving_avg,
     "ts_topk_per_type": q_ts_topk_per_type,
@@ -3118,7 +3153,7 @@ _DRIVER_CHECK_FIRST = [
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
-    "rel_large_volume_customers",
+    "rel_large_volume_customers", "ts_interval_join",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",

@@ -156,3 +156,49 @@ def test_anomaly_zscore_detects_planted_spike(spark):
         suite_mod._t = orig
     assert [r["event_id"] for r in out] == [100]
     assert out[0]["z"] > 3
+
+
+def test_interval_join_bounds_buckets_and_guard(spark):
+    import pytest
+    from quasdb_spark.operators.timeseries import interval_join
+
+    left = _df(spark, [(1, _ts(10), "p1"), (2, _ts(30), "p2")],
+               "user_id long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(4), "c1"),    # 6 min before p1: in
+                        (1, _ts(10), "c2"),   # same second: in (inclusive)
+                        (1, _ts(11), "c3"),   # after p1: out
+                        (2, _ts(19), "c4"),   # 11 min before p2: out
+                        (2, _ts(21), "c5")],  # 9 min before p2: in
+                "user_id long, cts timestamp, ctag string")
+
+    # [-600s, 0]: clicks in the 10 minutes before each left row
+    out = interval_join(left, right, ["user_id"], "ts", "cts",
+                        lower_seconds=-600, upper_seconds=0,
+                        right_cols=["ctag"])
+    got = {(r["tag"], r["right_ctag"]) for r in out.collect()}
+    assert got == {("p1", "c1"), ("p1", "c2"), ("p2", "c5")}
+
+    # each qualifying pair appears exactly once (right row occupies
+    # exactly one bucket), with finer buckets too
+    out_fine = interval_join(left, right, ["user_id"], "ts", "cts",
+                             lower_seconds=-600, upper_seconds=0,
+                             right_cols=["ctag"], bucket_seconds=60)
+    rows = [(r["tag"], r["right_ctag"]) for r in out_fine.collect()]
+    assert sorted(rows) == sorted(got)
+
+    # forward-looking window works (right rows AFTER the left row)
+    fwd = interval_join(left, right, ["user_id"], "ts", "cts",
+                        lower_seconds=1, upper_seconds=120,
+                        right_cols=["ctag"])
+    assert {(r["tag"], r["right_ctag"]) for r in fwd.collect()} \
+        == {("p1", "c3")}
+
+    # degenerate intervals and the explode guard fail fast
+    with pytest.raises(ValueError, match="empty interval"):
+        interval_join(left, right, ["user_id"], "ts", "cts",
+                      lower_seconds=0, upper_seconds=-1,
+                      right_cols=["ctag"])
+    with pytest.raises(ValueError, match="max_explode"):
+        interval_join(left, right, ["user_id"], "ts", "cts",
+                      lower_seconds=-86400, upper_seconds=0,
+                      right_cols=["ctag"], bucket_seconds=1)
