@@ -183,3 +183,24 @@ def test_typed_store_rollup_state_has_no_json(spark, tmp_path):
     st.put("2024-01-01T00:00:00|a", {"n": 3, "total": 1.5})
     plan = _plan(rollup_state(st, ["k"]))
     assert "from_json" not in plan.lower()
+
+
+def test_interval_join_is_equi_join_with_pushed_filters(spark, sf_dir):
+    """The bucketized rewrite must reach Catalyst as a plain equi-join:
+    no nested-loop/cartesian fallback, and the event_type filters
+    pushed to both scans (SCALE.md §4c³ interval_join)."""
+    plan = _plan(suite.QUERIES["ts_interval_join"](spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("EqualTo(event_type") >= 2
+
+
+def test_q6_filters_reach_the_scan(spark, sf_dir):
+    """rel_forecast_revenue is scan→filter→agg: shipdate/discount/
+    quantity predicates must appear as PushedFilters so footer min/max
+    can prune row groups at scale."""
+    plan = _plan(suite.QUERIES["rel_forecast_revenue"](spark, sf_dir))
+    assert "PushedFilters" in plan
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in plan, frag
+    assert "Join" not in plan
