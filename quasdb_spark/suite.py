@@ -359,6 +359,52 @@ def q_stream_tumbling_hourly(spark, sf_dir):
                                     "sum_value", "avg_value")
 
 
+def q_stream_sessionize(spark, sf_dir):
+    """Streaming gap-sessions under the CORRECTNESS gate: events
+    replayed as a file stream through Spark's built-in session_window
+    (stateful merging-window aggregation) into a memory sink, drained
+    with availableNow in complete mode so final session states emit.
+
+    Semantics differ from the batch ts_sessionize on purpose:
+    session_window merges at MICROSECOND precision with
+    new-session-when-gap >= 30min, and session_end = last event + gap
+    (exclusive window end) — the oracle replicates exactly that
+    (epoch_us arithmetic), not the batch operator's floored-seconds
+    strict-> rule. Evidence that custom stateful streaming (SURVEY
+    §2.7 streaming mapping) computes an engine-reproducible answer."""
+    import os as _os
+    import tempfile
+    import uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    _os.symlink(_os.path.abspath(path),
+                _os.path.join(stage, "events.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stage)
+    for col in _ns_timestamp_cols(path):
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    out = (ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+             .agg(F.count(F.lit(1)).alias("n"),
+                  (F.sum(F.round(F.col("value") * 100).cast("long"))
+                   / 100.0).alias("sum_value")))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    q = (out.writeStream.format("memory").queryName(name)
+         .outputMode("complete")
+         .option("checkpointLocation",
+                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return (spark.table(name)
+                 .select("user_id",
+                         F.col("session_window.start").alias("session_start"),
+                         F.col("session_window.end").alias("session_end"),
+                         "n", "sum_value"))
+
+
 def q_ts_sliding_1h_15m(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     out = TS.sliding(ev, "ts", "1 hour", "15 minutes", aggs=[
@@ -513,6 +559,28 @@ _TS_ORACLES = {
                count(*) AS n, sum(vc) / 100.0 AS sum_value,
                round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
         FROM e GROUP BY 1, 2""",
+    "stream_sessionize": """
+        WITH o AS (
+          SELECT user_id, ts, event_id,
+                 CAST(round(value * 100) AS BIGINT) AS vc,
+                 lag(ts) OVER (PARTITION BY user_id
+                               ORDER BY ts, event_id) AS prev_ts
+          FROM events),
+        marked AS (
+          SELECT user_id, ts, vc,
+                 CASE WHEN prev_ts IS NULL
+                        OR epoch_us(ts) - epoch_us(prev_ts)
+                           >= 1800000000 THEN 1 ELSE 0 END AS is_new
+          FROM o),
+        sess AS (
+          SELECT user_id, ts, vc,
+                 sum(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                   ROWS UNBOUNDED PRECEDING) AS sid
+          FROM marked)
+        SELECT user_id, min(ts) AS session_start,
+               max(ts) + INTERVAL 30 MINUTE AS session_end,
+               count(*) AS n, sum(vc) / 100.0 AS sum_value
+        FROM sess GROUP BY user_id, sid""",
     "stream_tumbling_hourly": """
         WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
                           CAST(round(value * 100) AS BIGINT) AS vc
@@ -3042,6 +3110,7 @@ QUERIES = {
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "stream_sessionize": q_stream_sessionize,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
     "ts_downsample_10m_last": q_ts_downsample_10m_last,
     "ts_asof_join": q_ts_asof_join,
@@ -3154,6 +3223,7 @@ _DRIVER_CHECK_FIRST = [
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
+    "stream_sessionize",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
