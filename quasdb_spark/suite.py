@@ -359,6 +359,48 @@ def q_stream_tumbling_hourly(spark, sf_dir):
                                     "sum_value", "avg_value")
 
 
+def q_stream_rollup_hourly(spark, sf_dir):
+    """Continuous aggregate (the hypertable-rollup / materialized-view
+    shape) under the correctness gate: events streamed through
+    streaming.rollup.continuous_rollup into a TYPED KVStore — each
+    micro-batch upserts the windows it touched, aggregates land as
+    native Parquet columns — then read back via rollup_state. The
+    oracle is the plain batch hourly SQL: however the stream slices
+    the input, upsert-by-window + LWW must land the identical rollup.
+    Exact integer value-cents keep the sums engine-identical."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+    from quasdb_spark.store import KVStore
+    from quasdb_spark.streaming.rollup import (continuous_rollup,
+                                               rollup_state)
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_rollup_")
+    _os.symlink(_os.path.abspath(path),
+                _os.path.join(stage, "events.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stage)
+    for col in _ns_timestamp_cols(path):
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    root = tempfile.mkdtemp(prefix="kv_rollup_")
+    st = KVStore.create(spark, _os.path.join(root, "store"),
+                        value_schema="n long, vc long")
+    q = continuous_rollup(
+        st, ev, _os.path.join(root, "ckpt"),
+        ts_col="ts", keys=["event_type"], duration="1 hour",
+        stream_id=f"gate_{_uuid.uuid4().hex[:8]}",
+        aggs=[F.count(F.lit(1)).alias("n"),
+              F.sum(F.round(F.col("value") * 100).cast("long")).alias("vc")])
+    q.awaitTermination()
+    out = rollup_state(st, ["event_type"])
+    return out.select("window_start", "event_type", "n",
+                      (F.col("vc") / 100.0).alias("sum_value"))
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Streaming gap-sessions under the CORRECTNESS gate: events
     replayed as a file stream through Spark's built-in session_window
@@ -558,6 +600,13 @@ _TS_ORACLES = {
         SELECT ws AS window_start, event_type,
                count(*) AS n, sum(vc) / 100.0 AS sum_value,
                round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
+        FROM e GROUP BY 1, 2""",
+    "stream_rollup_hourly": """
+        WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
+                          CAST(round(value * 100) AS BIGINT) AS vc
+                   FROM events)
+        SELECT ws AS window_start, event_type, count(*) AS n,
+               sum(vc) / 100.0 AS sum_value
         FROM e GROUP BY 1, 2""",
     "stream_sessionize": """
         WITH o AS (
@@ -3111,6 +3160,7 @@ QUERIES = {
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_sessionize": q_stream_sessionize,
+    "stream_rollup_hourly": q_stream_rollup_hourly,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
     "ts_downsample_10m_last": q_ts_downsample_10m_last,
     "ts_asof_join": q_ts_asof_join,
@@ -3223,7 +3273,7 @@ _DRIVER_CHECK_FIRST = [
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
-    "stream_sessionize",
+    "stream_sessionize", "stream_rollup_hourly",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
