@@ -202,3 +202,35 @@ def test_interval_join_bounds_buckets_and_guard(spark):
         interval_join(left, right, ["user_id"], "ts", "cts",
                       lower_seconds=-86400, upper_seconds=0,
                       right_cols=["ctag"], bucket_seconds=1)
+
+
+def test_interval_join_randomized_vs_brute_force(spark):
+    """Randomized oracle: interval_join over seeded random data must
+    equal the quadratic brute force for several window/bucket shapes
+    (the bucketized rewrite must never drop or duplicate a pair)."""
+    import random
+
+    from quasdb_spark.operators.timeseries import interval_join
+
+    rng = random.Random(42)
+    base = dt.datetime(2024, 1, 1)
+    lrows = [(rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(7200)),
+              f"L{i}") for i in range(120)]
+    rrows = [(rng.randrange(5), base + dt.timedelta(seconds=rng.randrange(7200)),
+              f"R{i}") for i in range(150)]
+    left = _df(spark, lrows, "k long, ts timestamp, lid string")
+    right = _df(spark, rrows, "k long, rts timestamp, rid string")
+
+    for lo, hi, bucket in [(-600, 0, None), (0, 600, None), (-300, 300, None),
+                           (-600, 0, 60), (-45, 45, 7), (0, 0, None)]:
+        got = {(r["lid"], r["right_rid"])
+               for r in interval_join(left, right, ["k"], "ts", "rts",
+                                      lower_seconds=lo, upper_seconds=hi,
+                                      right_cols=["rid"],
+                                      bucket_seconds=bucket).collect()}
+        # brute force at second resolution (the operator contract)
+        want = {(l[2], r[2]) for l in lrows for r in rrows
+                if l[0] == r[0]
+                and int(l[1].timestamp()) + lo <= int(r[1].timestamp())
+                <= int(l[1].timestamp()) + hi}
+        assert got == want, (lo, hi, bucket, len(got), len(want))
