@@ -32,6 +32,51 @@ def _plan_str(df: DataFrame) -> str:
     return df._jdf.queryExecution().executedPlan().toString()
 
 
+_BOUNDED_MARKERS = ("TakeOrderedAndProject", "CollectLimit",
+                    "GlobalLimit", "HashAggregate(keys=[],",
+                    "SortAggregate(key=[],", "LocalTableScan",
+                    # createDataFrame from driver-local rows (loaded
+                    # artifacts like quantizer centroids): constant
+                    # size by construction
+                    "Scan ExistingRDD")
+
+
+def _subtree_indent(line: str) -> int:
+    """Tree depth of a plan line = offset of its operator name past the
+    ':-'/'+-' connectors and ':  ' rails."""
+    i = 0
+    while i < len(line) and line[i] in " :+-":
+        i += 1
+    return i
+
+
+def _broadcast_sides_bounded(plan: str) -> bool:
+    """True iff every BroadcastNestedLoopJoin broadcast side
+    (``BroadcastExchange IdentityBroadcastMode`` subtree — BHJ uses
+    HashedRelationBroadcastMode, so those are not touched) contains a
+    statically-bounded operator: a LIMIT, a keyless (global) aggregate,
+    or a LocalTableScan (driver-side artifact such as loaded
+    centroids). Such a cross is constant-size per probe row and scales;
+    an unbounded broadcast side is the real anti-pattern."""
+    lines = plan.splitlines()
+    found_any = False
+    for i, ln in enumerate(lines):
+        if "BroadcastExchange IdentityBroadcastMode" not in ln:
+            continue
+        found_any = True
+        depth = _subtree_indent(ln)
+        bounded = False
+        for child in lines[i + 1:]:
+            if child.strip() and _subtree_indent(child) <= depth:
+                break
+            if any(m in child for m in _BOUNDED_MARKERS):
+                bounded = True
+                break
+        if not bounded:
+            return False
+    return found_any
+
+
 def lint_plan(df: DataFrame) -> list[dict]:
     """Inspect ``df``'s physical plan; return findings as dicts with
     ``rule``, ``severity`` ("error" | "warn" | "info"), ``detail``.
@@ -48,13 +93,22 @@ def lint_plan(df: DataFrame) -> list[dict]:
                    "into buckets (LSH/banding) as the dedup/similarity "
                    "operators here do."))
     if "BroadcastNestedLoopJoin" in plan:
-        out.append(dict(
-            rule="broadcast_nested_loop", severity="error",
-            detail="BroadcastNestedLoopJoin evaluates every pair "
-                   "against a non-equi condition. Rewrite the "
-                   "condition as an equality on a derived key (range "
-                   "bucketing for intervals, as-of union trick for "
-                   "temporal joins)."))
+        if _broadcast_sides_bounded(plan):
+            out.append(dict(
+                rule="broadcast_nested_loop", severity="warn",
+                detail="BroadcastNestedLoopJoin present, but every "
+                       "broadcast side is statically bounded (LIMIT / "
+                       "keyless global aggregate / local artifact "
+                       "table) — a constant-size cross, which scales. "
+                       "Verify the bound really is data-independent."))
+        else:
+            out.append(dict(
+                rule="broadcast_nested_loop", severity="error",
+                detail="BroadcastNestedLoopJoin evaluates every pair "
+                       "against a non-equi condition. Rewrite the "
+                       "condition as an equality on a derived key "
+                       "(range bucketing for intervals, as-of union "
+                       "trick for temporal joins)."))
     if "BatchEvalPython" in plan:
         out.append(dict(
             rule="python_row_udf", severity="error",

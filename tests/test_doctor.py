@@ -49,9 +49,48 @@ def test_single_partition_window_detected(spark):
 
 
 def test_suite_queries_pass_error_lint(spark, sf_dir):
-    """The engine's own headline queries must carry no error-severity
-    findings — the lint agrees with the pinned plan tests."""
-    for name in ("rel_region_revenue", "dedup_minhash_pairs",
-                 "sim_neardup_cosine", "emb_semdedup",
-                 "text_pii_redact", "ts_asof_join"):
-        check_plan(suite.QUERIES[name](spark, sf_dir))
+    """EVERY suite query's plan must carry no error-severity findings
+    (cartesian products, broadcast nested loops, row-at-a-time Python
+    UDFs) — the doctor agrees with the pinned plan tests across the
+    whole 100-query surface, not a sample. Stream-driving queries are
+    excluded (building their DataFrame executes a streaming drain;
+    their plans are stateful-agg shapes covered by their own gates)."""
+    skip = {n for n in suite.QUERIES if n.startswith("stream_")}
+    skip |= {"kv_stream_state", "kv_state_postcompact"}
+    # By-design brute-force crosses, each with a documented scale path:
+    # - sim_cosine_topk / crossmodal_neighbors: the exact-cosine
+    #   BASELINE (query batch x corpus). Production bounds the query
+    #   batch per serving call; the scale paths are sim_bucket_topk /
+    #   sim_probe_topk / sim_ivf_topk.
+    # - emb_label_separation: centroid side is one row per LABEL
+    #   (bounded by the label vocabulary, not the corpus) — the lint
+    #   cannot prove a keyed aggregate's cardinality statically.
+    allow_bnlj = {"sim_cosine_topk", "crossmodal_neighbors",
+                  "emb_label_separation"}
+    failures = {}
+    for name, fn in suite.QUERIES.items():
+        if name in skip:
+            continue
+        allow = {"broadcast_nested_loop"} if name in allow_bnlj \
+            else frozenset()
+        try:
+            check_plan(fn(spark, sf_dir), allow=allow)
+        except ValueError as ex:
+            failures[name] = str(ex)
+    assert not failures, failures
+
+
+def test_bnlj_bounded_broadcast_downgrades_to_warn(spark):
+    """A cross against a statically bounded side (keyless global
+    aggregate / LIMIT / driver-local table) is a constant-size
+    broadcast and must NOT be an error; an unbounded cross must."""
+    big = spark.range(1000).withColumnRenamed("id", "a")
+    total = big.agg(F.count(F.lit(1)).alias("n"))       # keyless agg
+    sev = {f["rule"]: f["severity"]
+           for f in lint_plan(big.crossJoin(total))}
+    assert sev.get("broadcast_nested_loop") == "warn"
+
+    other = spark.range(500).withColumnRenamed("id", "b")
+    unbounded = big.join(other, F.col("a") > F.col("b"))
+    sev2 = {f["rule"]: f["severity"] for f in lint_plan(unbounded)}
+    assert sev2.get("broadcast_nested_loop") == "error"
