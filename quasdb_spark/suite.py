@@ -2430,6 +2430,27 @@ def q_events_funnel(spark, sf_dir):
                  F.count("t_purchase").alias("n_purchase_after_click")))
 
 
+def q_events_retention(spark, sf_dir):
+    """Daily cohort retention: users grouped by the day of their FIRST
+    purchase; for each (cohort_day, days_since) the count of distinct
+    users who purchased again that day. Shapes: first-purchase is a
+    two-phase min per user (shuffle carries one row/user), the
+    activity join is keyed on user_id (AQE-planned), and days_since is
+    exact integer arithmetic on day-truncated epochs — identical in
+    both engines."""
+    ev = _t(spark, sf_dir, "events")
+    buys = (ev.where(F.col("event_type") == "purchase")
+              .select("user_id", "ts"))
+    first = (buys.groupBy("user_id")
+                 .agg(F.date_trunc("day", F.min("ts")).alias("cohort_day")))
+    days_since = F.floor(
+        (F.unix_timestamp(F.date_trunc("day", F.col("ts")))
+         - F.unix_timestamp("cohort_day")) / 86400).cast("long")
+    return (buys.join(first, "user_id")
+                .groupBy("cohort_day", days_since.alias("days_since"))
+                .agg(F.countDistinct("user_id").alias("n_users")))
+
+
 def q_rel_region_share(spark, sf_dir):
     r = _t(spark, sf_dir, "region")
     n = _t(spark, sf_dir, "nation")
@@ -2604,6 +2625,21 @@ _EXT_ORACLES = {
           GROUP BY 1)
         SELECT suppkey, total_rev FROM rev
         WHERE total_rev = (SELECT max(total_rev) FROM rev)""",
+    "events_retention": """
+        WITH buys AS (
+          SELECT user_id, ts FROM events WHERE event_type = 'purchase'),
+        first AS (
+          SELECT user_id,
+                 CAST(date_trunc('day', min(ts)) AS TIMESTAMP)
+                   AS cohort_day
+          FROM buys GROUP BY 1)
+        SELECT cohort_day,
+               CAST(floor((epoch(date_trunc('day', b.ts))
+                           - epoch(cohort_day)) / 86400) AS BIGINT)
+                 AS days_since,
+               count(DISTINCT b.user_id) AS n_users
+        FROM buys b JOIN first USING (user_id)
+        GROUP BY 1, 2""",
     "events_funnel": """
         WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                    WHERE event_type = 'view' GROUP BY 1),
@@ -3245,6 +3281,7 @@ QUERIES = {
     "ts_ohlc_daily": q_ts_ohlc_daily,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "events_funnel": q_events_funnel,
+    "events_retention": q_events_retention,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
     "rel_customer_quartiles": q_rel_customer_quartiles,
@@ -3281,7 +3318,7 @@ _DRIVER_CHECK_FIRST = [
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
-    "stream_sessionize", "stream_rollup_hourly",
+    "stream_sessionize", "stream_rollup_hourly", "events_retention",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
