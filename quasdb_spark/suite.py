@@ -24,6 +24,7 @@ from quasdb_spark.operators import quantizer as QZ
 from quasdb_spark.operators import similarity as SIM
 from quasdb_spark.operators import timeseries as TS
 from quasdb_spark.plans.lww import state_view_window
+from quasdb_spark.plans.skew import salted_join
 from quasdb_spark.plans.parallel import ensure_parallelism as _par
 from quasdb_spark.sources.tables import load_table
 
@@ -933,6 +934,23 @@ def q_rel_supplier_volume(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_rel_salted_supplier_volume(spark, sf_dir):
+    """plans/skew.salted_join under the correctness gate: the supplier
+    rollup computed through an explicitly salted join (lineitem fans
+    out over 8 sub-keys, supplier replicated 8x map-side) must be
+    row-identical to the plain equi-join SQL — salting changes only
+    the physical distribution, never the result. This is the
+    explicit-control variant for hot mid-size dims AQE's runtime
+    skew splitting can't fix."""
+    s = _t(spark, sf_dir, "supplier").select(
+        F.col("s_suppkey").alias("l_suppkey"), "s_name")
+    li = _t(spark, sf_dir, "lineitem").select("l_suppkey", "l_quantity")
+    j = salted_join(li, s, ["l_suppkey"], n_salts=8)
+    return (j.groupBy("s_name")
+             .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+                  F.count(F.lit(1)).alias("n_lines")))
+
+
 def q_rel_price_histogram(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     bucket = F.floor(F.col("o_totalprice") / 10000).cast("long")
@@ -1098,6 +1116,12 @@ _REL_ORACLES = {
           FROM customer JOIN nation ON c_nationkey = n_nationkey) t
         WHERE rn <= 3""",
     "rel_supplier_volume": """
+        SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
+               count(*) AS n_lines
+        FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+        GROUP BY 1""",
+    # salted physical plan, identical logical answer: same SQL
+    "rel_salted_supplier_volume": """
         SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
                count(*) AS n_lines
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
@@ -3226,6 +3250,7 @@ QUERIES = {
     "rel_supplier_volume": q_rel_supplier_volume,
     "rel_price_histogram": q_rel_price_histogram,
     "rel_forecast_revenue": q_rel_forecast_revenue,
+    "rel_salted_supplier_volume": q_rel_salted_supplier_volume,
     "rel_nation_volume": q_rel_nation_volume,
     "rel_market_share": q_rel_market_share,
     "rel_large_volume_customers": q_rel_large_volume_customers,
@@ -3319,6 +3344,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
     "stream_sessionize", "stream_rollup_hourly", "events_retention",
+    "rel_salted_supplier_volume",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
