@@ -209,6 +209,54 @@ def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
                           (F.col("score") + F.lit(0.0)).alias("score")))
 
 
+def bm25_search(df: DataFrame, query_terms: list[str], *,
+                id_col: str = "doc_id", text_col: str = "text",
+                k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """Rank documents against a bag-of-terms query by Okapi BM25
+    (Lucene idf variant: ln((N - df + 0.5)/(df + 0.5) + 1)).
+
+    Scale shape: one explode → per-doc length aggregate (two-phase),
+    a term-filtered tf aggregate (the explode is filtered to the
+    query's terms BEFORE the shuffle, so shuffle bytes scale with
+    matching tokens only), doc-freq from the tf table (one tiny
+    aggregate), and the corpus stats (N, avgdl) as a broadcast scalar.
+    Ranking is top-k over per-doc sums.
+
+    Determinism: each per-term partial score is rounded to integer
+    MICROS before the per-doc sum — integer sums are order-free, so
+    the final score is engine-identical; ranking rounds to 4 with
+    doc_id tiebreak (same contract as tfidf_topk).
+    """
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
+    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
+                   F.avg("dl").alias("avgdl"))
+    tf = (toks.where(F.col("term").isin(*query_terms))
+              .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    idf = F.log((F.col("n_docs") - F.col("doc_freq") + 0.5)
+                / (F.col("doc_freq") + 0.5) + 1.0)
+    tf_part = (F.col("tf") * (k1 + 1.0)) / (
+        F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
+    term_micros = F.round(idf * tf_part * 1e6).cast("long")
+    per_doc = (tf.join(dfreq, "term")
+                 .join(dl, id_col)
+                 .crossJoin(F.broadcast(stats))
+                 .groupBy(id_col)
+                 .agg(F.sum(term_micros).alias("_micros"),
+                      F.count(F.lit(1)).alias("n_terms_hit")))
+    score = F.round(F.col("_micros") / 1e6, 4) + F.lit(0.0)
+    # top-k FIRST (TakeOrderedAndProject — distributed partial top-k,
+    # no global sort); the rank window then runs over k rows only
+    topk = (per_doc.withColumn("score", score)
+                   .orderBy(F.col("score").desc(), F.col(id_col).asc())
+                   .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("score").desc(), F.col(id_col).asc())
+    return (topk.withColumn("rank", F.row_number().over(w))
+                .select(id_col, "rank", "score", "n_terms_hit"))
+
+
 def repetition_stats(df: DataFrame, id_col: str = "doc_id",
                      text_col: str = "text", *,
                      top_frac_max: float = 0.2,

@@ -1240,6 +1240,16 @@ def q_text_tfidf_topk(spark, sf_dir):
     return T.tfidf_topk(d, k=3)
 
 
+def q_text_bm25_search(spark, sf_dir):
+    """Okapi BM25 ranking for a bag-of-terms query (Lucene idf
+    variant): the text-search face of the corpus. Per-term partials
+    round to integer micros before the per-doc sum so the score is
+    order-free and engine-identical; top-k is TakeOrderedAndProject
+    (no global sort) with the rank window over k rows only."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.bm25_search(d, ["spark", "vector", "merge"], k=20)
+
+
 def q_text_token_counts(spark, sf_dir):
     """Token budgets per doc: whitespace tokens vs BPE-style
     pre-tokenizer pieces, plus chars-per-BPE-token (the compression
@@ -1622,6 +1632,37 @@ _TEXT_ORACLES["text_tfidf_topk"] = f"""
             PARTITION BY doc_id ORDER BY score DESC, term ASC) AS rnk
           FROM scored) r
     WHERE rnk <= 3"""
+
+_TEXT_ORACLES["text_bm25_search"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    tok AS (SELECT doc_id, unnest(w) AS term FROM t),
+    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
+    tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
+           WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
+    dfreq AS (SELECT term, count(*) AS doc_freq FROM tf GROUP BY 1),
+    scored AS (
+      SELECT tf.doc_id,
+             CAST(round(
+               ln((stats.n_docs - dfreq.doc_freq + 0.5)
+                  / (dfreq.doc_freq + 0.5) + 1.0)
+               * ((tf.tf * (1.2 + 1.0))
+                  / (tf.tf + 1.2 * (1.0 - 0.75
+                                    + 0.75 * dl.dl / stats.avgdl)))
+               * 1e6) AS BIGINT) AS micros
+      FROM tf JOIN dfreq USING (term) JOIN dl USING (doc_id)
+      CROSS JOIN stats),
+    per_doc AS (SELECT doc_id, sum(micros) AS m,
+                       count(*) AS n_terms_hit
+                FROM scored GROUP BY 1),
+    top AS (SELECT doc_id, round(m / 1e6, 4) + 0.0 AS score,
+                   n_terms_hit
+            FROM per_doc ORDER BY score DESC, doc_id ASC LIMIT 20)
+    SELECT doc_id,
+           CAST(row_number() OVER (ORDER BY score DESC, doc_id ASC)
+                AS INT) AS rank,
+           score, n_terms_hit
+    FROM top"""
 
 # text_decontaminate oracle is defined next to the dedup oracles
 # (it reuses _SHINGLES_SQL, defined there).
@@ -3262,6 +3303,7 @@ QUERIES = {
     "text_pii_scan": q_text_pii_scan,
     "text_pii_redact": q_text_pii_redact,
     "text_tfidf_topk": q_text_tfidf_topk,
+    "text_bm25_search": q_text_bm25_search,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
     "text_winnow": q_text_winnow,
@@ -3344,7 +3386,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
     "stream_sessionize", "stream_rollup_hourly", "events_retention",
-    "rel_salted_supplier_volume",
+    "rel_salted_supplier_volume", "text_bm25_search",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
