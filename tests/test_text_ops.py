@@ -249,3 +249,27 @@ def test_pii_redact_java_re2_equivalence_randomized(spark):
     for i, t in rows:
         want[i] = con.execute(f"SELECT {expr}", [t]).fetchone()[0]
     assert got == want
+
+
+def test_bm25_ranks_term_dense_docs_and_handles_misses(spark):
+    """BM25: a doc dense in the query terms outranks a diluted one;
+    absent terms contribute nothing; a query with no corpus hits
+    returns an empty frame (not an error)."""
+    from quasdb_spark.functions.text import bm25_search
+
+    docs = spark.createDataFrame(
+        [(1, "spark spark merge"),                      # dense, short
+         (2, "spark " + "filler " * 40),                # 1 hit, long
+         (3, "merge vector spark merge"),               # 3 distinct hits
+         (4, "nothing relevant here at all")],
+        "doc_id long, text string")
+    out = bm25_search(docs, ["spark", "vector", "merge"], k=10).collect()
+    ranked = [r["doc_id"] for r in out]
+    assert 4 not in ranked                 # no hits -> not returned
+    assert ranked[0] == 3                  # most distinct hits wins
+    assert ranked.index(1) < ranked.index(2)  # dense beats diluted
+    by_id = {r["doc_id"]: r for r in out}
+    assert by_id[3]["n_terms_hit"] == 3 and by_id[2]["n_terms_hit"] == 1
+    assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
+
+    assert bm25_search(docs, ["zzz_absent"], k=5).count() == 0
