@@ -166,6 +166,27 @@ def q_kv_state_postcompact(spark, sf_dir):
     return st.state()
 
 
+def q_kv_multi_get(spark, sf_dir):
+    """Batched point lookup (multi_get, S3) under the oracle: a real
+    store built from the events op-log, then ONE pruned IN-filtered
+    scan for a fixed key set (vs N get() round trips). Deleted and
+    never-written keys are absent (NotFound convention + tombstone
+    masking) — the oracle's LWW CTE filtered to the same keys."""
+    import os
+    import tempfile
+
+    from quasdb_spark.store import KVStore
+
+    log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
+    st = KVStore.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-mget-"),
+                            "store"))
+    st.ingest(log, op_col="op", sub_col="seq")
+    keys = [f"u{n:06d}" for n in (5, 17, 42, 77, 123, 999999)]
+    rows = sorted(st.multi_get(keys).items())
+    return spark.createDataFrame(rows, "key string, value string")
+
+
 def q_kv_stream_state(spark, sf_dir):
     """The STREAMING write path under the correctness gate: the events
     op-log replayed as a file stream through streaming.ingest.
@@ -225,6 +246,13 @@ _KV_ORACLES = {
     # LWW state of the raw op-log (same CTE as kv_state_latest)
     "kv_state_postcompact":
         f"WITH {_KV_CTE} SELECT key, value FROM state",
+    # batched point lookup: the same LWW state filtered to the fixed
+    # key set (absent keys = deleted or never written)
+    "kv_multi_get": f"""
+        WITH {_KV_CTE}
+        SELECT key, value FROM state
+        WHERE key IN ('u000005', 'u000017', 'u000042', 'u000077',
+                      'u000123', 'u999999')""",
     "kv_state_asof": f"""
         WITH log AS (
           SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS key,
@@ -3265,6 +3293,7 @@ QUERIES = {
     "kv_live_stats": q_kv_live_stats,
     "kv_stream_state": q_kv_stream_state,
     "kv_state_postcompact": q_kv_state_postcompact,
+    "kv_multi_get": q_kv_multi_get,
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
@@ -3386,7 +3415,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "ts_interval_join",
     "stream_sessionize", "stream_rollup_hourly", "events_retention",
-    "rel_salted_supplier_volume", "text_bm25_search",
+    "rel_salted_supplier_volume", "text_bm25_search", "kv_multi_get",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
