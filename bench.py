@@ -50,6 +50,15 @@ SUITE_BENCH = [
     "text_bigram_topk", "ts_trailing_1h_sum",
 ]
 
+# Round-5 queries: timed and reported under ``extra_queries`` so the
+# pinned 26-query headline stays comparable to the r1 baseline.
+EXTRA_BENCH = [
+    "ts_interval_join", "events_retention", "text_bm25_search",
+    "rel_salted_supplier_volume", "rel_forecast_revenue",
+    "rel_nation_volume", "rel_market_share",
+    "rel_large_volume_customers", "emb_semdedup", "text_pii_redact",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -114,11 +123,26 @@ def main() -> None:
     spread = {n: [round(min(v), 3), round(max(v), 3)]
               for n, v in samples.items()}
     total = round(sum(times.values()), 3)
+
+    # ---- round-5 additions, timed OUTSIDE the pinned headline set ----
+    # (``value``/``queries`` keep the r1-comparable 26-query protocol;
+    # these medians are informational only)
+    extra_samples: dict[str, list[float]] = {}
+    for name in EXTRA_BENCH:
+        fn = suite.QUERIES[name]
+        for _ in range(REPS):
+            t0 = time.perf_counter()
+            _force(fn(spark, sf_dir))
+            extra_samples.setdefault(name, []).append(
+                time.perf_counter() - t0)
+    extra = {n: round(statistics.median(v), 3)
+             for n, v in extra_samples.items()}
+
     print(json.dumps({
         "metric": "headline_suite_total_wall",
         "value": total, "unit": "sec", "queries": times, "sf": sf,
         "reps": REPS, "stat": "median", "query_spread": spread,
-        "maintenance": maintenance,
+        "maintenance": maintenance, "extra_queries": extra,
     }))
     spark.stop()
 
