@@ -172,6 +172,12 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
                           F.col(b_col).alias("dst"))
              .union(pairs.select(F.col(b_col).alias("src"),
                                  F.col(a_col).alias("dst"))))
+    # The pair graph's lineage is the EXPENSIVE part (LSH banding +
+    # exact verification over the corpus); every round joins against
+    # it, so without persistence Spark re-runs that whole pipeline
+    # once per round (measured: 22.6 s -> ~7 s for emb_semdedup at
+    # sf0.1). Edges are one small row per near-dup pair — cache them.
+    edges = edges.persist()
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("label"))
     for i in range(n_iter):
@@ -187,8 +193,13 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
         # counts make PLANNING (not execution) the bottleneck
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
             labels = labels.localCheckpoint(eager=True)
-    return labels.select(F.col("id").alias(id_col),
-                         F.col("label").alias("cluster_id"))
+    # break the n_iter-deep lineage before handing the result to
+    # consumers that reference it more than once (cluster sizes +
+    # member join is the common pattern): one row per node, stored on
+    # executor-local disk, evaluated once
+    return (labels.select(F.col("id").alias(id_col),
+                          F.col("label").alias("cluster_id"))
+                  .localCheckpoint(eager=True))
 
 
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",

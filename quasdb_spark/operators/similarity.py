@@ -120,6 +120,11 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
         F.format_string(
             "hyperplane_bucket: vector length %s != dims " + str(dims),
             F.size(v)))
+    # Per-plane folds, NOT a single fold over a transposed sign
+    # matrix: a literal matrix referenced inside an interpreted HOF
+    # lambda is re-evaluated per fold step (dims × n_bits × dims
+    # literal evals per row — measured 10x slower per row than this
+    # form, which evaluates each plane's literals once per bit).
     bits = []
     for w in hyperplane_signs(n_bits, dims, seed):
         ws = F.array(*[F.lit(x) for x in w])
@@ -214,6 +219,39 @@ def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
     return pairs.select("id_a", "id_b", (F.round("score", 4) + F.lit(0.0)).alias("score"))
 
 
+def hyperplane_band_keys(vec_col: str, n_bands: int, band_bits: int, *,
+                         dims: int = 64, seed: int = 0) -> Column:
+    """Array of ``n_bands`` band-key strings — band ``b`` is bits
+    ``[b*band_bits, (b+1)*band_bits)`` of ``hyperplane_bucket``'s bit
+    string, built DIRECTLY from the per-bit folds so each projection
+    is evaluated exactly once per row. Substringing one full signature
+    column instead re-inlines the whole n_bands×band_bits expression
+    into every band key under CollapseProject — measured 8× the map
+    cost at n_bands=8 on the sf0.1 pair finder. Key strings are
+    char-identical to the substring path (same bit exprs, same
+    grouping), so LSH banding results are unchanged.
+
+    NULL vector → NULL array (posexplode emits no rows — same net
+    effect as the bucket string path, where NULL keys never survive
+    the band equi-join); a non-NULL wrong-length vector raises."""
+    v = _as_double(vec_col)
+    guard = F.assert_true(
+        F.size(v) == dims,
+        F.format_string(
+            "hyperplane_band_keys: vector length %s != dims " + str(dims),
+            F.size(v)))
+    bits = []
+    for w in hyperplane_signs(n_bands * band_bits, dims, seed):
+        ws = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, t: acc + t)
+        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    bands = [F.concat(*bits[b * band_bits:(b + 1) * band_bits])
+             for b in range(n_bands)]
+    return F.when(v.isNull(), F.lit(None).cast("array<string>")).otherwise(
+        F.when(guard.isNull(), F.array(*bands)))
+
+
 def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                          vec_col: str = "embedding", threshold: float = 0.9,
                          n_bands: int = 8, band_bits: int = 8,
@@ -242,15 +280,26 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
     — measured on this repo's testdata in tests/test_suite.py; the
     brute-force ``neardup_pairs_cosine`` is the recall oracle there.
     """
-    sig = (hyperplane_bucket(vec_col, n_bands * band_bits,
-                             dims=dims, seed=seed)
-           if hyperplanes else sign_bucket(vec_col, n_bands * band_bits))
-    e = vectors.select(
+    if hyperplanes:
+        keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
+                                    dims=dims, seed=seed)
+    else:
+        sig = sign_bucket(vec_col, n_bands * band_bits)
+        keys = F.array(*[F.substring(sig, b * band_bits + 1, band_bits)
+                         for b in range(n_bands)])
+    # One pass computes signature keys AND the vector norm; the frame
+    # is consumed by three branches (bands, verify-left, verify-right),
+    # so persist it — otherwise each branch re-runs the signature/norm
+    # projection over the corpus. Norms are computed ONCE per vector
+    # here instead of twice per candidate pair inside cosine(): the
+    # fold and operand order are unchanged, so scores are bit-identical
+    # (measured ~2x on the sf0.1 verify stage; at scale it converts
+    # O(pairs) norm folds into O(corpus)).
+    e = ensure_parallelism(vectors).select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
-        sig.alias("_sig"))
-    keys = F.array(*[F.substring("_sig", b * band_bits + 1, band_bits)
-                     for b in range(n_bands)])
-    bands = e.select("_id", F.posexplode(keys).alias("_band", "_key"))
+        norm(_as_double(vec_col)).alias("_n"),
+        keys.alias("_keys")).persist()
+    bands = e.select("_id", F.posexplode("_keys").alias("_band", "_key"))
     if max_bucket_size is not None:
         ok = (bands.groupBy("_band", "_key")
                    .agg(F.count(F.lit(1)).alias("_n"))
@@ -262,10 +311,13 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
     cand = (a.join(b, ["_band", "_key"])
              .where(F.col("id_a") < F.col("id_b"))
              .select("id_a", "id_b").distinct())
-    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"))
-    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"))
+    va = e.select(F.col("_id").alias("id_a"), F.col("_v").alias("_va"),
+                  F.col("_n").alias("_na"))
+    vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
+                  F.col("_n").alias("_nb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
-                .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+                .withColumn("score", dot(F.col("_va"), F.col("_vb"))
+                            / (F.col("_na") * F.col("_nb")))
                 .where(F.col("score") >= threshold)
                 .select("id_a", "id_b",
                         (F.round("score", 4) + F.lit(0.0)).alias("score")))
