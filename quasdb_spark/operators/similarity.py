@@ -403,21 +403,29 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
     """
     if n_bits is None:
         n_bits = auto_n_bits(vectors.count(), target_bucket_size)
-    b = vectors.select(
+    # same single-pass shape as neardup_pairs_banded: bucket + norm
+    # computed once per vector, frame persisted for its three
+    # consumers; per-pair scoring reuses the norms (fold and operand
+    # order unchanged — scores bit-identical)
+    b = ensure_parallelism(vectors).select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
+        norm(_as_double(vec_col)).alias("_vn"),
         hyperplane_bucket(vec_col, n_bits, dims=dims,
-                          seed=seed).alias("_bucket"))
+                          seed=seed).alias("_bucket")).persist()
     if max_bucket_size is not None:
         ok = (b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
                .where(F.col("_n") <= max_bucket_size).drop("_n"))
         b = b.join(ok, "_bucket")
     left = b.select(F.col("_id").alias("src"),
-                    F.col("_v").alias("_lv"), "_bucket")
+                    F.col("_v").alias("_lv"),
+                    F.col("_vn").alias("_ln"), "_bucket")
     right = b.select(F.col("_id").alias("dst"),
-                     F.col("_v").alias("_rv"), "_bucket")
+                     F.col("_v").alias("_rv"),
+                     F.col("_vn").alias("_rn"), "_bucket")
     scored = (left.join(right, "_bucket")
               .where(F.col("src") != F.col("dst"))
-              .withColumn("_score", cosine(F.col("_lv"), F.col("_rv"))))
+              .withColumn("_score", dot(F.col("_lv"), F.col("_rv"))
+                          / (F.col("_ln") * F.col("_rn"))))
     w = Window.partitionBy("src").orderBy(F.col("_score").desc(),
                                           F.col("dst").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
