@@ -227,10 +227,12 @@ def bm25_search(df: DataFrame, query_terms: list[str], *,
     the final score is engine-identical; ranking rounds to 4 with
     doc_id tiebreak (same contract as tfidf_topk).
     """
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    dl = toks.groupBy(id_col).agg(F.count(F.lit(1)).alias("dl"))
+    # doc length is size(tokens) — map-side, no corpus-wide explode +
+    # shuffle (the explode is reserved for the term-FILTERED tf pass)
+    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
     stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
                    F.avg("dl").alias("avgdl"))
+    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
     tf = (toks.where(F.col("term").isin(*query_terms))
               .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))

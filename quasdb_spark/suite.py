@@ -1664,7 +1664,9 @@ _TEXT_ORACLES["text_tfidf_topk"] = f"""
 _TEXT_ORACLES["text_bm25_search"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     tok AS (SELECT doc_id, unnest(w) AS term FROM t),
-    dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1),
+    -- dl = len(w), mirroring the map-side size(tokens) (includes
+    -- zero-token docs, unlike an explode-based count)
+    dl AS (SELECT doc_id, len(w) AS dl FROM t),
     stats AS (SELECT count(*) AS n_docs, avg(dl) AS avgdl FROM dl),
     tf AS (SELECT doc_id, term, count(*) AS tf FROM tok
            WHERE term IN ('spark', 'vector', 'merge') GROUP BY 1, 2),
