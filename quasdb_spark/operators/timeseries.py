@@ -135,7 +135,8 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
                   lower_seconds: int, upper_seconds: int,
                   right_cols: list[str],
                   bucket_seconds: int | None = None,
-                  max_explode: int = 64) -> DataFrame:
+                  max_explode: int = 64, how: str = "inner",
+                  left_id_col: str | None = None) -> DataFrame:
     """Flink-style interval join: pair each left row ``l`` with the
     right rows ``r`` sharing its keys whose timestamp falls in
     ``[l.ts + lower_seconds, l.ts + upper_seconds]`` (both inclusive).
@@ -156,10 +157,22 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     Pass ``bucket_seconds`` to override W: finer buckets trade a
     larger left explode factor (guarded by ``max_explode``) for
     tighter per-bucket crosses on dense data. Output = all left
-    columns + ``right_<c>`` for each of ``right_cols`` (inner join;
-    each qualifying (l, r) pair appears exactly once because a right
-    row occupies exactly one bucket).
+    columns + ``right_<c>`` for each of ``right_cols`` (each
+    qualifying (l, r) pair appears exactly once because a right row
+    occupies exactly one bucket).
+
+    ``how="left"`` keeps unmatched left rows with NULL right columns;
+    it requires ``left_id_col`` naming a UNIQUE left column — the
+    unmatched set is recovered with an anti-join on that id (a
+    synthetic monotonically_increasing_id would be assigned
+    independently in the matched and unmatched branches, so the
+    caller must supply real identity).
     """
+    if how not in ("inner", "left"):
+        raise ValueError(f"how must be 'inner' or 'left', got {how!r}")
+    if how == "left" and not left_id_col:
+        raise ValueError("how='left' requires left_id_col (a unique "
+                         "left column) to recover unmatched rows")
     if upper_seconds < lower_seconds:
         raise ValueError(f"empty interval: [{lower_seconds}, "
                          f"{upper_seconds}]")
@@ -193,8 +206,16 @@ def interval_join(left: DataFrame, right: DataFrame, on: list[str],
     matched = (lx.join(rx, cond, "inner")
                  .where((rref >= lref + F.lit(lower_seconds)) &
                         (rref <= lref + F.lit(upper_seconds))))
-    return matched.select(*lcols,
-                          *[f"right_{c}" for c in right_cols])
+    inner = matched.select(*lcols, *[f"right_{c}" for c in right_cols])
+    if how == "inner":
+        return inner
+    unmatched = (left.join(
+        inner.select(F.col(left_id_col).alias("_mid")).distinct(),
+        left[left_id_col] == F.col("_mid"), "left_anti")
+        .select(*lcols, *[F.lit(None).cast(
+            right.schema[c].dataType).alias(f"right_{c}")
+            for c in right_cols]))
+    return inner.unionByName(unmatched)
 
 
 def sessionize(df: DataFrame, ts_col: str, keys: list[str],

@@ -234,3 +234,33 @@ def test_interval_join_randomized_vs_brute_force(spark):
                 and int(l[1].timestamp()) + lo <= int(r[1].timestamp())
                 <= int(l[1].timestamp()) + hi}
         assert got == want, (lo, hi, bucket, len(got), len(want))
+
+
+def test_interval_join_left_outer(spark):
+    """how='left' keeps unmatched left rows with NULL right columns;
+    requires a unique left id; matched rows identical to inner."""
+    import pytest
+    from quasdb_spark.operators.timeseries import interval_join
+
+    left = _df(spark, [(1, _ts(10), "p1"), (1, _ts(50), "p2"),
+                       (2, _ts(30), "p3")],
+               "user_id long, ts timestamp, tag string")
+    right = _df(spark, [(1, _ts(4), "c1"), (1, _ts(9), "c2")],
+                "user_id long, cts timestamp, ctag string")
+
+    out = interval_join(left, right, ["user_id"], "ts", "cts",
+                        lower_seconds=-600, upper_seconds=0,
+                        right_cols=["ctag"], how="left",
+                        left_id_col="tag")
+    rows = {(r["tag"], r["right_ctag"]) for r in out.collect()}
+    assert rows == {("p1", "c1"), ("p1", "c2"),
+                    ("p2", None), ("p3", None)}
+
+    with pytest.raises(ValueError, match="left_id_col"):
+        interval_join(left, right, ["user_id"], "ts", "cts",
+                      lower_seconds=-600, upper_seconds=0,
+                      right_cols=["ctag"], how="left")
+    with pytest.raises(ValueError, match="how must be"):
+        interval_join(left, right, ["user_id"], "ts", "cts",
+                      lower_seconds=-600, upper_seconds=0,
+                      right_cols=["ctag"], how="full")
