@@ -216,6 +216,41 @@ def get_or_build_lists(vectors: DataFrame, centroids: DataFrame, *,
     return spark.read.schema(_LISTS_SCHEMA).parquet(path)
 
 
+def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
+                    fingerprint: str, n_clusters: int,
+                    n_iter: int = 2, round_to: int = 6,
+                    sample_cap: int | None = None,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding",
+                    root: str | None = None) -> DataFrame:
+    """Incremental add: assign ONLY the new vectors against the
+    existing quantizer and append them to the materialized lists —
+    the add() path for a growing corpus, no retraining and no
+    full-corpus reassignment (real IVF deployments retrain on drift,
+    not on every insert; q_sim_ivf_quantization's fit diagnostics are
+    the retrain trigger). Cost is one assignment pass over the NEW
+    vectors; the partitioned layout is preserved so probe-side
+    dynamic partition pruning is unaffected.
+
+    The caller owns id uniqueness (appending an id already in the
+    lists yields duplicate index entries, exactly like FAISS add()
+    with a repeated id). The lists must already exist for this key —
+    appending into a missing artifact raises (build first with
+    get_or_build_lists)."""
+    from quasdb_spark.operators.similarity import ivf_assign
+
+    key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
+    path = lists_path(key, root)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise QuantizerMiss(
+            f"no inverted lists at {path}; build with "
+            f"get_or_build_lists before appending")
+    spark = new_vectors.sparkSession
+    (ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
+     .write.mode("append").partitionBy("list_label").parquet(path))
+    return spark.read.schema(_LISTS_SCHEMA).parquet(path)
+
+
 def retrain(vectors: DataFrame, n_clusters: int, *, fingerprint: str,
             **kw) -> DataFrame:
     """Maintenance hook: force a fresh training run, overwriting any

@@ -346,3 +346,34 @@ def test_semantic_dedup_keeps_one_per_component(spark):
     assert len({r["cluster_id"] for r in out.values()}) == len(kept)
     # a random singleton is its own kept cluster
     assert out[42]["is_kept"] and out[42]["n_members"] == 1
+
+
+def test_ivf_incremental_append_matches_full_rebuild(spark, sf_dir,
+                                                     tmp_path):
+    """append_to_lists assigns ONLY the new vectors and appends them to
+    the partitioned artifact: probing the appended lists equals probing
+    lists rebuilt from the full corpus; appending into a missing
+    artifact raises QuantizerMiss."""
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    base = e.where(F.col("vec_id") % 5 != 0)
+    fresh = e.where(F.col("vec_id") % 5 == 0)
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(base, 10, n_iter=2)
+
+    with pytest.raises(QZ.QuantizerMiss):
+        QZ.append_to_lists(fresh, cents, fingerprint="t-app",
+                           n_clusters=10, root=str(tmp_path))
+
+    QZ.get_or_build_lists(base, cents, fingerprint="t-app",
+                          n_clusters=10, root=str(tmp_path))
+    appended = QZ.append_to_lists(fresh, cents, fingerprint="t-app",
+                                  n_clusters=10, root=str(tmp_path))
+    rebuilt = QZ.get_or_build_lists(e, cents, fingerprint="t-reb",
+                                    n_clusters=10, root=str(tmp_path))
+    got = sorted(map(tuple, ivf_topk(
+        e, q, 10, nprobe=2, centroids=cents, lists=appended).collect()))
+    want = sorted(map(tuple, ivf_topk(
+        e, q, 10, nprobe=2, centroids=cents, lists=rebuilt).collect()))
+    assert got == want and len(got) > 0
