@@ -962,6 +962,29 @@ def q_rel_supplier_volume(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_rel_returned_items(spark, sf_dir):
+    """TPC-H Q10 shape: customers who returned items in one quarter,
+    ranked by lost revenue. Quarter filter pushed to the orders scan,
+    returnflag filter pushed to lineitem; nation broadcast; top-20 is
+    TakeOrderedAndProject with c_custkey tiebreak."""
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    rev = (li.where(F.col("l_returnflag") == "R")
+             .join(o.where(
+                 (F.col("o_orderdate") >= F.lit("1996-10-01").cast("timestamp"))
+                 & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))),
+                 li.l_orderkey == o.o_orderkey)
+             .join(cu, o.o_custkey == cu.c_custkey)
+             .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+             .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+             .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                   / 100.0).alias("revenue")))
+    return rev.orderBy(F.col("revenue").desc(),
+                       F.col("c_custkey").asc()).limit(20)
+
+
 def q_rel_salted_supplier_volume(spark, sf_dir):
     """plans/skew.salted_join under the correctness gate: the supplier
     rollup computed through an explicitly salted join (lineitem fans
@@ -1148,6 +1171,18 @@ _REL_ORACLES = {
                count(*) AS n_lines
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY 1""",
+    "rel_returned_items": f"""
+        SELECT c_custkey, c_name, c_acctbal, n_name,
+               round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue
+        FROM lineitem
+        JOIN orders ON l_orderkey = o_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        WHERE l_returnflag = 'R'
+          AND o_orderdate >= TIMESTAMP '1996-10-01'
+          AND o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1, 2, 3, 4
+        ORDER BY revenue DESC, c_custkey ASC LIMIT 20""",
     # salted physical plan, identical logical answer: same SQL
     "rel_salted_supplier_volume": """
         SELECT s_name, round(sum(l_quantity), 2) AS sum_qty,
@@ -3323,6 +3358,7 @@ QUERIES = {
     "rel_price_histogram": q_rel_price_histogram,
     "rel_forecast_revenue": q_rel_forecast_revenue,
     "rel_salted_supplier_volume": q_rel_salted_supplier_volume,
+    "rel_returned_items": q_rel_returned_items,
     "rel_nation_volume": q_rel_nation_volume,
     "rel_market_share": q_rel_market_share,
     "rel_large_volume_customers": q_rel_large_volume_customers,
@@ -3418,6 +3454,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_large_volume_customers", "ts_interval_join",
     "stream_sessionize", "stream_rollup_hourly", "events_retention",
     "rel_salted_supplier_volume", "text_bm25_search", "kv_multi_get",
+    "rel_returned_items",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
