@@ -166,6 +166,31 @@ def q_kv_state_postcompact(spark, sf_dir):
     return st.state()
 
 
+def q_kv_codec_reverse_scan(spark, sf_dir):
+    """Comparator framework (A4) under the oracle: a ReverseCodec
+    store's range scan. [key_from, key_to) bounds are interpreted in
+    ENCODED (comparator) order, so under the reverse comparator
+    scan('u000010', 'u000003') returns the user keys in
+    ('u000003', 'u000010'] — the inclusive/exclusive ends flip
+    relative to a bytewise store, exactly the comparator-changes-
+    every-ordering-op contract (kv/include/comparator.h:14-52;
+    reverse-comparator test double kv/test/table_test.cpp:41-71).
+    The oracle mirrors the decoded-range semantics in plain SQL."""
+    import os
+    import tempfile
+
+    from quasdb_spark.codec import ReverseCodec
+    from quasdb_spark.store import KVStore
+
+    log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
+    st = KVStore.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-codec-"),
+                            "store"), codec=ReverseCodec)
+    st.ingest(log, op_col="op", sub_col="seq")
+    return st.scan(key_from="u000010", key_to="u000003") \
+             .select("key", "value")
+
+
 def q_kv_multi_get(spark, sf_dir):
     """Batched point lookup (multi_get, S3) under the oracle: a real
     store built from the events op-log, then ONE pruned IN-filtered
@@ -253,6 +278,12 @@ _KV_ORACLES = {
         SELECT key, value FROM state
         WHERE key IN ('u000005', 'u000017', 'u000042', 'u000077',
                       'u000123', 'u999999')""",
+    # reverse-comparator range: [from, to) in encoded order decodes
+    # to (to, from] over user keys
+    "kv_codec_reverse_scan": f"""
+        WITH {_KV_CTE}
+        SELECT key, value FROM state
+        WHERE key > 'u000003' AND key <= 'u000010'""",
     "kv_state_asof": f"""
         WITH log AS (
           SELECT concat('u', lpad(CAST(user_id AS VARCHAR), 6, '0')) AS key,
@@ -3331,6 +3362,7 @@ QUERIES = {
     "kv_stream_state": q_kv_stream_state,
     "kv_state_postcompact": q_kv_state_postcompact,
     "kv_multi_get": q_kv_multi_get,
+    "kv_codec_reverse_scan": q_kv_codec_reverse_scan,
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
@@ -3454,7 +3486,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_large_volume_customers", "ts_interval_join",
     "stream_sessionize", "stream_rollup_hourly", "events_retention",
     "rel_salted_supplier_volume", "text_bm25_search", "kv_multi_get",
-    "rel_returned_items",
+    "rel_returned_items", "kv_codec_reverse_scan",
     "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
     # r3-era rows only (not in CORRECTNESS_r04):
     "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
