@@ -1143,7 +1143,149 @@ def q_rel_large_volume_customers(spark, sf_dir):
                      "o_totalprice", "sum_qty"))
 
 
+def q_rel_local_supplier_volume(spark, sf_dir):
+    """TPC-H Q5 shape: revenue per nation where the supplier and the
+    ordering customer share the nation (the "local supplier" join —
+    lineitem matches supplier AND customer, then the two nationkeys
+    must agree). Constant-size dims (region 5 rows, nation 25) are
+    force-broadcast; supplier/customer/orders grow with sf and are
+    left to AQE. The equality of the two nationkeys is applied AFTER
+    the key joins, so no join is an accidental cross product; the
+    fact table shuffles at most twice (orderkey, then nothing — the
+    supplier/customer sides broadcast under AQE when filtered small,
+    and at 100 TB become shuffled hash joins on the fact's existing
+    orderkey partitioning plus one suppkey exchange)."""
+    r = _t(spark, sf_dir, "region")
+    n = _t(spark, sf_dir, "nation")
+    cu = _t(spark, sf_dir, "customer")
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    asia_n = (n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+               .where(F.col("r_name") == "ASIA")
+               .select("n_nationkey", "n_name"))
+    sup = (s.join(F.broadcast(asia_n), s.s_nationkey == F.col("n_nationkey"))
+            .select("s_suppkey", F.col("n_nationkey").alias("s_nk"),
+                    "n_name"))
+    cus = (cu.join(F.broadcast(asia_n.select("n_nationkey")),
+                   cu.c_nationkey == F.col("n_nationkey"))
+             .select("c_custkey", F.col("n_nationkey").alias("c_nk")))
+    ord96 = o.where(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp")))
+    return (li.join(ord96, li.l_orderkey == ord96.o_orderkey)
+              .join(sup, li.l_suppkey == sup.s_suppkey)
+              .join(cus, ord96.o_custkey == cus.c_custkey)
+              .where(F.col("s_nk") == F.col("c_nk"))
+              .groupBy("n_name")
+              .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                    / 100.0).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_rel_disjunctive_revenue(spark, sf_dir):
+    """TPC-H Q19 shape: revenue from an OR of three (brand, size,
+    quantity) conjunction arms. The disjunction references BOTH
+    tables, so it cannot be a join predicate alone — the planner
+    splits it: the part-only arm pieces (brand/size) prune the
+    broadcast build side, the lineitem-only pieces (quantity bounds
+    l_quantity <= 36 overall) are pushed to the Parquet scan, and the
+    residual OR evaluates post-join. One broadcast hash join on
+    partkey, one aggregate exchange; no shuffle of lineitem."""
+    li = _t(spark, sf_dir, "lineitem")
+    p = _t(spark, sf_dir, "part")
+    qty = F.col("l_quantity")
+    arm1 = ((F.col("p_brand") == "Brand#3") & (F.col("p_size") <= 5)
+            & qty.between(1, 11))
+    arm2 = ((F.col("p_brand") == "Brand#14") & (F.col("p_size") <= 10)
+            & qty.between(10, 20))
+    arm3 = ((F.col("p_brand") == "Brand#23") & (F.col("p_size") <= 15)
+            & qty.between(20, 36))
+    return (li.where(qty.between(1, 36))
+              .join(p.select("p_partkey", "p_brand", "p_size")
+                     .where(F.col("p_brand").isin("Brand#3", "Brand#14",
+                                                  "Brand#23")),
+                    li.l_partkey == p.p_partkey)
+              .where(arm1 | arm2 | arm3)
+              .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                    / 100.0).alias("revenue"),
+                   F.count(F.lit(1)).alias("n_lines")))
+
+
+def q_rel_sales_opportunity(spark, sf_dir):
+    """TPC-H Q22 shape: per-nation count and balance of customers
+    whose account balance exceeds the GLOBAL average positive balance
+    and who have placed no order since 2000 (this synthetic corpus
+    gives every customer at least one lifetime order, so the lapsed
+    cutoff keeps the anti-join non-vacuous while preserving Q22's
+    shape). Two decorrelated pieces: the scalar subquery becomes a
+    1-row aggregate broadcast into the filter (a
+    BroadcastNestedLoopJoin over one row — constant cost at any sf),
+    and NOT EXISTS becomes a left-anti join against the distinct
+    recent-o_custkey set. The threshold comparison is exact-integer
+    (bal_c * n_pos > sum_pos_c, both long), so boundary customers
+    land on the same side in both engines. At 100 TB: customer is the
+    large side and partitions the anti join; orders prunes to one
+    column at the scan with the date pushed down."""
+    cu = _t(spark, sf_dir, "customer").withColumn(
+        "_bal_c", F.round(F.col("c_acctbal") * 100).cast("long"))
+    o = _t(spark, sf_dir, "orders")
+    pos = (cu.where(F.col("_bal_c") > 0)
+             .agg(F.sum("_bal_c").alias("_sum_pos"),
+                  F.count(F.lit(1)).alias("_n_pos")))
+    recent = (o.where(F.col("o_orderdate")
+                      >= F.lit("2000-01-01").cast("timestamp"))
+               .select("o_custkey").distinct())
+    never = cu.join(recent, cu.c_custkey == recent.o_custkey,
+                    "left_anti")
+    return (never.join(pos)
+                 .where(F.col("_bal_c") * F.col("_n_pos")
+                        > F.col("_sum_pos"))
+                 .groupBy("c_nationkey")
+                 .agg(F.count(F.lit(1)).alias("n_cust"),
+                      (F.sum("_bal_c") / 100.0).alias("total_bal")))
+
+
 _REL_ORACLES = {
+    "rel_local_supplier_volume": f"""
+        SELECT n.n_name,
+               round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l
+        JOIN orders o ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey = c.c_custkey
+        JOIN supplier s ON l.l_suppkey = s.s_suppkey
+        JOIN nation n ON s.s_nationkey = n.n_nationkey
+                     AND c.c_nationkey = n.n_nationkey
+        JOIN region r ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-01-01'
+        GROUP BY 1""",
+    "rel_disjunctive_revenue": f"""
+        SELECT round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+        WHERE (p.p_brand = 'Brand#3' AND p.p_size <= 5
+               AND l.l_quantity BETWEEN 1 AND 11)
+           OR (p.p_brand = 'Brand#14' AND p.p_size <= 10
+               AND l.l_quantity BETWEEN 10 AND 20)
+           OR (p.p_brand = 'Brand#23' AND p.p_size <= 15
+               AND l.l_quantity BETWEEN 20 AND 36)""",
+    "rel_sales_opportunity": """
+        WITH b AS (SELECT c_custkey, c_nationkey,
+                          CAST(round(c_acctbal * 100) AS BIGINT) AS bal_c
+                   FROM customer),
+        pos AS (SELECT sum(bal_c) AS sum_pos, count(*) AS n_pos
+                FROM b WHERE bal_c > 0)
+        SELECT c_nationkey, count(*) AS n_cust,
+               sum(bal_c) / 100.0 AS total_bal
+        FROM b, pos
+        WHERE bal_c * n_pos > sum_pos
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = b.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+        GROUP BY 1""",
     "rel_pricing_summary": """
         SELECT l_returnflag, l_linestatus,
                CAST(sum(CAST(l_quantity AS BIGINT)) AS DOUBLE) AS sum_qty,
@@ -3394,6 +3536,9 @@ QUERIES = {
     "rel_nation_volume": q_rel_nation_volume,
     "rel_market_share": q_rel_market_share,
     "rel_large_volume_customers": q_rel_large_volume_customers,
+    "rel_local_supplier_volume": q_rel_local_supplier_volume,
+    "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
+    "rel_sales_opportunity": q_rel_sales_opportunity,
     # text
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -3480,6 +3625,8 @@ QUERIES = {
 # list so their first driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
+    "rel_local_supplier_volume", "rel_disjunctive_revenue",
+    "rel_sales_opportunity",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
