@@ -357,3 +357,67 @@ def ngrams(text_col: str | Column = "text", n: int = 2) -> Column:
         " ", *[F.element_at(w, (i + k + 1).cast("int")) for k in range(n)]))
     return F.when(F.size(w) >= n, grams).otherwise(
         F.array().cast("array<string>"))
+
+
+# Gopher / MassiveText document-quality rules (Rae et al. 2021,
+# "Scaling Language Models: ... Gopher", Table A1). The published
+# stop-word list for the "has >= 2 stop words" rule:
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have",
+                    "with"]
+
+
+def gopher_rules(df: DataFrame, text_col: str = "text", *,
+                 min_words: int = 50, max_words: int = 100_000,
+                 min_mean_wl: int = 3, max_mean_wl: int = 10,
+                 stopwords: list[str] | None = None,
+                 min_stop_hits: int = 2) -> DataFrame:
+    """Per-document Gopher quality-rule flags plus the combined
+    ``gopher_pass`` verdict.
+
+    Every rule is a map-only JVM expression (regexp_count / length),
+    so a 100 TB corpus is one codegen'd scan — no shuffle, no Python.
+    Ratio thresholds are evaluated as EXACT integer cross-products
+    (e.g. mean word length in [3,10] <=> 3*n_words <= n_chars <=
+    10*n_words), so boundary documents land on the same side in any
+    engine — the same determinism contract as the rest of this module.
+
+    Rules (doc-level; line-level Gopher rules need newline-structured
+    text and are expressed over lines when present):
+      - word_count_ok: min_words <= #words <= max_words
+      - mean_wl_ok:    mean word length in [min_mean_wl, max_mean_wl]
+      - alpha_ok:      >= 80% of words contain an alphabetic char
+      - symbol_ok:     (# of '#' or '...' symbols) < 10% of words
+      - bullet_ok:     < 90% of lines start with a bullet (- or *)
+      - ellipsis_ok:   < 30% of lines end with '...'
+      - stop_ok:       >= min_stop_hits distinct stop words appear
+    """
+    t = F.col(text_col)
+    stop = GOPHER_STOPWORDS if stopwords is None else stopwords
+    n_words = F.regexp_count(t, F.lit(r"\S+"))
+    n_chars = F.length(F.regexp_replace(t, r"\s", ""))
+    alpha_words = F.regexp_count(t, F.lit(r"\S*[A-Za-z]\S*"))
+    symbols = F.regexp_count(t, F.lit(r"#|\.\.\."))
+    n_lines = F.lit(1) + F.regexp_count(t, F.lit(r"\n"))
+    bullet_lines = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-*]"))
+    ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)\.\.\.[ \t]*$"))
+    stop_hits = sum(
+        (F.regexp_count(F.lower(t), F.lit(rf"\b{w}\b")) > 0).cast("int")
+        for w in stop)
+    flags = {
+        "word_count_ok": (n_words >= min_words) & (n_words <= max_words),
+        "mean_wl_ok": ((n_chars >= min_mean_wl * n_words)
+                       & (n_chars <= max_mean_wl * n_words)),
+        "alpha_ok": alpha_words * 10 >= n_words * 8,
+        "symbol_ok": symbols * 10 < n_words,
+        "bullet_ok": bullet_lines * 10 < n_lines * 9,
+        "ellipsis_ok": ellipsis_lines * 10 < n_lines * 3,
+        "stop_ok": stop_hits >= min_stop_hits,
+    }
+    out = df.withColumn("n_words", n_words)
+    for name, expr in flags.items():
+        out = out.withColumn(name, expr)
+    combined = None
+    for name in flags:
+        c = F.col(name)
+        combined = c if combined is None else (combined & c)
+    return out.withColumn("gopher_pass", combined)

@@ -1545,6 +1545,19 @@ def q_text_repetition(spark, sf_dir):
     return T.repetition_stats(d)
 
 
+def q_text_gopher_rules(spark, sf_dir):
+    """Gopher/MassiveText document-quality rules (word count, mean
+    word length, alpha fraction, symbol ratio, bullet/ellipsis lines,
+    stop-word presence) + the combined pass verdict. One map-only
+    codegen'd scan; every ratio threshold is an exact integer
+    cross-product, so the oracle lands boundary docs identically."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return (T.gopher_rules(d, stopwords=T.GOPHER_STOPWORDS + ["a"])
+            .select("doc_id", "n_words", "word_count_ok", "mean_wl_ok",
+                    "alpha_ok", "symbol_ok", "bullet_ok", "ellipsis_ok",
+                    "stop_ok", "gopher_pass"))
+
+
 def q_text_decontaminate(spark, sf_dir):
     """Eval-leakage check: docs sharing any word 3-gram with the
     'benchmark' subset (doc_id % 50 == 0), with overlap counts. The
@@ -1643,7 +1656,45 @@ _MM_ORACLES = {
 
 _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 
+# mirrors functions/text.gopher_rules with the suite query's stop
+# list (GOPHER_STOPWORDS + 'a'); regexp_count(s, p) in Spark =
+# len(regexp_extract_all(s, p)) in DuckDB (both non-overlapping
+# left-to-right RE matching)
+_GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have",
+                 "with", "a"]
+_GOPHER_STOP_SQL = " + ".join(
+    f"CASE WHEN len(regexp_extract_all(lower(text), '\\b{w}\\b')) > 0"
+    " THEN 1 ELSE 0 END" for w in _GOPHER_STOPS)
+
 _TEXT_ORACLES = {
+    "text_gopher_rules": f"""
+        WITH g AS (
+          SELECT doc_id,
+                 len(regexp_extract_all(text, '\\S+')) AS n_words,
+                 length(regexp_replace(text, '\\s', '', 'g')) AS n_chars,
+                 len(regexp_extract_all(text, '\\S*[A-Za-z]\\S*')) AS alpha_words,
+                 len(regexp_extract_all(text, '#|\\.\\.\\.')) AS symbols,
+                 1 + len(regexp_extract_all(text, '\\n')) AS n_lines,
+                 len(regexp_extract_all(text, '(?m)^[ \\t]*[-*]')) AS bullet_lines,
+                 len(regexp_extract_all(text, '(?m)\\.\\.\\.[ \\t]*$')) AS ellipsis_lines,
+                 {_GOPHER_STOP_SQL} AS stop_hits
+          FROM documents)
+        SELECT doc_id, CAST(n_words AS INT) AS n_words,
+               n_words >= 50 AND n_words <= 100000 AS word_count_ok,
+               n_chars >= 3 * n_words AND n_chars <= 10 * n_words AS mean_wl_ok,
+               alpha_words * 10 >= n_words * 8 AS alpha_ok,
+               symbols * 10 < n_words AS symbol_ok,
+               bullet_lines * 10 < n_lines * 9 AS bullet_ok,
+               ellipsis_lines * 10 < n_lines * 3 AS ellipsis_ok,
+               stop_hits >= 2 AS stop_ok,
+               (n_words >= 50 AND n_words <= 100000)
+               AND (n_chars >= 3 * n_words AND n_chars <= 10 * n_words)
+               AND (alpha_words * 10 >= n_words * 8)
+               AND (symbols * 10 < n_words)
+               AND (bullet_lines * 10 < n_lines * 9)
+               AND (ellipsis_lines * 10 < n_lines * 3)
+               AND (stop_hits >= 2) AS gopher_pass
+        FROM g""",
     "text_stats": f"""
         WITH t AS (SELECT doc_id, text, {_TOKENS_SQL} AS w FROM documents)
         SELECT doc_id,
@@ -3550,6 +3601,7 @@ QUERIES = {
     "text_bm25_search": q_text_bm25_search,
     "text_decontaminate": q_text_decontaminate,
     "text_repetition": q_text_repetition,
+    "text_gopher_rules": q_text_gopher_rules,
     "text_winnow": q_text_winnow,
     "text_token_counts": q_text_token_counts,
     "pipeline_curation": q_pipeline_curation,
@@ -3626,7 +3678,7 @@ QUERIES = {
 _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
-    "rel_sales_opportunity",
+    "rel_sales_opportunity", "text_gopher_rules",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",

@@ -273,3 +273,33 @@ def test_bm25_ranks_term_dense_docs_and_handles_misses(spark):
     assert [r["rank"] for r in out] == list(range(1, len(out) + 1))
 
     assert bm25_search(docs, ["zzz_absent"], k=5).count() == 0
+
+
+def test_gopher_rules_planted_failures(spark):
+    from quasdb_spark.functions.text import gopher_rules
+
+    good = ("the data " + "pipeline processes tokens steadily " * 15
+            + "with care and that should be enough of everything")
+    rows = [
+        (1, good),                                   # passes all rules
+        (2, "too short to have fifty words"),        # word_count fails
+        (3, "a b c " * 40 + "the of"),               # mean word len < 3
+        (4, " ".join(["12345"] * 60) + " the of a"), # alpha fraction
+        (5, good + " ###" * 15),                     # symbol ratio
+        (6, "\n".join(["- bullet item the of"] * 10)),   # bullet lines
+        (7, "\n".join(["trailing thought..."] * 10)
+            + "\nthe of plain line"),                # ellipsis lines
+        (8, " ".join(["word"] * 60)),                # no stop words
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in gopher_rules(df, min_words=8).collect()}
+    assert got[1]["gopher_pass"]
+    assert not got[2]["word_count_ok"]
+    assert not got[3]["mean_wl_ok"] and got[3]["word_count_ok"]
+    assert not got[4]["alpha_ok"]
+    assert not got[5]["symbol_ok"] and got[5]["alpha_ok"]
+    assert not got[6]["bullet_ok"]
+    assert not got[7]["ellipsis_ok"]
+    assert not got[8]["stop_ok"]
+    for i in range(2, 9):
+        assert not got[i]["gopher_pass"]
