@@ -68,22 +68,36 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
               left_ts: str, right_ts: str, *,
               right_cols: list[str], tolerance_seconds: int | None = None,
               how: str = "inner",
-              right_tiebreak: str | None = None) -> DataFrame:
-    """As-of join: for each left row, the newest right row with
-    right_ts <= left_ts on the same keys.
+              right_tiebreak: str | None = None,
+              direction: str = "backward") -> DataFrame:
+    """As-of join: for each left row, the matching right row on the
+    same keys by ``direction``:
+
+    - ``backward`` (default): newest right with right_ts <= left_ts
+    - ``forward``: earliest right with right_ts >= left_ts
+    - ``nearest``: whichever of the two is closer in time; an exact
+      tie prefers the backward match (the convention that "what was
+      already known at t" beats "what arrived after t")
 
     Implemented as union + running ``last(..., ignoreNulls)`` window —
-    ONE shuffle by the join keys and a single sort, instead of a range
+    ONE shuffle by the join keys and a sorted pass, instead of a range
     join that explodes to |left|×|right-per-key| comparisons. This is
     the scalable shape for 100 TB: cost is a sort-merge pass per key
-    partition, skew handled by AQE.
+    partition, skew handled by AQE. ``nearest`` runs two window passes
+    (one per scan order) over the SAME shuffled partition — the
+    exchange is reused, only the sort doubles.
 
-    At equal timestamps the right row is considered visible (<=), so
-    rights sort before lefts at the same instant. When several right
-    rows share the same (keys, right_ts), pass ``right_tiebreak`` to
-    pick a deterministic winner (greatest tiebreak value wins) — the
-    same determinism contract as every other ordering op here.
+    At equal timestamps the right row is considered visible (<= / >=
+    are inclusive), so rights sort before lefts at the same instant.
+    When several right rows share the same (keys, right_ts), pass
+    ``right_tiebreak`` to pick a deterministic winner (greatest
+    tiebreak value wins) — the same determinism contract as every
+    other ordering op here. ``tolerance_seconds`` bounds |left_ts -
+    right_ts| in whichever direction(s) apply.
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest,"
+                         f" got {direction!r}")
     lcols = left.columns
     # right_ts always rides along inside the match struct (as _rts) so
     # the tolerance check never depends on the caller including it in
@@ -110,19 +124,62 @@ def asof_join(left: DataFrame, right: DataFrame, on: list[str],
                            else F.lit(0)).alias("_rtb")))
     u = lpart.unionByName(rpart)
     # nulls-first asc puts left rows' null _rtb before right rows only
-    # within the same (_t, _is_left) group, where it cannot matter
-    w = (Window.partitionBy(*on)
-               .orderBy(F.col("_t").asc(), F.col("_is_left").asc(),
-                        F.col("_rtb").asc())
-               .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-    matched = (u.withColumn("_match", F.last("_r", ignorenulls=True).over(w))
-                .where(F.col("_is_left") == 1))
-    if tolerance_seconds is not None:
-        # match only counts if within tolerance of the left timestamp
-        ok = (F.col("_match").isNotNull() &
-              (F.unix_timestamp(F.col("_t")) -
-               F.unix_timestamp(F.col("_match._rts")) <= tolerance_seconds))
-        matched = matched.withColumn("_match", F.when(ok, F.col("_match")))
+    # within the same (_t, _is_left) group, where it cannot matter.
+    # Backward scans time ascending; forward scans descending — in
+    # both, rights at the left's own instant sort BEFORE the left row
+    # (_is_left asc), making the bound inclusive, and the last right
+    # seen among equal timestamps carries the greatest _rtb.
+    wb = (Window.partitionBy(*on)
+                .orderBy(F.col("_t").asc(), F.col("_is_left").asc(),
+                         F.col("_rtb").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    wf = (Window.partitionBy(*on)
+                .orderBy(F.col("_t").desc(), F.col("_is_left").asc(),
+                         F.col("_rtb").asc())
+                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    if direction != "forward":
+        u = u.withColumn("_mb", F.last("_r", ignorenulls=True).over(wb))
+    if direction != "backward":
+        u = u.withColumn("_mf", F.last("_r", ignorenulls=True).over(wf))
+    matched = u.where(F.col("_is_left") == 1)
+    lts = F.unix_timestamp(F.col("_t"))
+
+    def _within(m, gap):
+        if tolerance_seconds is None:
+            return m
+        ok = m.isNotNull() & (gap <= tolerance_seconds)
+        return F.when(ok, m)
+
+    if direction == "backward":
+        matched = matched.withColumn(
+            "_match", _within(F.col("_mb"),
+                              lts - F.unix_timestamp(F.col("_mb._rts"))))
+    elif direction == "forward":
+        matched = matched.withColumn(
+            "_match", _within(F.col("_mf"),
+                              F.unix_timestamp(F.col("_mf._rts")) - lts))
+    else:  # nearest: closer wins, exact tie -> backward
+        mb = _within(F.col("_mb"), lts - F.unix_timestamp(F.col("_mb._rts")))
+        mf = _within(F.col("_mf"), F.unix_timestamp(F.col("_mf._rts")) - lts)
+        # distance comparison in exact integer MICROSECONDS
+        # (unix_micros == DuckDB epoch_us): tolerance stays in whole
+        # seconds, but which side is closer must not depend on
+        # second-flooring or float epochs. NTZ timestamps cast through
+        # TIMESTAMP (session tz is UTC — session.py pins it — so the
+        # mapping is exact and linear).
+        def _us(c):
+            return F.unix_micros(c.cast("timestamp"))
+
+        lus = _us(F.col("_t"))
+        matched = (matched.withColumn("_vb", mb).withColumn("_vf", mf)
+                   .withColumn(
+                       "_match",
+                       F.when(F.col("_vb").isNull(), F.col("_vf"))
+                        .when(F.col("_vf").isNull(), F.col("_vb"))
+                        .when((_us(F.col("_vf._rts")) - lus)
+                              < (lus - _us(F.col("_vb._rts"))),
+                              F.col("_vf"))
+                        .otherwise(F.col("_vb"))))
     if how == "inner":
         matched = matched.where(F.col("_match").isNotNull())
     return matched.select(

@@ -540,6 +540,31 @@ def q_ts_asof_join(spark, sf_dir):
          F.unix_timestamp("right_signup_ts")).alias("gap_s"))
 
 
+def q_ts_asof_nearest(spark, sf_dir):
+    """Nearest-direction as-of join (pandas merge_asof
+    direction='nearest'): each purchase pairs with its closest signup
+    in EITHER direction; exact-tie prefers the backward match and
+    same-timestamp rights resolve by greatest signup_id. One shuffle
+    on user_id, two sorted window passes over the same partition; the
+    closeness comparison is exact integer microseconds (unix_micros ==
+    DuckDB epoch_us), so no float-epoch or second-flooring divergence."""
+    ev = _t(spark, sf_dir, "events")
+    purchases = ev.where(F.col("event_type") == "purchase") \
+                  .select("user_id", "event_id", "ts")
+    signups = ev.where(F.col("event_type") == "signup") \
+                .select("user_id", F.col("event_id").alias("signup_id"),
+                        F.col("ts").alias("signup_ts"))
+    out = TS.asof_join(purchases, signups, ["user_id"], "ts", "signup_ts",
+                       right_cols=["signup_id", "signup_ts"],
+                       right_tiebreak="signup_id", direction="nearest")
+    return out.select(
+        "user_id", "event_id", "ts",
+        F.col("right_signup_id").alias("signup_id"),
+        F.col("right_signup_ts").alias("signup_ts"),
+        (F.unix_timestamp("ts") -
+         F.unix_timestamp("right_signup_ts")).alias("gap_s"))
+
+
 def q_ts_interval_join(spark, sf_dir):
     """Attribution: clicks by the same user in the hour before each
     purchase (inclusive bounds, second resolution — interval_join
@@ -729,6 +754,20 @@ _TS_ORACLES = {
                  - CAST(floor(epoch(s.signup_ts)) AS BIGINT) AS gap_s
         FROM p ASOF JOIN s
           ON p.user_id = s.user_id AND p.ts >= s.signup_ts""",
+    "ts_asof_nearest": """
+        WITH p AS (SELECT user_id, event_id, ts FROM events
+                   WHERE event_type = 'purchase'),
+             s AS (SELECT user_id, event_id AS signup_id, ts AS signup_ts
+                   FROM events WHERE event_type = 'signup')
+        SELECT p.user_id, p.event_id, p.ts, m.signup_id, m.signup_ts,
+               CAST(floor(epoch(p.ts)) AS BIGINT)
+                 - CAST(floor(epoch(m.signup_ts)) AS BIGINT) AS gap_s
+        FROM p, LATERAL (
+          SELECT s.signup_id, s.signup_ts FROM s
+          WHERE s.user_id = p.user_id
+          ORDER BY abs(epoch_us(s.signup_ts) - epoch_us(p.ts)) ASC,
+                   (s.signup_ts <= p.ts) DESC, s.signup_id DESC
+          LIMIT 1) m""",
     "ts_sessionize": """
         WITH o AS (
           SELECT user_id, ts, event_id,
@@ -3564,6 +3603,7 @@ QUERIES = {
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
     "ts_downsample_10m_last": q_ts_downsample_10m_last,
     "ts_asof_join": q_ts_asof_join,
+    "ts_asof_nearest": q_ts_asof_nearest,
     "ts_interval_join": q_ts_interval_join,
     "ts_sessionize": q_ts_sessionize,
     "ts_moving_avg": q_ts_moving_avg,
@@ -3678,7 +3718,7 @@ QUERIES = {
 _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
-    "rel_sales_opportunity", "text_gopher_rules",
+    "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",

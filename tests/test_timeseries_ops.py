@@ -264,3 +264,45 @@ def test_interval_join_left_outer(spark):
         interval_join(left, right, ["user_id"], "ts", "cts",
                       lower_seconds=-600, upper_seconds=0,
                       right_cols=["ctag"], how="full")
+
+
+def test_asof_direction_forward_and_nearest(spark):
+    left = _df(spark, [(1, _ts(10)), (1, _ts(30)), (2, _ts(5))],
+               "k long, ts timestamp")
+    right = _df(spark, [(1, _ts(8), "a"), (1, _ts(12), "b"),
+                        (1, _ts(50), "c"), (2, _ts(40), "d")],
+                "k long, rts timestamp, rtag string")
+
+    fwd = {(r["k"], r["ts"]): r["right_rtag"]
+           for r in asof_join(left, right, ["k"], "ts", "rts",
+                              right_cols=["rtag"],
+                              direction="forward").collect()}
+    # earliest right with rts >= ts
+    assert fwd[(1, _ts(10))] == "b"
+    assert fwd[(1, _ts(30))] == "c"
+    assert fwd[(2, _ts(5))] == "d"
+
+    near = {(r["k"], r["ts"]): r["right_rtag"]
+            for r in asof_join(left, right, ["k"], "ts", "rts",
+                               right_cols=["rtag"],
+                               direction="nearest").collect()}
+    # ts=10: back a(8) dist 2 == fwd b(12) dist 2 -> tie prefers back
+    assert near[(1, _ts(10))] == "a"
+    # ts=30: back b(12) dist 18 < fwd c(50) dist 20
+    assert near[(1, _ts(30))] == "b"
+    # k=2 has no backward match at all -> forward d
+    assert near[(2, _ts(5))] == "d"
+
+    # forward tolerance: c is 20 min ahead of ts=30 -> dropped at 600 s
+    fwd_tol = asof_join(left, right, ["k"], "ts", "rts",
+                        right_cols=["rtag"], direction="forward",
+                        tolerance_seconds=600, how="inner").collect()
+    assert {(r["k"], r["ts"]) for r in fwd_tol} == {(1, _ts(10))}
+
+    # forward equal-timestamp inclusivity + tiebreak
+    r2 = _df(spark, [(1, _ts(10), "x", 1), (1, _ts(10), "y", 2)],
+             "k long, rts timestamp, rtag string, pri long")
+    eq = asof_join(left.where("ts = timestamp'2024-01-01 00:10:00'"),
+                   r2, ["k"], "ts", "rts", right_cols=["rtag"],
+                   right_tiebreak="pri", direction="forward").collect()
+    assert eq[0]["right_rtag"] == "y"
