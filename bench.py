@@ -57,7 +57,7 @@ EXTRA_BENCH = [
     "rel_salted_supplier_volume", "rel_forecast_revenue",
     "rel_nation_volume", "rel_market_share",
     "rel_large_volume_customers", "emb_semdedup", "text_pii_redact",
-    "rel_returned_items", "rel_local_supplier_volume",
+    "rel_returned_items", "rel_local_supplier_volume", "dedup_incremental",
     "rel_disjunctive_revenue", "rel_sales_opportunity",
     "text_gopher_rules",
 ]

@@ -369,3 +369,117 @@ def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", *,
     return (pairs.withColumn("hamming", ham)
                  .where(F.col("hamming") <= max_hamming)
                  .select("id_a", "id_b", "hamming"))
+
+
+# ---------------------------------------------------------------------
+# Incremental near-dup index: the production "daily batch vs existing
+# corpus" shape. The corpus's banded MinHash entries are MATERIALIZED
+# once as a Parquet artifact (maintenance, like the IVF inverted
+# lists); each new batch computes its own signatures map-only and
+# joins the index on band keys — the corpus TEXT is never rescanned
+# and never reshuffled. At 100 TB: the index is ~docs x n_bands small
+# rows; a daily batch is tiny relative to it, so AQE broadcasts the
+# batch side and the check is one index scan, no corpus pass at all.
+# ---------------------------------------------------------------------
+
+def build_dedup_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
+                      text_col: str = "text", n_hashes: int = N_MINHASH,
+                      n_bands: int = 2, shingle_n: int = 3,
+                      mode: str = "overwrite") -> dict:
+    """Materialize the banded-MinHash index of ``df`` at ``path``:
+    one row per (band, band_key, doc_id) carrying the full signature,
+    partitioned by band and sorted by band_key within files (row-group
+    min/max then prunes band-key range scans). Returns the params
+    dict, also written as ``_dedup_index_meta.json`` so
+    ``load_dedup_index`` can refuse mismatched probes."""
+    import json
+    import os
+
+    if n_hashes % n_bands:
+        raise ValueError("n_bands must divide n_hashes")
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(df, text_col, n_hashes=n_hashes,
+                            shingle_n=shingle_n)
+    keys = lsh_band_keys(n_bands=n_bands, rows_per_band=rows_per_band)
+    entries = sig.select(
+        F.col(id_col).alias("doc_id"), F.col("minhash_sig"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    (entries.repartition("band").sortWithinPartitions("band_key")
+            .write.mode(mode).partitionBy("band").parquet(path))
+    meta = {"n_hashes": n_hashes, "n_bands": n_bands,
+            "shingle_n": shingle_n}
+    with open(os.path.join(path, "_dedup_index_meta.json"), "w") as f:
+        json.dump(meta, f)
+    return meta
+
+
+def load_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
+    import json
+    import os
+
+    with open(os.path.join(path, "_dedup_index_meta.json")) as f:
+        meta = json.load(f)
+    return spark.read.parquet(path), meta
+
+
+def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
+                        *, id_col: str = "doc_id",
+                        text_col: str = "text",
+                        min_est_jaccard: float = 0.5,
+                        broadcast_new: bool = True) -> DataFrame:
+    """Near-dups of ``new_df`` against an indexed corpus WITHOUT
+    touching corpus text: signature the new batch (map-only), join the
+    index on (band, band_key), then keep pairs whose
+    signature-ESTIMATED Jaccard (fraction of equal MinHash components
+    — the unbiased MinHash estimator) clears ``min_est_jaccard``.
+    Returns (new_id, match_id, est_jaccard) with one row per surviving
+    pair. ``broadcast_new`` force-broadcasts the new batch's banded
+    rows — correct for the daily-batch shape; pass False for a
+    backfill-sized batch and let AQE decide."""
+    n_hashes, n_bands = meta["n_hashes"], meta["n_bands"]
+    rows_per_band = n_hashes // n_bands
+    sig = minhash_signature(new_df, text_col, n_hashes=n_hashes,
+                            shingle_n=meta["shingle_n"])
+    keys = lsh_band_keys(n_bands=n_bands, rows_per_band=rows_per_band)
+    bands_new = sig.select(
+        F.col(id_col).alias("new_id"),
+        F.col("minhash_sig").alias("new_sig"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    if broadcast_new:
+        bands_new = F.broadcast(bands_new)
+    cand = (index.join(bands_new, ["band", "band_key"])
+                 .select("new_id", "new_sig",
+                         F.col("doc_id").alias("match_id"),
+                         "minhash_sig")
+                 .dropDuplicates(["new_id", "match_id"]))
+    est = (F.size(F.filter(
+        F.zip_with(F.col("new_sig"), F.col("minhash_sig"),
+                   lambda x, y: x == y), lambda v: v))
+        .cast("double") / n_hashes)
+    return (cand.withColumn("est_jaccard", F.round(est, 4))
+                .where(F.col("est_jaccard") >= min_est_jaccard)
+                .select("new_id", "match_id", "est_jaccard"))
+
+
+def append_to_index(new_df: DataFrame, path: str, *,
+                    id_col: str = "doc_id", text_col: str = "text") -> None:
+    """Fold a checked batch into the index (the add() half): computes
+    the batch's banded entries under the INDEX's persisted params and
+    appends — no rebuild, no corpus pass. Run after check_against_index
+    has decided which docs to keep; dedup policy (append all vs only
+    keepers) is the caller's."""
+    import json
+    import os
+
+    with open(os.path.join(path, "_dedup_index_meta.json")) as f:
+        meta = json.load(f)
+    rows_per_band = meta["n_hashes"] // meta["n_bands"]
+    sig = minhash_signature(new_df, text_col, n_hashes=meta["n_hashes"],
+                            shingle_n=meta["shingle_n"])
+    keys = lsh_band_keys(n_bands=meta["n_bands"],
+                         rows_per_band=rows_per_band)
+    entries = sig.select(
+        F.col(id_col).alias("doc_id"), F.col("minhash_sig"),
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    (entries.repartition("band").sortWithinPartitions("band_key")
+            .write.mode("append").partitionBy("band").parquet(path))

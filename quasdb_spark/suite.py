@@ -1584,6 +1584,35 @@ def q_text_repetition(spark, sf_dir):
     return T.repetition_stats(d)
 
 
+def _dedup_idx(spark, sf_dir):
+    """MATERIALIZED banded-MinHash index of the 'existing corpus'
+    slice (doc_id % 4 != 3) — built at most once per corpus
+    fingerprint (the IVF-lists maintenance pattern: build is add(),
+    queries only probe)."""
+    import os
+
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(QZ.artifact_root(), f"dedupidx-{fp}")
+    if not os.path.exists(os.path.join(path, "_dedup_index_meta.json")):
+        d = (_par(_t(spark, sf_dir, "documents"))
+             .where(F.col("doc_id") % 4 != 3))
+        D.build_dedup_index(d, path, n_bands=2)
+    return D.load_dedup_index(spark, path)
+
+
+def q_dedup_incremental(spark, sf_dir):
+    """Incremental near-dup check: the 'daily batch' (doc_id % 4 == 3)
+    against the materialized index of the rest of the corpus. The
+    batch signatures map-only and broadcast; the index is the only
+    thing scanned — corpus text is never touched. est_jaccard is the
+    MinHash component-match estimator (k=8), exact x/8 grid in both
+    engines."""
+    idx, meta = _dedup_idx(spark, sf_dir)
+    new = (_par(_t(spark, sf_dir, "documents"))
+           .where(F.col("doc_id") % 4 == 3))
+    return D.check_against_index(new, idx, meta, min_est_jaccard=0.75)
+
+
 def q_text_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText document-quality rules (word count, mean
     word length, alpha fraction, symbol ratio, bullet/ellipsis lines,
@@ -2089,6 +2118,41 @@ _MINHASH_COLS_SQL = ", ".join(
     for seed in range(D.N_MINHASH))
 
 _DEDUP_ORACLES = {
+    "dedup_incremental": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+        s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+        m AS (SELECT doc_id, sh, {_MINHASH_COLS_SQL} FROM s),
+        cb AS (SELECT doc_id, 0 AS band,
+                      md5(concat_ws('|', h0,h1,h2,h3)) AS band_key,
+                      h0,h1,h2,h3,h4,h5,h6,h7
+               FROM m WHERE doc_id % 4 <> 3
+               UNION ALL
+               SELECT doc_id, 1, md5(concat_ws('|', h4,h5,h6,h7)),
+                      h0,h1,h2,h3,h4,h5,h6,h7
+               FROM m WHERE doc_id % 4 <> 3),
+        nb AS (SELECT doc_id, 0 AS band,
+                      md5(concat_ws('|', h0,h1,h2,h3)) AS band_key,
+                      h0,h1,h2,h3,h4,h5,h6,h7
+               FROM m WHERE doc_id % 4 = 3
+               UNION ALL
+               SELECT doc_id, 1, md5(concat_ws('|', h4,h5,h6,h7)),
+                      h0,h1,h2,h3,h4,h5,h6,h7
+               FROM m WHERE doc_id % 4 = 3),
+        cand AS (
+          SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS match_id,
+                 round(((CASE WHEN n.h0=c.h0 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h1=c.h1 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h2=c.h2 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h3=c.h3 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h4=c.h4 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h5=c.h5 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h6=c.h6 THEN 1 ELSE 0 END)
+                      + (CASE WHEN n.h7=c.h7 THEN 1 ELSE 0 END)) / 8.0,
+                       4) AS est_jaccard
+          FROM nb n JOIN cb c
+            ON n.band = c.band AND n.band_key = c.band_key)
+        SELECT new_id, match_id, est_jaccard FROM cand
+        WHERE est_jaccard >= 0.75""",
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS canonical_id
@@ -3651,6 +3715,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
+    "dedup_incremental": q_dedup_incremental,
     "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -3719,6 +3784,7 @@ _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
+    "dedup_incremental",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",

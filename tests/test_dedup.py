@@ -91,3 +91,52 @@ def test_cluster_assign_matches_union_find(spark):
     labels = cluster_assign(pairs, nodes, n_iter=20)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == want
+
+
+def test_dedup_index_lifecycle(spark, tmp_path):
+    """build -> check finds the planted near-dup (and only it) ->
+    append -> a re-check now also matches the appended doc; the
+    estimator threshold drops weak band-collision pairs."""
+    from quasdb_spark.operators.dedup import (append_to_index,
+                                              build_dedup_index,
+                                              check_against_index,
+                                              load_dedup_index)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight while "
+            "seventeen other animals watch from behind ancient mossy "
+            "trees wondering where exactly this energetic creature "
+            "finds the strength to keep sprinting through autumn "
+            "leaves and cold river crossings without ever stopping "
+            "to rest or eat anything at all during the long journey")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated text about spark shuffles and "
+             "partition pruning at terabyte scale for analytics"),
+         (3, "a third document with its own words entirely disjoint "
+             "from everything else in this tiny corpus here")],
+        "doc_id long, text string")
+    path = str(tmp_path / "idx")
+    meta = build_dedup_index(corpus, path, n_bands=2)
+    assert meta["n_hashes"] > 0
+
+    idx, meta2 = load_dedup_index(spark, path)
+    assert meta2 == meta
+    # near-dup of doc 1 (one word changed), plus a fresh unique doc
+    new = spark.createDataFrame(
+        [(100, base.replace("lazy", "sleepy")),
+         (101, "nothing like anything indexed so far at all really "
+               "with zero shared shingles against the corpus")],
+        "doc_id long, text string")
+    got = check_against_index(new, idx, meta, min_est_jaccard=0.5)
+    rows = {(r["new_id"], r["match_id"]) for r in got.collect()}
+    assert rows == {(100, 1)}
+
+    # append doc 100; its own near-dup should now match BOTH 1 and 100
+    append_to_index(new.where("doc_id = 100"), path)
+    idx2, _ = load_dedup_index(spark, path)
+    newer = spark.createDataFrame(
+        [(200, base.replace("dog", "cat"))], "doc_id long, text string")
+    got2 = check_against_index(newer, idx2, meta, min_est_jaccard=0.5)
+    rows2 = {(r["new_id"], r["match_id"]) for r in got2.collect()}
+    assert (200, 1) in rows2 and (200, 100) in rows2
