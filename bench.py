@@ -90,9 +90,12 @@ def main() -> None:
     suite._ivf_cents(spark, sf_dir)
     t1 = time.perf_counter()
     suite._ivf_lists(spark, sf_dir)
+    t2 = time.perf_counter()
+    suite._dedup_idx(spark, sf_dir)
     maintenance = {
         "ivf_quantizer_train_or_load": round(t1 - t0, 3),
-        "ivf_lists_build_or_load": round(time.perf_counter() - t1, 3)}
+        "ivf_lists_build_or_load": round(t2 - t1, 3),
+        "dedup_index_build_or_load": round(time.perf_counter() - t2, 3)}
 
     # ---- KV store lifecycle benches (B1, B3-B5, B8): REPS fresh cycles ----
     ev = load_table(spark, sf_dir, "events")
