@@ -461,6 +461,56 @@ def q_stream_rollup_hourly(spark, sf_dir):
                       (F.col("vc") / 100.0).alias("sum_value"))
 
 
+def q_stream_join(spark, sf_dir):
+    """Watermarked STREAM-STREAM join under the correctness gate:
+    purchases and signups replay as two file streams; each purchase
+    joins same-user signups within the 2h lag window
+    (streaming.windows.stream_stream_join — both sides watermarked so
+    join state evicts once the range can no longer match: bounded
+    state on unbounded streams). One-shot availableNow drain = no row
+    is late, so append mode emits exactly the batch answer — the
+    oracle is the equivalent batch range join. Timestamps compare at
+    full µs on both engines; the reported gap is floored seconds."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+    from quasdb_spark.streaming.windows import stream_stream_join
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_join_")
+    _os.symlink(_os.path.abspath(path),
+                _os.path.join(stage, "events.parquet"))
+
+    def mk_stream():
+        ev = spark.readStream.schema(schema).parquet(stage)
+        for col in _ns_timestamp_cols(path):
+            ev = ev.withColumn(
+                col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+        return ev
+
+    p = (mk_stream().where("event_type = 'purchase'")
+         .selectExpr("user_id", "event_id as p_id", "ts as p_ts"))
+    s = (mk_stream().where("event_type = 'signup'")
+         .selectExpr("user_id", "event_id as s_id", "ts as s_ts"))
+    joined = stream_stream_join(p, s, "user_id", "p_ts", "s_ts",
+                                watermark="1 minute", max_lag="2 hours")
+    name = f"stream_join_{_uuid.uuid4().hex[:8]}"
+    q = (joined.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    return spark.table(name).select(
+        "user_id", "p_id", "s_id",
+        (F.unix_timestamp("p_ts") -
+         F.unix_timestamp("s_ts")).alias("gap_s"))
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Streaming gap-sessions under the CORRECTNESS gate: events
     replayed as a file stream through Spark's built-in session_window
@@ -686,6 +736,16 @@ _TS_ORACLES = {
                count(*) AS n, sum(vc) / 100.0 AS sum_value,
                round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
         FROM e GROUP BY 1, 2""",
+    "stream_join": """
+        WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
+                   FROM events WHERE event_type = 'purchase'),
+             s AS (SELECT user_id, event_id AS s_id, ts AS s_ts
+                   FROM events WHERE event_type = 'signup')
+        SELECT p.user_id, p_id, s_id,
+               CAST(floor(epoch(p_ts)) AS BIGINT)
+                 - CAST(floor(epoch(s_ts)) AS BIGINT) AS gap_s
+        FROM p JOIN s ON p.user_id = s.user_id
+         AND s_ts <= p_ts AND s_ts >= p_ts - INTERVAL 2 HOUR""",
     "stream_rollup_hourly": """
         WITH e AS (SELECT date_trunc('hour', ts) AS ws, event_type,
                           CAST(round(value * 100) AS BIGINT) AS vc
@@ -3662,6 +3722,7 @@ QUERIES = {
     # time series
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
+    "stream_join": q_stream_join,
     "stream_sessionize": q_stream_sessionize,
     "stream_rollup_hourly": q_stream_rollup_hourly,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
@@ -3784,7 +3845,7 @@ _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
-    "dedup_incremental",
+    "dedup_incremental", "stream_join",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
