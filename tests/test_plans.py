@@ -204,3 +204,45 @@ def test_q6_filters_reach_the_scan(spark, sf_dir):
     for frag in ("l_shipdate", "l_discount", "l_quantity"):
         assert frag in plan, frag
     assert "Join" not in plan
+
+
+def test_asof_nearest_reuses_one_exchange(spark, sf_dir):
+    """direction='nearest' runs two window passes (asc + desc scan)
+    over the SAME key partitioning: exactly one hash Exchange, two
+    Window nodes — the SCALE.md §6.8 claim that only the sort doubles,
+    not the shuffle."""
+    plan = _plan(suite.QUERIES["ts_asof_nearest"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window [last") == 2
+
+
+def test_disjunctive_revenue_or_arms_pushed_to_both_scans(spark,
+                                                          sf_dir):
+    """Q19 shape: Catalyst must split the cross-table OR into per-table
+    implied disjunctions and push them into BOTH parquet scans; the
+    join stays a broadcast hash join (part side bounded by the brand
+    filter), lineitem never shuffles."""
+    df = suite.QUERIES["rel_disjunctive_revenue"](spark, sf_dir)
+    # toString() truncates long PushedFilters lists; formatted mode
+    # prints them in full per scan
+    jvm = spark._jvm
+    plan = df._jdf.queryExecution().explainString(
+        jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+            "formatted"))
+    # lineitem scan carries the quantity-arm Or; part scan the brand/size Or
+    assert "Or(Or(And(GreaterThanOrEqual(l_quantity,1.0)" in plan
+    assert "Or(Or(And(EqualTo(p_brand,Brand#3)" in plan
+    assert "SortMergeJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_dedup_incremental_broadcasts_batch_not_corpus(spark, sf_dir):
+    """The daily batch's banded rows broadcast; the index parquet is
+    the streamed side — no shuffle of index entries, no corpus text
+    column anywhere in the plan."""
+    plan = _plan(suite.QUERIES["dedup_incremental"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # corpus text is never rescanned: the only text column read is the
+    # new batch's (documents scan), the index scan reads hashes only
+    assert "minhash_sig" in plan
