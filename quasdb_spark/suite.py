@@ -2421,6 +2421,29 @@ def q_sim_neardup_cosine(spark, sf_dir):
                                     band_bits=8, max_bucket_size=1000)
 
 
+def q_emb_decontaminate(spark, sf_dir):
+    """SEMANTIC eval-set decontamination: corpus embeddings whose
+    cosine to any benchmark embedding (vec_id % 5 == 0) clears the
+    threshold — the embedding-space analogue of text_decontaminate's
+    n-gram overlap, catching paraphrased leakage that token overlap
+    misses. Same banded sign-LSH pair machinery as sim_neardup_cosine
+    (no cross join; bucket skew guard), post-filtered to cross
+    (corpus, benchmark) pairs. At 100 TB the benchmark side is tiny
+    and fixed; the corpus is touched once, map-only, via its band
+    keys."""
+    e = _t(spark, sf_dir, "embeddings")
+    pairs = SIM.neardup_pairs_banded(e, threshold=0.40, n_bands=8,
+                                     band_bits=8, max_bucket_size=1000)
+    a_bm = F.col("id_a") % 5 == 0
+    b_bm = F.col("id_b") % 5 == 0
+    return (pairs.where(a_bm != b_bm)
+            .select(F.when(a_bm, F.col("id_b")).otherwise(F.col("id_a"))
+                     .alias("corpus_id"),
+                    F.when(a_bm, F.col("id_a")).otherwise(F.col("id_b"))
+                     .alias("benchmark_id"),
+                    "score"))
+
+
 def q_emb_semdedup(spark, sf_dir):
     """SemDeDup (Abbas et al. 2023) end-to-end: banded sign-LSH pairs
     (cos >= 0.40) → 3-round min-label connected components → min-id
@@ -2564,6 +2587,30 @@ _SIM_ORACLES = {
           JOIN e eb ON eb.vec_id = cand.id_b)
         SELECT id_a, id_b, round(score, 4) + 0.0 AS score
         FROM scored WHERE score >= 0.40""",
+    "emb_decontaminate": f"""
+        WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        e AS (SELECT vec_id, v, {_hp_bucket_sql('v', 64)} AS sig
+              FROM e0),
+        bands AS (SELECT vec_id, b, substr(sig, b * 8 + 1, 8) AS key
+                  FROM e, (SELECT unnest(generate_series(0, 7)) AS b)),
+        ok AS (SELECT b, key FROM bands GROUP BY b, key
+               HAVING count(*) <= 1000),
+        cand AS (SELECT DISTINCT a.vec_id AS id_a, c.vec_id AS id_b
+                 FROM bands a
+                 JOIN bands c ON a.b = c.b AND a.key = c.key
+                             AND a.vec_id < c.vec_id
+                 JOIN ok ON ok.b = a.b AND ok.key = a.key),
+        scored AS (
+          SELECT id_a, id_b,
+                 {_COS_SQL.replace("qv", "ea.v").replace("vv", "eb.v")} AS score
+          FROM cand
+          JOIN e ea ON ea.vec_id = cand.id_a
+          JOIN e eb ON eb.vec_id = cand.id_b)
+        SELECT CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS corpus_id,
+               CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS benchmark_id,
+               round(score, 4) + 0.0 AS score
+        FROM scored
+        WHERE score >= 0.40 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))""",
 }
 
 _SIM_ORACLES["emb_semdedup"] = f"""
@@ -3786,6 +3833,7 @@ QUERIES = {
     "sim_knn_graph": q_sim_knn_graph,
     "text_lang_confusion": q_text_lang_confusion,
     "sim_neardup_cosine": q_sim_neardup_cosine,
+    "emb_decontaminate": q_emb_decontaminate,
     "emb_semdedup": q_emb_semdedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
@@ -3845,7 +3893,7 @@ _DRIVER_CHECK_FIRST = [
     # new in r5: first driver rows this round
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
-    "dedup_incremental", "stream_join",
+    "dedup_incremental", "stream_join", "emb_decontaminate",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
