@@ -1346,6 +1346,20 @@ def q_rel_sales_opportunity(spark, sf_dir):
 
 
 _REL_ORACLES = {
+    "rel_reorder_gaps": """
+        WITH g AS (
+          SELECT o_custkey, o_orderdate, o_orderkey,
+                 lag(o_orderdate) OVER (PARTITION BY o_custkey
+                     ORDER BY o_orderdate, o_orderkey) AS prev
+          FROM orders)
+        SELECT CAST(least(floor(date_diff('day', prev, o_orderdate)
+                                / 30), 12) AS INT) AS gap_month_bucket,
+               count(*) AS n_gaps,
+               CAST(min(date_diff('day', prev, o_orderdate)) AS INT)
+                 AS min_days,
+               CAST(max(date_diff('day', prev, o_orderdate)) AS INT)
+                 AS max_days
+        FROM g WHERE prev IS NOT NULL GROUP BY 1""",
     "rel_local_supplier_volume": f"""
         SELECT n.n_name,
                round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue,
@@ -2973,6 +2987,44 @@ def q_rel_top_supplier(spark, sf_dir):
             .select(F.col("l_suppkey").alias("suppkey"), "total_rev"))
 
 
+def q_events_transitions(spark, sf_dir):
+    """Event-sequence transition matrix (the Markov-edge view path
+    analytics tools build): for each user's time-ordered event stream,
+    count (event_type -> next event_type) pairs. One lag/lead window
+    per user — shuffle by user_id only, counts aggregate map-side.
+    Tie-break inside a user's stream is (ts, event_id): total order,
+    so both engines see identical successor pairs."""
+    ev = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(),
+                                              F.col("event_id").asc())
+    nxt = F.lead("event_type").over(w)
+    return (ev.withColumn("next_type", nxt)
+              .where(F.col("next_type").isNotNull())
+              .groupBy(F.col("event_type").alias("from_type"),
+                       F.col("next_type").alias("to_type"))
+              .agg(F.count(F.lit(1)).alias("n_transitions")))
+
+
+def q_rel_reorder_gaps(spark, sf_dir):
+    """Customer reorder cadence: days between consecutive orders of
+    the same customer (lag window per customer), bucketed into a
+    histogram. Integer day arithmetic — exact on both engines. At
+    100 TB orders shuffles once on o_custkey; the histogram aggregate
+    is two-phase on a tiny key domain."""
+    o = _t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(
+        F.col("o_orderdate").asc(), F.col("o_orderkey").asc())
+    prev = F.lag("o_orderdate").over(w)
+    gap_days = F.datediff(F.col("o_orderdate"), prev)
+    bucket = F.least(F.floor(F.col("_gap") / 30), F.lit(12)).cast("int")
+    return (o.withColumn("_gap", gap_days)
+             .where(F.col("_gap").isNotNull())
+             .groupBy(bucket.alias("gap_month_bucket"))
+             .agg(F.count(F.lit(1)).alias("n_gaps"),
+                  F.min("_gap").alias("min_days"),
+                  F.max("_gap").alias("max_days")))
+
+
 def q_events_funnel(spark, sf_dir):
     """Ordered funnel (view -> click -> purchase): stage times are
     chained conditional mins — each stage joins the previous stage's
@@ -3204,6 +3256,15 @@ _EXT_ORACLES = {
                count(DISTINCT b.user_id) AS n_users
         FROM buys b JOIN first USING (user_id)
         GROUP BY 1, 2""",
+    "events_transitions": """
+        WITH s AS (
+          SELECT user_id, event_type,
+                 lead(event_type) OVER (PARTITION BY user_id
+                     ORDER BY ts, event_id) AS next_type
+          FROM events)
+        SELECT event_type AS from_type, next_type AS to_type,
+               count(*) AS n_transitions
+        FROM s WHERE next_type IS NOT NULL GROUP BY 1, 2""",
     "events_funnel": """
         WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
                    WHERE event_type = 'view' GROUP BY 1),
@@ -3858,6 +3919,8 @@ QUERIES = {
     "ts_ohlc_daily": q_ts_ohlc_daily,
     "ts_anomaly_zscore": q_ts_anomaly_zscore,
     "events_funnel": q_events_funnel,
+    "events_transitions": q_events_transitions,
+    "rel_reorder_gaps": q_rel_reorder_gaps,
     "events_retention": q_events_retention,
     "rel_above_avg_orders": q_rel_above_avg_orders,
     "sketch_events_profile": q_sketch_events_profile,
@@ -3894,6 +3957,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
     "dedup_incremental", "stream_join", "emb_decontaminate",
+    "events_transitions", "rel_reorder_gaps",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
