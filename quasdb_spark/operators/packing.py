@@ -111,3 +111,34 @@ def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
                  .withColumn("pack_id", F.expr(
                      f"(_cum - cast({tokens_col} as bigint)) div {budget}")))
     return out.drop("_pid", "_off", "_cum")
+
+
+def hash_split(df: DataFrame, id_col: str, *,
+               splits: dict[str, float] | None = None,
+               salt: str = "split1",
+               out_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: each row lands in one
+    split by its hash(salt, id) position within cumulative fraction
+    boundaries — a pure function of (salt, id), so the assignment is
+    stable across runs, machines, and engines, and adding new rows
+    never reassigns old ones (the property random() splits lack).
+    Map-only, no shuffle; fractions must sum to 1.0.
+    """
+    splits = splits or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(splits.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"split fractions sum to {total}, expected 1.0")
+    h = sample_hash(F.col(id_col), salt)
+    scale = float(1 << 32)
+    expr = None
+    acc = 0.0
+    # deterministic boundary order: as-given insertion order
+    items = list(splits.items())
+    for name, frac in items[:-1]:
+        acc += frac
+        cond = h < F.lit(acc * scale)
+        expr = F.when(cond, F.lit(name)) if expr is None \
+            else expr.when(cond, F.lit(name))
+    last = items[-1][0]
+    expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
+    return df.withColumn(out_col, expr)

@@ -3404,6 +3404,23 @@ def q_doc_sample_stratified(spark, sf_dir):
     return out.select("doc_id", "lang")
 
 
+def q_doc_split_assign(spark, sf_dir):
+    """Deterministic train/val/test split: each doc's hash(salt, id)
+    position against cumulative fraction boundaries — stable across
+    runs/engines, and new docs never reassign old ones (the property
+    random() splits lack). Map-only; the summary groupBy is a
+    3-key aggregate."""
+    from quasdb_spark.operators.packing import hash_split
+    d = _t(spark, sf_dir, "documents")
+    out = hash_split(d, "doc_id",
+                     splits={"train": 0.8, "val": 0.1, "test": 0.1},
+                     salt="split1")
+    return (out.groupBy("split")
+               .agg(F.count(F.lit(1)).alias("n_docs"),
+                    F.min("doc_id").alias("first_doc"),
+                    F.max("doc_id").alias("last_doc")))
+
+
 def q_doc_sample_fixed_k(spark, sf_dir):
     """Exactly-20-per-language deterministic sample (md5-ranked):
     fixed-size stratified draws for eval-set construction."""
@@ -3486,6 +3503,20 @@ _PACK_ORACLES = {
                                     ORDER BY hx, doc_id) AS rk
           FROM h) t
         WHERE rk <= 20""",
+    "doc_split_assign": """
+        WITH h AS (
+          SELECT doc_id,
+                 CAST(('0x' || substr(md5('split1|' || CAST(doc_id AS VARCHAR)), 1, 8))::UINTEGER AS BIGINT) AS hv
+          FROM documents),
+        a AS (
+          SELECT doc_id,
+                 CASE WHEN hv < 0.8 * 4294967296.0 THEN 'train'
+                      WHEN hv < 0.9 * 4294967296.0 THEN 'val'
+                      ELSE 'test' END AS split
+          FROM h)
+        SELECT split, count(*) AS n_docs,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM a GROUP BY 1""",
     "doc_sample_stratified": """
         WITH h AS (
           SELECT doc_id, lang,
@@ -3931,6 +3962,7 @@ QUERIES = {
     "kv_seek_page": q_kv_seek_page,
     "rel_region_share": q_rel_region_share,
     "doc_sample_stratified": q_doc_sample_stratified,
+    "doc_split_assign": q_doc_split_assign,
     "doc_sample_fixed_k": q_doc_sample_fixed_k,
     "doc_sample_weighted": q_doc_sample_weighted,
     "doc_pack_manifest": q_doc_pack_manifest,
@@ -3957,7 +3989,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_local_supplier_volume", "rel_disjunctive_revenue",
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
     "dedup_incremental", "stream_join", "emb_decontaminate",
-    "events_transitions", "rel_reorder_gaps",
+    "events_transitions", "rel_reorder_gaps", "doc_split_assign",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",

@@ -303,3 +303,33 @@ def test_gopher_rules_planted_failures(spark):
     assert not got[8]["stop_ok"]
     for i in range(2, 9):
         assert not got[i]["gopher_pass"]
+
+
+def test_hash_split_partition_and_stability(spark):
+    import pytest as _pytest
+
+    from quasdb_spark.operators.packing import hash_split
+
+    df = spark.createDataFrame([(i,) for i in range(500)], "doc_id long")
+    out = hash_split(df, "doc_id",
+                     splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    rows = {r["doc_id"]: r["split"] for r in out.collect()}
+    # total partition: every row lands in exactly one split
+    assert len(rows) == 500
+    assert set(rows.values()) == {"train", "val", "test"}
+    counts = {s: sum(1 for v in rows.values() if v == s)
+              for s in ("train", "val", "test")}
+    assert 350 <= counts["train"] <= 450  # ~400 expected
+    # stability: the assignment of a SUBSET is identical — adding or
+    # removing rows never moves existing ones
+    sub = hash_split(df.where("doc_id < 100"), "doc_id",
+                     splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    for r in sub.collect():
+        assert rows[r["doc_id"]] == r["split"]
+    # a different salt re-deals
+    other = hash_split(df, "doc_id", salt="other",
+                       splits={"train": 0.8, "val": 0.1, "test": 0.1})
+    moved = sum(1 for r in other.collect() if rows[r["doc_id"]] != r["split"])
+    assert moved > 50
+    with _pytest.raises(ValueError):
+        hash_split(df, "doc_id", splits={"a": 0.5, "b": 0.2})
