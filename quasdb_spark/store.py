@@ -1286,6 +1286,46 @@ class KVStore:
             "log": self.log_df(),
         }
 
+    def history(self) -> DataFrame:
+        """Commit history as a DataFrame — the MANIFEST read the other
+        way (one row per retained version, newest first): version id,
+        last_seq, file/level/byte totals, registered snapshots and
+        stream watermarks. The observability face of M7 (every commit
+        is a version) — what `DESCRIBE HISTORY` is to a Delta table.
+        Versions already removed by vacuum are simply absent; the log
+        is driver-side tiny (one JSON per commit), so this is a local
+        read, no Spark job."""
+        from quasdb_spark.manifest import Version as _V
+
+        m = self.manifest
+        if m.backend is not None:
+            names = m._backend_versions()
+            read = m.backend.read
+        else:
+            names = sorted((n for n in os.listdir(m.dir)
+                            if n.endswith(".json") and n[:-5].isdigit()),
+                           key=lambda n: int(n[:-5]))
+
+            def read(n):
+                with open(os.path.join(m.dir, n)) as f:
+                    return f.read()
+        rows = []
+        for name in names:
+            try:
+                v = _V.from_json(read(name))
+            except (OSError, ValueError):
+                continue  # vacuumed or torn — never fail history()
+            rows.append((v.version, v.last_seq, len(v.files),
+                         int(sum(f.bytes for f in v.files)),
+                         int(sum(f.rows for f in v.files)),
+                         max((f.level for f in v.files), default=0),
+                         len(v.snapshots), len(v.streams)))
+        schema = ("version long, last_seq long, n_files int, "
+                  "total_bytes long, total_rows long, max_level int, "
+                  "n_snapshots int, n_streams int")
+        return (self.spark.createDataFrame(rows, schema)
+                .orderBy(F.col("version").desc()))
+
     def properties(self) -> dict:
         """GetProperty surface (kv/db/db_impl.cpp:1621-1697)."""
         ver = self.manifest.current()

@@ -597,3 +597,30 @@ def test_checkpoint_clone_is_isolated_and_cheap(spark, tmp_path):
     # and the clone is independently writable
     clone.put("only-clone", {"n": 1, "tag": "c"})
     assert st.get("only-clone") is None
+
+
+def test_history_tracks_commits_and_compaction(spark, tmp_path):
+    """history() returns one row per retained manifest version, newest
+    first; file counts rise with batches and fall after compaction;
+    snapshot registration shows up in n_snapshots."""
+    from quasdb_spark.store import KVStore
+
+    st = KVStore.create(spark, str(tmp_path / "h"))
+    st.put("a", "1")
+    st.put("b", "2")
+    st.snapshot()
+    st.put("a", "3")
+    st.compact()
+    h = st.history().collect()
+    assert [r["version"] for r in h] == sorted(
+        (r["version"] for r in h), reverse=True)
+    assert h[0]["version"] >= 4
+    latest = h[0]
+    # compaction folded the three batches into one level-1 dir
+    assert latest["n_files"] == 1 and latest["max_level"] >= 1
+    pre_compact = h[1]
+    assert pre_compact["n_files"] == 3
+    assert any(r["n_snapshots"] >= 1 for r in h)
+    # last_seq is monotone in version
+    seqs = [r["last_seq"] for r in reversed(h)]
+    assert seqs == sorted(seqs)
