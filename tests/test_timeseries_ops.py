@@ -306,3 +306,67 @@ def test_asof_direction_forward_and_nearest(spark):
                    r2, ["k"], "ts", "rts", right_cols=["rtag"],
                    right_tiebreak="pri", direction="forward").collect()
     assert eq[0]["right_rtag"] == "y"
+
+
+def test_asof_directions_randomized_vs_brute_force(spark):
+    """Randomized oracle for all three as-of directions: seeded random
+    (key, µs-timestamp) data; the window implementation must pick the
+    same right row as the quadratic brute force (backward: max rts <=
+    lt; forward: min rts >= lt; nearest: closer side, tie -> backward;
+    within each: greatest tiebreak id wins)."""
+    import random
+
+    rng = random.Random(7)
+    base = dt.datetime(2024, 1, 1)
+
+    def t(us):
+        return base + dt.timedelta(microseconds=us)
+
+    # coarse grid so exact ties (same instant, equidistant sides) occur
+    lrows = [(rng.randrange(4), t(rng.randrange(40) * 500_000), i)
+             for i in range(80)]
+    rrows = [(rng.randrange(4), t(rng.randrange(40) * 500_000), i)
+             for i in range(90)]
+    left = _df(spark, lrows, "k long, ts timestamp, lid long")
+    right = _df(spark, rrows, "k long, rts timestamp, rid long")
+
+    def brute(direction, tol=None):
+        out = {}
+        for k, lt, lid in lrows:
+            # tolerance contract: whole FLOORED seconds (the operator
+            # compares unix_timestamp values, which floor to seconds)
+            def fl(x):
+                return int(x.timestamp())
+
+            back = [(rt, rid) for rk, rt, rid in rrows
+                    if rk == k and rt <= lt
+                    and (tol is None or fl(lt) - fl(rt) <= tol)]
+            fwd = [(rt, rid) for rk, rt, rid in rrows
+                   if rk == k and rt >= lt
+                   and (tol is None or fl(rt) - fl(lt) <= tol)]
+            # newest backward / earliest forward; greatest rid on ties
+            b = max(back, key=lambda x: (x[0], x[1])) if back else None
+            f = min(fwd, key=lambda x: (x[0], -x[1])) if fwd else None
+            if direction == "backward":
+                pick = b
+            elif direction == "forward":
+                pick = f
+            else:
+                if b is None or (f is not None
+                                 and (f[0] - lt) < (lt - b[0])):
+                    pick = f
+                else:
+                    pick = b
+            if pick is not None:
+                out[(k, lid)] = pick[1]
+        return out
+
+    for direction in ("backward", "forward", "nearest"):
+        for tol in (None, 3):
+            got = {(r["k"], r["lid"]): r["right_rid"]
+                   for r in asof_join(left, right, ["k"], "ts", "rts",
+                                      right_cols=["rid"],
+                                      right_tiebreak="rid",
+                                      tolerance_seconds=tol,
+                                      direction=direction).collect()}
+            assert got == brute(direction, tol), (direction, tol)
