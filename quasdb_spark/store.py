@@ -1140,7 +1140,17 @@ class KVStore:
         if drop_where is not None:
             keep = keep.where(~drop_where)
 
-        n_out = target_files or max(1, min(len(selected), 32))
+        # Output file-count: size outputs at ~128 MB of INPUT bytes
+        # each (the M5 ShouldStopBefore analogue — the reference splits
+        # at 2 MB because SSTables are point-get units; Parquet scan
+        # units want HDFS-block-sized files). Byte-based, so a 100 TB
+        # scope yields thousands of right-sized files while a tiny
+        # local store folds to one — the previous dir-count heuristic
+        # tracked neither. Compaction typically shrinks data (shadowed
+        # versions drop), so input bytes over-estimate safely.
+        target_bytes = 128 * 1024 * 1024
+        in_bytes = sum(f.bytes for f in selected)
+        n_out = target_files or max(1, -(-in_bytes // target_bytes))
         # output joins the NEXT generation after its newest input —
         # the tier ladder compaction_score picks from; the generation
         # is also encoded in the dir name so RepairDB can recover it
