@@ -109,6 +109,14 @@ def test_kvstore_append_retry_over_conditional_put(tmp_path, spark):
     st.vacuum(0.0)  # nullcontext lock path under a backend
     assert [(r["key"], r["value"]) for r in st.scan().collect()] == [
         ("b", "22"), ("c", "3")]
+    # history() over the conditional-put backend: one row per version
+    # object, newest first, monotone last_seq
+    h = st.history().collect()
+    assert len(h) >= 5
+    assert [r["version"] for r in h] == sorted(
+        (r["version"] for r in h), reverse=True)
+    seqs = [r["last_seq"] for r in reversed(h)]
+    assert seqs == sorted(seqs)
 
 
 def test_many_racing_writers_converge_with_retries(tmp_path):
