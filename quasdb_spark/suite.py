@@ -511,6 +511,48 @@ def q_stream_join(spark, sf_dir):
          F.unix_timestamp("s_ts")).alias("gap_s"))
 
 
+def q_stream_dedup(spark, sf_dir):
+    """Ingest-time streaming dedup under the correctness gate: the
+    events file is staged TWICE (two symlinks in the watched dir), so
+    every record arrives duplicated; streaming.windows.stream_dedup
+    (dropDuplicatesWithinWatermark on event_id) must recover exactly
+    the original — the oracle is the plain batch per-type aggregate
+    over the UN-duplicated table. Training pipelines dedupe at ingest
+    so duplicates never hit storage; this proves that path computes
+    the batch answer. State is bounded by the watermark window."""
+    import os as _os
+    import tempfile
+    import uuid as _uuid
+
+    from quasdb_spark.sources.tables import _ns_timestamp_cols
+    from quasdb_spark.streaming.windows import stream_dedup
+
+    path = _os.path.join(sf_dir, "events.parquet")
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = spark.read.parquet(path).schema
+    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    for copy in ("a", "b"):
+        _os.symlink(_os.path.abspath(path),
+                    _os.path.join(stage, f"events_{copy}.parquet"))
+    ev = spark.readStream.schema(schema).parquet(stage)
+    for col in _ns_timestamp_cols(path):
+        ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
+    deduped = stream_dedup(ev, ["event_id"], "ts", watermark="1 minute")
+    name = f"stream_dedup_{_uuid.uuid4().hex[:8]}"
+    q = (deduped.writeStream.format("memory").queryName(name)
+         .outputMode("append")
+         .option("checkpointLocation",
+                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+         .trigger(availableNow=True).start())
+    q.awaitTermination()
+    vc = F.round(F.col("value") * 100).cast("long")
+    return (spark.table(name)
+            .groupBy("event_type")
+            .agg(F.count(F.lit(1)).alias("n"),
+                 (F.sum(vc) / 100.0).alias("sum_value"),
+                 F.count_distinct("event_id").alias("n_ids")))
+
+
 def q_stream_sessionize(spark, sf_dir):
     """Streaming gap-sessions under the CORRECTNESS gate: events
     replayed as a file stream through Spark's built-in session_window
@@ -736,6 +778,11 @@ _TS_ORACLES = {
                count(*) AS n, sum(vc) / 100.0 AS sum_value,
                round(sum(vc) * 100 / count(*)) / 10000.0 AS avg_value
         FROM e GROUP BY 1, 2""",
+    "stream_dedup": """
+        SELECT event_type, count(*) AS n,
+               sum(CAST(round(value * 100) AS BIGINT)) / 100.0 AS sum_value,
+               count(DISTINCT event_id) AS n_ids
+        FROM events GROUP BY 1""",
     "stream_join": """
         WITH p AS (SELECT user_id, event_id AS p_id, ts AS p_ts
                    FROM events WHERE event_type = 'purchase'),
@@ -3862,6 +3909,7 @@ QUERIES = {
     "ts_tumbling_hourly": q_ts_tumbling_hourly,
     "stream_tumbling_hourly": q_stream_tumbling_hourly,
     "stream_join": q_stream_join,
+    "stream_dedup": q_stream_dedup,
     "stream_sessionize": q_stream_sessionize,
     "stream_rollup_hourly": q_stream_rollup_hourly,
     "ts_sliding_1h_15m": q_ts_sliding_1h_15m,
@@ -3990,6 +4038,7 @@ _DRIVER_CHECK_FIRST = [
     "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
     "dedup_incremental", "stream_join", "emb_decontaminate",
     "events_transitions", "rel_reorder_gaps", "doc_split_assign",
+    "stream_dedup",
     "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
     "stream_tumbling_hourly", "kv_stream_state",
     "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
