@@ -59,7 +59,8 @@ EXTRA_BENCH = [
     "rel_large_volume_customers", "emb_semdedup", "text_pii_redact",
     "rel_returned_items", "rel_local_supplier_volume", "dedup_incremental",
     "rel_disjunctive_revenue", "rel_sales_opportunity",
-    "text_gopher_rules",
+    "text_gopher_rules", "ts_asof_nearest", "emb_decontaminate",
+    "events_transitions", "rel_reorder_gaps", "doc_split_assign",
 ]
 
 
