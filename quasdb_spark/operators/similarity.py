@@ -257,7 +257,8 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                          n_bands: int = 8, band_bits: int = 8,
                          max_bucket_size: int | None = 1000,
                          hyperplanes: bool = True, dims: int = 64,
-                         seed: int = 0) -> DataFrame:
+                         seed: int = 0,
+                         vectorized: bool = False) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH blocking
     (id_a < id_b, cos >= threshold) — the 100 TB-safe path.
 
@@ -280,6 +281,17 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
     — measured on this repo's testdata in tests/test_suite.py; the
     brute-force ``neardup_pairs_cosine`` is the recall oracle there.
     """
+    if vectorized:
+        if not hyperplanes:
+            raise ValueError("vectorized=True requires hyperplanes=True")
+        # Arrow/numpy signature pass — bit-identical to the expression
+        # fold (see signature_frame_pandas); the production path for
+        # real embedding widths (768/1536 dims) where n_bits×dims
+        # interpreted fold steps per row stop scaling.
+        e = signature_frame_pandas(
+            vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+            band_bits=band_bits, dims=dims, seed=seed).persist()
+        return _banded_pairs_from_frame(e, threshold, max_bucket_size)
     if hyperplanes:
         keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
                                     dims=dims, seed=seed)
@@ -299,6 +311,16 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
         norm(_as_double(vec_col)).alias("_n"),
         keys.alias("_keys")).persist()
+    return _banded_pairs_from_frame(e, threshold, max_bucket_size)
+
+
+def _banded_pairs_from_frame(e: DataFrame, threshold: float,
+                             max_bucket_size: int | None) -> DataFrame:
+    """Shared tail of neardup_pairs_banded: (_id, _v, _n, _keys) frame
+    → banded candidates → skew-guarded buckets → scored pairs. Both
+    the expression and the Arrow-vectorized signature paths feed this
+    identically (so they produce identical pairs by construction once
+    the signature frames are equal)."""
     bands = e.select("_id", F.posexplode("_keys").alias("_band", "_key"))
     if max_bucket_size is not None:
         ok = (bands.groupBy("_band", "_key")
@@ -327,7 +349,8 @@ def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
                    vec_col: str = "embedding", threshold: float = 0.9,
                    n_bands: int = 8, band_bits: int = 8,
                    max_bucket_size: int | None = 1000, dims: int = 64,
-                   seed: int = 0, n_iter: int = 3) -> DataFrame:
+                   seed: int = 0, n_iter: int = 3,
+                   vectorized: bool = False) -> DataFrame:
     """Semantic deduplication, SemDeDup-shaped (Abbas et al. 2023,
     arXiv:2303.09540): embeddings whose cosine exceeds ``threshold``
     are semantic duplicates of each other; keep exactly ONE
@@ -354,7 +377,7 @@ def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
         vectors, id_col=id_col, vec_col=vec_col, threshold=threshold,
         n_bands=n_bands, band_bits=band_bits,
         max_bucket_size=max_bucket_size, hyperplanes=True, dims=dims,
-        seed=seed)
+        seed=seed, vectorized=vectorized)
     labels = cluster_assign(pairs, vectors.select(id_col),
                             id_col=id_col, n_iter=n_iter)
     sizes = labels.groupBy("cluster_id").agg(
@@ -806,3 +829,85 @@ def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int, *,
                  .where(F.col("rank") <= k)
                  .select("query_id", "rank", "neighbor_id",
                          (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def signature_frame_pandas(vectors: DataFrame, *, id_col: str = "vec_id",
+                           vec_col: str = "embedding", n_bands: int = 8,
+                           band_bits: int = 8, dims: int = 64,
+                           seed: int = 0) -> DataFrame:
+    """Arrow-vectorized twin of the expression signature projection in
+    ``neardup_pairs_banded`` — same output frame (_id, _v, _n, _keys),
+    BIT-IDENTICAL floats and keys, built with numpy instead of
+    interpreted per-element folds.
+
+    Why it exists: the expression path evaluates n_bits × dims
+    higher-order-function steps per row. At this repo's synthetic
+    dims=64 that is fine; at REAL embedding widths (768/1536) it is
+    ~100k interpreted lambda steps per row — the one place the
+    "everything is a JVM expression" rule stops scaling. This is the
+    sanctioned Pandas-UDF escape hatch (same policy as multimodal):
+    Arrow batches in, one vectorized multiply-add per dim, Arrow out.
+
+    Bit-identity argument (pinned by tests): the expression fold
+    computes acc ← acc + v_i·w_i sequentially in IEEE float64; the
+    numpy loop accumulates over dims in the SAME order with the SAME
+    float64 elementwise ops (and float32→float64 widening is exact),
+    so every projection, norm, and sign — hence every band key — is
+    equal, not just close. NULL vectors yield NULL columns (dropped by
+    the band join downstream); a wrong-length vector raises, matching
+    the expression path's assert_true.
+    """
+    import numpy as np
+    import pandas as pd
+
+    planes = hyperplane_signs(n_bands * band_bits, dims, seed)
+    n_bits = n_bands * band_bits
+    id_type = vectors.schema[id_col].dataType.simpleString()
+    out_schema = (f"_id {id_type}, _v array<double>, _n double, "
+                  f"_keys array<string>")
+
+    def gen(batches):
+        W = np.asarray(planes, dtype=np.float64)  # (bits, dims)
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            cells = pdf[vec_col].tolist()
+            m = len(cells)
+            vs: list = [None] * m
+            valid_idx = []
+            for r, c in enumerate(cells):
+                if c is None:
+                    continue
+                a = np.asarray(c, dtype=np.float64)
+                if a.shape[0] != dims:
+                    raise ValueError(
+                        f"signature_frame_pandas: vector length "
+                        f"{a.shape[0]} != dims {dims}")
+                vs[r] = a
+                valid_idx.append(r)
+            keys_out: list = [None] * m
+            n_out: list = [None] * m
+            v_out: list = [None] * m
+            if valid_idx:
+                V = np.stack([vs[r] for r in valid_idx])
+                acc = np.zeros((V.shape[0], n_bits))
+                nrm = np.zeros(V.shape[0])
+                # dims-sequential accumulation == the expression fold's
+                # rounding order; do NOT replace with a matmul (pairwise
+                # summation would differ in the last ulp and can flip a
+                # boundary sign)
+                for i in range(dims):
+                    acc = acc + V[:, i:i + 1] * W[:, i][None, :]
+                    nrm = nrm + V[:, i] * V[:, i]
+                nrm = np.sqrt(nrm)
+                bits = np.where(acc >= 0.0, "1", "0")
+                for k, r in enumerate(valid_idx):
+                    row_bits = bits[k]
+                    keys_out[r] = ["".join(row_bits[b * band_bits:
+                                                    (b + 1) * band_bits])
+                                   for b in range(n_bands)]
+                    n_out[r] = float(nrm[k])
+                    v_out[r] = V[k].tolist()
+            yield pd.DataFrame({"_id": ids, "_v": v_out,
+                                "_n": n_out, "_keys": keys_out})
+
+    return ensure_parallelism(vectors).mapInPandas(gen, out_schema)

@@ -2494,7 +2494,8 @@ def q_emb_decontaminate(spark, sf_dir):
     keys."""
     e = _t(spark, sf_dir, "embeddings")
     pairs = SIM.neardup_pairs_banded(e, threshold=0.40, n_bands=8,
-                                     band_bits=8, max_bucket_size=1000)
+                                     band_bits=8, max_bucket_size=1000,
+                                     vectorized=True)
     a_bm = F.col("id_a") % 5 == 0
     b_bm = F.col("id_b") % 5 == 0
     return (pairs.where(a_bm != b_bm)
@@ -2513,8 +2514,14 @@ def q_emb_semdedup(spark, sf_dir):
     pair graph as sim_neardup_cosine, so the oracle composes that SQL
     with the dedup_clusters label-propagation rounds."""
     e = _t(spark, sf_dir, "embeddings")
+    # vectorized=True: the Arrow/numpy signature pass — BIT-IDENTICAL
+    # to the expression fold (signature_frame_pandas docstring +
+    # test_vectorized_signature_bit_parity), so the oracle is
+    # unchanged; sim_neardup_cosine keeps the pure-expression path
+    # under the same oracle as the cross-check.
     return (SIM.semantic_dedup(e, threshold=0.40, n_bands=8, band_bits=8,
-                               max_bucket_size=1000, n_iter=3)
+                               max_bucket_size=1000, n_iter=3,
+                               vectorized=True)
             .where(F.col("n_members") >= 2))
 
 

@@ -377,3 +377,73 @@ def test_ivf_incremental_append_matches_full_rebuild(spark, sf_dir,
     want = sorted(map(tuple, ivf_topk(
         e, q, 10, nprobe=2, centroids=cents, lists=rebuilt).collect()))
     assert got == want and len(got) > 0
+
+
+def test_vectorized_signature_bit_parity(spark):
+    """The Arrow/numpy signature pass must equal the expression fold
+    BIT-FOR-BIT — keys, norms, and widened vectors — because the suite
+    oracles assume fold arithmetic. Covers the synthetic dims=64 AND a
+    random higher-dims case (the width where the vectorized path is
+    the only practical one); also NULL vectors and the wrong-length
+    raise."""
+    import random
+
+    import pyspark.sql.functions as F
+    import pytest
+
+    from quasdb_spark.operators.similarity import (_as_double,
+                                                   hyperplane_band_keys,
+                                                   neardup_pairs_banded,
+                                                   norm,
+                                                   signature_frame_pandas)
+    from quasdb_spark.sources.tables import load_table
+
+    def check(df, dims, n_bands, band_bits):
+        keys = hyperplane_band_keys("embedding", n_bands, band_bits,
+                                    dims=dims, seed=0)
+        expr = df.select(F.col("vec_id").alias("_id"),
+                         _as_double("embedding").alias("_v"),
+                         norm(_as_double("embedding")).alias("_n"),
+                         keys.alias("_keys"))
+        vec = signature_frame_pandas(df, n_bands=n_bands,
+                                     band_bits=band_bits, dims=dims,
+                                     seed=0)
+        bad = (expr.alias("x").join(vec.alias("y"), "_id").where(
+            (F.col("x._keys").cast("string")
+             != F.col("y._keys").cast("string"))
+            | (F.col("x._n") != F.col("y._n"))
+            | (F.col("x._v").cast("string")
+               != F.col("y._v").cast("string")))).count()
+        assert bad == 0
+
+    e = load_table(spark, "/root/testdata/sf0.001", "embeddings")
+    check(e, 64, 8, 8)
+
+    rng = random.Random(3)
+    wide = spark.createDataFrame(
+        [(i, [rng.uniform(-1, 1) for _ in range(200)]) for i in range(60)],
+        "vec_id long, embedding array<float>")
+    check(wide, 200, 4, 6)
+
+    # pair-level equality on the real corpus
+    p1 = sorted(map(tuple, neardup_pairs_banded(
+        e, threshold=0.40, n_bands=8, band_bits=8,
+        max_bucket_size=1000).collect()))
+    p2 = sorted(map(tuple, neardup_pairs_banded(
+        e, threshold=0.40, n_bands=8, band_bits=8,
+        max_bucket_size=1000, vectorized=True).collect()))
+    assert p1 == p2
+
+    # NULL vector -> NULL signature columns (no crash, no rows lost)
+    with_null = spark.createDataFrame(
+        [(1, [1.0] * 64), (2, None)], "vec_id long, embedding array<float>")
+    got = {r["_id"]: r["_keys"] for r in signature_frame_pandas(
+        with_null, n_bands=2, band_bits=4, dims=64).collect()}
+    assert got[2] is None and got[1] is not None
+
+    # wrong-length vector raises (assert_true parity)
+    bad_len = spark.createDataFrame(
+        [(1, [1.0] * 5)], "vec_id long, embedding array<float>")
+    with pytest.raises(Exception, match="length"):
+        signature_frame_pandas(bad_len, n_bands=2, band_bits=4,
+                               dims=64).collect()
