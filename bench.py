@@ -145,13 +145,20 @@ def main() -> None:
     extra = {n: round(statistics.median(v), 3)
              for n, v in extra_samples.items()}
 
-    print(json.dumps({
+    payload = {
         "metric": "headline_suite_total_wall",
         "value": total, "unit": "sec", "queries": times, "sf": sf,
         "reps": REPS, "stat": "median", "query_spread": spread,
         "maintenance": maintenance, "extra_queries": extra,
-    }))
+    }
+    # Emit the JSON line LAST, after the JVM is down, as the sole stdout
+    # output (BENCH_r05.json was truncated by interleaved console-progress
+    # \r lines; showConsoleProgress is now off in session defaults, and
+    # stopping Spark first guarantees nothing else can write mid-line).
     spark.stop()
+    sys.stdout.flush()
+    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

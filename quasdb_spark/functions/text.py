@@ -15,6 +15,8 @@ so DuckDB oracles reproduce results exactly.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -401,7 +403,8 @@ def gopher_rules(df: DataFrame, text_col: str = "text", *,
     bullet_lines = F.regexp_count(t, F.lit(r"(?m)^[ \t]*[-*]"))
     ellipsis_lines = F.regexp_count(t, F.lit(r"(?m)\.\.\.[ \t]*$"))
     stop_hits = sum(
-        (F.regexp_count(F.lower(t), F.lit(rf"\b{w}\b")) > 0).cast("int")
+        (F.regexp_count(F.lower(t),
+                        F.lit(rf"\b{re.escape(w)}\b")) > 0).cast("int")
         for w in stop)
     flags = {
         "word_count_ok": (n_words >= min_words) & (n_words <= max_words),

@@ -391,9 +391,15 @@ def build_dedup_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
     partitioned by band and sorted by band_key within files (row-group
     min/max then prunes band-key range scans). Returns the params
     dict, also written as ``_dedup_index_meta.json`` so
-    ``load_dedup_index`` can refuse mismatched probes."""
+    ``load_dedup_index`` can refuse mismatched probes.
+
+    The sidecar goes through the same Hadoop-FS resolver as the
+    parquet (fsio.write_text: temp name + rename AFTER the parquet job
+    succeeds), so the index works on hdfs://s3a:// paths and a failed
+    build never leaves a half-written meta."""
     import json
-    import os
+
+    from .. import fsio
 
     if n_hashes % n_bands:
         raise ValueError("n_bands must divide n_hashes")
@@ -408,17 +414,18 @@ def build_dedup_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
             .write.mode(mode).partitionBy("band").parquet(path))
     meta = {"n_hashes": n_hashes, "n_bands": n_bands,
             "shingle_n": shingle_n}
-    with open(os.path.join(path, "_dedup_index_meta.json"), "w") as f:
-        json.dump(meta, f)
+    fsio.write_text(df.sparkSession, f"{path}/_dedup_index_meta.json",
+                    json.dumps(meta))
     return meta
 
 
 def load_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
     import json
-    import os
 
-    with open(os.path.join(path, "_dedup_index_meta.json")) as f:
-        meta = json.load(f)
+    from .. import fsio
+
+    meta = json.loads(
+        fsio.read_text(spark, f"{path}/_dedup_index_meta.json"))
     return spark.read.parquet(path), meta
 
 
@@ -469,10 +476,11 @@ def append_to_index(new_df: DataFrame, path: str, *,
     has decided which docs to keep; dedup policy (append all vs only
     keepers) is the caller's."""
     import json
-    import os
 
-    with open(os.path.join(path, "_dedup_index_meta.json")) as f:
-        meta = json.load(f)
+    from .. import fsio
+
+    meta = json.loads(
+        fsio.read_text(new_df.sparkSession, f"{path}/_dedup_index_meta.json"))
     rows_per_band = meta["n_hashes"] // meta["n_bands"]
     sig = minhash_signature(new_df, text_col, n_hashes=meta["n_hashes"],
                             shingle_n=meta["shingle_n"])

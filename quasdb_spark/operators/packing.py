@@ -17,6 +17,8 @@
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -131,11 +133,16 @@ def hash_split(df: DataFrame, id_col: str, *,
     h = sample_hash(F.col(id_col), salt)
     scale = float(1 << 32)
     expr = None
-    acc = 0.0
-    # deterministic boundary order: as-given insertion order
+    # deterministic boundary order: as-given insertion order. Each
+    # boundary is the CORRECTLY-ROUNDED prefix sum (math.fsum), not a
+    # sequential float accumulation — 0.8+0.1 sequentially is
+    # 0.9000000000000001, which differs in the last ulp from the exact
+    # literal an external oracle would write; fsum makes the
+    # cross-engine bit-exact contract hold for arbitrary fraction sets.
     items = list(splits.items())
-    for name, frac in items[:-1]:
-        acc += frac
+    fracs = [f for _, f in items]
+    for i, (name, frac) in enumerate(items[:-1]):
+        acc = math.fsum(fracs[:i + 1])
         cond = h < F.lit(acc * scale)
         expr = F.when(cond, F.lit(name)) if expr is None \
             else expr.when(cond, F.lit(name))

@@ -388,6 +388,88 @@ def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
                     "n_members"))
 
 
+def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
+                  id_col: str = "vec_id", vec_col: str = "embedding",
+                  threshold: float = 0.9, n_bands: int = 8,
+                  band_bits: int = 8,
+                  max_bucket_size: int | None = 1000, dims: int = 64,
+                  seed: int = 0, vectorized: bool = False) -> DataFrame:
+    """Semantic eval-set decontamination, PROBE-SIDE: corpus vectors
+    whose cosine to any benchmark vector clears ``threshold`` — the
+    embedding-space analogue of n-gram decontamination
+    (dedup.ngram_overlap), catching paraphrased leakage token overlap
+    misses.
+
+    The 100 TB shape, and why it is NOT "run the pair finder and
+    filter": a self-join over corpus ∪ benchmark mines corpus↔corpus
+    candidates that dominate candidate volume by orders of magnitude
+    and are all discarded. Here the benchmark side (tiny and fixed by
+    contract) is band-keyed and BROADCAST; the corpus is touched
+    exactly once, map-only, to emit its band keys, and only corpus
+    entries landing in a benchmark-probed bucket go any further —
+    the same asymmetric shape as dedup.check_against_index.
+
+    Result-identical to the symmetric pair finder post-filtered to
+    cross pairs (pinned by test): candidate generation only ever
+    needed buckets containing >=1 benchmark key, the skew guard is
+    evaluated on FULL bucket membership (surviving corpus entries +
+    benchmark entries — exactly the whole-table count for any bucket
+    that can produce a cross pair), and the cosine is the same
+    fold/operand order, so scores are bit-identical.
+
+    Returns (corpus_id, benchmark_id, score), one row per
+    contaminated pair over ``threshold``.
+    """
+    def frame(df: DataFrame) -> DataFrame:
+        if vectorized:
+            return signature_frame_pandas(
+                df, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+                band_bits=band_bits, dims=dims, seed=seed)
+        keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
+                                    dims=dims, seed=seed)
+        return ensure_parallelism(df).select(
+            F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
+            norm(_as_double(vec_col)).alias("_n"), keys.alias("_keys"))
+
+    c = frame(corpus)
+    b = frame(benchmark).persist()
+    c_bands = c.select(F.col("_id").alias("corpus_id"), "_v", "_n",
+                       F.posexplode("_keys").alias("_band", "_key"))
+    b_bands = (b.select(F.col("_id").alias("benchmark_id"),
+                        F.posexplode("_keys").alias("_band", "_key"))
+                .persist())
+    # Corpus pass: keep only entries in benchmark-probed buckets
+    # (broadcast semi-join — the corpus never shuffles on band keys).
+    probed = c_bands.join(
+        F.broadcast(b_bands.select("_band", "_key").distinct()),
+        ["_band", "_key"]).persist()
+    if max_bucket_size is not None:
+        # Full bucket membership for probed buckets = surviving corpus
+        # entries (the semi-join keeps ALL corpus members of a probed
+        # bucket) + benchmark entries; identical to the whole-table
+        # count the symmetric finder guards on. Probed buckets number
+        # at most |benchmark| * n_bands — broadcastable by contract.
+        members = (probed.select("_band", "_key")
+                   .unionAll(b_bands.select("_band", "_key")))
+        ok = (members.groupBy("_band", "_key")
+                     .agg(F.count(F.lit(1)).alias("_cnt"))
+                     .where(F.col("_cnt") <= max_bucket_size)
+                     .drop("_cnt"))
+        probed = probed.join(F.broadcast(ok), ["_band", "_key"])
+    cand = (probed.select("corpus_id", "_v", "_n", "_band", "_key")
+                  .join(F.broadcast(b_bands), ["_band", "_key"])
+                  .select("corpus_id", "benchmark_id", "_v", "_n")
+                  .dropDuplicates(["corpus_id", "benchmark_id"]))
+    vb = b.select(F.col("_id").alias("benchmark_id"),
+                  F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    return (cand.join(F.broadcast(vb), "benchmark_id")
+                .withColumn("score", dot(F.col("_v"), F.col("_vb"))
+                            / (F.col("_n") * F.col("_nb")))
+                .where(F.col("score") >= threshold)
+                .select("corpus_id", "benchmark_id",
+                        (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
 def auto_n_bits(n: int, target_bucket_size: int = 128, *,
                 lo: int = 4, hi: int = 24) -> int:
     """Bucket-bit count for an ``n``-vector corpus: the smallest number

@@ -45,6 +45,10 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.driver.memory": "8g",
     "spark.ui.enabled": "false",
+    # Never write \r[Stage ...] progress bars to the console: when stdout
+    # and stderr are captured as one stream they interleave with (and can
+    # truncate) machine-read JSON output — this corrupted BENCH_r05.json.
+    "spark.ui.showConsoleProgress": "false",
 }
 
 

@@ -52,6 +52,7 @@ Scale notes (100 TB design review):
 
 from __future__ import annotations
 
+import bisect
 import os
 import uuid
 
@@ -742,16 +743,24 @@ class KVStore:
 
     # -------------------------------------------------------------- reads
     def log_df(self, *, key_from=None, key_to=None,
-               asof: int | None = None) -> DataFrame:
+               asof: int | None = None, keys: list | None = None) -> DataFrame:
         """Raw op-log DataFrame over manifest-pruned files. Bounds are
         in STORED key space (encoded; bytes for binary stores).
 
         Manifest-level pruning by (min_key, max_key) and seq mirrors the
         reference's FindFile level pruning (kv/db/version_set.cpp:96-119);
         Parquet stats prune row groups inside the surviving files.
+
+        ``keys`` (stored space) prunes PER KEY: a file survives only if
+        at least one requested key falls inside its [min_key, max_key]
+        — two scattered keys no longer keep every file between them
+        alive, the way a single min→max envelope would (the reference
+        probes each table's range per key too, version_set FindFile per
+        Get). ``key_from``/``key_to`` still apply as the read filter.
         """
         ver = self.manifest.current()
         lo_stat, hi_stat = self._stat_key(key_from), self._stat_key(key_to)
+        key_stats = sorted(self._stat_key(k) for k in keys) if keys else None
         paths, survivors = [], []
         for f in ver.files:
             if asof is not None and f.seq_lo > asof:
@@ -760,6 +769,11 @@ class KVStore:
                 continue
             if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:
                 continue
+            if (key_stats is not None and f.min_key is not None
+                    and f.max_key is not None):
+                i = bisect.bisect_left(key_stats, f.min_key)
+                if i >= len(key_stats) or key_stats[i] > f.max_key:
+                    continue
             paths.append(os.path.join(self.path, f.path))
             survivors.append(f)
         if key_from is not None or key_to is not None:
@@ -776,11 +790,12 @@ class KVStore:
         return df
 
     def state(self, asof: int | None = None, *, key_from=None,
-              key_to=None) -> DataFrame:
+              key_to=None, keys: list | None = None) -> DataFrame:
         """The live (key, value) map at ``asof`` (DBIter semantics).
         Bounds and returned keys are in STORED key space; the public
         ``scan`` surface handles user-space encode/decode."""
-        log = self.log_df(key_from=key_from, key_to=key_to, asof=asof)
+        log = self.log_df(key_from=key_from, key_to=key_to, asof=asof,
+                          keys=keys)
         return state_view(log, None).select("key", *self.value_cols)
 
     def _row_value(self, row):
@@ -804,13 +819,17 @@ class KVStore:
     def multi_get(self, keys: list, asof: int | None = None) -> dict:
         """Batched point lookup: ONE pruned scan with an IN filter
         (vs N get() round trips). Missing/deleted keys are absent from
-        the result (NotFound convention)."""
+        the result (NotFound convention). Manifest pruning is PER KEY
+        (log_df ``keys``): two scattered keys scan only the dirs whose
+        [min_key, max_key] actually contains one of them, not every
+        dir between them; Parquet stats/bloom then prune inside the
+        survivors."""
         if not keys:
             return {}
-        encs = [self._enc(k) for k in keys]
-        lo, hi = min(encs), self._next_key(max(encs))
-        st = self.state(asof, key_from=lo, key_to=hi) \
-                 .where(F.col("key").isin(list(set(encs))))
+        encs = sorted(set(self._enc(k) for k in keys))
+        lo, hi = encs[0], self._next_key(encs[-1])
+        st = self.state(asof, key_from=lo, key_to=hi, keys=encs) \
+                 .where(F.col("key").isin(encs))
         return {self._dec(r["key"]): self._row_value(r) for r in st.collect()}
 
     def scan_iter(self, key_from: str | None = None,

@@ -14,6 +14,8 @@ Determinism contract (both engines must produce identical hashes):
 
 from __future__ import annotations
 
+import re as _re
+
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
@@ -1851,9 +1853,12 @@ _TOKENS_SQL = "string_split_regex(lower(trim(text)), '\\s+')"
 # left-to-right RE matching)
 _GOPHER_STOPS = ["the", "be", "to", "of", "and", "that", "have",
                  "with", "a"]
+# re.escape mirrors gopher_rules' escaping (Python and DuckDB RE2-ish
+# engines agree on escaped-literal semantics for word tokens)
 _GOPHER_STOP_SQL = " + ".join(
-    f"CASE WHEN len(regexp_extract_all(lower(text), '\\b{w}\\b')) > 0"
-    " THEN 1 ELSE 0 END" for w in _GOPHER_STOPS)
+    "CASE WHEN len(regexp_extract_all(lower(text), "
+    f"'\\b{_re.escape(w)}\\b')) > 0 THEN 1 ELSE 0 END"
+    for w in _GOPHER_STOPS)
 
 _TEXT_ORACLES = {
     "text_gopher_rules": f"""
@@ -2487,23 +2492,19 @@ def q_emb_decontaminate(spark, sf_dir):
     cosine to any benchmark embedding (vec_id % 5 == 0) clears the
     threshold — the embedding-space analogue of text_decontaminate's
     n-gram overlap, catching paraphrased leakage that token overlap
-    misses. Same banded sign-LSH pair machinery as sim_neardup_cosine
-    (no cross join; bucket skew guard), post-filtered to cross
-    (corpus, benchmark) pairs. At 100 TB the benchmark side is tiny
-    and fixed; the corpus is touched once, map-only, via its band
-    keys."""
+    misses. PROBE-SIDE shape (similarity.decontaminate): the tiny
+    fixed benchmark side is band-keyed and broadcast; the corpus is
+    touched exactly once, map-only, via its band keys — no
+    corpus-corpus candidates are ever mined (they dominate a
+    symmetric self-join's candidate volume at 100 TB and are all
+    discarded). Result-identical to the symmetric pair finder
+    post-filtered to cross pairs, which is what the oracle computes."""
     e = _t(spark, sf_dir, "embeddings")
-    pairs = SIM.neardup_pairs_banded(e, threshold=0.40, n_bands=8,
-                                     band_bits=8, max_bucket_size=1000,
-                                     vectorized=True)
-    a_bm = F.col("id_a") % 5 == 0
-    b_bm = F.col("id_b") % 5 == 0
-    return (pairs.where(a_bm != b_bm)
-            .select(F.when(a_bm, F.col("id_b")).otherwise(F.col("id_a"))
-                     .alias("corpus_id"),
-                    F.when(a_bm, F.col("id_a")).otherwise(F.col("id_b"))
-                     .alias("benchmark_id"),
-                    "score"))
+    bench = e.where(F.col("vec_id") % 5 == 0)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+    return SIM.decontaminate(corpus, bench, threshold=0.40, n_bands=8,
+                             band_bits=8, max_bucket_size=1000,
+                             vectorized=True)
 
 
 def q_emb_semdedup(spark, sf_dir):
