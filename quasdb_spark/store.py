@@ -237,6 +237,12 @@ class KVStore:
     # costs what compacting 16 KB costs" model (version_set.cpp:775-790)
     seek_budget_bytes_per_seek: int = 16384
     seek_budget_floor: int = 16
+    # Fresh-batch key blooms (A1 parity on L0): batches at or above
+    # this row count get an adaptive parquet key bloom at write time;
+    # below it the filter's ~16 KB smallest candidate would dominate
+    # the dir (interactive write_batch dirs are hundreds of bytes).
+    # Bulk ingests (row count unknown pre-write) always get one.
+    _FRESH_BLOOM_MIN_ROWS: int = 4096
     # Abandoned scan_iter cursors pin their snapshot forever (the
     # generator finally-block never runs if the caller drops it);
     # vacuum reaps scan-* snapshots older than this (seconds).
@@ -666,10 +672,24 @@ class KVStore:
         # Sort within partitions by key: gives each Parquet file tight
         # min/max row-group stats for later range pruning (the SSTable
         # sorted-order analogue) without a global shuffle.
-        # No bloom on fresh batch dirs: parquet sizes blooms for ~1M NDV
-        # (≈1 MB/chunk) which dwarfs small batches; compaction outputs —
-        # the large, long-lived files where point gets land — carry them
-        df.sortWithinPartitions("key").write.mode("errorifexists").parquet(full)
+        w = df.sortWithinPartitions("key").write
+        # Key bloom on LARGE fresh batches (reference parity: every
+        # SSTable carries a filter block, kv/table/filter_block.cpp:9-24)
+        # so point gets on recent, not-yet-compacted data skip row
+        # groups too — a read-hot store with ingest/compaction lag
+        # otherwise pays full row-group reads on its newest data.
+        # parquet-mr's ADAPTIVE bloom sizes the filter from the ACTUAL
+        # NDV observed while writing (smallest candidate that fits), so
+        # no row-count estimate is needed for bulk ingests; the gate
+        # only skips small interactive write_batches, where the
+        # adaptive filter's ~16 KB smallest candidate would dwarf the
+        # data (measured: a 3-row dir grows 710 B -> 17 KB with it).
+        if n_rows is None or n_rows >= self._FRESH_BLOOM_MIN_ROWS:
+            w = (w.option("parquet.bloom.filter.enabled#key", "true")
+                  .option("parquet.bloom.filter.adaptive.enabled", "true")
+                  .option("parquet.bloom.filter.max.bytes",
+                          str(1024 * 1024)))
+        w.mode("errorifexists").parquet(full)
         stats = self._dir_stats(full)
         entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
                           rows=n_rows if n_rows is not None else stats["rows"],
@@ -1284,10 +1304,22 @@ class KVStore:
 
     # ------------------------------------------------------ introspection
     def approximate_sizes(self, ranges: list[tuple]) -> list[int]:
-        """GetApproximateSizes (kv/db/db_impl.cpp:1699-1717): sum bytes of
-        manifest files overlapping each [start, limit) range — same
-        file-granularity estimate the reference produces from its index
-        blocks, no data read. Ranges are in comparator order."""
+        """GetApproximateSizes (kv/db/db_impl.cpp:1699-1717): estimate
+        the stored bytes each [start, limit) range covers, no data read.
+
+        Sub-file interpolation (Table::ApproximateOffsetOf parity,
+        kv/table/table.cpp:287-319 — the reference walks its index
+        blocks to locate the offset of a key WITHIN a table): dirs fully
+        inside the range count whole-dir manifest bytes; dirs that only
+        PARTIALLY overlap are interpolated from Parquet row-group
+        offsets — only row groups whose key [min,max] stats intersect
+        the range contribute, at their compressed byte size, plus a
+        pro-rata share of the file's framing overhead. A narrow range
+        inside one big compacted file therefore reports ≈ the row
+        groups it touches, not the whole file. Granularity: one row
+        group (the reference's is one index-block entry — same idea).
+        Footer-only reads, boundary dirs only. Ranges are in comparator
+        order."""
         ver = self.manifest.current()
         out = []
         for start, limit in ranges:
@@ -1299,9 +1331,52 @@ class KVStore:
                     continue
                 if f.min_key is not None and f.min_key >= hi:
                     continue
-                total += f.bytes
+                if (f.min_key is not None and f.max_key is not None
+                        and f.min_key >= lo and f.max_key < hi):
+                    total += f.bytes  # fully contained: no footer read
+                else:
+                    total += self._range_bytes_in_dir(
+                        os.path.join(self.path, f.path), lo, hi)
             out.append(total)
         return out
+
+    def _range_bytes_in_dir(self, full_path: str, lo, hi) -> int:
+        """Bytes of ``full_path``'s row groups whose key stats intersect
+        [lo, hi) (stat-key space), from footers only. Row groups without
+        key stats are counted in (over-estimate, never under)."""
+        import pyarrow.parquet as pq
+
+        total = 0
+        for root, _dirs, files in os.walk(full_path):
+            for name in files:
+                if not name.endswith(".parquet"):
+                    continue
+                fpath = os.path.join(root, name)
+                fsize = os.path.getsize(fpath)
+                md = pq.ParquetFile(fpath).metadata
+                idx = md.schema.to_arrow_schema().get_field_index("key")
+
+                def g_bytes(g):
+                    return sum(g.column(c).total_compressed_size
+                               for c in range(g.num_columns))
+
+                data_bytes = sum(g_bytes(md.row_group(rg))
+                                 for rg in range(md.num_row_groups))
+                # footer/header framing, spread over selected groups
+                overhead = max(0, fsize - data_bytes)
+                for rg in range(md.num_row_groups):
+                    g = md.row_group(rg)
+                    st = g.column(idx).statistics
+                    if st is not None and st.has_min_max:
+                        g_min = self._stat_key(st.min)
+                        g_max = self._stat_key(st.max)
+                        if g_max < lo or g_min >= hi:
+                            continue
+                    gb = g_bytes(g)
+                    frac = (gb / data_bytes if data_bytes
+                            else 1.0 / md.num_row_groups)
+                    total += gb + int(overhead * frac)
+        return total
 
     def dump(self) -> dict:
         """DumpFile analogue (M11, kv/db/dumpfile.cpp:134-264):

@@ -1,0 +1,43 @@
+"""fsio: sidecar JSON through the Hadoop FileSystem resolver (ADVICE r5:
+index metadata must ride the same FS abstraction as the parquet, and a
+failed write must never destroy the previous sidecar)."""
+
+import os
+
+import pytest
+
+from quasdb_spark import fsio
+
+
+def test_write_read_roundtrip_and_overwrite(spark, tmp_path):
+    p = str(tmp_path / "meta.json")
+    assert not fsio.exists(spark, p)
+    fsio.write_text(spark, p, '{"a": 1}')
+    assert fsio.exists(spark, p)
+    assert fsio.read_text(spark, p) == '{"a": 1}'
+    # overwrite replaces atomically (temp name + rename)
+    fsio.write_text(spark, p, '{"a": 2, "unicode": "é中"}')
+    assert fsio.read_text(spark, p) == '{"a": 2, "unicode": "é中"}'
+    # no temp litter left behind
+    assert [f for f in os.listdir(tmp_path) if ".tmp-" in f] == []
+
+
+def test_read_missing_raises(spark, tmp_path):
+    with pytest.raises(Exception):
+        fsio.read_text(spark, str(tmp_path / "absent.json"))
+
+
+def test_dedup_index_meta_rides_fsio(spark, tmp_path, sf_dir):
+    """build/load/append route their sidecar through fsio (works on any
+    Hadoop-FS scheme; local file:// here) and refuse mismatched
+    probes."""
+    from quasdb_spark.operators.dedup import (build_dedup_index,
+                                              load_dedup_index)
+    from quasdb_spark.sources.tables import load_table
+
+    docs = load_table(spark, sf_dir, "documents").limit(50)
+    path = str(tmp_path / "dedup_index")
+    meta = build_dedup_index(docs, path, n_hashes=32, n_bands=8)
+    _df, loaded = load_dedup_index(spark, path)
+    assert loaded == meta == {"n_hashes": 32, "n_bands": 8,
+                              "shingle_n": 3}

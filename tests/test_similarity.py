@@ -447,3 +447,59 @@ def test_vectorized_signature_bit_parity(spark):
     with pytest.raises(Exception, match="length"):
         signature_frame_pandas(bad_len, n_bands=2, band_bits=4,
                                dims=64).collect()
+
+
+def test_decontaminate_matches_symmetric_pair_finder(spark, sf_dir):
+    """similarity.decontaminate (probe-side: benchmark bands broadcast,
+    corpus touched once map-only) must be RESULT-IDENTICAL to the
+    symmetric pair finder post-filtered to cross (corpus, benchmark)
+    pairs — same candidates (probed buckets are exactly the buckets
+    that can produce a cross pair; the skew guard counts full bucket
+    membership both ways) and bit-identical scores (same fold operand
+    order). Checked for both the expression and Arrow-vectorized
+    signature paths."""
+    from quasdb_spark.operators.similarity import decontaminate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    kw = dict(threshold=0.40, n_bands=8, band_bits=8,
+              max_bucket_size=1000)
+    bench = e.where(F.col("vec_id") % 5 == 0)
+    corpus = e.where(F.col("vec_id") % 5 != 0)
+
+    pairs = neardup_pairs_banded(e, **kw)
+    a_bm = F.col("id_a") % 5 == 0
+    b_bm = F.col("id_b") % 5 == 0
+    want = {(r.corpus_id, r.benchmark_id, round(r.score, 4))
+            for r in (pairs.where(a_bm != b_bm)
+                      .select(F.when(a_bm, F.col("id_b"))
+                               .otherwise(F.col("id_a")).alias("corpus_id"),
+                              F.when(a_bm, F.col("id_a"))
+                               .otherwise(F.col("id_b")).alias("benchmark_id"),
+                              "score")).collect()}
+    assert want  # the fixture data must actually plant cross near-dups
+
+    for vectorized in (False, True):
+        got = {(r.corpus_id, r.benchmark_id, round(r.score, 4))
+               for r in decontaminate(corpus, bench, vectorized=vectorized,
+                                      **kw).collect()}
+        assert got == want
+
+
+def test_decontaminate_plan_broadcasts_benchmark_only(spark, sf_dir):
+    """The corpus side must never shuffle on band keys: every join in
+    the decontaminate plan is a broadcast join (benchmark side), and
+    there is no cartesian/BNLJ fallback."""
+    from quasdb_spark.operators.similarity import decontaminate
+
+    e = load_table(spark, sf_dir, "embeddings")
+    plan = decontaminate(e.where(F.col("vec_id") % 5 != 0),
+                         e.where(F.col("vec_id") % 5 == 0),
+                         threshold=0.40)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    # no shuffle-hash/sort-merge join anywhere: the only exchanges left
+    # are aggregate/dedup shuffles, never a corpus-band equi-join
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan

@@ -624,3 +624,124 @@ def test_history_tracks_commits_and_compaction(spark, tmp_path):
     # last_seq is monotone in version
     seqs = [r["last_seq"] for r in reversed(h)]
     assert seqs == sorted(seqs)
+
+
+def _bloom_offsets(spark, parquet_file, col="key"):
+    """Bloom-filter offset of ``col`` per row group via the JVM parquet
+    footer reader (-1 = no bloom). pyarrow doesn't expose bloom offsets;
+    parquet-mr's ColumnChunkMetaData does."""
+    jvm = spark._jvm
+    conf = spark._jsc.hadoopConfiguration()
+    p = jvm.org.apache.hadoop.fs.Path(parquet_file)
+    inf = jvm.org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf)
+    r = jvm.org.apache.parquet.hadoop.ParquetFileReader.open(inf)
+    try:
+        footer = r.getFooter()
+        out = []
+        for i in range(footer.getBlocks().size()):
+            rg = footer.getBlocks().get(i)
+            for j in range(rg.getColumns().size()):
+                c = rg.getColumns().get(j)
+                if str(c.getPath()) == f"[{col}]":
+                    out.append(c.getBloomFilterOffset())
+        return out
+    finally:
+        r.close()
+
+
+def _parquet_files(root):
+    import os
+
+    return [os.path.join(r, f) for r, _d, fs in os.walk(root)
+            for f in fs if f.endswith(".parquet")]
+
+
+def test_fresh_batch_bloom_is_size_gated(spark, tmp_path):
+    """A1 on L0 (reference parity: every SSTable carries a filter
+    block, kv/table/filter_block.cpp:9-24): bulk-ingested batch dirs
+    carry an adaptive key bloom so point gets skip row groups on
+    not-yet-compacted data; tiny interactive write_batch dirs skip it
+    (the adaptive filter's smallest candidate ~16 KB would dwarf the
+    dir)."""
+    st = _mk(spark, tmp_path)
+    big = spark.range(20000).selectExpr("cast(id as string) as key",
+                                        "cast(id * 2 as string) as value")
+    st.ingest(big)                                   # bulk: bloom on
+    st.write_batch([("put", "k1", "v1"), ("put", "k2", "v2")])  # tiny: off
+    ver = st.manifest.current()
+    by_rows = sorted(ver.files, key=lambda f: f.rows)
+    tiny, bulk = by_rows[0], by_rows[-1]
+    import os
+
+    bulk_offsets = [o for f in _parquet_files(os.path.join(st.path, bulk.path))
+                    for o in _bloom_offsets(spark, f)]
+    tiny_offsets = [o for f in _parquet_files(os.path.join(st.path, tiny.path))
+                    for o in _bloom_offsets(spark, f)]
+    assert bulk_offsets and all(o > 0 for o in bulk_offsets)
+    assert tiny_offsets and all(o == -1 for o in tiny_offsets)
+    # and the data still reads back
+    assert st.get("7777") == "15554"
+    assert st.get("k1") == "v1"
+
+
+def test_approximate_sizes_subfile_interpolation(spark, tmp_path):
+    """Table::ApproximateOffsetOf parity (kv/table/table.cpp:287-319):
+    a range covering ~half the keyspace of ONE compacted dir must
+    report ~half its bytes (row-group granularity), not the whole
+    dir — whole-file estimates over-report by the file size."""
+    st = _mk(spark, tmp_path)
+    # small parquet row groups so one file holds several -> sub-file
+    # granularity is observable
+    hconf = spark.sparkContext._jsc.hadoopConfiguration()
+    old = hconf.get("parquet.block.size")
+    hconf.set("parquet.block.size", str(16 * 1024))
+    try:
+        st.write_batch([("put", f"a{i:04d}", "x" * 64) for i in range(2000)])
+        st.write_batch([("put", f"z{i:04d}", "y" * 64) for i in range(2000)])
+        st.compact()
+    finally:
+        if old is None:
+            hconf.unset("parquet.block.size")
+        else:
+            hconf.set("parquet.block.size", old)
+    ver = st.manifest.current()
+    assert len(ver.files) == 1
+    total_bytes = ver.files[0].bytes
+    whole, a_half, z_half, gap, outside = st.approximate_sizes(
+        [("a", "zz"), ("a", "b"), ("z", "zz"), ("m", "n"), ("zz", "zzz")])
+    # no overlapping file at all -> exactly 0
+    assert outside == 0
+    # an empty range INSIDE the file's span costs at most the one
+    # row group straddling it (the reference's index-block granularity:
+    # ApproximateOffsetOf resolves to block starts, table.cpp:287-319)
+    assert gap < 0.1 * total_bytes
+    # the full range covers the dir: whole-file fallback
+    assert whole == total_bytes
+    # each half interpolates to roughly half the file (row-group
+    # granularity; generous bounds so compression skew can't flake)
+    for half in (a_half, z_half):
+        assert 0.25 * total_bytes < half < 0.75 * total_bytes
+    # halves are consistent with the whole (framing overhead pro-rated)
+    assert abs((a_half + z_half) - total_bytes) < 0.2 * total_bytes
+
+
+def test_multi_get_prunes_manifest_per_key(spark, tmp_path):
+    """Two scattered keys must scan ONLY the dirs whose [min_key,
+    max_key] contains one of them — a single min->max envelope would
+    keep every dir between them alive (VERDICT r5 #3)."""
+    st = _mk(spark, tmp_path)
+    for prefix in "acegikmoqsuwy":
+        st.write_batch([("put", f"{prefix}{i:03d}", f"{prefix}-{i}")
+                        for i in range(50)])
+    ver = st.manifest.current()
+    assert len(ver.files) == 13
+    keys = ["a007", "y042"]
+    # the pruned log scan behind multi_get: per-key manifest pruning
+    encs = sorted(st._enc(k) for k in keys)
+    log = st.log_df(key_from=encs[0], key_to=st._next_key(encs[-1]),
+                    keys=encs)
+    touched = {f.split("/data/")[1].split("/")[0] for f in log.inputFiles()}
+    assert len(touched) == 2  # only the a* and y* dirs survive
+    assert st.multi_get(keys) == {"a007": "a-7", "y042": "y-42"}
+    # a key in no dir's range prunes everything without erroring
+    assert st.multi_get(["b999"]) == {}
