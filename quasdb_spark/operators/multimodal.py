@@ -371,13 +371,53 @@ FRAME_SCHEMA = StructType([
 ])
 
 
+def _split_avi_frames(blob: bytes) -> list[bytes]:
+    """Video frame chunks out of a RIFF/AVI container by structural
+    walk — no codec math. AVI is RIFF chunks (fourcc + LE32 size +
+    word-aligned body); frames live in the 'movi' LIST (possibly
+    inside 'rec ' sub-LISTs) as '##dc'/'##db' chunks where ## is the
+    stream id. MJPEG-in-AVI stores one complete JPEG per chunk, so
+    the walk alone recovers exact frame bytes. Audio ('##wb') and
+    index ('idx1') chunks are skipped."""
+    import struct
+
+    if blob[:4] != b"RIFF" or blob[8:12] != b"AVI ":
+        raise ValueError("not an AVI container")
+    frames: list[bytes] = []
+
+    def walk(off: int, end: int) -> None:
+        while off + 8 <= end:
+            fourcc = blob[off:off + 4]
+            (size,) = struct.unpack("<I", blob[off + 4:off + 8])
+            body_start = off + 8
+            body_end = min(body_start + size, end)
+            if fourcc == b"LIST":
+                if blob[body_start:body_start + 4] in (b"movi", b"rec "):
+                    walk(body_start + 4, body_end)
+            elif (fourcc[2:4] in (b"dc", b"db")
+                    and fourcc[:2].isalnum()):
+                frames.append(blob[body_start:body_end])
+            off = body_start + size + (size & 1)  # word alignment
+
+    walk(12, len(blob))
+    if not frames:
+        raise ValueError("AVI contains no video frame chunks")
+    return frames
+
+
 def _real_video_frames(blob: bytes) -> list[bytes]:
     """Real video decode to a frame list. MJPEG streams split without
-    any video lib (SOI scan, each frame a standalone JPEG); other
-    containers go through PyAV or imageio when importable (not in this
+    any video lib (SOI scan, each frame a standalone JPEG); MJPEG-in-
+    AVI containers split by RIFF walk (also lib-free); other codecs
+    go through PyAV or imageio when importable (not in this
     container; guarded), else NotImplementedError → QM fallback."""
     if blob[:3] == b"\xff\xd8\xff":
         return _split_mjpeg(blob)
+    if blob[:4] == b"RIFF" and blob[8:12] == b"AVI ":
+        frames = _split_avi_frames(blob)
+        if all(f[:3] == b"\xff\xd8\xff" for f in frames):
+            return frames
+        # non-MJPEG payloads need a real codec: fall through to PyAV
     try:
         import av  # noqa: F401 - guarded optional dep
     except ImportError:

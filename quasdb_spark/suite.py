@@ -4033,44 +4033,43 @@ QUERIES = {
 
 # Driver-evidence rotation: the correctness driver samples the FIRST
 # 50 entries of this dict. Evidence re-accumulates round-robin
-# (VERDICT r4 #8): this round leads with (a) queries whose code
-# changed or whose last driver row was not green — sketch (r4 row
-# ERRed on the old ARRAY output), the IVF pair (materialized lists),
-# region_revenue (un-forced broadcast) — then (b) the 43 queries whose
-# only driver rows are from round-1..3 code (CORRECTNESS_r04 checked
-# the other 50). Newly added queries always join the head of this
-# list so their first driver row lands the same round they ship.
+# (VERDICT r4 #8 / r5 #7): this round leads with (a) the five queries
+# whose code changed in round 6 (probe-side decontaminate, per-key
+# multi_get pruning, escaped gopher stopwords, fsum split boundaries,
+# fsio-backed dedup index), then (b) the 73 queries whose newest
+# driver row predates round-5 code, oldest evidence first (the r3-era
+# cohort, then r4's). CORRECTNESS_r05 checked the other 50. Newly
+# added queries always join the head of this list so their first
+# driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # new in r5: first driver rows this round
-    "rel_local_supplier_volume", "rel_disjunctive_revenue",
-    "rel_sales_opportunity", "text_gopher_rules", "ts_asof_nearest",
-    "dedup_incremental", "stream_join", "emb_decontaminate",
-    "events_transitions", "rel_reorder_gaps", "doc_split_assign",
-    "stream_dedup",
-    "kv_state_postcompact", "text_pii_redact", "emb_semdedup",
-    "stream_tumbling_hourly", "kv_stream_state",
-    "rel_forecast_revenue", "rel_nation_volume", "rel_market_share",
-    "rel_large_volume_customers", "ts_interval_join",
-    "stream_sessionize", "stream_rollup_hourly", "events_retention",
-    "rel_salted_supplier_volume", "text_bm25_search", "kv_multi_get",
-    "rel_returned_items", "kv_codec_reverse_scan",
-    "sketch_events_profile", "sim_ivf_topk", "sim_ivf_quantization",
-    # r3-era rows only (not in CORRECTNESS_r04):
-    "kv_version_history", "kv_live_stats", "ts_tumbling_hourly",
-    "ts_sliding_1h_15m", "ts_downsample_10m_last", "ts_asof_join",
-    "ts_sessionize", "ts_moving_avg", "ts_topk_per_type",
-    "ts_first_last", "ts_rate", "ts_gapfill_hourly",
-    "ts_gapfill_interp", "rel_pricing_summary", "rel_top_orders",
-    "rel_region_revenue", "rel_promo_share", "rel_order_priority",
-    "rel_customer_rank", "rel_supplier_volume", "rel_price_histogram",
-    "text_stats", "text_quality", "text_langid", "text_fingerprint",
-    "text_pii_scan", "text_tfidf_topk", "text_decontaminate",
-    "text_repetition", "text_winnow", "text_token_counts",
-    "pipeline_curation", "dedup_exact", "dedup_minhash_sig",
-    "dedup_minhash_pairs", "dedup_clusters", "dedup_apply",
-    "dedup_containment", "dedup_simhash", "dedup_simhash_pairs",
-    "sim_cosine_topk", "sim_bucket_topk", "sim_knn_graph",
+    "emb_decontaminate", "kv_multi_get", "text_gopher_rules",
+    "doc_split_assign", "dedup_incremental", "dedup_apply",
+    "dedup_clusters", "dedup_containment", "dedup_exact",
+    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_simhash",
+    "dedup_simhash_pairs", "pipeline_curation", "rel_customer_rank",
+    "rel_order_priority", "rel_price_histogram", "rel_supplier_volume",
+    "sim_bucket_topk", "sim_cosine_topk", "sim_knn_graph",
+    "text_decontaminate", "text_fingerprint", "text_langid",
+    "text_pii_scan", "text_quality", "text_repetition", "text_stats",
+    "text_tfidf_topk", "text_token_counts", "text_winnow",
+    "crossmodal_neighbors", "doc_pack_manifest", "doc_sample_fixed_k",
+    "doc_sample_stratified", "doc_sample_weighted", "doc_token_packing",
+    "emb_centroids", "emb_label_separation", "emb_quantize_int8",
+    "events_funnel", "events_json_extract", "kv_point_get",
+    "kv_prefix_scan", "kv_range_scan", "kv_reverse_topn", "kv_seek_page",
+    "kv_state_asof", "kv_state_diff", "kv_state_latest", "kv_typed_state",
+    "mm_audio_stats", "mm_decode_stats", "mm_frame_sample",
+    "mm_resize_roundtrip", "rel_above_avg_orders", "rel_cube",
+    "rel_customer_quartiles", "rel_grouping_sets",
+    "rel_inactive_customers", "rel_order_count_dist", "rel_region_share",
+    "rel_rollup", "rel_set_ops", "rel_shipping_priority",
+    "rel_sole_blamed_supplier", "rel_top_supplier", "rel_unpivot",
+    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk",
+    "text_lang_confusion", "text_zipf", "ts_anomaly_zscore",
+    "ts_ohlc_daily", "ts_percentiles", "ts_pivot_hourly",
+    "ts_trailing_1h_sum",
 ]
+
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},
            **{k: v for k, v in QUERIES.items()
               if k not in set(_DRIVER_CHECK_FIRST)}}
