@@ -151,6 +151,55 @@ def main() -> None:
         "reps": REPS, "stat": "median", "query_spread": spread,
         "maintenance": maintenance, "extra_queries": extra,
     }
+
+    # ---- sf1 scale spot-check (VERDICT r5 #8) ----
+    # If a 10x dataset exists (tools/gen_sf.py writes .sf1 — similarity-
+    # preserving replication, see its docstring), run a 5-query probe at
+    # both SFs and record the scaling ratio. Linear-ish operators should
+    # land near 10x on 10x data (local[32] has constant resources);
+    # anything far above is super-linear and needs a look (SCALE.md §7).
+    sf1_dir = os.environ.get(
+        "SPARK_GRAFT_SF1_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1"))
+    if os.path.isdir(sf1_dir):
+        suite._ivf_cents(spark, sf1_dir)   # untimed maintenance, as at sf0.1
+        suite._ivf_lists(spark, sf1_dir)
+        spot_qs = ["dedup_minhash_pairs", "emb_semdedup", "sim_ivf_topk",
+                   "rel_region_revenue"]
+        spot: dict[str, dict] = {}
+        for name in spot_qs:
+            fn = suite.QUERIES[name]
+            t_small = times.get(name) or extra.get(name)
+            runs = []
+            for _ in range(REPS):
+                t0 = time.perf_counter()
+                _force(fn(spark, sf1_dir))
+                runs.append(time.perf_counter() - t0)
+            t_big = statistics.median(runs)  # same protocol as sf0.1
+            spot[name] = {"sf0.1": t_small, "sf1": round(t_big, 3),
+                          "ratio": round(t_big / t_small, 2)
+                          if t_small else None}
+        # kv_full_state: one fresh ingest+state cycle at sf1
+        ev1 = load_table(spark, sf1_dir, "events")
+        df1 = ev1.selectExpr(
+            "concat('u', lpad(cast(user_id as string), 9, '0')) as key",
+            "cast(event_id as long) as sub",
+            "case when event_type = 'error' then 'del' else 'put' end as op",
+            "cast(value as string) as value")
+        tmp = tempfile.mkdtemp(prefix="quasdb-bench-sf1-")
+        try:
+            st = KVStore.create(spark, os.path.join(tmp, "store"))
+            st.ingest(df1, op_col="op", sub_col="sub")
+            t0 = time.perf_counter()
+            _force(st.state())
+            t_big = time.perf_counter() - t0
+        finally:
+            shutil.rmtree(tmp, ignore_errors=True)
+        t_small = times.get("kv_full_state")
+        spot["kv_full_state"] = {
+            "sf0.1": t_small, "sf1": round(t_big, 3),
+            "ratio": round(t_big / t_small, 2) if t_small else None}
+        payload["sf1_spot"] = spot
     # Emit the JSON line LAST, after the JVM is down, as the sole stdout
     # output (BENCH_r05.json was truncated by interleaved console-progress
     # \r lines; showConsoleProgress is now off in session defaults, and
