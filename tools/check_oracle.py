@@ -44,7 +44,11 @@ def run_checks(spark, sf_dir, only=frozenset(), quiet=False):
     con = duckdb.connect()
     for t in TABLES:
         p = f"{sf_dir}/{t}.parquet"
-        if os.path.exists(p):
+        if os.path.isdir(p):
+            # Spark-written table = a directory of part files (e.g. the
+            # tools/gen_sf.py sf1 dataset); driver testdata = one file
+            con.sql(f"CREATE VIEW {t} AS FROM '{p}/*.parquet'")
+        elif os.path.exists(p):
             con.sql(f"CREATE VIEW {t} AS FROM '{p}'")
 
     def say(msg):
