@@ -1,13 +1,26 @@
-"""HTTP serving shim (reference H1: http_server/ — a Boost.Asio static
-HTTP server, ~1.2k LoC, NOT wired to the KV engine;
-http_server/request_handler.cpp:18-69 serves files from a doc root).
+"""HTTP serving (reference H1: http_server/ — a Boost.Asio HTTP
+server: request_parser.cpp state machine, connection.cpp /
+connection_manager.cpp keep-alive + stop-all lifecycle,
+request_handler.cpp:18-69 static files from a doc root, reply.cpp
+canned status replies).
 
-Parity plus one step further: the reference serves only static files,
-so a thin stdlib ``http.server`` handler covers H1; we additionally
-expose the store's introspection and point/range reads as JSON
-endpoints, which is what a Spark-backed store can meaningfully serve
-(sub-second lookups thanks to manifest + Parquet pruning — not an
-OLTP path, and documented as such).
+Parity plus one step further: the reference serves only static files;
+we additionally expose the store's introspection and point/range reads
+as JSON endpoints, which is what a Spark-backed store can meaningfully
+serve (sub-second lookups thanks to manifest + Parquet pruning — not
+an OLTP path, and documented as such).
+
+Two server frontends share ONE routing function (``handle_request``):
+
+- ``StoreServer`` — stdlib ``ThreadingHTTPServer`` (parsing by
+  stdlib; the pragmatic deployment default).
+- ``RawStoreServer`` — our own socket loop over
+  ``httpparse.RequestParser`` (the reference's request_parser.cpp
+  re-expressed): incremental parsing with good/bad/indeterminate,
+  request pipelining via consumed-byte offsets, HTTP/1.0-vs-1.1
+  keep-alive defaults, 400 on malformed bytes, and a connection
+  manager that tracks live sockets and closes them all on ``stop()``
+  (connection_manager.cpp:16-35 semantics).
 
 Endpoints:
   GET /health                     -> {"status": "ok"}
@@ -22,15 +35,73 @@ from __future__ import annotations
 
 import json
 import os
+import socket
+import socketserver
 import threading
 import urllib.parse
 from http.server import BaseHTTPRequestHandler, ThreadingHTTPServer
 
+from quasdb_spark.httpparse import RequestParser, Result
 from quasdb_spark.store import KVStore
 
 MIME = {".html": "text/html", ".css": "text/css", ".js": "text/javascript",
         ".json": "application/json", ".png": "image/png",
         ".jpg": "image/jpeg", ".gif": "image/gif", ".txt": "text/plain"}
+
+# reply.cpp's canned status lines (the subset this server emits)
+STATUS = {200: "OK", 400: "Bad Request", 403: "Forbidden",
+          404: "Not Found", 405: "Method Not Allowed",
+          500: "Internal Server Error"}
+
+
+def handle_request(store: KVStore | None, doc_root: str | None,
+                   method: str, target: str) -> tuple[int, str, bytes]:
+    """Route one request to (status, content_type, body). Shared by
+    both server frontends, so routing behavior can't drift."""
+    def jbody(obj) -> tuple[str, bytes]:
+        return "application/json", json.dumps(obj).encode()
+
+    try:
+        if method not in ("GET", "HEAD"):
+            return (405, *jbody({"error": "method not allowed"}))
+        url = urllib.parse.urlparse(target)
+        q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
+        if url.path == "/health":
+            return (200, *jbody({"status": "ok"}))
+        if store is not None and url.path == "/props":
+            return (200, *jbody(store.properties()))
+        if store is not None and url.path == "/get":
+            key = q.get("key")
+            if key is None:
+                return (400, *jbody({"error": "missing key"}))
+            asof = int(q["asof"]) if "asof" in q else None
+            val = store.get(key, asof=asof)
+            if val is None:
+                return (404, *jbody({"error": "not found", "key": key}))
+            return (200, *jbody({"key": key, "value": val}))
+        if store is not None and url.path == "/scan":
+            asof = int(q["asof"]) if "asof" in q else None
+            limit = min(int(q.get("limit", "100")), 10000)
+            df = store.scan(q.get("from"), q.get("to"), asof=asof,
+                            reverse=q.get("reverse") == "1",
+                            limit=limit)
+            rows = [[r["key"], store._row_value(r)] for r in df.collect()]
+            return (200, *jbody({"rows": rows}))
+        if doc_root is not None:
+            # static files (H1), with traversal protection
+            rel = urllib.parse.unquote(url.path.lstrip("/")) or "index.html"
+            full = os.path.realpath(os.path.join(doc_root, rel))
+            if not full.startswith(os.path.realpath(doc_root) + os.sep):
+                return (403, *jbody({"error": "forbidden"}))
+            if not os.path.isfile(full):
+                return (404, *jbody({"error": "not found"}))
+            ext = os.path.splitext(full)[1].lower()
+            with open(full, "rb") as f:
+                body = f.read()
+            return (200, MIME.get(ext, "application/octet-stream"), body)
+        return (404, *jbody({"error": "not found"}))
+    except Exception as e:  # pragma: no cover - defensive
+        return (500, *jbody({"error": str(e)[:500]}))
 
 
 def _make_handler(store: KVStore | None, doc_root: str | None):
@@ -38,61 +109,21 @@ def _make_handler(store: KVStore | None, doc_root: str | None):
         def log_message(self, *a):  # quiet
             pass
 
-        def _json(self, code: int, obj) -> None:
-            body = json.dumps(obj).encode()
+        def _respond(self, method: str) -> None:
+            code, ctype, body = handle_request(store, doc_root,
+                                               method, self.path)
             self.send_response(code)
-            self.send_header("Content-Type", "application/json")
+            self.send_header("Content-Type", ctype)
             self.send_header("Content-Length", str(len(body)))
             self.end_headers()
-            self.wfile.write(body)
+            if method != "HEAD":
+                self.wfile.write(body)
 
         def do_GET(self):  # noqa: N802
-            url = urllib.parse.urlparse(self.path)
-            q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
-            try:
-                if url.path == "/health":
-                    return self._json(200, {"status": "ok"})
-                if store is not None and url.path == "/props":
-                    return self._json(200, store.properties())
-                if store is not None and url.path == "/get":
-                    key = q.get("key")
-                    if key is None:
-                        return self._json(400, {"error": "missing key"})
-                    asof = int(q["asof"]) if "asof" in q else None
-                    val = store.get(key, asof=asof)
-                    if val is None:
-                        return self._json(404, {"error": "not found", "key": key})
-                    return self._json(200, {"key": key, "value": val})
-                if store is not None and url.path == "/scan":
-                    asof = int(q["asof"]) if "asof" in q else None
-                    limit = min(int(q.get("limit", "100")), 10000)
-                    df = store.scan(q.get("from"), q.get("to"), asof=asof,
-                                    reverse=q.get("reverse") == "1",
-                                    limit=limit)
-                    rows = [[r["key"], store._row_value(r)]
-                            for r in df.collect()]
-                    return self._json(200, {"rows": rows})
-                if doc_root is not None:
-                    # static files (H1), with traversal protection
-                    rel = urllib.parse.unquote(url.path.lstrip("/")) or "index.html"
-                    full = os.path.realpath(os.path.join(doc_root, rel))
-                    if not full.startswith(os.path.realpath(doc_root) + os.sep):
-                        return self._json(403, {"error": "forbidden"})
-                    if not os.path.isfile(full):
-                        return self._json(404, {"error": "not found"})
-                    ext = os.path.splitext(full)[1].lower()
-                    with open(full, "rb") as f:
-                        body = f.read()
-                    self.send_response(200)
-                    self.send_header("Content-Type",
-                                     MIME.get(ext, "application/octet-stream"))
-                    self.send_header("Content-Length", str(len(body)))
-                    self.end_headers()
-                    self.wfile.write(body)
-                    return
-                return self._json(404, {"error": "not found"})
-            except Exception as e:  # pragma: no cover - defensive
-                return self._json(500, {"error": str(e)[:500]})
+            self._respond("GET")
+
+        def do_HEAD(self):  # noqa: N802
+            self._respond("HEAD")
 
     return Handler
 
@@ -117,3 +148,108 @@ class StoreServer:
     def stop(self) -> None:
         self.httpd.shutdown()
         self.httpd.server_close()
+
+
+def _wire_reply(code: int, ctype: str, body: bytes,
+                keep_alive: bool, head_only: bool) -> bytes:
+    head = (f"HTTP/1.1 {code} {STATUS.get(code, 'Unknown')}\r\n"
+            f"Content-Type: {ctype}\r\n"
+            f"Content-Length: {len(body)}\r\n"
+            f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
+            "\r\n").encode("ascii")
+    return head if head_only else head + body
+
+
+class _RawConnection(socketserver.BaseRequestHandler):
+    """One client connection: feed bytes through RequestParser,
+    answer each GOOD head, honor keep-alive, 400-and-close on BAD.
+    Pipelined requests in one buffer are served in order (the parser
+    reports consumed bytes; the remainder re-feeds after reset)."""
+
+    def handle(self) -> None:
+        srv = self.server
+        srv.track(self.request)
+        parser = RequestParser()
+        pending = b""
+        try:
+            self.request.settimeout(srv.idle_timeout)
+            while True:
+                if pending:
+                    data, pending = pending, b""
+                else:
+                    data = self.request.recv(65536)
+                    if not data:
+                        return
+                result, used = parser.feed(data)
+                pending = data[used:]
+                if result is Result.BAD:
+                    self.request.sendall(_wire_reply(
+                        400, "application/json",
+                        b'{"error": "malformed request"}', False, False))
+                    return
+                if result is Result.INDETERMINATE:
+                    continue
+                req = parser.request
+                keep = req.keep_alive
+                code, ctype, body = handle_request(
+                    srv.store, srv.doc_root, req.method, req.uri)
+                self.request.sendall(_wire_reply(
+                    code, ctype, body, keep, req.method == "HEAD"))
+                if not keep:
+                    return
+                parser.reset()
+        except (TimeoutError, OSError):
+            pass
+        finally:
+            srv.untrack(self.request)
+
+
+class RawStoreServer(socketserver.ThreadingTCPServer):
+    """The reference-parity frontend: our own HTTP parsing and
+    connection lifecycle on a raw socket loop. ``stop()`` closes the
+    listener AND every live connection (connection_manager stop_all
+    semantics) so shutdown never hangs on an idle keep-alive peer."""
+
+    daemon_threads = True
+    allow_reuse_address = True
+
+    def __init__(self, store: KVStore | None = None,
+                 doc_root: str | None = None,
+                 host: str = "127.0.0.1", port: int = 0,
+                 idle_timeout: float = 30.0):
+        super().__init__((host, port), _RawConnection)
+        self.store, self.doc_root = store, doc_root
+        self.idle_timeout = idle_timeout
+        self.port = self.server_address[1]
+        self._live: set[socket.socket] = set()
+        self._lock = threading.Lock()
+        self._thread: threading.Thread | None = None
+
+    def track(self, sock: socket.socket) -> None:
+        with self._lock:
+            self._live.add(sock)
+
+    def untrack(self, sock: socket.socket) -> None:
+        with self._lock:
+            self._live.discard(sock)
+
+    def start(self) -> "RawStoreServer":
+        self._thread = threading.Thread(target=self.serve_forever,
+                                        daemon=True)
+        self._thread.start()
+        return self
+
+    def stop(self) -> None:
+        self.shutdown()
+        self.server_close()
+        with self._lock:
+            live = list(self._live)
+        for s in live:  # stop_all: drop idle keep-alive peers too
+            try:
+                s.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                s.close()
+            except OSError:
+                pass
