@@ -149,3 +149,53 @@ def hash_split(df: DataFrame, id_col: str, *,
     last = items[-1][0]
     expr = F.lit(last) if expr is None else expr.otherwise(F.lit(last))
     return df.withColumn(out_col, expr)
+
+
+def chunk_by_tokens(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *,
+                    max_tokens: int = 512,
+                    overlap: int = 0) -> DataFrame:
+    """Split documents into context-window-bounded token chunks with
+    optional overlap — the standard pre-training/embedding prep step
+    (a doc longer than the model context becomes ceil((n-overlap) /
+    (max_tokens-overlap)) chunks; consecutive chunks share ``overlap``
+    tokens so no span is ever cut without context).
+
+    Returns (id, chunk_id, chunk_text, n_tokens), one row per chunk;
+    chunk i covers tokens [i*stride, i*stride + max_tokens) with
+    stride = max_tokens - overlap; every doc yields >= 1 chunk (a
+    short doc is its own single chunk).
+
+    100 TB shape: MAP-ONLY — the token array is built once per row,
+    chunk ids come from an in-row ``sequence`` explode, and each chunk
+    slices that array; no shuffle, no window, output partitioning
+    follows input. The explode factor is n_tokens/stride, i.e. output
+    volume ~ input volume * (1 + overlap/stride) — bounded and known
+    up front. Tokenization is the whitespace contract shared with
+    token_counts (functions/text.tokens), so chunk token counts
+    reconcile with corpus-level token accounting.
+    """
+    from ..functions.text import tokens
+
+    if not 0 <= overlap < max_tokens:
+        raise ValueError(
+            f"overlap must be in [0, max_tokens); got {overlap} "
+            f"vs max_tokens={max_tokens}")
+    stride = max_tokens - overlap
+    toks = tokens(text_col)
+    n = F.size(toks)
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((n - F.lit(overlap)) / F.lit(float(stride))).cast("int"))
+    return (df.select(F.col(id_col), toks.alias("_toks"), n.alias("_n"),
+                      F.explode(F.sequence(F.lit(0), n_chunks - 1))
+                       .alias("chunk_id"))
+              .select(F.col(id_col),
+                      F.col("chunk_id").cast("int").alias("chunk_id"),
+                      F.concat_ws(" ", F.slice(
+                          F.col("_toks"),
+                          F.col("chunk_id") * stride + 1,
+                          F.lit(max_tokens))).alias("chunk_text"),
+                      F.least(F.lit(max_tokens),
+                              F.col("_n") - F.col("chunk_id") * stride)
+                       .cast("int").alias("n_tokens")))

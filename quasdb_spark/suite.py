@@ -3476,6 +3476,21 @@ def q_doc_split_assign(spark, sf_dir):
                     F.max("doc_id").alias("last_doc")))
 
 
+def q_doc_chunking(spark, sf_dir):
+    """Context-window chunking: every doc split into ≤32-token chunks
+    with an 8-token overlap (chunk i covers tokens [i*24, i*24+32));
+    short docs are their own single chunk. MAP-ONLY — an in-row
+    sequence explode + array slice, no shuffle, output volume bounded
+    at input*(1+overlap/stride). The universal pre-training /
+    embedding prep step (32/8 here so the testdata's 10-99-token docs
+    actually exercise multi-chunk splits + overlap; production uses
+    the model context, e.g. 8192/256 — same plan shape)."""
+    from quasdb_spark.operators.packing import chunk_by_tokens
+    d = _t(spark, sf_dir, "documents")
+    return chunk_by_tokens(d, "doc_id", "text",
+                           max_tokens=32, overlap=8)
+
+
 def q_doc_sample_fixed_k(spark, sf_dir):
     """Exactly-20-per-language deterministic sample (md5-ranked):
     fixed-size stratified draws for eval-set construction."""
@@ -3521,6 +3536,22 @@ def q_doc_pack_manifest(spark, sf_dir):
 
 
 _PACK_ORACLES = {
+    # chunk i covers 1-based token positions [i*24+1, i*24+32]
+    # (DuckDB list slices are 1-based INCLUSIVE; Spark slice(start,
+    # length) matches exactly); integer-vs-double division pinned by
+    # the CAST to DOUBLE in both engines
+    "doc_chunking": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS toks FROM documents),
+        n AS (SELECT doc_id, toks, len(toks) AS n FROM t),
+        c AS (SELECT doc_id, toks, n,
+                     greatest(1, CAST(ceil((n - 8) / CAST(24 AS DOUBLE))
+                                      AS INT)) AS n_chunks
+              FROM n)
+        SELECT doc_id, CAST(i AS INT) AS chunk_id,
+               array_to_string(toks[i*24+1 : i*24+32], ' ')
+                 AS chunk_text,
+               CAST(least(32, n - i*24) AS INT) AS n_tokens
+        FROM c, unnest(range(n_chunks)) AS u(i)""",
     "doc_pack_manifest": f"""
         WITH t AS (SELECT doc_id,
                           CAST(len({_TOKENS_SQL}) AS INT) AS n_tokens
@@ -4019,6 +4050,7 @@ QUERIES = {
     "rel_region_share": q_rel_region_share,
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_split_assign": q_doc_split_assign,
+    "doc_chunking": q_doc_chunking,
     "doc_sample_fixed_k": q_doc_sample_fixed_k,
     "doc_sample_weighted": q_doc_sample_weighted,
     "doc_pack_manifest": q_doc_pack_manifest,
@@ -4042,6 +4074,7 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
+    "doc_chunking",  # new in r7: first driver row this round
     "emb_decontaminate", "kv_multi_get", "text_gopher_rules",
     "doc_split_assign", "dedup_incremental", "dedup_apply",
     "dedup_clusters", "dedup_containment", "dedup_exact",

@@ -333,3 +333,50 @@ def test_hash_split_partition_and_stability(spark):
     assert moved > 50
     with _pytest.raises(ValueError):
         hash_split(df, "doc_id", splits={"a": 0.5, "b": 0.2})
+
+
+def test_chunk_by_tokens_boundaries_and_overlap(spark):
+    """Chunk i covers tokens [i*stride, i*stride+max); consecutive
+    chunks share exactly ``overlap`` tokens; short docs are one chunk;
+    reassembling chunks with the overlap dropped recovers the doc."""
+    from quasdb_spark.operators.packing import chunk_by_tokens
+
+    words = [f"w{i}" for i in range(25)]
+    rows = [(1, " ".join(words)),     # 25 tokens -> 3 chunks at 10/5
+            (2, "short doc"),          # 2 tokens -> 1 chunk
+            (3, " ".join(words[:10])), # exactly max_tokens -> 1 chunk
+            (4, " ".join(words[:11]))] # one past max -> 2 chunks
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = chunk_by_tokens(df, "doc_id", "text", max_tokens=10, overlap=5)
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in out.collect()}
+
+    # 25 tokens, stride 5 -> ceil((25-5)/5) = 4 chunks
+    assert sorted(k[1] for k in got if k[0] == 1) == [0, 1, 2, 3]
+    assert got[(1, 0)] == (" ".join(words[0:10]), 10)
+    assert got[(1, 1)] == (" ".join(words[5:15]), 10)
+    assert got[(1, 2)] == (" ".join(words[10:20]), 10)
+    assert got[(1, 3)] == (" ".join(words[15:25]), 10)
+    # consecutive chunks overlap by exactly 5 tokens
+    assert got[(1, 0)][0].split()[5:] == got[(1, 1)][0].split()[:5]
+    # short docs: single chunk, full text, true token count
+    assert got[(2, 0)] == ("short doc", 2)
+    assert sorted(k[1] for k in got if k[0] == 2) == [0]
+    assert sorted(k[1] for k in got if k[0] == 3) == [0]
+    assert got[(4, 1)] == (" ".join(words[5:11]), 6)
+    # reassembly: chunk 0 + each later chunk minus its overlap prefix
+    reassembled = got[(1, 0)][0].split()
+    for i in (1, 2, 3):
+        reassembled += got[(1, i)][0].split()[5:]
+    assert reassembled == words
+
+
+def test_chunk_by_tokens_rejects_bad_overlap(spark):
+    from quasdb_spark.operators.packing import chunk_by_tokens
+    import pytest
+
+    df = spark.createDataFrame([(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(df, max_tokens=8, overlap=8)
+    with pytest.raises(ValueError, match="overlap"):
+        chunk_by_tokens(df, max_tokens=8, overlap=-1)
