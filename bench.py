@@ -166,7 +166,7 @@ def main() -> None:
         suite._ivf_cents(spark, sf1_dir)   # untimed maintenance, as at sf0.1
         suite._ivf_lists(spark, sf1_dir)
         spot_qs = ["dedup_minhash_pairs", "emb_semdedup", "sim_ivf_topk",
-                   "rel_region_revenue"]
+                   "rel_region_revenue", "ts_asof_join", "text_bm25_search"]
         spot: dict[str, dict] = {}
         for name in spot_qs:
             fn = suite.QUERIES[name]
