@@ -155,7 +155,7 @@ def main() -> None:
 
     # ---- sf1 scale spot-check (VERDICT r5 #8) ----
     # If a 10x dataset exists (tools/gen_sf.py writes .sf1 — similarity-
-    # preserving replication, see its docstring), run a 5-query probe at
+    # preserving replication, see its docstring), run a 7-query probe at
     # both SFs and record the scaling ratio. Linear-ish operators should
     # land near 10x on 10x data (local[32] has constant resources);
     # anything far above is super-linear and needs a look (SCALE.md §7).
@@ -170,7 +170,7 @@ def main() -> None:
         spot: dict[str, dict] = {}
         for name in spot_qs:
             fn = suite.QUERIES[name]
-            t_small = times.get(name) or extra.get(name)
+            t_small = times.get(name, extra.get(name))
             runs = []
             for _ in range(REPS):
                 t0 = time.perf_counter()
@@ -179,7 +179,8 @@ def main() -> None:
             t_big = statistics.median(runs)  # same protocol as sf0.1
             spot[name] = {"sf0.1": t_small, "sf1": round(t_big, 3),
                           "ratio": round(t_big / t_small, 2)
-                          if t_small else None}
+                          if t_small is not None and t_small > 0
+                          else None}
         # kv_full_state: one fresh ingest+state cycle at sf1
         ev1 = load_table(spark, sf1_dir, "events")
         df1 = ev1.selectExpr(

@@ -56,15 +56,27 @@ class Request:
     @property
     def keep_alive(self) -> bool:
         """Connection persistence per RFC 9112 defaults: HTTP/1.1
-        persists unless ``Connection: close``; HTTP/1.0 closes unless
-        ``Connection: keep-alive``."""
-        conn = (self.header("Connection") or "").lower()
+        persists unless ``close`` appears in the Connection option
+        list; HTTP/1.0 closes unless ``keep-alive`` does. Connection
+        is a comma-separated token LIST ("close, TE" must close), so
+        membership, not string equality."""
+        opts = {t.strip() for t in
+                (self.header("Connection") or "").lower().split(",")}
         if (self.version_major, self.version_minor) >= (1, 1):
-            return conn != "close"
-        return conn == "keep-alive"
+            return "close" not in opts
+        return "keep-alive" in opts
 
 
 _TSPECIALS = set(b'()<>@,;:\\"/[]?={} \t')
+
+# Field-size caps: a peer that never sends the terminating SP/CRLF
+# must hit BAD, not grow a buffer without bound (the raw server feeds
+# this parser straight off the socket). Generous for real traffic.
+MAX_METHOD = 64
+MAX_URI = 64 * 1024
+MAX_HEADER_NAME = 256
+MAX_HEADER_VALUE = 64 * 1024
+MAX_HEADERS = 100
 
 
 def _is_ctl(b: int) -> bool:
@@ -103,6 +115,7 @@ class RequestParser:
         self._buf = bytearray()
         self._name = ""
         self._version = bytearray()
+        self._fold = False
 
     def feed(self, data: bytes) -> tuple[Result, int]:
         """Consume bytes until one request head completes or fails.
@@ -129,7 +142,7 @@ class RequestParser:
                 req.method = self._buf.decode("ascii")
                 self._buf.clear()
                 self._state = _S.URI
-            elif _is_token_char(b):
+            elif _is_token_char(b) and len(self._buf) < MAX_METHOD:
                 self._buf.append(b)
             else:
                 return Result.BAD
@@ -140,7 +153,7 @@ class RequestParser:
                 req.uri = self._buf.decode("latin-1")
                 self._buf.clear()
                 self._state = _S.VERSION
-            elif _is_ctl(b):
+            elif _is_ctl(b) or len(self._buf) >= MAX_URI:
                 return Result.BAD
             else:
                 self._buf.append(b)
@@ -175,6 +188,8 @@ class RequestParser:
                     return Result.BAD
                 self._state = _S.HEADER_LWS
             elif _is_token_char(b):
+                if len(req.headers) >= MAX_HEADERS:
+                    return Result.BAD
                 self._buf.append(b)
                 self._state = _S.HEADER_NAME
             else:
@@ -198,7 +213,7 @@ class RequestParser:
                 self._name = self._buf.decode("ascii")
                 self._buf.clear()
                 self._state = _S.HEADER_SPACE
-            elif _is_token_char(b):
+            elif _is_token_char(b) and len(self._buf) < MAX_HEADER_NAME:
                 self._buf.append(b)
             else:
                 return Result.BAD
@@ -216,7 +231,7 @@ class RequestParser:
                 self._fold = False
         elif s is _S.HEADER_VALUE:
             if b == 0x0D:
-                if getattr(self, "_fold", False):
+                if self._fold:
                     name, value = self.request.headers[-1]
                     req.headers[-1] = (
                         name, value + self._buf.decode("latin-1"))
@@ -225,7 +240,7 @@ class RequestParser:
                         (self._name, self._buf.decode("latin-1")))
                 self._buf.clear()
                 self._state = _S.HEADER_LF
-            elif _is_ctl(b):
+            elif _is_ctl(b) or len(self._buf) >= MAX_HEADER_VALUE:
                 return Result.BAD
             else:
                 self._buf.append(b)

@@ -182,7 +182,11 @@ def chunk_by_tokens(df: DataFrame, id_col: str = "doc_id",
             f"overlap must be in [0, max_tokens); got {overlap} "
             f"vs max_tokens={max_tokens}")
     stride = max_tokens - overlap
-    toks = tokens(text_col)
+    # NULL text folds to the empty-string token array (same one-token
+    # result '' gets from split) — otherwise least()/greatest() skip
+    # the NULL token count and a NULL doc would emit one phantom chunk
+    # claiming n_tokens == max_tokens, corrupting token accounting.
+    toks = F.coalesce(tokens(text_col), F.array(F.lit("")))
     n = F.size(toks)
     n_chunks = F.greatest(
         F.lit(1),

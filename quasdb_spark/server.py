@@ -55,30 +55,40 @@ STATUS = {200: "OK", 400: "Bad Request", 403: "Forbidden",
 
 
 def handle_request(store: KVStore | None, doc_root: str | None,
-                   method: str, target: str) -> tuple[int, str, bytes]:
-    """Route one request to (status, content_type, body). Shared by
-    both server frontends, so routing behavior can't drift."""
+                   method: str, target: str
+                   ) -> tuple[int, str, bytes, int]:
+    """Route one request to (status, content_type, body, content_len).
+    Shared by both server frontends, so routing behavior can't drift.
+    For HEAD on static files the body stays EMPTY but content_len is
+    the file's true size (never read a multi-GB file just to discard
+    it); everywhere else content_len == len(body)."""
     def jbody(obj) -> tuple[str, bytes]:
         return "application/json", json.dumps(obj).encode()
 
+    def reply(code: int, ctype: str, body: bytes,
+              clen: int | None = None) -> tuple[int, str, bytes, int]:
+        return (code, ctype, body,
+                len(body) if clen is None else clen)
+
     try:
         if method not in ("GET", "HEAD"):
-            return (405, *jbody({"error": "method not allowed"}))
+            return reply(405, *jbody({"error": "method not allowed"}))
         url = urllib.parse.urlparse(target)
         q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
         if url.path == "/health":
-            return (200, *jbody({"status": "ok"}))
+            return reply(200, *jbody({"status": "ok"}))
         if store is not None and url.path == "/props":
-            return (200, *jbody(store.properties()))
+            return reply(200, *jbody(store.properties()))
         if store is not None and url.path == "/get":
             key = q.get("key")
             if key is None:
-                return (400, *jbody({"error": "missing key"}))
+                return reply(400, *jbody({"error": "missing key"}))
             asof = int(q["asof"]) if "asof" in q else None
             val = store.get(key, asof=asof)
             if val is None:
-                return (404, *jbody({"error": "not found", "key": key}))
-            return (200, *jbody({"key": key, "value": val}))
+                return reply(404, *jbody({"error": "not found",
+                                          "key": key}))
+            return reply(200, *jbody({"key": key, "value": val}))
         if store is not None and url.path == "/scan":
             asof = int(q["asof"]) if "asof" in q else None
             limit = min(int(q.get("limit", "100")), 10000)
@@ -86,22 +96,25 @@ def handle_request(store: KVStore | None, doc_root: str | None,
                             reverse=q.get("reverse") == "1",
                             limit=limit)
             rows = [[r["key"], store._row_value(r)] for r in df.collect()]
-            return (200, *jbody({"rows": rows}))
+            return reply(200, *jbody({"rows": rows}))
         if doc_root is not None:
             # static files (H1), with traversal protection
             rel = urllib.parse.unquote(url.path.lstrip("/")) or "index.html"
             full = os.path.realpath(os.path.join(doc_root, rel))
             if not full.startswith(os.path.realpath(doc_root) + os.sep):
-                return (403, *jbody({"error": "forbidden"}))
+                return reply(403, *jbody({"error": "forbidden"}))
             if not os.path.isfile(full):
-                return (404, *jbody({"error": "not found"}))
+                return reply(404, *jbody({"error": "not found"}))
             ext = os.path.splitext(full)[1].lower()
+            ctype = MIME.get(ext, "application/octet-stream")
+            if method == "HEAD":  # size only, never read the file
+                return reply(200, ctype, b"", os.path.getsize(full))
             with open(full, "rb") as f:
                 body = f.read()
-            return (200, MIME.get(ext, "application/octet-stream"), body)
-        return (404, *jbody({"error": "not found"}))
+            return reply(200, ctype, body)
+        return reply(404, *jbody({"error": "not found"}))
     except Exception as e:  # pragma: no cover - defensive
-        return (500, *jbody({"error": str(e)[:500]}))
+        return reply(500, *jbody({"error": str(e)[:500]}))
 
 
 def _make_handler(store: KVStore | None, doc_root: str | None):
@@ -110,11 +123,11 @@ def _make_handler(store: KVStore | None, doc_root: str | None):
             pass
 
         def _respond(self, method: str) -> None:
-            code, ctype, body = handle_request(store, doc_root,
-                                               method, self.path)
+            code, ctype, body, clen = handle_request(store, doc_root,
+                                                     method, self.path)
             self.send_response(code)
             self.send_header("Content-Type", ctype)
-            self.send_header("Content-Length", str(len(body)))
+            self.send_header("Content-Length", str(clen))
             self.end_headers()
             if method != "HEAD":
                 self.wfile.write(body)
@@ -150,11 +163,11 @@ class StoreServer:
         self.httpd.server_close()
 
 
-def _wire_reply(code: int, ctype: str, body: bytes,
+def _wire_reply(code: int, ctype: str, body: bytes, clen: int,
                 keep_alive: bool, head_only: bool) -> bytes:
     head = (f"HTTP/1.1 {code} {STATUS.get(code, 'Unknown')}\r\n"
             f"Content-Type: {ctype}\r\n"
-            f"Content-Length: {len(body)}\r\n"
+            f"Content-Length: {clen}\r\n"
             f"Connection: {'keep-alive' if keep_alive else 'close'}\r\n"
             "\r\n").encode("ascii")
     return head if head_only else head + body
@@ -183,18 +196,24 @@ class _RawConnection(socketserver.BaseRequestHandler):
                 result, used = parser.feed(data)
                 pending = data[used:]
                 if result is Result.BAD:
+                    body = b'{"error": "malformed request"}'
                     self.request.sendall(_wire_reply(
-                        400, "application/json",
-                        b'{"error": "malformed request"}', False, False))
+                        400, "application/json", body, len(body),
+                        False, False))
                     return
                 if result is Result.INDETERMINATE:
                     continue
                 req = parser.request
-                keep = req.keep_alive
-                code, ctype, body = handle_request(
+                # Non-GET/HEAD requests may carry a body this server
+                # never reads; keeping the connection would desync the
+                # parser on those unread bytes (they'd be parsed as
+                # the next request head). Close after answering 405.
+                keep = req.keep_alive and req.method in ("GET", "HEAD")
+                code, ctype, body, clen = handle_request(
                     srv.store, srv.doc_root, req.method, req.uri)
                 self.request.sendall(_wire_reply(
-                    code, ctype, body, keep, req.method == "HEAD"))
+                    code, ctype, body, clen, keep,
+                    req.method == "HEAD"))
                 if not keep:
                     return
                 parser.reset()

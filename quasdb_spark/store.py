@@ -1353,29 +1353,28 @@ class KVStore:
                     continue
                 fpath = os.path.join(root, name)
                 fsize = os.path.getsize(fpath)
-                md = pq.ParquetFile(fpath).metadata
-                idx = md.schema.to_arrow_schema().get_field_index("key")
-
-                def g_bytes(g):
-                    return sum(g.column(c).total_compressed_size
-                               for c in range(g.num_columns))
-
-                data_bytes = sum(g_bytes(md.row_group(rg))
-                                 for rg in range(md.num_row_groups))
-                # footer/header framing, spread over selected groups
-                overhead = max(0, fsize - data_bytes)
-                for rg in range(md.num_row_groups):
-                    g = md.row_group(rg)
-                    st = g.column(idx).statistics
-                    if st is not None and st.has_min_max:
-                        g_min = self._stat_key(st.min)
-                        g_max = self._stat_key(st.max)
-                        if g_max < lo or g_min >= hi:
-                            continue
-                    gb = g_bytes(g)
-                    frac = (gb / data_bytes if data_bytes
-                            else 1.0 / md.num_row_groups)
-                    total += gb + int(overhead * frac)
+                with pq.ParquetFile(fpath) as pf:  # close FDs promptly
+                    md = pf.metadata
+                    idx = md.schema.to_arrow_schema() \
+                            .get_field_index("key")
+                    groups = [md.row_group(rg)
+                              for rg in range(md.num_row_groups)]
+                    sizes = [sum(g.column(c).total_compressed_size
+                                 for c in range(g.num_columns))
+                             for g in groups]
+                    data_bytes = sum(sizes)
+                    # footer/header framing, spread over selected groups
+                    overhead = max(0, fsize - data_bytes)
+                    for g, gb in zip(groups, sizes):
+                        st = g.column(idx).statistics
+                        if st is not None and st.has_min_max:
+                            g_min = self._stat_key(st.min)
+                            g_max = self._stat_key(st.max)
+                            if g_max < lo or g_min >= hi:
+                                continue
+                        frac = (gb / data_bytes if data_bytes
+                                else 1.0 / len(groups))
+                        total += gb + int(overhead * frac)
         return total
 
     def dump(self) -> dict:

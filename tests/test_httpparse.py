@@ -178,3 +178,60 @@ def test_raw_server_stop_closes_idle_keepalive_peer(spark, tmp_path):
         assert s.recv(65536) == b""
     finally:
         s.close()
+
+
+def test_connection_header_token_list_and_caps():
+    """'Connection: close, TE' must close (token-list membership, not
+    string equality); unbounded fields hit BAD instead of growing the
+    parser's buffers forever."""
+    p = RequestParser()
+    res, _ = p.feed(b"GET / HTTP/1.1\r\nConnection: close, TE\r\n\r\n")
+    assert res is Result.GOOD and not p.request.keep_alive
+    p.reset()
+    res, _ = p.feed(b"GET /" + b"a" * (64 * 1024 + 10))  # URI cap
+    assert res is Result.BAD
+    p.reset()
+    res, _ = p.feed(b"X" * 100)  # method cap
+    assert res is Result.BAD
+
+
+def test_raw_server_post_closes_connection(spark, tmp_path):
+    """A request that may carry a body (anything but GET/HEAD) gets
+    405 AND a connection close — keeping it alive would desync the
+    parser on the unread body bytes (they'd parse as the next
+    request's method)."""
+    from quasdb_spark.server import RawStoreServer
+
+    srv = RawStoreServer().start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            r = _roundtrip(s, b"POST /x HTTP/1.1\r\nHost: h\r\n"
+                              b"Content-Length: 5\r\n\r\nhello")
+            assert r.startswith(b"HTTP/1.1 405")
+            assert b"Connection: close" in r
+            assert s.recv(65536) == b""  # server closed; no desync
+    finally:
+        srv.stop()
+
+
+def test_head_static_reports_size_without_body(spark, tmp_path):
+    """HEAD on a static file returns the true Content-Length with an
+    empty body — the file is never read (stat only)."""
+    from quasdb_spark.server import RawStoreServer
+
+    www = tmp_path / "www"
+    www.mkdir()
+    (www / "big.txt").write_bytes(b"z" * 4096)
+    srv = RawStoreServer(doc_root=str(www)).start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            s.sendall(b"HEAD /big.txt HTTP/1.1\r\nHost: h\r\n\r\n")
+            buf = b""
+            while b"\r\n\r\n" not in buf:
+                buf += s.recv(65536)
+            assert b"HTTP/1.1 200" in buf
+            assert b"Content-Length: 4096" in buf
+            head, _, rest = buf.partition(b"\r\n\r\n")
+            assert rest == b""  # no body follows a HEAD reply
+    finally:
+        srv.stop()

@@ -380,3 +380,17 @@ def test_chunk_by_tokens_rejects_bad_overlap(spark):
         chunk_by_tokens(df, max_tokens=8, overlap=8)
     with pytest.raises(ValueError, match="overlap"):
         chunk_by_tokens(df, max_tokens=8, overlap=-1)
+
+
+def test_chunk_by_tokens_null_text_single_empty_chunk(spark):
+    """NULL text behaves exactly like empty text: one chunk of the
+    ''-token (n_tokens 1), never a phantom max_tokens-sized chunk
+    (least/greatest skip NULLs, so this needs the explicit coalesce)."""
+    from quasdb_spark.operators.packing import chunk_by_tokens
+
+    df = spark.createDataFrame([(1, None), (2, "")],
+                               "doc_id: long, text: string")
+    got = {(r.doc_id, r.chunk_id): (r.chunk_text, r.n_tokens)
+           for r in chunk_by_tokens(df, max_tokens=10,
+                                    overlap=5).collect()}
+    assert got == {(1, 0): ("", 1), (2, 0): ("", 1)}
