@@ -246,3 +246,14 @@ def test_dedup_incremental_broadcasts_batch_not_corpus(spark, sf_dir):
     # corpus text is never rescanned: the only text column read is the
     # new batch's (documents scan), the index scan reads hashes only
     assert "minhash_sig" in plan
+
+
+def test_doc_chunking_is_map_only(spark, sf_dir):
+    """Context-window chunking is one codegen stage: in-row sequence
+    explode + array slice — no shuffle, no Python, so 100 TB of docs
+    chunk at scan throughput with output partitioning following
+    input."""
+    plan = _plan(suite.QUERIES["doc_chunking"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "Generate explode" in plan
