@@ -826,10 +826,70 @@ class KVStore:
         v = row["value"]
         return bytes(v) if self.binary and v is not None else v
 
+    # Point-read engine: "driver" answers get()/multi_get() with a
+    # pyarrow footer-pruned read on the DRIVER — no Spark job, so a
+    # point get costs milliseconds like the reference's embedded Get()
+    # (kv/db/db_impl.cpp:1292-1349) instead of a job-scheduling round
+    # trip. Falls back to the Spark path automatically for non-local
+    # store paths (pyarrow would need the object-store fs); "spark"
+    # forces the distributed path (same results — pinned by test).
+    # Range SCANS always stay in Spark: they return DataFrames and
+    # scale with the cluster; only single-key/IN lookups, whose result
+    # is driver-sized by definition, take the driver path.
+    point_read_engine: str = "driver"
+
+    def _driver_reads_ok(self) -> bool:
+        return self.point_read_engine == "driver" \
+            and "://" not in self.path
+
+    def _driver_point_winners(self, encs: list, asof: int | None) -> dict:
+        """LWW winner row per stored key via pyarrow (driver-side, no
+        Spark job): same per-key manifest pruning as log_df, then a
+        dataset scan whose key/seq filters prune row groups by their
+        parquet stats. Tombstone winners are dropped (NotFound).
+        Tie-break mirrors state_view's max_by(struct(seq, sub)):
+        null sub orders below any integer."""
+        import pyarrow.dataset as pads
+
+        ver = self.manifest.current()
+        key_stats = sorted(self._stat_key(k) for k in encs)
+        files, survivors = [], []
+        for f in ver.files:
+            if asof is not None and f.seq_lo > asof:
+                continue
+            if f.min_key is not None and f.max_key is not None:
+                i = bisect.bisect_left(key_stats, f.min_key)
+                if i >= len(key_stats) or key_stats[i] > f.max_key:
+                    continue
+            full = os.path.join(self.path, f.path)
+            for root, _dirs, names in os.walk(full):
+                files += [os.path.join(root, n) for n in names
+                          if n.endswith(".parquet")]
+            survivors.append(f)
+        self._record_seeks(survivors)
+        if not files:
+            return {}
+        filt = pads.field("key").isin(encs)
+        if asof is not None:
+            filt = filt & (pads.field("seq") <= asof)
+        rows = pads.dataset(files).to_table(filter=filt).to_pylist()
+        best: dict = {}
+        for r in rows:
+            sub = r.get("sub")
+            order = (r["seq"], 0 if sub is None else 1,
+                     0 if sub is None else sub)
+            k = r["key"]
+            if k not in best or order > best[k][0]:
+                best[k] = (order, r)
+        return {k: r for k, (_, r) in best.items() if r["op"] != DEL}
+
     def get(self, key, asof: int | None = None):
         """Point lookup (kv/db/db_impl.cpp:1292-1349). Returns None for
         missing/deleted keys (NotFound convention → None)."""
         enc = self._enc(key)
+        if self._driver_reads_ok():
+            win = self._driver_point_winners([enc], asof).get(enc)
+            return None if win is None else self._row_value(win)
         rows = (self.state(asof, key_from=enc, key_to=self._next_key(enc))
                 .where(F.col("key") == F.lit(enc)).limit(1).collect())
         if not rows:
@@ -840,13 +900,17 @@ class KVStore:
         """Batched point lookup: ONE pruned scan with an IN filter
         (vs N get() round trips). Missing/deleted keys are absent from
         the result (NotFound convention). Manifest pruning is PER KEY
-        (log_df ``keys``): two scattered keys scan only the dirs whose
-        [min_key, max_key] actually contains one of them, not every
-        dir between them; Parquet stats/bloom then prune inside the
-        survivors."""
+        (log_df ``keys``/the driver dataset scan): two scattered keys
+        scan only the dirs whose [min_key, max_key] actually contains
+        one of them, not every dir between them; Parquet stats/bloom
+        then prune inside the survivors."""
         if not keys:
             return {}
         encs = sorted(set(self._enc(k) for k in keys))
+        if self._driver_reads_ok():
+            wins = self._driver_point_winners(encs, asof)
+            return {self._dec(k): self._row_value(r)
+                    for k, r in wins.items()}
         lo, hi = encs[0], self._next_key(encs[-1])
         st = self.state(asof, key_from=lo, key_to=hi, keys=encs) \
                  .where(F.col("key").isin(encs))

@@ -745,3 +745,51 @@ def test_multi_get_prunes_manifest_per_key(spark, tmp_path):
     assert st.multi_get(keys) == {"a007": "a-7", "y042": "y-42"}
     # a key in no dir's range prunes everything without erroring
     assert st.multi_get(["b999"]) == {}
+
+
+def test_point_reads_driver_and_spark_engines_agree(spark, tmp_path):
+    """get()/multi_get() default to the DRIVER pyarrow path (no Spark
+    job — the reference's embedded-Get cost model); results must be
+    IDENTICAL to the Spark path across overwrites, tombstones, as-of
+    snapshots, bulk (null-sub) vs batch (int-sub) writes, and
+    compaction."""
+    st = _mk(spark, tmp_path)
+    assert st._driver_reads_ok()
+    st.write_batch([("put", f"k{i:02d}", f"v{i}") for i in range(20)])
+    snap = st.manifest.current().last_seq
+    st.write_batch([("put", "k05", "v5b"), ("del", "k07", None),
+                    ("put", "k05", "v5c")])  # same-key intra-batch order
+    # bulk ingest (sub is NULL) then a later batch overwrite (sub int):
+    # exercises the null-vs-int sub tie-break path at different seqs
+    bulk = spark.createDataFrame([("k21", "bulk21"), ("k22", "bulk22")],
+                                 ["key", "value"])
+    st.ingest(bulk)
+    st.write_batch([("put", "k22", "batch22")])
+
+    keys = [f"k{i:02d}" for i in range(23)] + ["nope"]
+    expect = {f"k{i:02d}": f"v{i}" for i in range(20)}
+    expect.update({"k05": "v5c", "k21": "bulk21", "k22": "batch22"})
+    del expect["k07"]
+
+    def both(fn):
+        driver = fn()
+        st.point_read_engine = "spark"
+        try:
+            assert fn() == driver
+        finally:
+            st.point_read_engine = "driver"
+        return driver
+
+    assert both(lambda: st.multi_get(keys)) == expect
+    assert both(lambda: st.get("k05")) == "v5c"
+    assert both(lambda: st.get("k07")) is None
+    assert both(lambda: st.get("nope")) is None
+    # as-of: pre-delete snapshot resurrects k07, pre-overwrite k05
+    assert both(lambda: st.get("k07", asof=snap)) == "v7"
+    assert both(lambda: st.get("k05", asof=snap)) == "v5"
+    assert both(lambda: st.multi_get(["k05", "k07"], asof=snap)) == \
+        {"k05": "v5", "k07": "v7"}
+    # compaction must not change any answer (blooms + fold)
+    st.compact()
+    assert both(lambda: st.multi_get(keys)) == expect
+    assert both(lambda: st.get("k07")) is None
