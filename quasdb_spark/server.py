@@ -7,8 +7,9 @@ canned status replies).
 Parity plus one step further: the reference serves only static files;
 we additionally expose the store's introspection and point/range reads
 as JSON endpoints, which is what a Spark-backed store can meaningfully
-serve (sub-second lookups thanks to manifest + Parquet pruning — not
-an OLTP path, and documented as such).
+serve (point lookups answer in single-digit milliseconds via the
+store's driver-side pyarrow read path; range scans are pruned Spark
+jobs — not an OLTP path, and documented as such).
 
 Two server frontends share ONE routing function (``handle_request``):
 
