@@ -537,11 +537,20 @@ class KVStore:
 
         typed = self.value_schema is not None
 
+        # Interactive batches go DRIVER-side (pyarrow write, no Spark
+        # job — the reference's Put cost model); big batches and
+        # unmappable value types take the parallel Spark writer.
+        driver_write = (len(enc_ops) <= self._DRIVER_WRITE_MAX_ROWS
+                        and "://" not in self.path
+                        and self._arrow_log_schema() is not None)
+
         def build(seq):
             # intra-batch order: position in the list, per the
             # reference's replay-in-order semantics
             rows = [(k, seq, i, op, *v) if typed else (k, seq, i, op, v)
                     for i, (op, k, v) in enumerate(enc_ops)]
+            if driver_write:
+                return rows, len(rows)
             return self.spark.createDataFrame(rows, self.log_schema), len(rows)
 
         return self._append_with_retry(build)
@@ -636,9 +645,14 @@ class KVStore:
             seq = ver.last_seq + 1
             df, n_rows = build(seq)
             try:
-                self._commit_append(
-                    ver, df, seq, n_rows=n_rows,
-                    streams=streams_update(ver) if streams_update else None)
+                streams = streams_update(ver) if streams_update else None
+                if isinstance(df, list):  # driver-side small batch
+                    self._commit_append_rows(ver, df, seq,
+                                             self._arrow_log_schema(),
+                                             streams=streams)
+                else:
+                    self._commit_append(ver, df, seq, n_rows=n_rows,
+                                        streams=streams)
                 if self.auto_compact:
                     self.maybe_compact()
                 return seq
@@ -663,6 +677,73 @@ class KVStore:
                 last = e
         raise CommitConflict(
             f"gave up after {retries} retries: {last}") from last
+
+    def _arrow_log_schema(self):
+        """The log schema as pyarrow types, or None when a value type
+        has no mapping (the driver write path then defers to Spark).
+        TimestampType is deliberately unmapped: Spark interprets naive
+        datetimes in the SESSION timezone before storing UTC micros,
+        pyarrow would assume UTC — identical only when the session tz
+        is UTC, so timestamp-valued stores always write via Spark."""
+        import pyarrow as pa
+        from pyspark.sql import types as T
+
+        mapping = {T.StringType: pa.string(), T.BinaryType: pa.binary(),
+                   T.LongType: pa.int64(), T.IntegerType: pa.int32(),
+                   T.DoubleType: pa.float64(), T.FloatType: pa.float32(),
+                   T.BooleanType: pa.bool_()}
+        fields = []
+        for f in self.log_schema.fields:
+            at = mapping.get(type(f.dataType))
+            if at is None:
+                return None
+            fields.append(pa.field(f.name, at))
+        return pa.schema(fields)
+
+    # Batches at or below this row count are written by the DRIVER
+    # (pyarrow, no Spark job) — the Put()/WriteBatch cost model of the
+    # reference (kv/db/db_impl.cpp:1396: an interactive write is a
+    # memtable insert, not a cluster job). Above it, the Spark path
+    # writes in parallel and adds the adaptive key bloom; the
+    # thresholds deliberately coincide so every Spark-written batch
+    # dir carries a bloom and every driver-written one is too small
+    # to want it.
+    _DRIVER_WRITE_MAX_ROWS: int = 4096
+
+    def _commit_append_rows(self, ver: Version, rows: list, seq: int,
+                            arrow_schema,
+                            streams: dict[str, int] | None = None) -> int:
+        """Driver-side small-batch append: sort by key, write ONE
+        parquet file with pyarrow (same log schema Spark reads back),
+        commit the manifest entry. Milliseconds instead of a Spark
+        job round trip; identical on-disk contract (sorted file,
+        footer min/max stats, manifest FileEntry)."""
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        rel = os.path.join("data", f"b{seq:015d}-{uuid.uuid4().hex[:8]}")
+        full = os.path.join(self.path, rel)
+        os.makedirs(full)
+        names = [f.name for f in self.log_schema.fields]
+        ordered = sorted(rows, key=lambda r: r[0])
+        table = pa.Table.from_pydict(
+            {n: [r[i] for r in ordered] for i, n in enumerate(names)},
+            schema=arrow_schema)
+        try:
+            pq.write_table(table, os.path.join(full, "part-00000.parquet"))
+            stats = self._dir_stats(full)
+            entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
+                              rows=len(rows), bytes=stats["bytes"],
+                              min_key=stats["min_key"],
+                              max_key=stats["max_key"], level=0)
+            self.manifest.commit(ver, add=[entry], last_seq=seq,
+                                 streams=streams)
+        except CommitConflict:
+            import shutil
+
+            shutil.rmtree(full, ignore_errors=True)
+            raise
+        return len(rows)
 
     def _commit_append(self, ver: Version, df: DataFrame, seq: int,
                        n_rows: int | None = None,

@@ -793,3 +793,58 @@ def test_point_reads_driver_and_spark_engines_agree(spark, tmp_path):
     st.compact()
     assert both(lambda: st.multi_get(keys)) == expect
     assert both(lambda: st.get("k07")) is None
+
+
+def test_driver_write_path_contract(spark, tmp_path):
+    """Interactive batches write DRIVER-side (one pyarrow file, no
+    Spark job — the reference's Put cost model): the dir carries
+    exactly one sorted part file with footer min/max recorded in the
+    manifest, Spark reads it back through the explicit log schema,
+    and a batch ABOVE the threshold still takes the Spark writer
+    (whose dirs carry the _SUCCESS marker and the adaptive bloom)."""
+    import os
+
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"m{i:03d}", str(i)) for i in (5, 1, 9)])
+    ver = st.manifest.current()
+    assert len(ver.files) == 1
+    tiny = ver.files[0]
+    assert (tiny.min_key, tiny.max_key, tiny.rows) == ("m001", "m009", 3)
+    d = os.path.join(st.path, tiny.path)
+    names = sorted(os.listdir(d))
+    assert names == ["part-00000.parquet"]  # no _SUCCESS: driver-written
+    # a big batch goes through Spark (parallel write + bloom)
+    st.write_batch([("put", f"b{i:05d}", str(i)) for i in range(5000)])
+    big = max(st.manifest.current().files, key=lambda f: f.rows)
+    assert "_SUCCESS" in os.listdir(os.path.join(st.path, big.path))
+    # both read back through one scan, LWW intact
+    assert st.get("m005") == "5"
+    assert st.get("b04999") == "4999"
+    assert st.scan().count() == 5003
+
+
+def test_driver_write_typed_store_and_timestamp_fallback(spark, tmp_path):
+    """Typed value columns with mappable types write driver-side and
+    read back typed; a TimestampType value column falls back to the
+    Spark writer (session-timezone semantics differ from pyarrow's
+    naive-as-UTC, so the driver path refuses it)."""
+    import os
+
+    st = KVStore.create(spark, str(tmp_path / "typed"),
+                        value_schema="amount double, note string")
+    st.put("a", {"amount": 1.5, "note": "hi"})
+    ver = st.manifest.current()
+    assert "_SUCCESS" not in os.listdir(
+        os.path.join(st.path, ver.files[0].path))  # driver-written
+    assert st.get("a") == {"amount": 1.5, "note": "hi"}
+
+    ts = KVStore.create(spark, str(tmp_path / "ts"),
+                        value_schema="at timestamp")
+    assert ts._arrow_log_schema() is None
+    import datetime as dt
+
+    ts.put("k", {"at": dt.datetime(2026, 1, 2, 3, 4, 5)})
+    ver = ts.manifest.current()
+    assert "_SUCCESS" in os.listdir(
+        os.path.join(ts.path, ver.files[0].path))  # Spark-written
+    assert ts.get("k") == {"at": dt.datetime(2026, 1, 2, 3, 4, 5)}
