@@ -539,18 +539,20 @@ class KVStore:
 
         # Interactive batches go DRIVER-side (pyarrow write, no Spark
         # job — the reference's Put cost model); big batches and
-        # unmappable value types take the parallel Spark writer.
-        driver_write = (len(enc_ops) <= self._DRIVER_WRITE_MAX_ROWS
-                        and "://" not in self.path
-                        and self._arrow_log_schema() is not None)
+        # unmappable value types take the parallel Spark writer. The
+        # schema is computed ONCE here and threaded through to the
+        # commit (not recomputed per retry).
+        arrow_schema = (self._arrow_log_schema()
+                        if len(enc_ops) <= self._DRIVER_WRITE_MAX_ROWS
+                        else None)
 
         def build(seq):
             # intra-batch order: position in the list, per the
             # reference's replay-in-order semantics
             rows = [(k, seq, i, op, *v) if typed else (k, seq, i, op, v)
                     for i, (op, k, v) in enumerate(enc_ops)]
-            if driver_write:
-                return rows, len(rows)
+            if arrow_schema is not None:
+                return (rows, arrow_schema), len(rows)
             return self.spark.createDataFrame(rows, self.log_schema), len(rows)
 
         return self._append_with_retry(build)
@@ -646,9 +648,9 @@ class KVStore:
             df, n_rows = build(seq)
             try:
                 streams = streams_update(ver) if streams_update else None
-                if isinstance(df, list):  # driver-side small batch
-                    self._commit_append_rows(ver, df, seq,
-                                             self._arrow_log_schema(),
+                if isinstance(df, tuple):  # driver-side small batch:
+                    rows, arrow_schema = df  # (rows, schema) from build
+                    self._commit_append_rows(ver, rows, seq, arrow_schema,
                                              streams=streams)
                 else:
                     self._commit_append(ver, df, seq, n_rows=n_rows,
@@ -684,21 +686,35 @@ class KVStore:
         TimestampType is deliberately unmapped: Spark interprets naive
         datetimes in the SESSION timezone before storing UTC micros,
         pyarrow would assume UTC — identical only when the session tz
-        is UTC, so timestamp-valued stores always write via Spark."""
+        is UTC, so timestamp-valued stores always write AND read via
+        Spark (the same gate guards the driver read path — pyarrow
+        would also read those types back differently: tz-aware
+        datetimes, maps as list-of-pairs). Memoized per store config
+        since every fast-path get consults it."""
         import pyarrow as pa
         from pyspark.sql import types as T
+
+        cache_key = self.log_schema.simpleString()
+        if getattr(self, "_arrow_schema_key", None) == cache_key:
+            return self._arrow_schema_val
 
         mapping = {T.StringType: pa.string(), T.BinaryType: pa.binary(),
                    T.LongType: pa.int64(), T.IntegerType: pa.int32(),
                    T.DoubleType: pa.float64(), T.FloatType: pa.float32(),
                    T.BooleanType: pa.bool_()}
         fields = []
+        result = None
         for f in self.log_schema.fields:
             at = mapping.get(type(f.dataType))
             if at is None:
-                return None
+                fields = None
+                break
             fields.append(pa.field(f.name, at))
-        return pa.schema(fields)
+        if fields is not None:
+            result = pa.schema(fields)
+        self._arrow_schema_key = cache_key
+        self._arrow_schema_val = result
+        return result
 
     # Batches at or below this row count are written by the DRIVER
     # (pyarrow, no Spark job) — the Put()/WriteBatch cost model of the
@@ -843,6 +859,32 @@ class KVStore:
         return master.startswith("local")
 
     # -------------------------------------------------------------- reads
+    def _surviving_files(self, ver: Version, *, lo_stat=None, hi_stat=None,
+                         key_stats=None, asof: int | None = None) -> list:
+        """Manifest pruning shared by the Spark scan (log_df) and the
+        driver point-read path — ONE implementation so the two engines
+        cannot diverge (the reference's FindFile level pruning,
+        kv/db/version_set.cpp:96-119). ``key_stats`` must be sorted;
+        a file survives a key_stats prune only if some requested key
+        falls inside its [min_key, max_key]."""
+        out = []
+        for f in ver.files:
+            if asof is not None and f.seq_lo > asof:
+                continue
+            if lo_stat is not None and f.max_key is not None \
+                    and f.max_key < lo_stat:
+                continue
+            if hi_stat is not None and f.min_key is not None \
+                    and f.min_key >= hi_stat:
+                continue
+            if (key_stats is not None and f.min_key is not None
+                    and f.max_key is not None):
+                i = bisect.bisect_left(key_stats, f.min_key)
+                if i >= len(key_stats) or key_stats[i] > f.max_key:
+                    continue
+            out.append(f)
+        return out
+
     def log_df(self, *, key_from=None, key_to=None,
                asof: int | None = None, keys: list | None = None) -> DataFrame:
         """Raw op-log DataFrame over manifest-pruned files. Bounds are
@@ -860,23 +902,13 @@ class KVStore:
         Get). ``key_from``/``key_to`` still apply as the read filter.
         """
         ver = self.manifest.current()
-        lo_stat, hi_stat = self._stat_key(key_from), self._stat_key(key_to)
-        key_stats = sorted(self._stat_key(k) for k in keys) if keys else None
-        paths, survivors = [], []
-        for f in ver.files:
-            if asof is not None and f.seq_lo > asof:
-                continue
-            if lo_stat is not None and f.max_key is not None and f.max_key < lo_stat:
-                continue
-            if hi_stat is not None and f.min_key is not None and f.min_key >= hi_stat:
-                continue
-            if (key_stats is not None and f.min_key is not None
-                    and f.max_key is not None):
-                i = bisect.bisect_left(key_stats, f.min_key)
-                if i >= len(key_stats) or key_stats[i] > f.max_key:
-                    continue
-            paths.append(os.path.join(self.path, f.path))
-            survivors.append(f)
+        survivors = self._surviving_files(
+            ver, lo_stat=self._stat_key(key_from),
+            hi_stat=self._stat_key(key_to),
+            key_stats=(sorted(self._stat_key(k) for k in keys)
+                       if keys else None),
+            asof=asof)
+        paths = [os.path.join(self.path, f.path) for f in survivors]
         if key_from is not None or key_to is not None:
             self._record_seeks(survivors)
         if not paths:
@@ -911,42 +943,41 @@ class KVStore:
     # pyarrow footer-pruned read on the DRIVER — no Spark job, so a
     # point get costs milliseconds like the reference's embedded Get()
     # (kv/db/db_impl.cpp:1292-1349) instead of a job-scheduling round
-    # trip. Falls back to the Spark path automatically for non-local
-    # store paths (pyarrow would need the object-store fs); "spark"
-    # forces the distributed path (same results — pinned by test).
-    # Range SCANS always stay in Spark: they return DataFrames and
-    # scale with the cluster; only single-key/IN lookups, whose result
-    # is driver-sized by definition, take the driver path.
+    # trip. "spark" forces the distributed path (same results — pinned
+    # by test). Range SCANS always stay in Spark: they return
+    # DataFrames and scale with the cluster; only single-key/IN
+    # lookups, whose result is driver-sized by definition, take the
+    # driver path. The store's data contract is a DRIVER-VISIBLE
+    # filesystem (same assumption _dir_stats/os.walk already make
+    # everywhere, SCALE.md §3) so no path-scheme guard is needed; the
+    # schema gate below defers stores whose value types pyarrow would
+    # read back differently from Spark (timestamps: session-tz vs
+    # naive-UTC; maps: list-of-pairs vs dict) to the Spark path.
     point_read_engine: str = "driver"
 
     def _driver_reads_ok(self) -> bool:
         return self.point_read_engine == "driver" \
-            and "://" not in self.path
+            and self._arrow_log_schema() is not None
 
     def _driver_point_winners(self, encs: list, asof: int | None) -> dict:
         """LWW winner row per stored key via pyarrow (driver-side, no
-        Spark job): same per-key manifest pruning as log_df, then a
-        dataset scan whose key/seq filters prune row groups by their
-        parquet stats. Tombstone winners are dropped (NotFound).
-        Tie-break mirrors state_view's max_by(struct(seq, sub)):
-        null sub orders below any integer."""
+        Spark job): the SAME manifest pruning as log_df
+        (_surviving_files), then a dataset scan whose key/seq filters
+        prune row groups by their parquet stats. Tombstone winners are
+        dropped (NotFound). Tie-break mirrors state_view's
+        max_by(struct(seq, sub)): null sub orders below any integer."""
         import pyarrow.dataset as pads
 
         ver = self.manifest.current()
-        key_stats = sorted(self._stat_key(k) for k in encs)
-        files, survivors = [], []
-        for f in ver.files:
-            if asof is not None and f.seq_lo > asof:
-                continue
-            if f.min_key is not None and f.max_key is not None:
-                i = bisect.bisect_left(key_stats, f.min_key)
-                if i >= len(key_stats) or key_stats[i] > f.max_key:
-                    continue
+        survivors = self._surviving_files(
+            ver, key_stats=sorted(self._stat_key(k) for k in encs),
+            asof=asof)
+        files = []
+        for f in survivors:
             full = os.path.join(self.path, f.path)
             for root, _dirs, names in os.walk(full):
                 files += [os.path.join(root, n) for n in names
                           if n.endswith(".parquet")]
-            survivors.append(f)
         self._record_seeks(survivors)
         if not files:
             return {}

@@ -759,8 +759,8 @@ def test_point_reads_driver_and_spark_engines_agree(spark, tmp_path):
     snap = st.manifest.current().last_seq
     st.write_batch([("put", "k05", "v5b"), ("del", "k07", None),
                     ("put", "k05", "v5c")])  # same-key intra-batch order
-    # bulk ingest (sub is NULL) then a later batch overwrite (sub int):
-    # exercises the null-vs-int sub tie-break path at different seqs
+    # bulk ingest (sub defaults to 0) then a later batch overwrite:
+    # different seqs, so seq alone decides
     bulk = spark.createDataFrame([("k21", "bulk21"), ("k22", "bulk22")],
                                  ["key", "value"])
     st.ingest(bulk)
@@ -841,6 +841,10 @@ def test_driver_write_typed_store_and_timestamp_fallback(spark, tmp_path):
     ts = KVStore.create(spark, str(tmp_path / "ts"),
                         value_schema="at timestamp")
     assert ts._arrow_log_schema() is None
+    # the SAME gate guards reads: pyarrow would return tz-aware
+    # datetimes where Spark applies the session timezone, so
+    # timestamp-valued stores read via Spark too
+    assert not ts._driver_reads_ok()
     import datetime as dt
 
     ts.put("k", {"at": dt.datetime(2026, 1, 2, 3, 4, 5)})
@@ -848,3 +852,25 @@ def test_driver_write_typed_store_and_timestamp_fallback(spark, tmp_path):
     assert "_SUCCESS" in os.listdir(
         os.path.join(ts.path, ver.files[0].path))  # Spark-written
     assert ts.get("k") == {"at": dt.datetime(2026, 1, 2, 3, 4, 5)}
+
+
+def test_null_vs_int_sub_tiebreak_engines_agree(spark, tmp_path):
+    """Same key, SAME seq, one row with a NULL sub and one with an
+    integer sub (ingest with a sub_col containing nulls): Spark's
+    max_by(struct(seq, sub)) orders null below any integer, and the
+    driver fast path must agree — this is the one ordering subtlety
+    the two engines could silently diverge on."""
+    st = _mk(spark, tmp_path)
+    df = spark.createDataFrame(
+        [("k", "null-sub", None), ("k", "int-sub", 3),
+         ("j", "only-null", None)],
+        "key string, value string, s long")
+    st.ingest(df, sub_col="s")
+
+    st.point_read_engine = "spark"
+    spark_get = (st.get("k"), st.get("j"), st.multi_get(["k", "j"]))
+    st.point_read_engine = "driver"
+    driver_get = (st.get("k"), st.get("j"), st.multi_get(["k", "j"]))
+    assert driver_get == spark_get
+    assert spark_get[0] == "int-sub"  # int sub beats null sub
+    assert spark_get[1] == "only-null"
