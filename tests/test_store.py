@@ -124,10 +124,19 @@ def test_randomized_model(spark, tmp_path, n_batches, ops_per, keyspace):
     got_rng = [(r["key"], r["value"]) for r in st.scan(lo, hi).collect()]
     assert got_rng == sorted((k, v) for k, v in oracle.state.items() if lo <= k < hi)
 
-    # point gets across the keyspace
+    # point gets across the keyspace (driver fast path — the default)
     for i in range(keyspace):
         k = f"key{i:06d}"
         assert st.get(k) == oracle.state.get(k), k
+    # the Spark engine answers a random sample identically (keeps the
+    # distributed path under randomized coverage too)
+    st.point_read_engine = "spark"
+    try:
+        for i in rng.sample(range(keyspace), 5):
+            k = f"key{i:06d}"
+            assert st.get(k) == oracle.state.get(k), f"spark-engine {k}"
+    finally:
+        st.point_read_engine = "driver"
 
     # as-of (every historical batch boundary)
     for seq in seqs:
