@@ -121,3 +121,56 @@ def test_compact_defers_physical_deletion(spark, tmp_path):
     assert len(gone) == 3
     assert {r["key"]: r["value"] for r in st.scan().collect()} == \
         {f"k{j}": "v2" for j in range(10)}
+
+
+def test_cross_process_writers_all_batches_land(spark, tmp_path):
+    """The manifest CAS contract across real PROCESSES (flock is
+    per-process — the threaded test cannot prove this): 3 independent
+    Python processes open the same store and race small write_batches
+    through the driver write path (which needs NO SparkSession — an
+    embedded writer), and every batch lands exactly once with a
+    distinct seq. Parent then reads the merged state through Spark."""
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    st = KVStore.create(spark, str(tmp_path / "xproc"))
+    st.put("init", "0")
+
+    child = textwrap.dedent("""
+        import sys
+        sys.path.insert(0, {repo!r})
+        from quasdb_spark.store import KVStore
+        from quasdb_spark.manifest import CommitConflict
+        st = KVStore(None, {path!r})   # no SparkSession: writes are driver-side
+        me = sys.argv[1]
+        for b in range(10):
+            for attempt in range(50):
+                try:
+                    st.write_batch([("put", f"{{me}}-b{{b}}-k{{i}}", me)
+                                    for i in range(5)])
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                sys.exit(2)
+    """).format(repo=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), path=st.path)
+
+    procs = [subprocess.Popen([sys.executable, "-c", child, f"p{n}"],
+                              stderr=subprocess.PIPE)
+             for n in range(3)]
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+
+    ver = st.manifest.current()
+    assert ver.last_seq == 1 + 30          # every batch got its own seq
+    assert len(ver.files) == 1 + 30        # ...and its own dir
+    state = {r["key"]: r["value"] for r in st.scan().collect()}
+    assert len(state) == 1 + 3 * 10 * 5    # no lost updates
+    for n in range(3):
+        assert state[f"p{n}-b9-k4"] == f"p{n}"
+    # point reads see the cross-process merge too (driver fast path)
+    assert st.get("p1-b3-k2") == "p1"
