@@ -61,7 +61,7 @@ EXTRA_BENCH = [
     "rel_disjunctive_revenue", "rel_sales_opportunity",
     "text_gopher_rules", "ts_asof_nearest", "emb_decontaminate",
     "events_transitions", "rel_reorder_gaps", "doc_split_assign",
-    "doc_chunking",
+    "doc_chunking", "dedup_substring_spans",
 ]
 
 

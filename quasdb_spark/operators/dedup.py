@@ -19,7 +19,7 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from quasdb_spark.functions.text import exact_fingerprint, tokens
@@ -491,3 +491,85 @@ def append_to_index(new_df: DataFrame, path: str, *,
         F.posexplode(F.array(*keys)).alias("band", "band_key"))
     (entries.repartition("band").sortWithinPartitions("band_key")
             .write.mode("append").partitionBy("band").parquet(path))
+
+
+def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, k: int = 8,
+                    min_count: int = 2,
+                    keep_first: bool = False) -> DataFrame:
+    """Exact-substring duplicate spans (the hashed-window
+    approximation of Lee et al.'s suffix-array exact-substring dedup,
+    "Deduplicating Training Data Makes Language Models Better"): every
+    k-token window whose hash occurs >= ``min_count`` times in the
+    corpus (same doc or across docs) is a duplicated window;
+    overlapping duplicated windows merge into one (doc, span) —
+    returns (id, span_start, span_end) in TOKEN positions
+    (end exclusive), the spans a cleaning pass would drop.
+
+    ``keep_first=True`` implements the keep-one-occurrence policy: for
+    each duplicated window hash, the single occurrence at the smallest
+    (id, position) is NOT reported, so dropping every reported span
+    still leaves at least one copy of each duplicated substring.
+
+    100 TB shape:
+    - window extraction is MAP-ONLY (in-row sequence explode + array
+      slice, the doc_chunking pattern): one row per token position,
+      so the exploded volume ~ corpus token count — linear, known up
+      front;
+    - the only shuffles are a hash-count aggregate (map-side partial
+      combine; shuffle bytes ~ distinct windows) and the join of
+      windows back to over-threshold hashes; span merging is one
+      window function partitioned BY DOC (never global);
+    - the window hash is md5 over the unit-separator-joined token
+      slice (US, \\x1f — cannot appear inside whitespace-split
+      tokens, so token boundaries stay unambiguous): exact matching,
+      cross-engine reproducible, no Python anywhere.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    toks = F.coalesce(tokens(text_col), F.array(F.lit("")))
+    base = (df.select(F.col(id_col).alias("_id"), toks.alias("_t"),
+                      F.size(toks).alias("_n"))
+              .where(F.col("_n") >= k))
+    wins = (base.select(
+                "_id", "_t",
+                F.explode(F.sequence(F.lit(0), F.col("_n") - k))
+                 .alias("pos"))
+                .select("_id", "pos",
+                        F.md5(F.concat_ws(
+                            "\x1f",
+                            F.slice(F.col("_t"), F.col("pos") + 1, k)))
+                         .alias("_h")))
+    hot = (wins.groupBy("_h")
+               .agg(F.count(F.lit(1)).alias("_c"))
+               .where(F.col("_c") >= min_count)
+               .select("_h"))
+    dup = wins.join(hot, "_h")
+    if keep_first:
+        # survivor occurrence per hash: smallest (id, pos) — a min
+        # over an orderable struct, then filtered out
+        first = (dup.groupBy("_h")
+                    .agg(F.min(F.struct("_id", "pos")).alias("_f"))
+                    .select("_h", F.col("_f._id").alias("_fid"),
+                            F.col("_f.pos").alias("_fpos")))
+        dup = (dup.join(first, "_h")
+                  .where(~((F.col("_id") == F.col("_fid"))
+                           & (F.col("pos") == F.col("_fpos")))))
+    dup = dup.select("_id", "pos").dropDuplicates(["_id", "pos"])
+    # interval-merge overlapping windows per doc: a new span starts
+    # where pos exceeds the running max end of all earlier windows
+    w = Window.partitionBy("_id").orderBy("pos")
+    prev_end = F.max(F.col("pos") + k).over(
+        w.rowsBetween(Window.unboundedPreceding, -1))
+    flagged = dup.withColumn(
+        "_new", F.when(prev_end.isNull()
+                       | (F.col("pos") > prev_end), 1).otherwise(0))
+    grouped = flagged.withColumn(
+        "_g", F.sum("_new").over(
+            w.rowsBetween(Window.unboundedPreceding, 0)))
+    return (grouped.groupBy("_id", "_g")
+            .agg(F.min("pos").alias("span_start"),
+                 (F.max("pos") + k).alias("span_end"))
+            .select(F.col("_id").alias(id_col),
+                    F.col("span_start").cast("int").alias("span_start"),
+                    F.col("span_end").cast("int").alias("span_end")))

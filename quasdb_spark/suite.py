@@ -1723,6 +1723,18 @@ def _dedup_idx(spark, sf_dir):
     return D.load_dedup_index(spark, path)
 
 
+def q_dedup_substring_spans(spark, sf_dir):
+    """Exact-substring duplicate spans (hashed-window approximation of
+    Lee et al.'s suffix-array exact-substring dedup): duplicated
+    8-token windows (>=2 occurrences corpus-wide, same doc or across
+    docs) merged into per-doc token spans. Window extraction is
+    map-only (sequence explode + slice); the only shuffles are the
+    window-hash count and the join back to hot hashes; span merging
+    is per-doc window functions — never global."""
+    d = _t(spark, sf_dir, "documents")
+    return D.duplicate_spans(d, k=8, min_count=2)
+
+
 def q_dedup_incremental(spark, sf_dir):
     """Incremental near-dup check: the 'daily batch' (doc_id % 4 == 3)
     against the materialized index of the rest of the corpus. The
@@ -2244,6 +2256,35 @@ _MINHASH_COLS_SQL = ", ".join(
     for seed in range(D.N_MINHASH))
 
 _DEDUP_ORACLES = {
+    # windows joined with chr(31) (US) — matches the Spark op's \x1f
+    # separator; DuckDB list slices are 1-based inclusive
+    "dedup_substring_spans": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
+        n AS (SELECT doc_id, tk, len(tk) AS n FROM t
+              WHERE len(tk) >= 8),
+        w AS (SELECT doc_id, i AS pos,
+                     md5(array_to_string(tk[i+1 : i+8], chr(31))) AS h
+              FROM n, unnest(range(n - 8 + 1)) AS u(i)),
+        hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
+        d AS (SELECT DISTINCT doc_id, pos FROM w JOIN hot USING (h)),
+        f AS (SELECT doc_id, pos,
+                     CASE WHEN max(pos + 8) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING) IS NULL
+                          OR pos > max(pos + 8) OVER (
+                              PARTITION BY doc_id ORDER BY pos
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND 1 PRECEDING)
+                     THEN 1 ELSE 0 END AS newf
+              FROM d),
+        g AS (SELECT doc_id, pos,
+                     sum(newf) OVER (PARTITION BY doc_id ORDER BY pos
+                                     ROWS UNBOUNDED PRECEDING) AS grp
+              FROM f)
+        SELECT doc_id, CAST(min(pos) AS INT) AS span_start,
+               CAST(max(pos) + 8 AS INT) AS span_end
+        FROM g GROUP BY doc_id, grp""",
     "dedup_incremental": f"""
         WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
         s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
@@ -4003,6 +4044,7 @@ QUERIES = {
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
@@ -4074,7 +4116,7 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    "doc_chunking",  # new in r7: first driver row this round
+    "doc_chunking", "dedup_substring_spans",  # new in r7: first driver rows
     "emb_decontaminate", "kv_multi_get", "text_gopher_rules",
     "doc_split_assign", "dedup_incremental", "dedup_apply",
     "dedup_clusters", "dedup_containment", "dedup_exact",

@@ -140,3 +140,62 @@ def test_dedup_index_lifecycle(spark, tmp_path):
     got2 = check_against_index(newer, idx2, meta, min_est_jaccard=0.5)
     rows2 = {(r["new_id"], r["match_id"]) for r in got2.collect()}
     assert (200, 1) in rows2 and (200, 100) in rows2
+
+
+def test_duplicate_spans_merging_and_keep_first(spark):
+    """Exact-substring spans: duplicated k-token windows merge into
+    per-doc token spans (end exclusive); internal repetition within
+    one doc counts; keep_first exempts the smallest (id, pos)
+    occurrence of every window so one copy always survives."""
+    import pytest
+
+    from quasdb_spark.operators.dedup import duplicate_spans
+
+    common = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"  # 12 tokens
+    rows = [(1, f"a1 b1 {common} c1 d1"),
+            (2, f"a2 {common} c2"),
+            (3, "totally unique words only here nothing repeats ever"),
+            (4, f"{common} {common}")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r.doc_id, r.span_start, r.span_end)
+           for r in duplicate_spans(df, k=8).collect()}
+    # doc1: common at tokens [2, 14); doc2: [1, 13); doc4 both copies
+    # merge into [0, 24); doc3 clean
+    assert got == {(1, 2, 14), (2, 1, 13), (4, 0, 24)}
+
+    kept = {(r.doc_id, r.span_start, r.span_end)
+            for r in duplicate_spans(df, k=8, keep_first=True).collect()}
+    # every window's first occurrence is in doc1 -> doc1 fully exempt
+    assert (1, 2, 14) not in kept
+    assert (2, 1, 13) in kept
+    # spans still cover every duplicated substring at least once
+    assert any(d == 4 for d, _, _ in kept)
+
+    with pytest.raises(ValueError, match="k must be"):
+        duplicate_spans(df, k=0)
+
+
+def test_duplicate_spans_no_false_positives(spark):
+    """Unique corpora report NO spans (exact matching — blocking can
+    only find true window repeats), and spans never exceed doc
+    bounds."""
+    from quasdb_spark.operators.dedup import duplicate_spans
+    from quasdb_spark.functions.text import token_count
+    import pyspark.sql.functions as F
+
+    rows = [(i, " ".join(f"t{i}_{j}" for j in range(30)))
+            for i in range(10)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    assert duplicate_spans(df, k=5).count() == 0
+
+    dup_rows = rows + [(99, rows[0][1])]  # one exact copy
+    df2 = spark.createDataFrame(dup_rows, ["doc_id", "text"])
+    spans = duplicate_spans(df2, k=5)
+    joined = spans.join(df2.select("doc_id",
+                                   token_count("text").alias("n")),
+                        "doc_id")
+    bad = joined.where((F.col("span_start") < 0)
+                       | (F.col("span_end") > F.col("n"))).count()
+    assert bad == 0
+    got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
+    assert got == {(0, 0, 30), (99, 0, 30)}
