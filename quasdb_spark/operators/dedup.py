@@ -573,3 +573,42 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
             .select(F.col("_id").alias(id_col),
                     F.col("span_start").cast("int").alias("span_start"),
                     F.col("span_end").cast("int").alias("span_end")))
+
+
+def drop_duplicate_spans(df: DataFrame, spans: DataFrame,
+                         id_col: str = "doc_id",
+                         text_col: str = "text", *,
+                         out_col: str = "clean_text") -> DataFrame:
+    """Apply ``duplicate_spans`` output: drop every token whose
+    position falls inside one of the doc's spans and rejoin the rest —
+    the cleaning half of exact-substring dedup (run duplicate_spans
+    with ``keep_first=True`` first if one copy of each substring
+    should survive corpus-wide).
+
+    Output text is in TOKEN space (the same lowercase/whitespace
+    normalization the span positions were computed against) — the
+    contract every downstream token-counting/packing operator here
+    shares. Docs with no spans pass through with the same
+    normalization applied, so ``out_col`` is uniformly comparable.
+
+    100 TB shape: one left join spans→docs (spans are a small
+    fraction of docs by construction) and a per-row higher-order
+    filter over the token array — no explode, no window, no Python.
+    """
+    from ..functions.text import tokens
+
+    sp = spans.groupBy(id_col).agg(
+        F.collect_list(F.struct("span_start", "span_end"))
+         .alias("_spans"))
+    toks = F.coalesce(tokens(text_col), F.array(F.lit("")))
+    covered = F.coalesce(
+        F.col("_spans"),
+        F.array().cast("array<struct<span_start:int,span_end:int>>"))
+    kept = F.filter(
+        toks,
+        lambda t, i: ~F.exists(
+            covered, lambda s: (i >= s["span_start"])
+            & (i < s["span_end"])))
+    return (df.join(sp, id_col, "left")
+              .withColumn(out_col, F.concat_ws(" ", kept))
+              .drop("_spans"))

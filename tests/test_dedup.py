@@ -199,3 +199,29 @@ def test_duplicate_spans_no_false_positives(spark):
     assert bad == 0
     got = {(r.doc_id, r.span_start, r.span_end) for r in spans.collect()}
     assert got == {(0, 0, 30), (99, 0, 30)}
+
+
+def test_drop_duplicate_spans_cleans_in_token_space(spark):
+    """Span application: tokens inside any span are removed, the rest
+    rejoin in order; span-free docs pass through (normalized); with
+    keep_first spans, one copy of the duplicated substring survives
+    corpus-wide."""
+    from quasdb_spark.operators.dedup import (drop_duplicate_spans,
+                                              duplicate_spans)
+
+    common = "w0 w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11"
+    rows = [(1, f"a1 b1 {common} c1 d1"),
+            (2, f"a2 {common} c2"),
+            (3, "Unique Words Only HERE")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    spans = duplicate_spans(df, k=8, keep_first=True)
+    out = {r.doc_id: r.clean_text
+           for r in drop_duplicate_spans(df, spans).collect()}
+    # doc1 holds the surviving first occurrence: untouched (normalized)
+    assert out[1] == f"a1 b1 {common} c1 d1"
+    # doc2's copy is cut, surrounding tokens rejoin
+    assert out[2] == "a2 c2"
+    # span-free doc: pass-through with the token normalization applied
+    assert out[3] == "unique words only here"
+    # the duplicated substring still exists exactly once corpus-wide
+    assert sum(common in t for t in out.values()) == 1
