@@ -206,9 +206,30 @@ def main() -> None:
     # output (BENCH_r05.json was truncated by interleaved console-progress
     # \r lines; showConsoleProgress is now off in session defaults, and
     # stopping Spark first guarantees nothing else can write mid-line).
+    #
+    # The stdout line must stay COMPACT: the driver that records the
+    # artifact keeps only the last 2000 chars of stdout, and the full
+    # payload grew past that (r5 and r7 artifacts both landed
+    # ``parsed: null``). So stdout carries only the fields the driver
+    # contract requires — metric/value/unit/queries/sf — and the full
+    # payload (spread, maintenance, extra_queries, sf1_spot) goes to a
+    # sidecar file next to this script.
+    sidecar = os.environ.get(
+        "SPARK_GRAFT_BENCH_SIDECAR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_full.json"))
+    with open(sidecar, "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    compact = {"metric": payload["metric"], "value": payload["value"],
+               "unit": "sec", "queries": times, "sf": sf}
+    line = json.dumps(compact, separators=(",", ":"))
+    if len(line) > 1900:  # hard driver limit is 2000 — drop per-query
+        compact.pop("queries")
+        line = json.dumps(compact, separators=(",", ":"))
     spark.stop()
     sys.stdout.flush()
-    sys.stdout.write(json.dumps(payload) + "\n")
+    sys.stdout.write(line + "\n")
     sys.stdout.flush()
 
 

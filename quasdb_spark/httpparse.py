@@ -202,8 +202,13 @@ class RequestParser:
             elif _is_ctl(b):
                 return Result.BAD
             else:
-                # folded continuation appends to the previous value
+                # folded continuation appends to the previous value.
+                # The size cap applies to the ACCUMULATED value, not
+                # the per-line buffer — otherwise unlimited fold lines
+                # grow one header value without bound.
                 name, value = req.headers[-1]
+                if len(value) + 2 > MAX_HEADER_VALUE:
+                    return Result.BAD
                 req.headers[-1] = (name, value + " " + chr(b))
                 self._state = _S.HEADER_VALUE
                 self._fold = True
@@ -240,7 +245,9 @@ class RequestParser:
                         (self._name, self._buf.decode("latin-1")))
                 self._buf.clear()
                 self._state = _S.HEADER_LF
-            elif _is_ctl(b) or len(self._buf) >= MAX_HEADER_VALUE:
+            elif _is_ctl(b) or len(self._buf) + (
+                    len(req.headers[-1][1]) if self._fold else 0
+            ) >= MAX_HEADER_VALUE:
                 return Result.BAD
             else:
                 self._buf.append(b)

@@ -81,21 +81,45 @@ def lsh_band_keys(sig_col: str = "minhash_sig", *, n_bands: int = 2,
     return keys
 
 
+def _nonempty_sig(sig_col: str = "minhash_sig") -> F.Column:
+    """True iff the MinHash signature is real — i.e. the doc had at
+    least one shingle. Docs shorter than ``shingle_n`` tokens have an
+    empty shingle set, so array_min over it is NULL for EVERY seed and
+    concat_ws skips NULLs: all such docs would share md5('') as their
+    band key in every band — one degenerate quadratic hot bucket on a
+    short-doc-heavy corpus. Their pairs can never survive Jaccard
+    verification (0/0 → NULL → filtered), so excluding them changes no
+    verified output while removing the O(n²) bucket."""
+    return F.element_at(F.col(sig_col), 1).isNotNull()
+
+
 def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", *,
                             n_hashes: int = N_MINHASH, n_bands: int = 2,
-                            shingle_n: int = 3) -> DataFrame:
+                            shingle_n: int = 3,
+                            max_bucket_size: int | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     shuffle = docs × n_bands rows keyed by band hash; pairs are formed
     only within buckets (self-join on band key), deduped across bands.
-    """
+    Empty-shingle docs (< shingle_n tokens) are excluded up front —
+    see ``_nonempty_sig``. ``max_bucket_size`` additionally drops
+    degenerate hot buckets (boilerplate-heavy corpora): recall inside
+    dropped buckets is sacrificed, so leave None when exactness vs the
+    all-pairs result matters more than skew safety."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, text_col, n_hashes=n_hashes, shingle_n=shingle_n)
+    sig = minhash_signature(df, text_col, n_hashes=n_hashes,
+                            shingle_n=shingle_n).where(_nonempty_sig())
     bands = sig.select(
         F.col(id_col),
         F.explode(F.array(*[k for k in lsh_band_keys(
             n_bands=n_bands, rows_per_band=rows_per_band)])).alias("band_key"))
+    if max_bucket_size is not None:
+        ok = (bands.groupBy("band_key")
+                   .agg(F.count(F.lit(1)).alias("_n"))
+                   .where(F.col("_n") <= max_bucket_size)
+                   .drop("_n"))
+        bands = bands.join(ok, "band_key")
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key")) &
@@ -131,18 +155,23 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", *, threshold: float = 0.5,
-                   shingle_n: int = 3) -> DataFrame:
+                   shingle_n: int = 3,
+                   max_bucket_size: int | None = None) -> DataFrame:
     """MinHash-LSH candidates → exact Jaccard verification.
 
     Shingles are computed ONCE and cached: the candidate-generation
     branch and the verify branch both read the same shingled
     DataFrame (at 100 TB this halves the dominant map cost; the cache
-    holds shingle arrays, ~2-3× the text bytes, spilling to disk)."""
+    holds shingle arrays, ~2-3× the text bytes, spilling to disk).
+    ``max_bucket_size`` is the LSH hot-bucket skew guard (see
+    minhash_candidate_pairs) — None keeps exact parity with the
+    unguarded all-candidates result."""
     shingled = with_shingles(
         ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
     ).persist()
     cands = minhash_candidate_pairs(shingled, id_col, text_col,
-                                    shingle_n=shingle_n)
+                                    shingle_n=shingle_n,
+                                    max_bucket_size=max_bucket_size)
     return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 
@@ -405,7 +434,7 @@ def build_dedup_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
         raise ValueError("n_bands must divide n_hashes")
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(df, text_col, n_hashes=n_hashes,
-                            shingle_n=shingle_n)
+                            shingle_n=shingle_n).where(_nonempty_sig())
     keys = lsh_band_keys(n_bands=n_bands, rows_per_band=rows_per_band)
     entries = sig.select(
         F.col(id_col).alias("doc_id"), F.col("minhash_sig"),
@@ -446,7 +475,7 @@ def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
     n_hashes, n_bands = meta["n_hashes"], meta["n_bands"]
     rows_per_band = n_hashes // n_bands
     sig = minhash_signature(new_df, text_col, n_hashes=n_hashes,
-                            shingle_n=meta["shingle_n"])
+                            shingle_n=meta["shingle_n"]).where(_nonempty_sig())
     keys = lsh_band_keys(n_bands=n_bands, rows_per_band=rows_per_band)
     bands_new = sig.select(
         F.col(id_col).alias("new_id"),
@@ -483,7 +512,7 @@ def append_to_index(new_df: DataFrame, path: str, *,
         fsio.read_text(new_df.sparkSession, f"{path}/_dedup_index_meta.json"))
     rows_per_band = meta["n_hashes"] // meta["n_bands"]
     sig = minhash_signature(new_df, text_col, n_hashes=meta["n_hashes"],
-                            shingle_n=meta["shingle_n"])
+                            shingle_n=meta["shingle_n"]).where(_nonempty_sig())
     keys = lsh_band_keys(n_bands=meta["n_bands"],
                          rows_per_band=rows_per_band)
     entries = sig.select(
@@ -520,10 +549,13 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
       combine; shuffle bytes ~ distinct windows) and the join of
       windows back to over-threshold hashes; span merging is one
       window function partitioned BY DOC (never global);
-    - the window hash is md5 over the unit-separator-joined token
-      slice (US, \\x1f — cannot appear inside whitespace-split
-      tokens, so token boundaries stay unambiguous): exact matching,
-      cross-engine reproducible, no Python anywhere.
+    - the window hash is md5 over the LENGTH-PREFIXED token slice
+      (each token rendered ``len:token`` before joining): token
+      boundaries stay unambiguous for ANY token content — a bare
+      separator join is not enough, because the whitespace tokenizer
+      (Java \\s = [ \\t\\n\\x0B\\f\\r]) does NOT split on other control
+      characters, so tokens can contain the separator byte. Exact
+      matching, cross-engine reproducible, no Python anywhere.
     """
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
@@ -538,7 +570,11 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                 .select("_id", "pos",
                         F.md5(F.concat_ws(
                             "\x1f",
-                            F.slice(F.col("_t"), F.col("pos") + 1, k)))
+                            F.transform(
+                                F.slice(F.col("_t"), F.col("pos") + 1, k),
+                                lambda t: F.concat(
+                                    F.length(t).cast("string"),
+                                    F.lit(":"), t))))
                          .alias("_h")))
     hot = (wins.groupBy("_h")
                .agg(F.count(F.lit(1)).alias("_c"))

@@ -205,11 +205,15 @@ class _RawConnection(socketserver.BaseRequestHandler):
                 if result is Result.INDETERMINATE:
                     continue
                 req = parser.request
-                # Non-GET/HEAD requests may carry a body this server
-                # never reads; keeping the connection would desync the
-                # parser on those unread bytes (they'd be parsed as
-                # the next request head). Close after answering 405.
-                keep = req.keep_alive and req.method in ("GET", "HEAD")
+                # A request advertising a body (any method — GET/HEAD
+                # may legally carry Content-Length too) leaves bytes
+                # this server never reads; keeping the connection would
+                # desync the parser on them (they'd be parsed as the
+                # next request head). Close after answering instead.
+                keep = (req.keep_alive
+                        and req.method in ("GET", "HEAD")
+                        and req.header("Content-Length") is None
+                        and req.header("Transfer-Encoding") is None)
                 code, ctype, body, clen = handle_request(
                     srv.store, srv.doc_root, req.method, req.uri)
                 self.request.sendall(_wire_reply(

@@ -2256,14 +2256,20 @@ _MINHASH_COLS_SQL = ", ".join(
     for seed in range(D.N_MINHASH))
 
 _DEDUP_ORACLES = {
-    # windows joined with chr(31) (US) — matches the Spark op's \x1f
-    # separator; DuckDB list slices are 1-based inclusive
+    # windows: length-prefixed tokens ("len:token") joined with
+    # chr(31) — matches the Spark op's unambiguous encoding (\s+
+    # tokenization does not split on most control chars, so tokens can
+    # contain any separator byte; the length prefix disambiguates).
+    # DuckDB list slices are 1-based inclusive.
     "dedup_substring_spans": f"""
         WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS tk FROM documents),
         n AS (SELECT doc_id, tk, len(tk) AS n FROM t
               WHERE len(tk) >= 8),
         w AS (SELECT doc_id, i AS pos,
-                     md5(array_to_string(tk[i+1 : i+8], chr(31))) AS h
+                     md5(array_to_string(
+                         list_transform(tk[i+1 : i+8],
+                                        t -> concat(len(t), ':', t)),
+                         chr(31))) AS h
               FROM n, unnest(range(n - 8 + 1)) AS u(i)),
         hot AS (SELECT h FROM w GROUP BY h HAVING count(*) >= 2),
         d AS (SELECT DISTINCT doc_id, pos FROM w JOIN hot USING (h)),

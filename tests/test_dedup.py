@@ -225,3 +225,65 @@ def test_drop_duplicate_spans_cleans_in_token_space(spark):
     assert out[3] == "unique words only here"
     # the duplicated substring still exists exactly once corpus-wide
     assert sum(common in t for t in out.values()) == 1
+
+
+def test_minhash_excludes_empty_shingle_hot_bucket(spark):
+    """Docs shorter than shingle_n tokens have an empty shingle set —
+    every MinHash seed is NULL and concat_ws skips NULLs, so without
+    the guard ALL such docs share md5('') as their band key in every
+    band: one quadratic hot bucket. They must produce NO candidate
+    pairs (their Jaccard is undefined/0 anyway, so no verified output
+    changes)."""
+    from quasdb_spark.operators.dedup import (minhash_candidate_pairs,
+                                              near_dup_pairs)
+
+    # the real pair shares an identical shingle set -> identical
+    # signatures -> guaranteed band collision (MinHash banding is
+    # probabilistic for merely-similar docs)
+    rows = [(i, "hi") for i in range(40)] + \
+           [(100, "the quick brown fox jumps high"),
+            (101, "the quick brown fox jumps high")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    cands = minhash_candidate_pairs(df).collect()
+    # no pair touches a short doc; real near-dup pair still found
+    assert all(r.id_a >= 100 and r.id_b >= 100 for r in cands)
+    assert (100, 101) in {(r.id_a, r.id_b) for r in cands}
+    verified = near_dup_pairs(df, threshold=0.3).collect()
+    assert {(r.id_a, r.id_b) for r in verified} == {(100, 101)}
+
+
+def test_minhash_max_bucket_size_drops_hot_bucket(spark):
+    """The skew guard: identical boilerplate docs form one huge LSH
+    bucket; max_bucket_size drops it (sacrificing recall there) while
+    smaller buckets still pair."""
+    from quasdb_spark.operators.dedup import minhash_candidate_pairs
+
+    boiler = [(i, "lorem ipsum dolor sit amet consectetur")
+              for i in range(20)]
+    pair = [(100, "the quick brown fox jumps over dogs"),
+            (101, "the quick brown fox jumps over dogs")]
+    df = spark.createDataFrame(boiler + pair, "doc_id int, text string")
+    guarded = minhash_candidate_pairs(df, max_bucket_size=5)
+    got = {(r.id_a, r.id_b) for r in guarded.collect()}
+    assert (100, 101) in got
+    assert all(a >= 100 for a, _ in got)  # boilerplate bucket dropped
+    unguarded = minhash_candidate_pairs(df)
+    assert len(unguarded.collect()) > len(got)  # guard actually pruned
+
+
+def test_duplicate_spans_separator_unambiguous(spark):
+    """Tokens CAN contain \\x1f (the \\s+ tokenizer only splits on
+    whitespace), so the window hash must length-prefix tokens: under a
+    bare separator join, ["a\\x1fb","c"] and ["a","b\\x1fc"] would
+    hash equal and create a false duplicate span."""
+    from quasdb_spark.operators.dedup import duplicate_spans
+
+    df = spark.createDataFrame(
+        [(1, "a\x1fb c"), (2, "a b\x1fc")], "doc_id int, text string")
+    assert duplicate_spans(df, k=2, min_count=2).collect() == []
+    # genuinely equal windows still match
+    df2 = spark.createDataFrame(
+        [(1, "x y"), (2, "x y")], "doc_id int, text string")
+    spans = duplicate_spans(df2, k=2, min_count=2).collect()
+    assert {(r.doc_id, r.span_start, r.span_end)
+            for r in spans} == {(1, 0, 2), (2, 0, 2)}

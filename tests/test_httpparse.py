@@ -235,3 +235,50 @@ def test_head_static_reports_size_without_body(spark, tmp_path):
             assert rest == b""  # no body follows a HEAD reply
     finally:
         srv.stop()
+
+
+def test_obs_fold_total_value_cap():
+    """Folded continuation lines must count against MAX_HEADER_VALUE
+    on the ACCUMULATED value, not per fold line — otherwise unlimited
+    64KB-1 fold lines grow one header value without bound."""
+    from quasdb_spark.httpparse import MAX_HEADER_VALUE
+
+    p = RequestParser()
+    res, _ = p.feed(b"GET / HTTP/1.1\r\nX-A: start\r\n")
+    assert res is Result.INDETERMINATE
+    # feed fold lines each under the per-line cap; the total must BAD
+    chunk = b" " + b"v" * 32 * 1024 + b"\r\n"
+    total, res = 0, Result.INDETERMINATE
+    while total <= 4 * MAX_HEADER_VALUE:
+        res, _ = p.feed(chunk)
+        if res is Result.BAD:
+            break
+        total += len(chunk)
+    assert res is Result.BAD
+    # and the accumulated value never exceeded the cap + one line
+    assert len(p.request.headers[-1][1]) <= MAX_HEADER_VALUE + len(chunk)
+
+
+def test_obs_fold_within_cap_still_parses():
+    p = RequestParser()
+    res, _ = p.feed(b"GET / HTTP/1.1\r\nX-A: one\r\n two\r\n\tthree\r\n\r\n")
+    assert res is Result.GOOD
+    assert p.request.header("X-A") == "one two three"
+
+
+def test_raw_server_get_with_body_closes_connection(spark, tmp_path):
+    """A GET that advertises a body (Content-Length) must not keep
+    the connection alive: the server never reads bodies, so the body
+    bytes would desync the parser as the next request's head."""
+    from quasdb_spark.server import RawStoreServer
+
+    srv = RawStoreServer().start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            r = _roundtrip(s, b"GET /health HTTP/1.1\r\nHost: h\r\n"
+                              b"Content-Length: 5\r\n\r\nhello")
+            assert r.startswith(b"HTTP/1.1 200")
+            assert b"Connection: close" in r
+            assert s.recv(65536) == b""  # closed, body never misparsed
+    finally:
+        srv.stop()
