@@ -424,3 +424,126 @@ def gopher_rules(df: DataFrame, text_col: str = "text", *,
         c = F.col(name)
         combined = c if combined is None else (combined & c)
     return out.withColumn("gopher_pass", combined)
+
+
+def lm_bigram_scores(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     head_cutoff: float, tail_cutoff: float) -> DataFrame:
+    """Corpus-trained bigram-LM cross-entropy per document, with
+    CCNet-style head/middle/tail quality buckets — the perplexity
+    filter every large crawl pipeline runs (CCNet, Gopher, RefinedWeb
+    all bucket by LM score; the LM here is the corpus's own add-one-
+    smoothed bigram model, so no external artifact is needed).
+
+    Per doc: ce = -(1/n) * sum ln P(w2|w1) over its n adjacent token
+    bigrams, with P(w2|w1) = (c(w1,w2)+1) / (c(w1,·)+V) (add-one over
+    vocabulary size V). Buckets are ABSOLUTE cutoffs (``head_cutoff``,
+    ``tail_cutoff``), the production CCNet shape: thresholds come from
+    a calibration pass / cutoff file, so scoring stays a pure
+    map+join — a corpus-relative ntile would funnel every row through
+    one window task at 100 TB.
+
+    Scale shape: bigram extraction is map-only (zip of two array
+    slices, in-row); the model is two hash aggregates (map-side
+    combine, shuffle ~ distinct bigrams); scoring is one equi-join of
+    doc bigrams against the model keyed by (w1,w2) — Zipf-skewed keys,
+    so AQE skew-join (or splitting the top-K bigrams into a broadcast
+    map-join) is the 100 TB mitigation — then a per-doc sum.
+
+    Determinism: per-bigram ln() is rounded to integer MICROS before
+    the per-doc sum (order-free integer adds, the bm25_search
+    contract), so Spark and a SQL oracle agree bit-for-bit.
+    """
+    toks = tokens(text_col)
+    base = df.select(F.col(id_col), toks.alias("_w"))
+    n = F.size("_w")
+    pairs = (base.where(n >= 2)
+             .select(id_col, F.explode(F.zip_with(
+                 F.slice("_w", 1, n - 1), F.slice("_w", 2, n - 1),
+                 lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
+                 .alias("_p"))
+             .select(id_col, "_p.w1", "_p.w2"))
+    cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
+    cl = cb.groupBy("w1").agg(F.sum("_c").alias("_cw"))
+    vocab = (base.select(F.explode("_w").alias("_t"))
+             .agg(F.countDistinct("_t").alias("_v")))
+    lp = (cb.join(cl, "w1").crossJoin(F.broadcast(vocab))
+          .select("w1", "w2",
+                  F.round(F.log((F.col("_c") + 1.0)
+                                / (F.col("_cw") + F.col("_v"))) * 1e6)
+                  .cast("long").alias("_lpm")))
+    per_doc = (pairs.join(lp, ["w1", "w2"])
+               .groupBy(id_col)
+               .agg(F.sum("_lpm").alias("_s"),
+                    F.count(F.lit(1)).alias("n_bigrams")))
+    ce = F.round(-F.col("_s") / 1e6 / F.col("n_bigrams"), 4) + F.lit(0.0)
+    return (per_doc.withColumn("ce", ce)
+            .withColumn("bucket",
+                        F.when(F.col("ce") < head_cutoff, "head")
+                         .when(F.col("ce") > tail_cutoff, "tail")
+                         .otherwise("middle"))
+            .select(id_col, "n_bigrams", "ce", "bucket"))
+
+
+def bpe_pair_counts(df: DataFrame, text_col: str = "text", *,
+                    k: int = 50) -> DataFrame:
+    """Top-k adjacent CHARACTER-pair counts over the corpus — the
+    first candidate-merge table of byte-pair-encoding tokenizer
+    training (Sennrich et al.: repeatedly merge the most frequent
+    adjacent symbol pair; this materializes round one's counts, the
+    piece a tokenizer-training pipeline fans out over the corpus).
+
+    Scale shape: corpus text never feeds the pair explode directly —
+    words are first collapsed to a DISTINCT-word frequency table
+    (hash aggregate, map-side combine; vocabulary grows sublinearly
+    in corpus size), then each distinct word explodes its len-1
+    adjacent pairs weighted by its frequency, and the pair aggregate +
+    TakeOrdered top-k finish the job. Pairs are 2-char substrings
+    (no char-array split), identical in Spark and SQL.
+    """
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq"))
+             .where(F.length("w") >= 2))
+    pairs = (words.select(
+        "freq",
+        F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i"),
+        F.col("w"))
+        .select(F.substring(F.col("w"), F.col("i"), 2).alias("pair"),
+                "freq"))
+    top = (pairs.groupBy("pair").agg(F.sum("freq").alias("n"))
+           .orderBy(F.col("n").desc(), F.col("pair").asc())
+           .limit(k))
+    from pyspark.sql import Window
+    w = Window.orderBy(F.col("n").desc(), F.col("pair").asc())
+    return (top.withColumn("rank", F.row_number().over(w))
+            .select("rank", "pair", "n"))
+
+
+def domain_mix_weights(df: DataFrame, domain_col: str = "source",
+                       text_col: str = "text", *,
+                       alpha: float = 0.3) -> DataFrame:
+    """Temperature-scaled domain sampling weights — the multinomial
+    mixing rule of XLM/mT5-style multi-domain training (and the
+    starting point DoReMi iterates from): weight_d ∝ (tokens_d)^alpha,
+    normalized. alpha < 1 up-samples small domains; alpha = 1 is
+    proportional sampling. Emits per domain: token count, natural
+    proportion, the alpha-tempered weight, and the oversample factor
+    (weight / proportion) a sampler would apply.
+
+    Scale shape: ONE map-side-combinable aggregate over the corpus
+    (token counting is in-row size(tokens)); the per-domain table is
+    tiny by contract, so the normalization pass is a broadcast of a
+    scalar. Weights round to 6 decimals after double pow() — domains
+    are few, so the 1-ulp pow()/sum differences sit far below the
+    rounding grain in both engines.
+    """
+    per = (df.groupBy(F.col(domain_col).alias("domain"))
+           .agg(F.sum(F.size(tokens(text_col))).alias("n_tokens")))
+    tot = per.agg(F.sum("n_tokens").alias("_tot"),
+                  F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_ptot"))
+    prop = F.round(F.col("n_tokens") / F.col("_tot"), 6)
+    wgt = F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("_ptot"), 6)
+    return (per.crossJoin(F.broadcast(tot))
+            .select("domain", "n_tokens",
+                    prop.alias("proportion"), wgt.alias("weight"),
+                    F.round(wgt / prop, 4).alias("oversample")))

@@ -1687,6 +1687,33 @@ def q_pipeline_curation(spark, sf_dir):
             .select("doc_id", "quality_score", "n_tokens", "n_exact_dups"))
 
 
+def q_text_lm_score(spark, sf_dir):
+    """CCNet-style LM quality scoring: per-doc cross-entropy under the
+    corpus's own add-one bigram model, bucketed head/middle/tail by
+    ABSOLUTE cutoffs (the production cutoff-file shape — no global
+    ntile window). Model = two hash aggregates; scoring = one
+    (w1,w2)-keyed equi-join + per-doc integer-micro sum."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.lm_bigram_scores(d, head_cutoff=3.37, tail_cutoff=3.42)
+
+
+def q_text_bpe_pairs(spark, sf_dir):
+    """BPE tokenizer-training prep: top-50 adjacent character-pair
+    counts (the round-one merge table). Corpus collapses to a
+    distinct-word frequency table FIRST; only the vocabulary explodes
+    pairs."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.bpe_pair_counts(d, k=50)
+
+
+def q_doc_domain_mix(spark, sf_dir):
+    """Temperature-scaled (alpha=0.3) domain sampling weights over the
+    ``source`` column — the XLM/mT5 multinomial mixing rule. One
+    map-side-combinable aggregate; output is one row per domain."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.domain_mix_weights(d, alpha=0.3)
+
+
 def q_text_winnow(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprints: per-doc count and an
     md5 digest of the sorted fingerprint set (compact, order-stable
@@ -2032,6 +2059,50 @@ _TEXT_ORACLES["pipeline_curation"] = f"""
     SELECT s2.doc_id, s2.quality_score, s2.n_tokens, k.n_exact_dups
     FROM surv s2 JOIN kept k
       ON s2.exact_fp = k.exact_fp AND s2.doc_id = k.doc_id"""
+_TEXT_ORACLES["text_lm_score"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    b AS (SELECT doc_id, w[i+1] AS w1, w[i+2] AS w2
+          FROM t, unnest(range(len(w)-1)) AS u(i) WHERE len(w) >= 2),
+    cb AS (SELECT w1, w2, count(*) AS c FROM b GROUP BY 1, 2),
+    cl AS (SELECT w1, sum(c) AS cw FROM cb GROUP BY 1),
+    v AS (SELECT count(DISTINCT x) AS vocab
+          FROM (SELECT unnest(w) AS x FROM t)),
+    lp AS (SELECT w1, w2,
+                  CAST(round(ln((c + 1.0) / (cw + vocab)) * 1e6) AS BIGINT)
+                  AS lpm
+           FROM cb JOIN cl USING (w1) CROSS JOIN v),
+    d AS (SELECT doc_id, sum(lpm) AS s, count(*) AS n
+          FROM b JOIN lp USING (w1, w2) GROUP BY 1)
+    SELECT doc_id, n AS n_bigrams, round(-s/1e6/n, 4) + 0.0 AS ce,
+           CASE WHEN round(-s/1e6/n, 4) + 0.0 < 3.37 THEN 'head'
+                WHEN round(-s/1e6/n, 4) + 0.0 > 3.42 THEN 'tail'
+                ELSE 'middle' END AS bucket
+    FROM d"""
+
+_TEXT_ORACLES["text_bpe_pairs"] = f"""
+    WITH w AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),
+    f AS (SELECT w, count(*) AS freq FROM w GROUP BY 1
+          HAVING len(w) >= 2),
+    p AS (SELECT substr(w, i, 2) AS pair, freq
+          FROM f, unnest(range(1, len(w))) AS u(i)),
+    top AS (SELECT pair, sum(freq) AS n FROM p GROUP BY 1
+            ORDER BY n DESC, pair ASC LIMIT 50)
+    SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n
+    FROM top"""
+
+_TEXT_ORACLES["doc_domain_mix"] = f"""
+    WITH per AS (SELECT source AS domain, sum(len({_TOKENS_SQL}))
+                        AS n_tokens
+                 FROM documents GROUP BY 1),
+    tot AS (SELECT sum(n_tokens) AS tot, sum(pow(n_tokens, 0.3)) AS ptot
+            FROM per)
+    SELECT domain, n_tokens,
+           round(n_tokens / tot, 6) AS proportion,
+           round(pow(n_tokens, 0.3) / ptot, 6) AS weight,
+           round(round(pow(n_tokens, 0.3) / ptot, 6)
+                 / round(n_tokens / tot, 6), 4) AS oversample
+    FROM per, tot"""
+
 _TEXT_ORACLES["text_winnow"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
     g AS (SELECT doc_id, w,
@@ -4042,6 +4113,9 @@ QUERIES = {
     "text_gopher_rules": q_text_gopher_rules,
     "text_winnow": q_text_winnow,
     "text_token_counts": q_text_token_counts,
+    "text_lm_score": q_text_lm_score,
+    "text_bpe_pairs": q_text_bpe_pairs,
+    "doc_domain_mix": q_doc_domain_mix,
     "pipeline_curation": q_pipeline_curation,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -4122,33 +4196,25 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    "doc_chunking", "dedup_substring_spans",  # new in r7: first driver rows
-    "emb_decontaminate", "kv_multi_get", "text_gopher_rules",
-    "doc_split_assign", "dedup_incremental", "dedup_apply",
-    "dedup_clusters", "dedup_containment", "dedup_exact",
-    "dedup_minhash_pairs", "dedup_minhash_sig", "dedup_simhash",
-    "dedup_simhash_pairs", "pipeline_curation", "rel_customer_rank",
-    "rel_order_priority", "rel_price_histogram", "rel_supplier_volume",
-    "sim_bucket_topk", "sim_cosine_topk", "sim_knn_graph",
-    "text_decontaminate", "text_fingerprint", "text_langid",
-    "text_pii_scan", "text_quality", "text_repetition", "text_stats",
-    "text_tfidf_topk", "text_token_counts", "text_winnow",
-    "crossmodal_neighbors", "doc_pack_manifest", "doc_sample_fixed_k",
-    "doc_sample_stratified", "doc_sample_weighted", "doc_token_packing",
-    "emb_centroids", "emb_label_separation", "emb_quantize_int8",
-    "events_funnel", "events_json_extract", "kv_point_get",
-    "kv_prefix_scan", "kv_range_scan", "kv_reverse_topn", "kv_seek_page",
-    "kv_state_asof", "kv_state_diff", "kv_state_latest", "kv_typed_state",
-    "mm_audio_stats", "mm_decode_stats", "mm_frame_sample",
-    "mm_resize_roundtrip", "rel_above_avg_orders", "rel_cube",
-    "rel_customer_quartiles", "rel_grouping_sets",
-    "rel_inactive_customers", "rel_order_count_dist", "rel_region_share",
-    "rel_rollup", "rel_set_ops", "rel_shipping_priority",
+    # r8 rotation: NEW r8 queries first, then queries over r8-CHANGED
+    # code (dedup hash/skew-guard changes, the rewritten driver
+    # point-read engine behind every kv_* row), then the
+    # oldest-driver-evidence cohort (last checked r4).
+    "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
+    "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",
+    "dedup_incremental", "dedup_clusters", "dedup_apply", "dedup_exact",
+    "dedup_containment", "kv_point_get", "kv_multi_get", "kv_state_latest",
+    "kv_state_asof", "kv_state_diff", "kv_typed_state", "kv_range_scan",
+    "kv_prefix_scan", "kv_reverse_topn", "kv_seek_page", "kv_state_postcompact",
+    "kv_codec_reverse_scan", "kv_live_stats", "kv_stream_state",
+    "mm_audio_stats", "mm_decode_stats", "mm_frame_sample", "mm_resize_roundtrip",
+    "rel_above_avg_orders", "rel_cube", "rel_customer_quartiles",
+    "rel_grouping_sets", "rel_inactive_customers", "rel_order_count_dist",
+    "rel_region_share", "rel_rollup", "rel_set_ops", "rel_shipping_priority",
     "rel_sole_blamed_supplier", "rel_top_supplier", "rel_unpivot",
-    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk",
-    "text_lang_confusion", "text_zipf", "ts_anomaly_zscore",
-    "ts_ohlc_daily", "ts_percentiles", "ts_pivot_hourly",
-    "ts_trailing_1h_sum",
+    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk", "text_lang_confusion",
+    "text_zipf", "ts_anomaly_zscore", "ts_ohlc_daily", "ts_percentiles",
+    "ts_pivot_hourly", "ts_trailing_1h_sum", "emb_semdedup",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},

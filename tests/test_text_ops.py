@@ -394,3 +394,55 @@ def test_chunk_by_tokens_null_text_single_empty_chunk(spark):
            for r in chunk_by_tokens(df, max_tokens=10,
                                     overlap=5).collect()}
     assert got == {(1, 0): ("", 1), (2, 0): ("", 1)}
+
+
+def test_lm_bigram_scores_small_corpus(spark):
+    """Hand-checked add-one bigram LM: P(w2|w1) = (c+1)/(cw+V);
+    ce = -(1/n) sum ln P. Low-perplexity (repetitive) docs land in
+    'head', high-perplexity (novel-bigram) docs in 'tail'."""
+    import math
+
+    from quasdb_spark.functions.text import lm_bigram_scores
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a b"), (2, "a b c d")], "doc_id int, text string")
+    # bigrams: d1 = ab,ba,ab,ba,ab; d2 = ab,bc,cd
+    # counts: ab=4, ba=2, bc=1, cd=1; left: a=4, b=3, c=1; V=4
+    p = {("a", "b"): 5 / 8, ("b", "a"): 3 / 7,
+         ("b", "c"): 2 / 7, ("c", "d"): 2 / 5}
+    lpm = {k: round(math.log(v) * 1e6) for k, v in p.items()}
+    ce1 = -(3 * lpm[("a", "b")] + 2 * lpm[("b", "a")]) / 1e6 / 5
+    ce2 = -(lpm[("a", "b")] + lpm[("b", "c")] + lpm[("c", "d")]) / 1e6 / 3
+    got = {r.doc_id: r for r in lm_bigram_scores(
+        df, head_cutoff=0.8, tail_cutoff=0.85).collect()}
+    assert got[1].n_bigrams == 5 and got[2].n_bigrams == 3
+    assert got[1].ce == round(ce1, 4) and got[2].ce == round(ce2, 4)
+    assert got[1].bucket == "head" and got[2].bucket == "tail"
+
+
+def test_bpe_pair_counts_weighted_by_word_freq(spark):
+    from quasdb_spark.functions.text import bpe_pair_counts
+
+    df = spark.createDataFrame(
+        [(1, "abab cd"), (2, "abab abab x")], "doc_id int, text string")
+    # distinct words: abab (freq 3) -> pairs ab,ba,ab; cd (1) -> cd
+    # counts: ab = 2*3 = 6, ba = 3, cd = 1; 'x' too short
+    got = [(r.rank, r.pair, r.n) for r in bpe_pair_counts(df, k=10).collect()]
+    assert got == [(1, "ab", 6), (2, "ba", 3), (3, "cd", 1)]
+
+
+def test_domain_mix_weights_temperature(spark):
+    """alpha=1 -> proportional; alpha=0.3 up-samples the small domain
+    (oversample > 1) and down-samples the big one; weights sum to 1."""
+    from quasdb_spark.functions.text import domain_mix_weights
+
+    df = spark.createDataFrame(
+        [(i, "w " * 99 + "w", "big") for i in range(9)]
+        + [(100, "w " * 99 + "w", "small")],
+        "doc_id int, text string, source string")
+    prop = {r.domain: r for r in domain_mix_weights(df, alpha=1.0).collect()}
+    assert prop["big"].weight == prop["big"].proportion == 0.9
+    temp = {r.domain: r for r in domain_mix_weights(df, alpha=0.3).collect()}
+    assert temp["small"].oversample > 1.0 > temp["big"].oversample
+    assert abs(sum(r.weight for r in temp.values()) - 1.0) < 1e-5
+    assert temp["big"].n_tokens == 900 and temp["small"].n_tokens == 100
