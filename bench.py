@@ -62,7 +62,8 @@ EXTRA_BENCH = [
     "text_gopher_rules", "ts_asof_nearest", "emb_decontaminate",
     "events_transitions", "rel_reorder_gaps", "doc_split_assign",
     "doc_chunking", "dedup_substring_spans",
-    "text_lm_score", "text_bpe_pairs", "doc_domain_mix",  # r8
+    "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
+    "emb_hard_negatives",  # r8
 ]
 
 

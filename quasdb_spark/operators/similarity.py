@@ -388,6 +388,73 @@ def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
                     "n_members"))
 
 
+def hard_negatives(vectors: DataFrame, k: int = 5, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   label_col: str = "label", n_bands: int = 8,
+                   band_bits: int = 8,
+                   max_bucket_size: int | None = 1000, dims: int = 64,
+                   seed: int = 0) -> DataFrame:
+    """Contrastive hard-negative mining: for every anchor vector, the
+    top-k most-cosine-similar vectors carrying a DIFFERENT label —
+    the negatives that sit closest to the decision boundary, which is
+    what contrastive/embedding-training pipelines actually sample
+    (easy negatives teach nothing; in-batch random negatives are
+    mostly easy). Returns (anchor_id, rank, negative_id,
+    anchor_label, negative_label, score).
+
+    Scale shape — the same no-cross-join discipline as the pair
+    finders: candidates come from banded sign-LSH buckets (map-only
+    signature pass, self-equi-join on (band, key), quadratic only
+    within a bucket, ``max_bucket_size`` skew guard), the label
+    inequality filters candidates BEFORE any scoring join, and the
+    per-anchor top-k is a window PARTITIONED BY anchor (never
+    global). Mined negatives are bucket-local: a negative whose every
+    band differs from the anchor's is invisible — exactly the LSH
+    recall curve, and the right trade at 100 TB (those are easy
+    negatives anyway).
+    """
+    keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
+                                dims=dims, seed=seed)
+    e = ensure_parallelism(vectors).select(
+        F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"),
+        _as_double(vec_col).alias("_v"),
+        norm(_as_double(vec_col)).alias("_n"),
+        keys.alias("_keys")).persist()
+    bands = e.select("_id", "_lbl",
+                     F.posexplode("_keys").alias("_band", "_key"))
+    if max_bucket_size is not None:
+        ok = (bands.groupBy("_band", "_key")
+                   .agg(F.count(F.lit(1)).alias("_c"))
+                   .where(F.col("_c") <= max_bucket_size)
+                   .drop("_c"))
+        bands = bands.join(ok, ["_band", "_key"])
+    a = bands.select(F.col("_id").alias("anchor_id"),
+                     F.col("_lbl").alias("anchor_label"), "_band", "_key")
+    b = bands.select(F.col("_id").alias("negative_id"),
+                     F.col("_lbl").alias("negative_label"),
+                     "_band", "_key")
+    cand = (a.join(b, ["_band", "_key"])
+             .where((F.col("anchor_id") != F.col("negative_id"))
+                    & (F.col("anchor_label") != F.col("negative_label")))
+             .select("anchor_id", "anchor_label",
+                     "negative_id", "negative_label")
+             .distinct())
+    va = e.select(F.col("_id").alias("anchor_id"),
+                  F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    vb = e.select(F.col("_id").alias("negative_id"),
+                  F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    scored = (cand.join(va, "anchor_id").join(vb, "negative_id")
+              .withColumn("score", dot(F.col("_va"), F.col("_vb"))
+                          / (F.col("_na") * F.col("_nb"))))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc())
+    return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("anchor_id", "rank", "negative_id", "anchor_label",
+                    "negative_label",
+                    (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
 def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
                   id_col: str = "vec_id", vec_col: str = "embedding",
                   threshold: float = 0.9, n_bands: int = 8,

@@ -2605,6 +2605,16 @@ def q_sim_neardup_cosine(spark, sf_dir):
                                     band_bits=8, max_bucket_size=1000)
 
 
+def q_emb_hard_negatives(spark, sf_dir):
+    """Contrastive hard-negative mining: per anchor, the top-3
+    most-similar OTHER-label vectors among its banded sign-LSH
+    candidates (8 bands x 8 bits, skew-guarded). Label filter runs
+    BEFORE scoring; the top-k window partitions by anchor."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.hard_negatives(e, 3, n_bands=8, band_bits=8,
+                              max_bucket_size=1000)
+
+
 def q_emb_decontaminate(spark, sf_dir):
     """SEMANTIC eval-set decontamination: corpus embeddings whose
     cosine to any benchmark embedding (vec_id % 5 == 0) clears the
@@ -2799,6 +2809,38 @@ _SIM_ORACLES = {
         FROM scored
         WHERE score >= 0.40 AND ((id_a % 5 = 0) <> (id_b % 5 = 0))""",
 }
+
+_SIM_ORACLES["emb_hard_negatives"] = f"""
+    WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+                FROM embeddings),
+    e AS (SELECT vec_id, label, v, {_hp_bucket_sql('v', 64)} AS sig
+          FROM e0),
+    bands AS (SELECT vec_id, label, b, substr(sig, b * 8 + 1, 8) AS key
+              FROM e, (SELECT unnest(generate_series(0, 7)) AS b)),
+    ok AS (SELECT b, key FROM bands GROUP BY b, key
+           HAVING count(*) <= 1000),
+    cand AS (SELECT DISTINCT a.vec_id AS anchor_id,
+                    a.label AS anchor_label,
+                    c.vec_id AS negative_id,
+                    c.label AS negative_label
+             FROM bands a
+             JOIN bands c ON a.b = c.b AND a.key = c.key
+                         AND a.vec_id <> c.vec_id
+                         AND a.label <> c.label
+             JOIN ok ON ok.b = a.b AND ok.key = a.key),
+    scored AS (
+      SELECT anchor_id, anchor_label, negative_id, negative_label,
+             {_COS_SQL.replace("qv", "ea.v").replace("vv", "eb.v")} AS score
+      FROM cand
+      JOIN e ea ON ea.vec_id = cand.anchor_id
+      JOIN e eb ON eb.vec_id = cand.negative_id),
+    ranked AS (
+      SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                   ORDER BY score DESC, negative_id) AS rn
+      FROM scored)
+    SELECT anchor_id, CAST(rn AS INT) AS rank, negative_id,
+           anchor_label, negative_label, round(score, 4) + 0.0 AS score
+    FROM ranked WHERE rn <= 3"""
 
 _SIM_ORACLES["emb_semdedup"] = f"""
     WITH pairs AS ({_SIM_ORACLES["sim_neardup_cosine"]}),
@@ -4135,6 +4177,7 @@ QUERIES = {
     "text_lang_confusion": q_text_lang_confusion,
     "sim_neardup_cosine": q_sim_neardup_cosine,
     "emb_decontaminate": q_emb_decontaminate,
+    "emb_hard_negatives": q_emb_hard_negatives,
     "emb_semdedup": q_emb_semdedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
@@ -4201,6 +4244,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
+    "emb_hard_negatives",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",
     "dedup_incremental", "dedup_clusters", "dedup_apply", "dedup_exact",
     "dedup_containment", "kv_point_get", "kv_multi_get", "kv_state_latest",

@@ -503,3 +503,33 @@ def test_decontaminate_plan_broadcasts_benchmark_only(spark, sf_dir):
     # are aggregate/dedup shuffles, never a corpus-band equi-join
     assert "SortMergeJoin" not in plan
     assert "ShuffledHashJoin" not in plan
+
+
+def test_hard_negatives_semantics(spark):
+    """Every mined negative carries a different label; per-anchor rows
+    are ranked by cosine desc; a same-label near-identical vector is
+    NEVER mined while a different-label identical vector ranks #1."""
+    from quasdb_spark.operators.similarity import hard_negatives
+
+    dims = 64
+    base = [1.0] * dims
+    ortho = [1.0, -1.0] * (dims // 2)
+    rows = [
+        (1, base, 0),
+        (2, base, 0),            # same label twin: must not be mined
+        (3, base, 1),            # different-label twin: rank 1 for 1
+        (4, ortho, 1),
+    ]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<double>, label int")
+    out = hard_negatives(df, 3, dims=dims).collect()
+    assert all(r.anchor_label != r.negative_label for r in out)
+    mine1 = sorted([r for r in out if r.anchor_id == 1],
+                   key=lambda r: r.rank)
+    assert mine1 and mine1[0].negative_id == 3 and mine1[0].score == 1.0
+    assert all(r.negative_id != 2 for r in mine1)
+    # ranks are 1..n dense and scores non-increasing per anchor
+    for aid in {r.anchor_id for r in out}:
+        mine = sorted([r for r in out if r.anchor_id == aid],
+                      key=lambda r: r.rank)
+        assert [r.rank for r in mine] == list(range(1, len(mine) + 1))
+        assert all(a.score >= b.score for a, b in zip(mine, mine[1:]))
