@@ -1112,6 +1112,52 @@ def q_rel_promo_share(spark, sf_dir):
                    F.count(F.lit(1)).alias("n_lines")))
 
 
+def q_rel_small_qty_revenue(spark, sf_dir):
+    """TPC-H Q17 shape (small-quantity-order revenue): average yearly
+    revenue that would be lost if orders below 20% of a part's average
+    quantity were no longer filled, for one brand. The correlated
+    scalar subquery becomes a per-part quantity aggregate joined back
+    to the brand's lineitems (broadcast part filter pushes to both
+    scans); the threshold compare is exact integer cross-multiplication
+    (5*qty*cnt < sum_qty) — no float division anywhere, so both
+    engines land boundary rows identically."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
+    li = _t(spark, sf_dir, "lineitem")
+    per_part = (li.join(F.broadcast(p.select("p_partkey")),
+                        li.l_partkey == F.col("p_partkey"))
+                .groupBy("l_partkey")
+                .agg(F.sum(_qty_l()).alias("_sq"),
+                     F.count(F.lit(1)).alias("_cnt")))
+    small = (li.join(F.broadcast(p.select("p_partkey")),
+                     li.l_partkey == F.col("p_partkey")).drop("p_partkey")
+             .join(per_part, "l_partkey")
+             .where(_qty_l() * 5 * F.col("_cnt") < F.col("_sq")))
+    return small.agg(
+        F.count(F.lit(1)).alias("n_small_lines"),
+        (F.round(F.sum(_price_c()) / 7.0, 0) / 100.0).alias("avg_yearly"))
+
+
+def q_rel_product_revenue(spark, sf_dir):
+    """TPC-H Q9 shape adapted to this schema (no partsupp cost
+    column): revenue by nation and ship-year for one part type —
+    lineitem joins part (type filter, broadcast), supplier → nation
+    (broadcast), then one (nation, year) aggregate over exact integer
+    revenue units."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_type") == "PROMO")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    li = _t(spark, sf_dir, "lineitem")
+    return (li.join(F.broadcast(p.select("p_partkey")),
+                    li.l_partkey == F.col("p_partkey"))
+            .join(s, li.l_suppkey == s.s_suppkey)
+            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+            .groupBy(F.col("n_name").alias("nation"),
+                     F.year("l_shipdate").alias("o_year"))
+            .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
+                  / 100.0).alias("revenue"),
+                 F.count(F.lit(1)).alias("n_lines")))
+
+
 def q_rel_order_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
@@ -1506,6 +1552,29 @@ _REL_ORACLES = {
                count(*) AS n_lines
         FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
         GROUP BY 1""",
+    "rel_small_qty_revenue": f"""
+        WITH pk AS (SELECT p_partkey FROM part WHERE p_brand = 'Brand#1'),
+        pp AS (SELECT l_partkey, sum({_QTY_SQL}) AS sq,
+                      count(*) AS cnt
+               FROM lineitem JOIN pk ON l_partkey = p_partkey
+               GROUP BY 1)
+        SELECT count(*) AS n_small_lines,
+               round(sum({_PRICE_C_SQL}) / 7.0, 0) / 100.0 AS avg_yearly
+        FROM lineitem
+        JOIN pk ON l_partkey = p_partkey
+        JOIN pp USING (l_partkey)
+        WHERE {_QTY_SQL} * 5 * cnt < sq""",
+    "rel_product_revenue": f"""
+        SELECT n_name AS nation,
+               CAST(year(l_shipdate) AS INT) AS o_year,
+               round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue,
+               count(*) AS n_lines
+        FROM lineitem
+        JOIN part ON l_partkey = p_partkey
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey
+        WHERE p_type = 'PROMO'
+        GROUP BY 1, 2""",
     "rel_returned_items": f"""
         SELECT c_custkey, c_name, c_acctbal, n_name,
                round(sum({_REV_U4_SQL}) / 100.0) / 100.0 AS revenue
@@ -4135,6 +4204,8 @@ QUERIES = {
     "rel_forecast_revenue": q_rel_forecast_revenue,
     "rel_salted_supplier_volume": q_rel_salted_supplier_volume,
     "rel_returned_items": q_rel_returned_items,
+    "rel_small_qty_revenue": q_rel_small_qty_revenue,
+    "rel_product_revenue": q_rel_product_revenue,
     "rel_nation_volume": q_rel_nation_volume,
     "rel_market_share": q_rel_market_share,
     "rel_large_volume_customers": q_rel_large_volume_customers,
@@ -4244,7 +4315,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
-    "emb_hard_negatives",
+    "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",
     "dedup_incremental", "dedup_clusters", "dedup_apply", "dedup_exact",
     "dedup_containment", "kv_point_get", "kv_multi_get", "kv_state_latest",
