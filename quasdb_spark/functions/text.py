@@ -457,12 +457,17 @@ def lm_bigram_scores(df: DataFrame, id_col: str = "doc_id",
     toks = tokens(text_col)
     base = df.select(F.col(id_col), toks.alias("_w"))
     n = F.size("_w")
+    # the bigram frame feeds BOTH the model aggregates and the scoring
+    # join — persist it so tokenization + the pair explode run once
+    # (the near_dup_pairs shingle-cache rationale; the cached rows are
+    # (id, w1, w2), ~the corpus token volume, spilling to disk)
     pairs = (base.where(n >= 2)
              .select(id_col, F.explode(F.zip_with(
                  F.slice("_w", 1, n - 1), F.slice("_w", 2, n - 1),
                  lambda a, b: F.struct(a.alias("w1"), b.alias("w2"))))
                  .alias("_p"))
-             .select(id_col, "_p.w1", "_p.w2"))
+             .select(id_col, "_p.w1", "_p.w2")
+             .persist())
     cb = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("_c"))
     cl = cb.groupBy("w1").agg(F.sum("_c").alias("_cw"))
     vocab = (base.select(F.explode("_w").alias("_t"))
@@ -543,7 +548,14 @@ def domain_mix_weights(df: DataFrame, domain_col: str = "source",
                   F.sum(F.pow("n_tokens", F.lit(alpha))).alias("_ptot"))
     prop = F.round(F.col("n_tokens") / F.col("_tot"), 6)
     wgt = F.round(F.pow("n_tokens", F.lit(alpha)) / F.col("_ptot"), 6)
+    # oversample divides the UNROUNDED ratio (a tiny domain's rounded
+    # proportion can be 0.000000 — dividing by it would NULL/Inf the
+    # exact domains alpha-tempering up-samples); an all-empty domain
+    # (0 tokens) has no defined factor → NULL in both engines
+    over = F.when(F.col("n_tokens") > 0, F.round(
+        (F.pow("n_tokens", F.lit(alpha)) / F.col("_ptot"))
+        / (F.col("n_tokens") / F.col("_tot")), 4))
     return (per.crossJoin(F.broadcast(tot))
             .select("domain", "n_tokens",
                     prop.alias("proportion"), wgt.alias("weight"),
-                    F.round(wgt / prop, 4).alias("oversample")))
+                    over.alias("oversample")))

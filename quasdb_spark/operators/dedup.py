@@ -81,6 +81,22 @@ def lsh_band_keys(sig_col: str = "minhash_sig", *, n_bands: int = 2,
     return keys
 
 
+def drop_hot_buckets(df: DataFrame, key_cols: list[str],
+                     max_bucket_size: int) -> DataFrame:
+    """The LSH hot-bucket skew guard shared by every banded pair
+    finder (MinHash, SimHash, sign-LSH, bucketed kNN, hard-negative
+    mining): drop all rows of buckets holding more than
+    ``max_bucket_size`` entries, so no single degenerate key can turn
+    a within-bucket pair join quadratic. Recall inside dropped buckets
+    is sacrificed — callers expose the cap and default it per the
+    operator's exactness contract."""
+    ok = (df.groupBy(*key_cols)
+            .agg(F.count(F.lit(1)).alias("__bucket_n"))
+            .where(F.col("__bucket_n") <= max_bucket_size)
+            .drop("__bucket_n"))
+    return df.join(ok, key_cols)
+
+
 def _nonempty_sig(sig_col: str = "minhash_sig") -> F.Column:
     """True iff the MinHash signature is real — i.e. the doc had at
     least one shingle. Docs shorter than ``shingle_n`` tokens have an
@@ -115,11 +131,7 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         F.explode(F.array(*[k for k in lsh_band_keys(
             n_bands=n_bands, rows_per_band=rows_per_band)])).alias("band_key"))
     if max_bucket_size is not None:
-        ok = (bands.groupBy("band_key")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .where(F.col("_n") <= max_bucket_size)
-                   .drop("_n"))
-        bands = bands.join(ok, "band_key")
+        bands = drop_hot_buckets(bands, ["band_key"], max_bucket_size)
     a = bands.alias("a")
     b = bands.alias("b")
     pairs = (a.join(b, (F.col("a.band_key") == F.col("b.band_key")) &
@@ -347,11 +359,7 @@ def simhash_hamming_pairs_banded(sim: DataFrame, id_col: str = "doc_id", *,
                      for b in range(n_bands)])
     bands = s.select("_id", F.posexplode(keys).alias("_band", "_key"))
     if max_bucket_size is not None:
-        ok = (bands.groupBy("_band", "_key")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .where(F.col("_n") <= max_bucket_size)
-                   .drop("_n"))
-        bands = bands.join(ok, ["_band", "_key"])
+        bands = drop_hot_buckets(bands, ["_band", "_key"], max_bucket_size)
     a = bands.select(F.col("_id").alias("id_a"), "_band", "_key")
     b = bands.select(F.col("_id").alias("id_b"), "_band", "_key")
     cand = (a.join(b, ["_band", "_key"])

@@ -21,6 +21,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from quasdb_spark.operators.dedup import drop_hot_buckets
 from quasdb_spark.plans.parallel import ensure_parallelism
 
 
@@ -323,11 +324,7 @@ def _banded_pairs_from_frame(e: DataFrame, threshold: float,
     the signature frames are equal)."""
     bands = e.select("_id", F.posexplode("_keys").alias("_band", "_key"))
     if max_bucket_size is not None:
-        ok = (bands.groupBy("_band", "_key")
-                   .agg(F.count(F.lit(1)).alias("_n"))
-                   .where(F.col("_n") <= max_bucket_size)
-                   .drop("_n"))
-        bands = bands.join(ok, ["_band", "_key"])
+        bands = drop_hot_buckets(bands, ["_band", "_key"], max_bucket_size)
     a = bands.select(F.col("_id").alias("id_a"), "_band", "_key")
     b = bands.select(F.col("_id").alias("id_b"), "_band", "_key")
     cand = (a.join(b, ["_band", "_key"])
@@ -423,11 +420,7 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
     bands = e.select("_id", "_lbl",
                      F.posexplode("_keys").alias("_band", "_key"))
     if max_bucket_size is not None:
-        ok = (bands.groupBy("_band", "_key")
-                   .agg(F.count(F.lit(1)).alias("_c"))
-                   .where(F.col("_c") <= max_bucket_size)
-                   .drop("_c"))
-        bands = bands.join(ok, ["_band", "_key"])
+        bands = drop_hot_buckets(bands, ["_band", "_key"], max_bucket_size)
     a = bands.select(F.col("_id").alias("anchor_id"),
                      F.col("_lbl").alias("anchor_label"), "_band", "_key")
     b = bands.select(F.col("_id").alias("negative_id"),
@@ -585,9 +578,7 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
         hyperplane_bucket(vec_col, n_bits, dims=dims,
                           seed=seed).alias("_bucket")).persist()
     if max_bucket_size is not None:
-        ok = (b.groupBy("_bucket").agg(F.count(F.lit(1)).alias("_n"))
-               .where(F.col("_n") <= max_bucket_size).drop("_n"))
-        b = b.join(ok, "_bucket")
+        b = drop_hot_buckets(b, ["_bucket"], max_bucket_size)
     left = b.select(F.col("_id").alias("src"),
                     F.col("_v").alias("_lv"),
                     F.col("_vn").alias("_ln"), "_bucket")

@@ -205,14 +205,16 @@ class _RawConnection(socketserver.BaseRequestHandler):
                 if result is Result.INDETERMINATE:
                     continue
                 req = parser.request
-                # A request advertising a body (any method — GET/HEAD
-                # may legally carry Content-Length too) leaves bytes
-                # this server never reads; keeping the connection would
-                # desync the parser on them (they'd be parsed as the
-                # next request head). Close after answering instead.
+                # A request advertising a NON-EMPTY body (any method —
+                # GET/HEAD may legally carry Content-Length too) leaves
+                # bytes this server never reads; keeping the connection
+                # would desync the parser on them (they'd be parsed as
+                # the next request head). Close after answering
+                # instead. "Content-Length: 0" leaves nothing unread,
+                # so clients that always emit it keep their connection.
                 keep = (req.keep_alive
                         and req.method in ("GET", "HEAD")
-                        and req.header("Content-Length") is None
+                        and req.header("Content-Length") in (None, "0")
                         and req.header("Transfer-Encoding") is None)
                 code, ctype, body, clen = handle_request(
                     srv.store, srv.doc_root, req.method, req.uri)

@@ -421,6 +421,31 @@ class KVStore:
         st._load_config()
         return st
 
+    @staticmethod
+    def _sniff_compression(data_root: str) -> str:
+        """The store's on-disk codec, read from the first data file's
+        column metadata (RepairDB recovers options from the data where
+        the data records them). Unknown/no files → snappy default."""
+        import pyarrow.parquet as pq
+
+        for name in sorted(os.listdir(data_root)):
+            d = os.path.join(data_root, name)
+            if not os.path.isdir(d):
+                continue
+            for root, _dirs, files in os.walk(d):
+                for f in sorted(files):
+                    if not f.endswith(".parquet"):
+                        continue
+                    md = pq.read_metadata(os.path.join(root, f))
+                    if md.num_row_groups:
+                        got = md.row_group(0).column(0).compression
+                        mapped = {"UNCOMPRESSED": "none",
+                                  "SNAPPY": "snappy", "ZSTD": "zstd",
+                                  "GZIP": "gzip"}.get(got)
+                        if mapped:
+                            return mapped
+        return "snappy"
+
     @classmethod
     def _schema_dict(cls, binary: bool, codec: type | str | None,
                      value_schema: StructType | str | None = None,
@@ -476,7 +501,7 @@ class KVStore:
     def repair(cls, spark: SparkSession, path: str, *, binary: bool = False,
                codec: type | str | None = None,
                value_schema: StructType | str | None = None,
-               compression: str = "snappy") -> "KVStore":
+               compression: str | None = None) -> "KVStore":
         """RepairDB (declared by the reference, kv/include/db.h:112-116;
         LevelDB semantics: rebuild metadata from the data files).
         Reconstructs a fresh manifest from the data dirs on disk — per-dir
@@ -498,6 +523,11 @@ class KVStore:
         data_root = os.path.join(st.path, "data")
         if not os.path.isdir(data_root):
             raise FileNotFoundError(f"no data directory at {data_root}")
+        if compression is None:
+            # recover the store's codec from the data itself (every
+            # Parquet column chunk records it) rather than silently
+            # resetting an incompressible-value store to snappy
+            compression = cls._sniff_compression(data_root)
         if os.path.isdir(st.manifest.dir):
             shutil.move(st.manifest.dir,
                         st.manifest.dir + f".corrupt-{int(time.time())}")
@@ -1135,8 +1165,7 @@ class KVStore:
             for s in [s for s, e in pending.items()
                       if e in best and best[e][0][0] > bar]:
                 del pending[s]
-        if len(consulted) >= 2:
-            self._record_seeks(consulted)
+        self._record_seeks(consulted)  # charges nothing below 2 dirs
         return {k: r for k, (_, r) in best.items() if r["op"] != DEL}
 
     def _read_point_rows(self, rel: str, wanted: list,

@@ -2168,8 +2168,10 @@ _TEXT_ORACLES["doc_domain_mix"] = f"""
     SELECT domain, n_tokens,
            round(n_tokens / tot, 6) AS proportion,
            round(pow(n_tokens, 0.3) / ptot, 6) AS weight,
-           round(round(pow(n_tokens, 0.3) / ptot, 6)
-                 / round(n_tokens / tot, 6), 4) AS oversample
+           CASE WHEN n_tokens > 0
+                THEN round((pow(n_tokens, 0.3) / ptot)
+                           / (n_tokens / tot), 4)
+           END AS oversample
     FROM per, tot"""
 
 _TEXT_ORACLES["text_winnow"] = f"""

@@ -282,3 +282,21 @@ def test_raw_server_get_with_body_closes_connection(spark, tmp_path):
             assert s.recv(65536) == b""  # closed, body never misparsed
     finally:
         srv.stop()
+
+
+def test_raw_server_content_length_zero_keeps_alive(spark, tmp_path):
+    """'Content-Length: 0' leaves nothing unread, so clients that
+    always emit it must keep their keep-alive connection."""
+    from quasdb_spark.server import RawStoreServer
+
+    srv = RawStoreServer().start()
+    try:
+        with socket.create_connection(("127.0.0.1", srv.port)) as s:
+            r1 = _roundtrip(s, b"GET /health HTTP/1.1\r\nHost: h\r\n"
+                               b"Content-Length: 0\r\n\r\n")
+            assert r1.startswith(b"HTTP/1.1 200")
+            assert b"Connection: keep-alive" in r1
+            r2 = _roundtrip(s, b"GET /health HTTP/1.1\r\nHost: h\r\n\r\n")
+            assert r2.startswith(b"HTTP/1.1 200")  # same connection
+    finally:
+        srv.stop()

@@ -904,11 +904,11 @@ def test_driver_get_newest_first_early_stop(spark, tmp_path):
     st._read_point_rows = spy
     assert st.get("k03") == "v7"
     assert len(consulted) == 1  # newest dir only (winner seq > all bars)
-    # a key that never existed probes every overlapping dir (no winner
-    # can resolve it) — still the correct NotFound
+    # a key above every dir's max_key: manifest min/max pruning means
+    # NO dir is consulted at all — still the correct NotFound
     consulted.clear()
     assert st.get("k99") is None
-    assert len(consulted) == 0 or st.get("k99") is None  # pruned by min/max
+    assert len(consulted) == 0
     # as-of pins an OLD version: newest dirs are pruned by seq_lo,
     # the walk starts at the as-of-visible newest
     consulted.clear()
@@ -988,3 +988,27 @@ def test_per_store_compression_knob(spark, tmp_path):
     import pytest as _pytest
     with _pytest.raises(ValueError):
         KVStore.create(spark, str(tmp_path / "bad"), compression="lzo")
+
+
+def test_repair_preserves_compression(spark, tmp_path):
+    """RepairDB recovers options from the data where the data records
+    them: a store created with compression='none' must come back from
+    repair still writing uncompressed — not silently reset to the
+    snappy default."""
+    import glob
+    import shutil
+
+    import pyarrow.parquet as pq
+
+    from quasdb_spark.store import KVStore
+
+    st = KVStore.create(spark, str(tmp_path / "rc"), compression="none")
+    st.write_batch([("put", f"k{i}", "v" * 40) for i in range(8)])
+    shutil.rmtree(str(tmp_path / "rc" / "_manifest"))
+    st2 = KVStore.repair(spark, str(tmp_path / "rc"))
+    assert st2.compression == "none"
+    assert st2.get("k3") == "v" * 40
+    st2.write_batch([("put", "post", "repair")])
+    codecs = {pq.read_metadata(p).row_group(0).column(0).compression
+              for p in glob.glob(f"{st2.path}/data/*/*.parquet")}
+    assert codecs == {"UNCOMPRESSED"}
