@@ -69,14 +69,112 @@ def minhash_signature(df: DataFrame, text_col: str = "text", *,
     return out.withColumn("minhash_sig", sig).drop("_sh")
 
 
+# The affine-rehash ("one-hash") MinHash scheme: hash every shingle
+# ONCE, then derive each of the k minhashes as min over (a_i*h + b_i)
+# mod p — the standard production construction (Broder's permutation
+# family; what datasketch/Spark-ML-MinHashLSH do), turning the md5
+# scheme's O(shingles × k) hashing into O(shingles + k) cheap integer
+# multiply-adds. p is the smallest prime above 2^32 so the family
+# covers the full 32-bit base-hash range; a < 2^31 and h < 2^32 keep
+# a*h + b under 2^63 (no signed-bigint overflow in either engine).
+P32 = 4294967311  # smallest prime > 2^32
+
+
+def affine_params(n_hashes: int) -> list[tuple[int, int]]:
+    """Deterministic (a_i, b_i) per seed — LCG-scrambled constants,
+    identical across engines/runs so signatures are reproducible and
+    DuckDB oracles can mirror them."""
+    return [((i * 1103515245 + 12345) % 2147483646 + 1,
+             (i * 69069 + 1234567) % 2147483647)
+            for i in range(n_hashes)]
+
+
+def base_hash32(s: F.Column) -> F.Column:
+    """Portable 32-bit shingle hash: the first 8 hex chars of md5,
+    parsed as an integer (Spark conv(…,16,10); DuckDB
+    ('0x'||…)::BIGINT — bit-identical both sides)."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
+
+
+def minhash_signature_fast(df: DataFrame, text_col: str = "text", *,
+                           n_hashes: int = 64, shingle_n: int = 3,
+                           engine: str = "arrow") -> DataFrame:
+    """Affine-rehash MinHash signature (``minhash_sig`` as
+    array<bigint>): one md5 per shingle, k derived minima. This is the
+    path for production widths (64-128 hashes). Same empty-shingle
+    contract as the md5 scheme: docs under ``shingle_n`` tokens get an
+    all-NULL signature that ``_nonempty_sig`` filters before banding.
+
+    ``engine``: both produce BIT-IDENTICAL signatures (exact integer
+    arithmetic, pinned by tests).
+    - "expr": k interpreted array_min(transform(...)) folds. Measured
+      at sf0.1: the k traversals, not the hashing, dominate — 64
+      hashes cost ~the md5 scheme's 64 (SCALE.md §7), so this engine
+      only wins for narrow signatures.
+    - "arrow" (default): base hashes stay JVM-side (md5+conv), then
+      ONE vectorized pandas pass computes all k minima per doc —
+      (shingles × k) multiply-add-mod in numpy int64 instead of k
+      interpreted traversals. The sanctioned Pandas-UDF escape hatch,
+      same policy as similarity.signature_frame_pandas."""
+    if "shingles" in df.columns:
+        out = df.withColumn("_sh", F.col("shingles"))
+    else:
+        out = ensure_parallelism(df).withColumn(
+            "_sh", shingles(text_col, shingle_n))
+    out = out.withColumn("_bh", F.transform(F.col("_sh"), base_hash32))
+
+    if engine == "arrow":
+        import numpy as np
+        import pandas as pd
+        from pyspark.sql.types import ArrayType, LongType
+
+        params = affine_params(n_hashes)
+        av = [a for a, _ in params]
+        bv = [b for _, b in params]
+
+        @F.pandas_udf(ArrayType(LongType()))
+        def _sig(bh):
+            a = np.asarray(av, dtype=np.int64)  # (k,)
+            b = np.asarray(bv, dtype=np.int64)
+            nulls = [None] * len(a)
+            res = []
+            for cell in bh:
+                if cell is None or len(cell) == 0:
+                    res.append(nulls)
+                    continue
+                h = np.asarray(cell, dtype=np.int64)  # (m,), < 2^32
+                # h*a + b < 2^63: exact in int64, same as the JVM path
+                res.append((h[:, None] * a + b).__mod__(P32)
+                           .min(axis=0).tolist())
+            return pd.Series(res)
+
+        return (out.withColumn("minhash_sig", _sig(F.col("_bh")))
+                   .drop("_sh", "_bh"))
+
+    def affine(a: int, b: int):
+        # NB: the returned lambda must take exactly ONE parameter —
+        # F.transform feeds the element index to any second one (and
+        # default args count as parameters)
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(P32)
+
+    sig = F.array(*[
+        F.array_min(F.transform(F.col("_bh"), affine(a, b)))
+        for a, b in affine_params(n_hashes)])
+    return out.withColumn("minhash_sig", sig).drop("_sh", "_bh")
+
+
 def lsh_band_keys(sig_col: str = "minhash_sig", *, n_bands: int = 2,
                   rows_per_band: int = N_MINHASH // 2) -> list[F.Column]:
     """Band keys: md5 of each band's concatenated signature slice.
-    Docs sharing any band key are near-dup candidates."""
+    Docs sharing any band key are near-dup candidates. The cast makes
+    the keys scheme-agnostic: md5 signatures are already strings (a
+    no-op) and the fast scheme's bigint minima render identically in
+    Spark and DuckDB (concat_ws over integers)."""
     keys = []
     for b in range(n_bands):
         lo = b * rows_per_band
-        parts = [F.element_at(F.col(sig_col), i + 1) for i in range(lo, lo + rows_per_band)]
+        parts = [F.element_at(F.col(sig_col), i + 1).cast("string")
+                 for i in range(lo, lo + rows_per_band)]
         keys.append(F.md5(F.concat_ws("|", *parts)).alias(f"band_{b}"))
     return keys
 
@@ -113,7 +211,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             text_col: str = "text", *,
                             n_hashes: int = N_MINHASH, n_bands: int = 2,
                             shingle_n: int = 3,
-                            max_bucket_size: int | None = None) -> DataFrame:
+                            max_bucket_size: int | None = None,
+                            scheme: str = "md5") -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     shuffle = docs × n_bands rows keyed by band hash; pairs are formed
@@ -122,10 +221,15 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     see ``_nonempty_sig``. ``max_bucket_size`` additionally drops
     degenerate hot buckets (boilerplate-heavy corpora): recall inside
     dropped buckets is sacrificed, so leave None when exactness vs the
-    all-pairs result matters more than skew safety."""
+    all-pairs result matters more than skew safety. ``scheme`` picks
+    the signature family: "md5" (k independent md5 minima — the
+    demo-scale default) or "fast" (affine rehash of one base hash,
+    ``minhash_signature_fast`` — use for production widths)."""
     rows_per_band = n_hashes // n_bands
-    sig = minhash_signature(df, text_col, n_hashes=n_hashes,
-                            shingle_n=shingle_n).where(_nonempty_sig())
+    sig_fn = (minhash_signature_fast if scheme == "fast"
+              else minhash_signature)
+    sig = sig_fn(df, text_col, n_hashes=n_hashes,
+                 shingle_n=shingle_n).where(_nonempty_sig())
     bands = sig.select(
         F.col(id_col),
         F.explode(F.array(*[k for k in lsh_band_keys(
@@ -167,23 +271,30 @@ def jaccard_pairs(df: DataFrame, pairs: DataFrame, id_col: str = "doc_id",
 
 def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    text_col: str = "text", *, threshold: float = 0.5,
-                   shingle_n: int = 3,
-                   max_bucket_size: int | None = None) -> DataFrame:
+                   shingle_n: int = 3, n_hashes: int = N_MINHASH,
+                   n_bands: int = 2,
+                   max_bucket_size: int | None = None,
+                   scheme: str = "md5") -> DataFrame:
     """MinHash-LSH candidates → exact Jaccard verification.
 
     Shingles are computed ONCE and cached: the candidate-generation
     branch and the verify branch both read the same shingled
     DataFrame (at 100 TB this halves the dominant map cost; the cache
     holds shingle arrays, ~2-3× the text bytes, spilling to disk).
-    ``max_bucket_size`` is the LSH hot-bucket skew guard (see
-    minhash_candidate_pairs) — None keeps exact parity with the
+    ``n_hashes``/``n_bands`` set the signature width and banding —
+    the defaults are demo-scale (8×2); production near-dup runs
+    64-128 hashes × 8-16 bands (bench.py probes that regime, see
+    SCALE.md). ``max_bucket_size`` is the LSH hot-bucket skew guard
+    (see minhash_candidate_pairs) — None keeps exact parity with the
     unguarded all-candidates result."""
     shingled = with_shingles(
         ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
     ).persist()
     cands = minhash_candidate_pairs(shingled, id_col, text_col,
+                                    n_hashes=n_hashes, n_bands=n_bands,
                                     shingle_n=shingle_n,
-                                    max_bucket_size=max_bucket_size)
+                                    max_bucket_size=max_bucket_size,
+                                    scheme=scheme)
     return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 

@@ -2341,6 +2341,19 @@ def q_dedup_clusters(spark, sf_dir):
             .select("doc_id", "cluster_id", "n_members"))
 
 
+def q_dedup_minhash_wide(spark, sf_dir):
+    """Production-width near-dup: 64 affine-derived minhashes × 8
+    bands (real dedup runs use 64-128 hashes × 8-16 bands, not the
+    demo 8×2; SCALE.md §7 has the measured width curve). Exercises
+    the Arrow signature engine (dedup.minhash_signature_fast): one
+    md5 per shingle JVM-side, all 64 minima in one vectorized numpy
+    pass — bit-identical to the expression engine (pytest) and
+    mirrored exactly by the oracle's affine SQL."""
+    d = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs(d, threshold=0.35, n_hashes=64, n_bands=8,
+                            scheme="fast")
+
+
 def q_dedup_apply(spark, sf_dir):
     """The KEEP action of near-dup removal: corpus minus non-canonical
     cluster members (LEFT ANTI join against the clustering's
@@ -2396,6 +2409,21 @@ _SHINGLES_SQL = f"""
 _MINHASH_COLS_SQL = ", ".join(
     f"list_min(list_transform(sh, s -> md5(s || '#{seed}'))) AS h{seed}"
     for seed in range(D.N_MINHASH))
+
+# The affine ("fast") scheme at production width, mirrored exactly:
+# base hash = first 8 md5 hex chars as an integer, then 64 derived
+# minima h_i = min((a_i*h + b_i) mod p) with dedup.affine_params'
+# deterministic constants. 8 bands of 8 rows.
+_FAST_BASE_SQL = ("list_transform(sh, s -> "
+                  "('0x' || substr(md5(s), 1, 8))::BIGINT)")
+_FAST64_COLS_SQL = ", ".join(
+    f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {D.P32})) AS h{i}"
+    for i, (a, b) in enumerate(D.affine_params(64)))
+_FAST64_BANDS_SQL = "\n          UNION\n          ".join(
+    "SELECT doc_id, md5(concat_ws('|', "
+    + ", ".join(f"h{8 * b + j}" for j in range(8))
+    + ")) AS band_key FROM m"
+    for b in range(8))
 
 _DEDUP_ORACLES = {
     # windows: length-prefixed tokens ("len:token") joined with
@@ -2527,6 +2555,27 @@ _DEDUP_ORACLES["dedup_clusters"] = f"""
     SELECT l3.id AS doc_id, l3.label AS cluster_id, s.n_members
     FROM l3 JOIN sizes s ON s.cluster_id = l3.label
     WHERE s.n_members >= 2"""
+
+_DEDUP_ORACLES["dedup_minhash_wide"] = f"""
+    WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+    b0 AS (SELECT doc_id, sh, {_FAST_BASE_SQL} AS bh FROM s
+           WHERE len(sh) > 0),
+    m AS (SELECT doc_id, sh, {_FAST64_COLS_SQL} FROM b0),
+    bands AS ({_FAST64_BANDS_SQL}),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a JOIN bands b
+        ON a.band_key = b.band_key AND a.doc_id < b.doc_id),
+    verified AS (
+      SELECT id_a, id_b,
+             round(CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(list_concat(sa.sh, sb.sh))), 4)
+               AS jaccard
+      FROM cand
+      JOIN s sa ON sa.doc_id = id_a
+      JOIN s sb ON sb.doc_id = id_b)
+    SELECT id_a, id_b, jaccard FROM verified WHERE jaccard >= 0.35"""
 
 _DEDUP_ORACLES["dedup_containment"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
@@ -4236,6 +4285,7 @@ QUERIES = {
     "dedup_exact": q_dedup_exact,
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
+    "dedup_minhash_wide": q_dedup_minhash_wide,
     "dedup_clusters": q_dedup_clusters,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
@@ -4316,6 +4366,7 @@ _DRIVER_CHECK_FIRST = [
     # code (dedup hash/skew-guard changes, the rewritten driver
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
+    "dedup_minhash_wide",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
     "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",

@@ -287,3 +287,59 @@ def test_duplicate_spans_separator_unambiguous(spark):
     spans = duplicate_spans(df2, k=2, min_count=2).collect()
     assert {(r.doc_id, r.span_start, r.span_end)
             for r in spans} == {(1, 0, 2), (2, 0, 2)}
+
+
+def test_minhash_fast_engines_bit_identical(spark):
+    """The affine-rehash signature's two engines — the interpreted
+    expression fold and the vectorized Arrow pass — must produce
+    BIT-IDENTICAL signatures (exact int64 arithmetic both sides), and
+    both must match a hand-rolled Python reference that pins the
+    scheme itself (md5-prefix base hash, (a*h+b) mod p minima with
+    affine_params' constants)."""
+    import hashlib
+
+    from quasdb_spark.operators.dedup import (P32, affine_params,
+                                              minhash_signature_fast)
+
+    texts = {1: "the quick brown fox jumps over the lazy dog",
+             2: "the quick brown fox jumps over the lazy cat",
+             3: "hi",  # < shingle_n tokens -> all-NULL signature
+             4: "pack my box with five dozen liquor jugs today"}
+    df = spark.createDataFrame(list(texts.items()),
+                               "doc_id int, text string")
+
+    def ref(text, k, n=3):
+        w = text.split()
+        sh = {" ".join(w[i:i + n]) for i in range(len(w) - n + 1)} \
+            if len(w) >= n else set()
+        if not sh:
+            return [None] * k
+        bh = [int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+              for s in sh]
+        return [min((h * a + b) % P32 for h in bh)
+                for a, b in affine_params(k)]
+
+    arrow = {r.doc_id: r.minhash_sig for r in
+             minhash_signature_fast(df, n_hashes=16,
+                                    engine="arrow").collect()}
+    expr = {r.doc_id: r.minhash_sig for r in
+            minhash_signature_fast(df, n_hashes=16,
+                                   engine="expr").collect()}
+    assert arrow == expr
+    for i, t in texts.items():
+        assert arrow[i] == ref(t, 16), i
+
+
+def test_minhash_wide_fast_finds_exact_dups_and_skips_empty(spark):
+    """near_dup_pairs at production width (scheme='fast', 64x8): an
+    identical pair always collides in every band; sub-shingle docs are
+    excluded before banding (no empty-signature hot bucket)."""
+    from quasdb_spark.operators.dedup import near_dup_pairs
+
+    rows = [(i, "no") for i in range(30)] + \
+           [(100, "the quick brown fox jumps over the lazy dog"),
+            (101, "the quick brown fox jumps over the lazy dog")]
+    df = spark.createDataFrame(rows, "doc_id int, text string")
+    got = near_dup_pairs(df, threshold=0.5, n_hashes=64, n_bands=8,
+                         scheme="fast", max_bucket_size=100).collect()
+    assert {(r.id_a, r.id_b, r.jaccard) for r in got} == {(100, 101, 1.0)}
