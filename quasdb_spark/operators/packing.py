@@ -203,3 +203,34 @@ def chunk_by_tokens(df: DataFrame, id_col: str = "doc_id",
                       F.least(F.lit(max_tokens),
                               F.col("_n") - F.col("chunk_id") * stride)
                        .cast("int").alias("n_tokens")))
+
+
+def global_shuffle(df: DataFrame, id_col: str = "doc_id", *,
+                   n_shards: int = 8,
+                   salt: str = "epoch0") -> DataFrame:
+    """Deterministic corpus-order randomization — the "shuffle the
+    dataset before training" step, as a pure function of (salt, id)
+    so every run/engine/cluster size produces the SAME order (change
+    ``salt`` per epoch for a fresh permutation; no RNG state to
+    coordinate across executors).
+
+    Every row gets (shard, pos): ``shard`` by hash (uniform, so shard
+    sizes are balanced without a count pass), ``pos`` by ranking the
+    same hash within the shard. A training loader reads shards in any
+    order and rows by pos — the composition is a uniform pseudo-random
+    permutation of the corpus.
+
+    100 TB shape: ONE shuffle (hash-partition by shard) + a per-shard
+    sort — Spark runs one sort task per shard, so size ``n_shards`` to
+    the cluster (production: one shard per output file, hundreds to
+    thousands); there is NO global single-partition window anywhere.
+    The md5 sort key is data-independent, so no skew by construction.
+    """
+    key = F.md5(F.concat(F.lit(salt + "|"), F.col(id_col).cast("string")))
+    shard = F.pmod(
+        F.conv(F.substring(key, 1, 8), 16, 10).cast("long"),
+        F.lit(n_shards)).cast("int")
+    out = df.withColumn("_skey", key).withColumn("shard", shard)
+    w = Window.partitionBy("shard").orderBy("_skey", id_col)
+    return (out.withColumn(
+        "pos", (F.row_number().over(w) - 1).cast("int")).drop("_skey"))

@@ -3771,6 +3771,18 @@ def q_doc_chunking(spark, sf_dir):
                            max_tokens=32, overlap=8)
 
 
+def q_doc_global_shuffle(spark, sf_dir):
+    """Deterministic training-order shuffle: every doc gets (shard,
+    pos) — shard by hash (balanced without a count pass), pos by
+    ranking the same hash within the shard; salt per epoch gives a
+    fresh permutation reproducible across runs/engines/cluster sizes.
+    ONE shuffle + one sort task per shard, no global window."""
+    from quasdb_spark.operators.packing import global_shuffle
+    d = _t(spark, sf_dir, "documents")
+    return global_shuffle(d, "doc_id", n_shards=8, salt="epoch0") \
+        .select("doc_id", "shard", "pos")
+
+
 def q_doc_sample_fixed_k(spark, sf_dir):
     """Exactly-20-per-language deterministic sample (md5-ranked):
     fixed-size stratified draws for eval-set construction."""
@@ -3869,6 +3881,21 @@ _PACK_ORACLES = {
                                     ORDER BY hx, doc_id) AS rk
           FROM h) t
         WHERE rk <= 20""",
+    "doc_global_shuffle": """
+        WITH k AS (
+          SELECT doc_id,
+                 md5('epoch0|' || CAST(doc_id AS VARCHAR)) AS skey
+          FROM documents),
+        s AS (
+          SELECT doc_id, skey,
+                 CAST(('0x' || substr(skey, 1, 8))::BIGINT % 8 AS INT)
+                   AS shard
+          FROM k)
+        SELECT doc_id, shard,
+               CAST(row_number() OVER (PARTITION BY shard
+                                       ORDER BY skey, doc_id) - 1
+                    AS INT) AS pos
+        FROM s""",
     "doc_split_assign": """
         WITH h AS (
           SELECT doc_id,
@@ -4339,6 +4366,7 @@ QUERIES = {
     "doc_sample_stratified": q_doc_sample_stratified,
     "doc_split_assign": q_doc_split_assign,
     "doc_chunking": q_doc_chunking,
+    "doc_global_shuffle": q_doc_global_shuffle,
     "doc_sample_fixed_k": q_doc_sample_fixed_k,
     "doc_sample_weighted": q_doc_sample_weighted,
     "doc_pack_manifest": q_doc_pack_manifest,
@@ -4366,7 +4394,7 @@ _DRIVER_CHECK_FIRST = [
     # code (dedup hash/skew-guard changes, the rewritten driver
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
-    "dedup_minhash_wide",
+    "dedup_minhash_wide", "doc_global_shuffle",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
     "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",

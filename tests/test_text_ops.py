@@ -446,3 +446,33 @@ def test_domain_mix_weights_temperature(spark):
     assert temp["small"].oversample > 1.0 > temp["big"].oversample
     assert abs(sum(r.weight for r in temp.values()) - 1.0) < 1e-5
     assert temp["big"].n_tokens == 900 and temp["small"].n_tokens == 100
+
+
+def test_global_shuffle_is_deterministic_permutation(spark):
+    """global_shuffle assigns every row exactly once, positions are
+    contiguous 0..n-1 within each shard, the assignment is a pure
+    function of (salt, id) (re-running gives identical rows), and a
+    different salt gives a different permutation."""
+    from quasdb_spark.operators.packing import global_shuffle
+
+    df = spark.range(200).withColumnRenamed("id", "doc_id")
+    out = global_shuffle(df, "doc_id", n_shards=4, salt="e0")
+    rows = out.collect()
+    assert len(rows) == 200
+    assert {r.doc_id for r in rows} == set(range(200))  # no dup/loss
+    by_shard = {}
+    for r in rows:
+        by_shard.setdefault(r.shard, []).append(r.pos)
+    assert set(by_shard) <= set(range(4))
+    for poss in by_shard.values():
+        assert sorted(poss) == list(range(len(poss)))  # contiguous
+    # balanced-ish by hashing: no shard owns more than half
+    assert max(len(v) for v in by_shard.values()) < 100
+    again = {(r.doc_id, r.shard, r.pos)
+             for r in global_shuffle(df, "doc_id", n_shards=4,
+                                     salt="e0").collect()}
+    assert again == {(r.doc_id, r.shard, r.pos) for r in rows}
+    other = {(r.doc_id, r.shard, r.pos)
+             for r in global_shuffle(df, "doc_id", n_shards=4,
+                                     salt="e1").collect()}
+    assert other != again  # fresh permutation per epoch salt
