@@ -63,7 +63,8 @@ EXTRA_BENCH = [
     "events_transitions", "rel_reorder_gaps", "doc_split_assign",
     "doc_chunking", "dedup_substring_spans",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
-    "emb_hard_negatives", "dedup_minhash_wide",  # r8
+    "emb_hard_negatives", "dedup_minhash_wide", "doc_global_shuffle",
+    "sim_ivf_recall",  # r8
 ]
 
 

@@ -3985,6 +3985,32 @@ def q_sim_ivf_topk(spark, sf_dir):
                         lists=lists)
 
 
+def q_sim_ivf_recall(spark, sf_dir):
+    """ANN quality measurement: recall@10 of the IVF path (trained
+    quantizer, materialized lists, nprobe=2) against the brute-force
+    cosine ground truth, per query. The number a production ANN
+    deployment watches to tune nlist/nprobe — here it is oracle-gated
+    cross-engine, so the recall arithmetic itself is verified, not
+    eyeballed. Plan shape: both sides are top-k over the bounded
+    query set; the compare is a (query_id, neighbor_id)-keyed join of
+    two k-row-per-query frames — cost ~ queries×k, independent of
+    corpus size."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    cents, lists = _ivf_lists(spark, sf_dir)
+    ivf = SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents,
+                       lists=lists) \
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    brute = SIM.cosine_topk(e, queries, 10) \
+        .select("query_id", "neighbor_id")
+    j = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+             .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("int")
+                   .alias("n_hits"),
+                  F.round(F.sum(F.coalesce("_hit", F.lit(0)))
+                          / F.count(F.lit(1)), 4).alias("recall_at_10")))
+
+
 def q_sim_ivf_quantization(spark, sf_dir):
     """IVF quantizer health check: per-list size and fit (avg/min
     cosine of members to their assigned centroid) — the diagnostics
@@ -4128,7 +4154,20 @@ _IVF_ORACLE = {
         FROM ranked WHERE rn <= 10""",
 }
 
-
+# Recall@10 of the IVF path against the brute-force ground truth —
+# composes the two oracles verbatim (nested WITH), so the
+# cross-engine check covers the exact recall arithmetic.
+_IVF_ORACLE["sim_ivf_recall"] = f"""
+    WITH ivf AS ({_IVF_ORACLE["sim_ivf_topk"]}),
+    brute AS ({_SIM_ORACLES["sim_cosine_topk"]})
+    SELECT b.query_id,
+           CAST(count(i.neighbor_id) AS INT) AS n_hits,
+           round(count(i.neighbor_id) / CAST(count(*) AS DOUBLE), 4)
+             AS recall_at_10
+    FROM brute b
+    LEFT JOIN ivf i ON i.query_id = b.query_id
+                   AND i.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
 
 
 def q_ts_pivot_hourly(spark, sf_dir):
@@ -4330,6 +4369,7 @@ QUERIES = {
     "emb_hard_negatives": q_emb_hard_negatives,
     "emb_semdedup": q_emb_semdedup,
     "sim_ivf_topk": q_sim_ivf_topk,
+    "sim_ivf_recall": q_sim_ivf_recall,
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_label_separation": q_emb_label_separation,
@@ -4394,7 +4434,7 @@ _DRIVER_CHECK_FIRST = [
     # code (dedup hash/skew-guard changes, the rewritten driver
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
-    "dedup_minhash_wide", "doc_global_shuffle",
+    "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
     "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",

@@ -533,3 +533,18 @@ def test_hard_negatives_semantics(spark):
                       key=lambda r: r.rank)
         assert [r.rank for r in mine] == list(range(1, len(mine) + 1))
         assert all(a.score >= b.score for a, b in zip(mine, mine[1:]))
+
+
+def test_ivf_recall_query_shape(spark, sf_dir):
+    """sim_ivf_recall: one row per query point, n_hits in [0, 10],
+    recall = n_hits/10, and deterministic across runs (trained
+    quantizer + seeded assignment, no RNG)."""
+    from quasdb_spark import suite
+
+    rows = suite.QUERIES["sim_ivf_recall"](spark, sf_dir).collect()
+    assert rows, "no query points"
+    for r in rows:
+        assert 0 <= r.n_hits <= 10
+        assert abs(r.recall_at_10 - round(r.n_hits / 10.0, 4)) < 1e-9
+    again = suite.QUERIES["sim_ivf_recall"](spark, sf_dir).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
