@@ -234,3 +234,49 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id", *,
     w = Window.partitionBy("shard").orderBy("_skey", id_col)
     return (out.withColumn(
         "pos", (F.row_number().over(w) - 1).cast("int")).drop("_skey"))
+
+
+def materialize_mixture(df: DataFrame, factors: DataFrame, *,
+                        id_col: str = "doc_id",
+                        domain_col: str = "source",
+                        factor_col: str = "oversample",
+                        salt: str = "mix0",
+                        max_factor: float = 100.0) -> DataFrame:
+    """Materialize a training mixture: emit each row round(f) times
+    where f is its domain's sampling factor (e.g. the ``oversample``
+    column of ``functions.text.domain_mix_weights``) — f > 1
+    up-samples by repetition, f < 1 down-samples by dropping.
+
+    The fractional part is resolved by a DETERMINISTIC hash draw per
+    (salt, id): a row with f = 2.3 yields 2 copies always and a 3rd
+    iff hash(salt|id)/2^32 < 0.3 — so expected copies = f exactly, the
+    realized corpus is a pure function of (salt, id, factors), and
+    re-runs/engines agree row-for-row (no RNG). Output: input columns
+    plus ``copy`` (0-based repeat index); rows drawn to 0 copies
+    disappear. A NULL factor (e.g. an all-empty domain) contributes
+    nothing.
+
+    Scale shape: factors is per-domain — tiny by contract — and
+    BROADCAST; the explode is in-row with output volume =
+    sum(f_d · rows_d), known up front. No shuffle at all: a map-only
+    pass over the corpus. ``max_factor`` guards against a degenerate
+    tiny domain exploding the output (alpha-tempered factors grow as
+    share^(alpha-1) — cap and log rather than OOM); capped domains
+    are still emitted at ``max_factor``.
+    """
+    # NULL-filter BEFORE the cap: F.least skips NULLs, so least(NULL,
+    # cap) would resurrect a NULL-factor domain at max_factor
+    f = F.least(F.col(factor_col).cast("double"), F.lit(float(max_factor)))
+    fac = (factors.where(F.col(factor_col).isNotNull())
+                  .select(F.col("domain").alias("_dom"), f.alias("_f")))
+    draw = sample_hash(F.col(id_col), salt) / F.lit(4294967296.0)
+    n_copies = (F.floor("_f") +
+                F.when(draw < F.col("_f") - F.floor("_f"), 1).otherwise(0)
+                ).cast("int")
+    out = (df.join(F.broadcast(fac), df[domain_col] == F.col("_dom"))
+             .withColumn("_n", n_copies)
+             .where(F.col("_n") > 0)
+             .select(*df.columns,
+                     F.explode(F.sequence(
+                         F.lit(0), F.col("_n") - 1)).alias("copy")))
+    return out

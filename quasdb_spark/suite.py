@@ -1783,6 +1783,20 @@ def q_doc_domain_mix(spark, sf_dir):
     return T.domain_mix_weights(d, alpha=0.3)
 
 
+def q_doc_mixture_epoch(spark, sf_dir):
+    """Materialize one training epoch of the alpha-tempered domain
+    mixture: each doc emitted round(oversample) times — the
+    fractional part resolved by a deterministic hash draw per
+    (salt, id), so expected copies equal the factor exactly and the
+    realized corpus is reproducible across runs/engines. BROADCAST
+    per-domain factor join + in-row explode: map-only, no shuffle."""
+    from quasdb_spark.operators.packing import materialize_mixture
+    d = _par(_t(spark, sf_dir, "documents"))
+    fac = T.domain_mix_weights(d, alpha=0.3)
+    out = materialize_mixture(d, fac, salt="mix0")
+    return out.select("doc_id", "source", "copy")
+
+
 def q_text_winnow(spark, sf_dir):
     """Winnowing (rolling-hash) fingerprints: per-doc count and an
     md5 digest of the sorted fingerprint set (compact, order-stable
@@ -2173,6 +2187,23 @@ _TEXT_ORACLES["doc_domain_mix"] = f"""
                            / (n_tokens / tot), 4)
            END AS oversample
     FROM per, tot"""
+
+_TEXT_ORACLES["doc_mixture_epoch"] = f"""
+    WITH mix AS ({_TEXT_ORACLES["doc_domain_mix"]}),
+    d AS (SELECT doc_id, source,
+                 least(m.oversample, 100.0) AS f,
+                 CAST(('0x' || substr(md5('mix0|'
+                       || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      AS DOUBLE) / 4294967296.0 AS draw
+          FROM documents JOIN mix m ON m.domain = source
+          WHERE m.oversample IS NOT NULL),
+    c AS (SELECT doc_id, source,
+                 CAST(floor(f) + CASE WHEN draw < f - floor(f)
+                                      THEN 1 ELSE 0 END AS INT) AS n
+          FROM d)
+    SELECT doc_id, source,
+           CAST(unnest(generate_series(0, n - 1)) AS INT) AS copy
+    FROM c WHERE n > 0"""
 
 _TEXT_ORACLES["text_winnow"] = f"""
     WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
@@ -4346,6 +4377,7 @@ QUERIES = {
     "text_lm_score": q_text_lm_score,
     "text_bpe_pairs": q_text_bpe_pairs,
     "doc_domain_mix": q_doc_domain_mix,
+    "doc_mixture_epoch": q_doc_mixture_epoch,
     "pipeline_curation": q_pipeline_curation,
     # dedup
     "dedup_exact": q_dedup_exact,
@@ -4435,6 +4467,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
+    "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
     "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
     "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",

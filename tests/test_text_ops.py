@@ -476,3 +476,34 @@ def test_global_shuffle_is_deterministic_permutation(spark):
              for r in global_shuffle(df, "doc_id", n_shards=4,
                                      salt="e1").collect()}
     assert other != again  # fresh permutation per epoch salt
+
+
+def test_materialize_mixture_copies_and_guards(spark):
+    """materialize_mixture: integer factors repeat exactly; a
+    fractional factor resolves by the deterministic per-id hash draw
+    (expected copies = factor, re-runs identical); NULL factors drop
+    the domain entirely (not resurrected by the cap — the F.least
+    NULL-skip trap); max_factor caps runaway domains."""
+    from quasdb_spark.operators.packing import materialize_mixture
+
+    df = spark.createDataFrame(
+        [(i, ["a", "b", "c", "d"][i % 4]) for i in range(80)],
+        "doc_id int, source string")
+    fac = spark.createDataFrame(
+        [("a", 2.0), ("b", 0.5), ("c", None), ("d", 500.0)],
+        "domain string, oversample double")
+    out = materialize_mixture(df, fac, max_factor=3.0).collect()
+    by_dom = {}
+    for r in out:
+        by_dom.setdefault(r.source, {}).setdefault(r.doc_id, []).append(r.copy)
+    assert "c" not in by_dom  # NULL factor -> gone
+    for copies in by_dom["a"].values():
+        assert sorted(copies) == [0, 1]  # exactly 2, copy 0-based
+    for copies in by_dom["d"].values():
+        assert sorted(copies) == [0, 1, 2]  # capped at 3
+    n_b = sum(len(v) for v in by_dom["b"].values())
+    assert 0 < n_b < 20  # ~half of 20 docs kept, none duplicated
+    assert all(v == [0] for v in by_dom["b"].values())
+    again = sorted((r.doc_id, r.source, r.copy) for r in
+                   materialize_mixture(df, fac, max_factor=3.0).collect())
+    assert again == sorted((r.doc_id, r.source, r.copy) for r in out)
