@@ -111,7 +111,14 @@ def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
     out = (parted.join(F.broadcast(offsets), "_pid")
                  .withColumn("_cum", (run + F.col("_off")).cast("long"))
                  .withColumn("pack_id", F.expr(
-                     f"(_cum - cast({tokens_col} as bigint)) div {budget}")))
+                     f"(_cum - cast({tokens_col} as bigint)) div {budget}"))
+                 # where the doc's first token lands inside its pack —
+                 # the attention-boundary offset a training loader
+                 # needs alongside the pack assignment (packs overflow
+                 # by at most one doc, so offset < budget always)
+                 .withColumn("offset_in_pack", F.expr(
+                     f"_cum - cast({tokens_col} as bigint) "
+                     f"- pack_id * {budget}").cast("int")))
     return out.drop("_pid", "_off", "_cum")
 
 

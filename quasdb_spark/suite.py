@@ -3839,7 +3839,7 @@ def q_doc_token_packing(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select("doc_id", F.size(T.tokens("text")).alias("n_tokens"))
     out = pack_by_token_budget(toks, "doc_id", "n_tokens", 8192)
-    return out.select("doc_id", "n_tokens", "pack_id")
+    return out.select("doc_id", "n_tokens", "pack_id", "offset_in_pack")
 
 
 def q_doc_pack_manifest(spark, sf_dir):
@@ -3959,7 +3959,10 @@ _PACK_ORACLES = {
                                          ROWS UNBOUNDED PRECEDING) AS cum
               FROM t)
         SELECT doc_id, n_tokens,
-               CAST((CAST(cum AS BIGINT) - n_tokens) // 8192 AS BIGINT) AS pack_id
+               CAST((CAST(cum AS BIGINT) - n_tokens) // 8192 AS BIGINT) AS pack_id,
+               CAST((CAST(cum AS BIGINT) - n_tokens)
+                    - ((CAST(cum AS BIGINT) - n_tokens) // 8192) * 8192
+                    AS INT) AS offset_in_pack
         FROM c""",
 }
 

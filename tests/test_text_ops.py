@@ -507,3 +507,24 @@ def test_materialize_mixture_copies_and_guards(spark):
     again = sorted((r.doc_id, r.source, r.copy) for r in
                    materialize_mixture(df, fac, max_factor=3.0).collect())
     assert again == sorted((r.doc_id, r.source, r.copy) for r in out)
+
+
+def test_pack_offset_in_pack_bounds_and_continuity(spark):
+    """offset_in_pack = where the doc's first token lands inside its
+    pack: always in [0, budget); doc i's offset equals the previous
+    doc's offset + tokens whenever both land in the same pack; and a
+    pack's first doc starts exactly at cum_before mod budget."""
+    from quasdb_spark.operators.packing import pack_by_token_budget
+
+    rows = [(i, 10 + (i * 7) % 23) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id int, n_tokens int")
+    out = sorted(pack_by_token_budget(df, "doc_id", "n_tokens", 64)
+                 .select("doc_id", "n_tokens", "pack_id",
+                         "offset_in_pack").collect(),
+                 key=lambda r: r.doc_id)
+    cum = 0
+    for r in out:
+        assert 0 <= r.offset_in_pack < 64
+        assert r.pack_id == cum // 64
+        assert r.offset_in_pack == cum - r.pack_id * 64
+        cum += r.n_tokens
