@@ -64,7 +64,7 @@ EXTRA_BENCH = [
     "doc_chunking", "dedup_substring_spans",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
     "emb_hard_negatives", "dedup_minhash_wide", "doc_global_shuffle",
-    "sim_ivf_recall",  # r8
+    "sim_ivf_recall", "doc_mixture_epoch",  # r8
 ]
 
 
