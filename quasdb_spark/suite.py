@@ -46,6 +46,29 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(_prep(spark), sf_dir, name)
 
 
+def _stage_stream_files(path: str, stage: str, tag: str = "") -> None:
+    """Symlink an events table's data file(s) into a fresh landing dir
+    for the file-stream source. Driver testdata is ONE parquet file;
+    Spark-written tables (tools/gen_sf.py sf1) are DIRECTORIES of part
+    files — and the file-stream source does NOT descend into a
+    symlinked subdirectory, so a dir-level symlink silently streams
+    zero files. Link each data file at the top level instead. ``tag``
+    disambiguates repeated stagings of the same source (the
+    stream_dedup duplicate-arrival scenario)."""
+    import os as _os
+
+    src = _os.path.abspath(path)
+    if _os.path.isdir(src):
+        n = 0
+        for f in sorted(_os.listdir(src)):
+            if f.endswith(".parquet"):
+                _os.symlink(_os.path.join(src, f),
+                            _os.path.join(stage, f"ev{tag}_{n:05d}.parquet"))
+                n += 1
+    else:
+        _os.symlink(src, _os.path.join(stage, f"events{tag}.parquet"))
+
+
 # =====================================================================
 # KV / LWW / MVCC surface (SURVEY.md §2.3 S1-S6, S9; the core custom
 # semantic) — events as an op-log, checked against window-SQL oracles.
@@ -236,8 +259,7 @@ def q_kv_stream_state(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="stream_oplog_")
-    _os.symlink(_os.path.abspath(path),
-                _os.path.join(stage, "events.parquet"))
+    _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
@@ -398,8 +420,7 @@ def q_stream_tumbling_hourly(spark, sf_dir):
     # the single testdata file into one via symlink — zero copy, and
     # exactly how a production stream would watch a landing dir
     stage = tempfile.mkdtemp(prefix="stream_events_")
-    _os.symlink(_os.path.abspath(path),
-                _os.path.join(stage, "events.parquet"))
+    _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
@@ -443,8 +464,7 @@ def q_stream_rollup_hourly(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="stream_rollup_")
-    _os.symlink(_os.path.abspath(path),
-                _os.path.join(stage, "events.parquet"))
+    _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
@@ -484,8 +504,7 @@ def q_stream_join(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="stream_join_")
-    _os.symlink(_os.path.abspath(path),
-                _os.path.join(stage, "events.parquet"))
+    _stage_stream_files(path, stage)
 
     def mk_stream():
         ev = spark.readStream.schema(schema).parquet(stage)
@@ -534,8 +553,7 @@ def q_stream_dedup(spark, sf_dir):
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="stream_dedup_")
     for copy in ("a", "b"):
-        _os.symlink(_os.path.abspath(path),
-                    _os.path.join(stage, f"events_{copy}.parquet"))
+        _stage_stream_files(path, stage, tag=copy)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
@@ -578,8 +596,7 @@ def q_stream_sessionize(spark, sf_dir):
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
     stage = tempfile.mkdtemp(prefix="stream_sess_")
-    _os.symlink(_os.path.abspath(path),
-                _os.path.join(stage, "events.parquet"))
+    _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
