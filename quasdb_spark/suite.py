@@ -3592,10 +3592,11 @@ _EXT_ORACLES = {
                      * (CAST(s1 AS DOUBLE) / (100.0 * n)) AS var,
                  CAST(x AS DOUBLE) / 100.0 AS xv
           FROM s)
-        SELECT user_id, event_id,
-               round((xv - mean) / sqrt(var), 4) + 0.0 AS z
-        FROM z
-        WHERE var > 0 AND abs((xv - mean) / sqrt(var)) > 3""",
+        SELECT user_id, event_id, round(zv, 4) + 0.0 AS z FROM (
+          SELECT user_id, event_id,
+                 CASE WHEN var > 0 THEN (xv - mean) / sqrt(var) END AS zv
+          FROM z) t
+        WHERE zv IS NOT NULL AND abs(zv) > 3""",
     "ts_ohlc_daily": """
         WITH x AS (SELECT user_id,
                           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
