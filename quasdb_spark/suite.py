@@ -4043,10 +4043,12 @@ def q_sim_ivf_recall(spark, sf_dir):
     cosine ground truth, per query. The number a production ANN
     deployment watches to tune nlist/nprobe — here it is oracle-gated
     cross-engine, so the recall arithmetic itself is verified, not
-    eyeballed. Plan shape: both sides are top-k over the bounded
-    query set; the compare is a (query_id, neighbor_id)-keyed join of
-    two k-row-per-query frames — cost ~ queries×k, independent of
-    corpus size."""
+    eyeballed. Plan shape: the compare itself is a (query_id,
+    neighbor_id)-keyed join of two k-row-per-query frames (~queries×k)
+    — but the ground-truth side embeds the brute cosine cross BY
+    CONSTRUCTION (recall is measured against exact answers), so the
+    whole query inherits the brute baseline's cost model: run it on a
+    bounded query sample, never the full corpus."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
     cents, lists = _ivf_lists(spark, sf_dir)
