@@ -212,7 +212,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             n_hashes: int = N_MINHASH, n_bands: int = 2,
                             shingle_n: int = 3,
                             max_bucket_size: int | None = None,
-                            scheme: str = "md5") -> DataFrame:
+                            scheme: str = "md5",
+                            engine: str = "arrow") -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     shuffle = docs × n_bands rows keyed by band hash; pairs are formed
@@ -224,12 +225,24 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     all-pairs result matters more than skew safety. ``scheme`` picks
     the signature family: "md5" (k independent md5 minima — the
     demo-scale default) or "fast" (affine rehash of one base hash,
-    ``minhash_signature_fast`` — use for production widths)."""
+    ``minhash_signature_fast`` — use for production widths);
+    ``engine`` selects the fast scheme's implementation (arrow/expr,
+    ignored for md5)."""
+    if n_bands <= 0 or n_hashes % n_bands != 0:
+        # rows_per_band = 0 would band EVERY doc on md5('') (a full
+        # O(n^2) cross); a truncating divide would silently drop the
+        # tail of the signature — same contract as build_dedup_index
+        raise ValueError(
+            f"n_bands ({n_bands}) must evenly divide n_hashes "
+            f"({n_hashes})")
     rows_per_band = n_hashes // n_bands
-    sig_fn = (minhash_signature_fast if scheme == "fast"
-              else minhash_signature)
-    sig = sig_fn(df, text_col, n_hashes=n_hashes,
-                 shingle_n=shingle_n).where(_nonempty_sig())
+    if scheme == "fast":
+        sig = minhash_signature_fast(df, text_col, n_hashes=n_hashes,
+                                     shingle_n=shingle_n, engine=engine)
+    else:
+        sig = minhash_signature(df, text_col, n_hashes=n_hashes,
+                                shingle_n=shingle_n)
+    sig = sig.where(_nonempty_sig())
     bands = sig.select(
         F.col(id_col),
         F.explode(F.array(*[k for k in lsh_band_keys(
@@ -274,7 +287,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    shingle_n: int = 3, n_hashes: int = N_MINHASH,
                    n_bands: int = 2,
                    max_bucket_size: int | None = None,
-                   scheme: str = "md5") -> DataFrame:
+                   scheme: str = "md5",
+                   engine: str = "arrow") -> DataFrame:
     """MinHash-LSH candidates → exact Jaccard verification.
 
     Shingles are computed ONCE and cached: the candidate-generation
@@ -294,7 +308,7 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                                     n_hashes=n_hashes, n_bands=n_bands,
                                     shingle_n=shingle_n,
                                     max_bucket_size=max_bucket_size,
-                                    scheme=scheme)
+                                    scheme=scheme, engine=engine)
     return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 

@@ -270,6 +270,13 @@ def materialize_mixture(df: DataFrame, factors: DataFrame, *,
     tiny domain exploding the output (alpha-tempered factors grow as
     share^(alpha-1) — cap and log rather than OOM); capped domains
     are still emitted at ``max_factor``.
+
+    Cross-engine note: the strict ``draw < frac(f)`` compare is only
+    reproducible if the factor doubles are bit-identical across
+    engines. For domain_mix_weights' rounded oversample that is
+    pinned upstream — the doc_domain_mix gate hash-compares the
+    factors themselves, so any engine divergence fails THERE before
+    it could skew a copy count here.
     """
     # NULL-filter BEFORE the cap: F.least skips NULLs, so least(NULL,
     # cap) would resurrect a NULL-factor domain at max_factor

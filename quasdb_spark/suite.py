@@ -65,6 +65,12 @@ def _stage_stream_files(path: str, stage: str, tag: str = "") -> None:
                 _os.symlink(_os.path.join(src, f),
                             _os.path.join(stage, f"ev{tag}_{n:05d}.parquet"))
                 n += 1
+        if n == 0:
+            # a nested/partitioned layout would otherwise stream zero
+            # rows silently — exactly the failure this helper exists
+            # to prevent; fail at the staging site instead
+            raise FileNotFoundError(
+                f"no top-level .parquet data files under {src}")
     else:
         _os.symlink(src, _os.path.join(stage, f"events{tag}.parquet"))
 

@@ -343,3 +343,25 @@ def test_minhash_wide_fast_finds_exact_dups_and_skips_empty(spark):
     got = near_dup_pairs(df, threshold=0.5, n_hashes=64, n_bands=8,
                          scheme="fast", max_bucket_size=100).collect()
     assert {(r.id_a, r.id_b, r.jaccard) for r in got} == {(100, 101, 1.0)}
+
+
+def test_minhash_banding_validates_width(spark):
+    """n_bands must evenly divide n_hashes: rows_per_band = 0 would
+    band every doc on md5('') (full O(n^2) cross) and a truncating
+    divide silently drops signature tail components."""
+    import pytest
+
+    from quasdb_spark.operators.dedup import (minhash_candidate_pairs,
+                                              near_dup_pairs)
+
+    df = spark.createDataFrame([(1, "a b c d")], "doc_id int, text string")
+    with pytest.raises(ValueError):
+        minhash_candidate_pairs(df, n_hashes=8, n_bands=16)
+    with pytest.raises(ValueError):
+        near_dup_pairs(df, n_hashes=100, n_bands=16)
+    # expr engine reachable through the pipeline
+    got = near_dup_pairs(
+        spark.createDataFrame([(1, "x y z w"), (2, "x y z w")],
+                              "doc_id int, text string"),
+        n_hashes=16, n_bands=4, scheme="fast", engine="expr").collect()
+    assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
