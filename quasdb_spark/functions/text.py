@@ -559,3 +559,64 @@ def domain_mix_weights(df: DataFrame, domain_col: str = "source",
             .select("domain", "n_tokens",
                     prop.alias("proportion"), wgt.alias("weight"),
                     over.alias("oversample")))
+
+
+def importance_weights(df: DataFrame, target: DataFrame, *,
+                       id_col: str = "doc_id", text_col: str = "text",
+                       n_buckets: int = 256) -> DataFrame:
+    """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score each raw-corpus document by how much more likely its tokens
+    are under the TARGET domain's hashed-unigram distribution than
+    under the raw corpus's own,
+
+        weight(doc) = sum_tokens [ ln p_tgt(b(tok)) - ln p_raw(b(tok)) ]
+
+    with b(tok) = md5-derived 32-bit hash mod ``n_buckets`` and add-one
+    smoothing on both distributions. Documents that look like the
+    target domain score high; importance RESAMPLING then keeps docs
+    with probability ∝ exp(weight) — this operator emits the weights
+    (plus token counts), leaving the keep-policy to the caller
+    (doc_sample_weighted composes directly).
+
+    Scale shape: the two distributions are hash aggregates over
+    exploded tokens (map-side combine; output is ``n_buckets`` rows —
+    bounded by construction, not by data). The per-bucket log-ratio
+    table broadcasts (it IS the trained importance model — DSIR's
+    design point is that the model is tiny), the scoring join is
+    map-side against that broadcast, and the only real shuffle is the
+    per-doc sum, carrying one partial per (doc, distinct bucket) ≤
+    ``n_buckets``/doc. No Python, no window, no driver collect.
+
+    Determinism: per-bucket log-ratios are rounded to integer MICROS
+    before the per-doc sum (order-free integer adds — the
+    bm25/lm_bigram contract), so a SQL oracle agrees bit-for-bit.
+    """
+    bucket = (F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
+              .cast("bigint") % n_buckets).alias("bucket")
+    toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                      .alias("_t"))
+            .select(id_col, bucket)
+            .persist())  # feeds the raw model AND the scoring pass
+    raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
+    tgt = (target.select(F.explode(tokens(text_col)).alias("_t"))
+           .select(bucket)
+           .groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc")))
+    tots = (raw.agg(F.sum("_rc").alias("_rtot")).crossJoin(
+        tgt.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_ttot"))))
+    # every observed token's bucket exists in raw (target ⊆ vocab not
+    # required: unseen-in-target buckets smooth to count 0 + 1)
+    model = (raw.join(tgt, "bucket", "left").crossJoin(F.broadcast(tots))
+             .select("bucket", F.round(
+                 (F.log((F.coalesce(F.col("_tc"), F.lit(0)) + 1.0)
+                        / (F.col("_ttot") + F.lit(float(n_buckets))))
+                  - F.log((F.col("_rc") + 1.0)
+                          / (F.col("_rtot") + F.lit(float(n_buckets)))))
+                 * 1e6).cast("long").alias("_lwm")))
+    per_doc = (toks.join(F.broadcast(model), "bucket")
+               .groupBy(id_col)
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum("_lwm").alias("_s")))
+    return per_doc.select(
+        id_col, "n_tokens",
+        (F.round(F.col("_s") / 1e6, 4) + F.lit(0.0)).alias("weight"))

@@ -911,6 +911,48 @@ def dequantize_error(vectors: DataFrame, *, id_col: str = "vec_id",
         (F.round(err, round_to) + F.lit(0.0)).alias("mae"))
 
 
+def random_project(vectors: DataFrame, out_dim: int = 16, *,
+                   id_col: str = "vec_id", vec_col: str = "embedding",
+                   dims: int = 64, seed: int = 0,
+                   scale: bool = True) -> DataFrame:
+    """Johnson-Lindenstrauss ±1 random projection to ``out_dim``
+    dimensions: projected[j] = (1/sqrt(out_dim)) * sum_i v[i]*s(j,i)
+    with the same deterministic md5-derived sign family as
+    ``hyperplane_bucket`` (Achlioptas 2003: ±1 entries satisfy the JL
+    lemma with the same distortion bound as Gaussians, and stay exact
+    cross-engine). Component j depends only on (seed, j, dims), so a
+    16-dim projection is always a prefix of a 32-dim one — callers can
+    widen the sketch without recomputing the old columns.
+
+    The standard pre-step before clustering / dedup / ANN on very
+    wide embeddings: one map-only JVM pass (no shuffle, no Python)
+    that shrinks the vector 4x before anything downstream shuffles
+    it. Returns (id, projected ARRAY<DOUBLE>); NULL vectors project
+    to NULL, a non-NULL vector of the wrong length raises (same
+    contract as ``hyperplane_bucket``).
+    """
+    v = _as_double(vec_col)
+    guard = F.assert_true(
+        F.size(v) == dims,
+        F.format_string(
+            "random_project: vector length %s != dims " + str(dims),
+            F.size(v)))
+    inv = 1.0 / (out_dim ** 0.5) if scale else 1.0
+    comps = []
+    # One fold per output component, literals evaluated once per
+    # component (see the hyperplane_bucket note: a literal matrix
+    # inside a single fold re-evaluates per step).
+    for w in hyperplane_signs(out_dim, dims, seed):
+        ws = F.array(*[F.lit(x) for x in w])
+        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
+                           F.lit(0.0), lambda acc, t: acc + t)
+        comps.append(proj * F.lit(inv))
+    out = F.when(v.isNull(),
+                 F.lit(None).cast("array<double>")).otherwise(
+        F.when(guard.isNull(), F.array(*comps)))
+    return vectors.select(F.col(id_col), out.alias("projected"))
+
+
 def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int, *,
                        id_col: str = "vec_id",
                        vec_col: str = "embedding") -> DataFrame:

@@ -1463,7 +1463,45 @@ def q_rel_sales_opportunity(spark, sf_dir):
                       (F.sum("_bal_c") / 100.0).alias("total_bal")))
 
 
+def q_rel_min_cost_supplier(spark, sf_dir):
+    """TPC-H Q2 shape adapted to this schema (no partsupp table —
+    "supplied" pairs come from shipment history): for each size-25
+    part, the minimum-acctbal supplier that ever shipped it. The
+    correlated MIN subquery decorrelates into a per-part window
+    argmin. At 100 TB: the part filter broadcasts into the lineitem
+    scan (partkey pushdown), the distinct pair set is map-side
+    combinable and tiny relative to lineitem, supplier broadcasts,
+    and the window partitions by p_partkey — no global sort, no
+    single-partition exchange."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size") == 25)
+    s = _t(spark, sf_dir, "supplier")
+    li = _t(spark, sf_dir, "lineitem")
+    pairs = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+                     li.l_partkey == F.col("p_partkey"))
+             .select("p_partkey", "p_brand", "l_suppkey").distinct())
+    w = Window.partitionBy("p_partkey").orderBy(
+        F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
+    return (pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+            .withColumn("_rn", F.row_number().over(w))
+            .where(F.col("_rn") == 1)
+            .select("p_partkey", "p_brand", "s_name",
+                    (F.round("s_acctbal", 2) + F.lit(0.0))
+                    .alias("acctbal")))
+
+
 _REL_ORACLES = {
+    "rel_min_cost_supplier": """
+        WITH pairs AS (
+          SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_size = 25),
+        r AS (SELECT p_partkey, p_brand, s_name, s_acctbal,
+                     row_number() OVER (PARTITION BY p_partkey
+                       ORDER BY s_acctbal ASC, s_suppkey ASC) AS rn
+              FROM pairs JOIN supplier ON l_suppkey = s_suppkey)
+        SELECT p_partkey, p_brand, s_name,
+               round(s_acctbal, 2) + 0.0 AS acctbal
+        FROM r WHERE rn = 1""",
     "rel_reorder_gaps": """
         WITH g AS (
           SELECT o_custkey, o_orderdate, o_orderkey,
@@ -1796,6 +1834,17 @@ def q_text_bpe_pairs(spark, sf_dir):
     pairs."""
     d = _par(_t(spark, sf_dir, "documents"))
     return T.bpe_pair_counts(d, k=50)
+
+
+def q_doc_importance(spark, sf_dir):
+    """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
+    log-likelihood ratio of the English subset (the target domain)
+    against the whole corpus, per document. The trained model is 256
+    bucket log-ratios — broadcast by construction — so scoring is a
+    map-side join plus one per-doc integer-micro sum."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.importance_weights(d, d.where(F.col("lang") == "en"),
+                                n_buckets=256)
 
 
 def q_doc_domain_mix(spark, sf_dir):
@@ -2184,6 +2233,28 @@ _TEXT_ORACLES["text_lm_score"] = f"""
                 WHEN round(-s/1e6/n, 4) + 0.0 > 3.42 THEN 'tail'
                 ELSE 'middle' END AS bucket
     FROM d"""
+
+_TEXT_ORACLES["doc_importance"] = f"""
+    WITH tk AS (SELECT doc_id,
+                       ('0x' || substr(md5(tok), 1, 8))::BIGINT % 256
+                       AS bucket
+                FROM (SELECT doc_id, unnest({_TOKENS_SQL}) AS tok
+                      FROM documents)),
+    raw AS (SELECT bucket, count(*) AS rc FROM tk GROUP BY 1),
+    tgt AS (SELECT bucket, count(*) AS tc
+            FROM tk JOIN documents USING (doc_id)
+            WHERE lang = 'en' GROUP BY 1),
+    tot AS (SELECT (SELECT sum(rc) FROM raw) AS rtot,
+                   (SELECT coalesce(sum(tc), 0) FROM tgt) AS ttot),
+    model AS (SELECT r.bucket,
+                     CAST(round((ln((coalesce(t.tc, 0) + 1.0)
+                                    / (ttot + 256.0))
+                                 - ln((r.rc + 1.0) / (rtot + 256.0)))
+                                * 1e6) AS BIGINT) AS lwm
+              FROM raw r LEFT JOIN tgt t USING (bucket), tot),
+    d AS (SELECT doc_id, count(*) AS n_tokens, sum(lwm) AS s
+          FROM tk JOIN model USING (bucket) GROUP BY 1)
+    SELECT doc_id, n_tokens, round(s / 1e6, 4) + 0.0 AS weight FROM d"""
 
 _TEXT_ORACLES["text_bpe_pairs"] = f"""
     WITH w AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),
@@ -2845,6 +2916,21 @@ def _hp_bucket_sql(vec_expr: str, n_bits: int, dims: int = 64,
                 f" i -> {vec_expr}[i] * ({lits})[i]))")
         cases.append(f"CASE WHEN {proj} >= 0 THEN '1' ELSE '0' END")
     return "concat(" + ", ".join(cases) + ")"
+
+def _hp_proj_sql(vec_expr: str, out_dim: int, dims: int = 64,
+                 seed: int = 0) -> str:
+    """DuckDB mirror of similarity.random_project: identical ±1 sign
+    rows inlined as literals, identical per-component sum, the same
+    1/sqrt(out_dim) scale, each component rounded to 4 decimals."""
+    inv = repr(1.0 / (out_dim ** 0.5))
+    comps = []
+    for w in SIM.hyperplane_signs(out_dim, dims, seed):
+        lits = "[" + ", ".join(repr(x) for x in w) + "]"
+        proj = (f"list_sum(list_transform(generate_series(1, {dims}),"
+                f" i -> {vec_expr}[i] * ({lits})[i]))")
+        comps.append(f"round({proj} * {inv}, 4) + 0.0")
+    return "[" + ", ".join(comps) + "]"
+
 
 _SIM_ORACLES = {
     "sim_cosine_topk": f"""
@@ -4107,6 +4193,27 @@ def q_emb_quantize_int8(spark, sf_dir):
     return SIM.dequantize_error(e)
 
 
+def q_emb_project(spark, sf_dir):
+    """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims — the
+    map-only width-reduction pass run before clustering / dedup / ANN
+    on wide embeddings (4x smaller vectors before anything shuffles
+    them). Same md5-derived deterministic sign family as the LSH
+    bucket hash; elements rounded to 4 decimals on both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    p = SIM.random_project(e, out_dim=16, dims=64, seed=7)
+    return p.select(
+        "vec_id",
+        F.transform("projected",
+                    lambda x: F.round(x, 4) + F.lit(0.0))
+        .alias("projected"))
+
+
+_SIM_ORACLES["emb_project"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT vec_id, {_hp_proj_sql('v', 16, seed=7)} AS projected
+    FROM e"""
+
+
 def _kmeans_iter_sql(n: int, prev: str) -> str:
     """One unrolled Lloyd iteration: assign to argmax-cosine centroid
     (ties -> lowest cluster id), then per-dim rounded mean."""
@@ -4389,6 +4496,7 @@ QUERIES = {
     "rel_local_supplier_volume": q_rel_local_supplier_volume,
     "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
     "rel_sales_opportunity": q_rel_sales_opportunity,
+    "rel_min_cost_supplier": q_rel_min_cost_supplier,
     # text
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -4405,6 +4513,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "text_lm_score": q_text_lm_score,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "doc_importance": q_doc_importance,
     "doc_domain_mix": q_doc_domain_mix,
     "doc_mixture_epoch": q_doc_mixture_epoch,
     "pipeline_curation": q_pipeline_curation,
@@ -4433,6 +4542,7 @@ QUERIES = {
     "sim_ivf_recall": q_sim_ivf_recall,
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
+    "emb_project": q_emb_project,
     "emb_label_separation": q_emb_label_separation,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
@@ -4495,6 +4605,7 @@ _DRIVER_CHECK_FIRST = [
     # code (dedup hash/skew-guard changes, the rewritten driver
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
+    "doc_importance", "emb_project", "rel_min_cost_supplier",
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",

@@ -548,3 +548,45 @@ def test_ivf_recall_query_shape(spark, sf_dir):
         assert abs(r.recall_at_10 - round(r.n_hits / 10.0, 4)) < 1e-9
     again = suite.QUERIES["sim_ivf_recall"](spark, sf_dir).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_random_project_prefix_and_distance_preservation(spark):
+    """Component j depends only on (seed, j, dims) — a narrower
+    projection is a prefix of a wider one — and the scaled projection
+    roughly preserves norms (the JL contract this operator exists
+    for; ±1 families concentrate like Gaussians)."""
+    from quasdb_spark.operators.similarity import random_project
+
+    rows = [(i, [float((i * 31 + j * 7) % 13) - 6.0 for j in range(64)])
+            for i in range(24)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    p8 = {r.vec_id: r.projected for r in
+          random_project(df, 8, seed=3, scale=False).collect()}
+    p16 = {r.vec_id: r.projected for r in
+           random_project(df, 16, seed=3, scale=False).collect()}
+    assert all(p16[k][:8] == p8[k] for k in p8)
+
+    vecs = dict(rows)
+    ratios = []
+    for r in random_project(df, 16, seed=3).collect():
+        on = math.sqrt(sum(x * x for x in vecs[r.vec_id]))
+        pn = math.sqrt(sum(x * x for x in r.projected))
+        ratios.append(pn / on)
+    avg = sum(ratios) / len(ratios)
+    assert 0.6 < avg < 1.4, avg
+
+
+def test_random_project_null_and_length_contract(spark):
+    """NULL vector -> NULL projection (no job failure); wrong length
+    raises (same contract as hyperplane_bucket)."""
+    from quasdb_spark.operators.similarity import random_project
+
+    ok = spark.createDataFrame(
+        [(1, None), (2, [1.0] * 64)],
+        "vec_id long, embedding array<double>")
+    got = {r.vec_id: r.projected for r in random_project(ok, 4).collect()}
+    assert got[1] is None and got[2] is not None
+    bad = spark.createDataFrame([(3, [1.0, 2.0])],
+                                "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="random_project"):
+        random_project(bad, 4).collect()

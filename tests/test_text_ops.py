@@ -528,3 +528,22 @@ def test_pack_offset_in_pack_bounds_and_continuity(spark):
         assert r.pack_id == cum // 64
         assert r.offset_in_pack == cum - r.pack_id * 64
         cum += r.n_tokens
+
+
+def test_importance_weights_prefers_target_like_docs(spark):
+    """DSIR semantics on a planted corpus: a doc written entirely in
+    the target domain's vocabulary outscores a mixed doc, which
+    outscores a doc of purely off-target tokens (negative weight)."""
+    from quasdb_spark.functions.text import importance_weights
+
+    rows = [
+        (1, "alpha beta gamma delta alpha beta", "en"),
+        (2, "zulu yankee xray whiskey victor uniform", "de"),
+        (3, "alpha zulu beta yankee", "en"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r.doc_id: r for r in importance_weights(
+        df, df.where(F.col("lang") == "en")).collect()}
+    assert got[1].n_tokens == 6 and got[3].n_tokens == 4
+    assert got[1].weight > got[3].weight > got[2].weight
+    assert got[2].weight < 0
