@@ -368,6 +368,103 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
                   .localCheckpoint(eager=True))
 
 
+def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
+                      id_col: str = "doc_id", a_col: str = "id_a",
+                      b_col: str = "id_b", max_rounds: int = 16,
+                      validate: bool = True) -> DataFrame:
+    """TRUE connected components over a near-dup pair graph by
+    alternating large-star / small-star contraction (Kiveris et al.
+    2014, "Connected Components in MapReduce and Beyond") — the
+    web-scale CC engine ``cluster_assign``'s bounded-round propagation
+    hands off to when component diameters can exceed a fixed hop
+    budget. Each node's cluster_id is the exact minimum id of its
+    component, for ANY diameter.
+
+    Large-star connects every neighbor larger than a node to the
+    minimum of its neighborhood; small-star does the same for the
+    not-larger neighbors. Alternating the two strictly preserves
+    connectivity and converges to a forest of stars centered at
+    component minima in O(log n) rounds (vs O(diameter) for plain
+    label propagation).
+
+    Scale shape: each round is two neighborhood min-aggregates + two
+    map-side projections — all shuffles are keyed by node id with
+    map-side combine, no collect, and the edge set shrinks toward one
+    edge per non-minimum node. Lineage is cut with an eager local
+    checkpoint every round (iterative plans otherwise double per
+    round); the fixpoint test is one tiny order-free aggregate
+    (bit_xor of edge hashes + count) per round.
+
+    ``validate=True`` (default) adds one O(E) consistency pass over
+    the ORIGINAL pairs: both endpoints of every input pair must have
+    landed in the same cluster. Contraction can only preserve
+    connectivity (never bridge components), so consistency here is a
+    proof of exactness — it turns "the loop says it converged" into a
+    checked contract and raises instead of silently under-merging.
+    """
+    def canon(df: DataFrame) -> DataFrame:
+        return (df.where(F.col("a") != F.col("b"))
+                .select(F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"))
+                .distinct())
+
+    def both_dirs(df: DataFrame) -> DataFrame:
+        return df.select("u", "v").union(
+            df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+
+    e = canon(pairs.select(F.col(a_col).alias("a"),
+                           F.col(b_col).alias("b"))).localCheckpoint(
+        eager=True)
+    prev: tuple | None = None
+    for _ in range(max_rounds):
+        # large-star: (node u, neighborhood min m) — every neighbor
+        # v > u re-attaches to m = min(Γ(u) ∪ {u})
+        nbrs = both_dirs(e)
+        g = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
+        e1 = canon(nbrs.join(g, "u")
+                   .where(F.col("v") > F.col("u"))
+                   .select(F.col("v").alias("a"),
+                           F.least("u", "mn").alias("b")))
+        # small-star: the not-larger neighbors (and u itself)
+        # re-attach to the min of that set
+        sm = both_dirs(e1).where(F.col("v") < F.col("u"))
+        g2 = sm.groupBy("u").agg(F.min("v").alias("mn"))
+        e = canon(sm.join(g2, "u")
+                  .select(F.col("v").alias("a"), F.col("mn").alias("b"))
+                  .union(g2.select(F.col("u").alias("a"),
+                                   F.col("mn").alias("b")))
+                  ).localCheckpoint(eager=True)
+        cs = e.agg(F.expr("bit_xor(xxhash64(u, v))").alias("x"),
+                   F.count(F.lit(1)).alias("n")).first()
+        if prev == (cs["x"], cs["n"]):
+            break
+        prev = (cs["x"], cs["n"])
+    else:
+        raise RuntimeError(
+            f"cluster_assign_cc: no fixpoint within {max_rounds} rounds")
+    # star forest: every non-center node has exactly its center as the
+    # smaller endpoint; centers and singletons label themselves
+    lab = e.groupBy("v").agg(F.min("u").alias("_lab"))
+    labels = (nodes.select(F.col(id_col).alias("_id"))
+              .join(lab, F.col("_id") == lab.v, "left")
+              .select(F.col("_id").alias(id_col),
+                      F.coalesce("_lab", F.col("_id"))
+                      .alias("cluster_id"))
+              .localCheckpoint(eager=True))
+    if validate:
+        la = labels.select(F.col(id_col).alias(a_col),
+                           F.col("cluster_id").alias("_ca"))
+        lb = labels.select(F.col(id_col).alias(b_col),
+                           F.col("cluster_id").alias("_cb"))
+        bad = (pairs.select(a_col, b_col).join(la, a_col).join(lb, b_col)
+               .where(F.col("_ca") != F.col("_cb")).limit(1).count())
+        if bad:
+            raise RuntimeError(
+                "cluster_assign_cc: post-contraction labels split an "
+                "input pair across clusters (not converged)")
+    return labels
+
+
 def exact_dedup(df: DataFrame, id_col: str = "doc_id",
                 text_col: str = "text") -> DataFrame:
     """Exact duplicate groups on normalized-text md5: every doc mapped

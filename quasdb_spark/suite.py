@@ -2466,6 +2466,24 @@ def q_dedup_clusters(spark, sf_dir):
             .select("doc_id", "cluster_id", "n_members"))
 
 
+def q_dedup_clusters_cc(spark, sf_dir):
+    """Scale-path clustering: TRUE connected components over the same
+    MinHash-LSH pair graph via alternating large-star / small-star
+    contraction (exact for ANY component diameter, O(log n) rounds,
+    self-validating) — the fixpoint answer bounded-round
+    dedup_clusters approximates. The oracle is a recursive
+    reachability CTE, so this row cross-checks the contraction
+    against a genuinely different algorithm."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(d, threshold=0.35)
+    labels = D.cluster_assign_cc(pairs, d.select("doc_id"))
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    return (labels.join(sizes, "cluster_id")
+            .where(F.col("n_members") >= 2)
+            .select("doc_id", "cluster_id", "n_members"))
+
+
 def q_dedup_minhash_wide(spark, sf_dir):
     """Production-width near-dup: 64 affine-derived minhashes × 8
     bands (real dedup runs use 64-128 hashes × 8-16 bands, not the
@@ -2679,6 +2697,21 @@ _DEDUP_ORACLES["dedup_clusters"] = f"""
               FROM l3 GROUP BY 1)
     SELECT l3.id AS doc_id, l3.label AS cluster_id, s.n_members
     FROM l3 JOIN sizes s ON s.cluster_id = l3.label
+    WHERE s.n_members >= 2"""
+
+_DEDUP_ORACLES["dedup_clusters_cc"] = f"""
+    WITH RECURSIVE pairs AS ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
+    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+          UNION ALL SELECT id_b, id_a FROM pairs),
+    reach AS (
+      SELECT doc_id AS id, doc_id AS r FROM documents
+      UNION
+      SELECT reach.id, e.dst FROM reach JOIN e ON e.src = reach.r),
+    lbl AS (SELECT id, min(r) AS cluster_id FROM reach GROUP BY id),
+    sizes AS (SELECT cluster_id, count(*) AS n_members
+              FROM lbl GROUP BY 1)
+    SELECT l.id AS doc_id, l.cluster_id, s.n_members
+    FROM lbl l JOIN sizes s USING (cluster_id)
     WHERE s.n_members >= 2"""
 
 _DEDUP_ORACLES["dedup_minhash_wide"] = f"""
@@ -4523,6 +4556,7 @@ QUERIES = {
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_wide": q_dedup_minhash_wide,
     "dedup_clusters": q_dedup_clusters,
+    "dedup_clusters_cc": q_dedup_clusters_cc,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
     "dedup_substring_spans": q_dedup_substring_spans,
@@ -4606,6 +4640,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "doc_importance", "emb_project", "rel_min_cost_supplier",
+    "dedup_clusters_cc",
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",

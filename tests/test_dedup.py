@@ -365,3 +365,42 @@ def test_minhash_banding_validates_width(spark):
                               "doc_id int, text string"),
         n_hashes=16, n_bands=4, scheme="fast", engine="expr").collect()
     assert {(r.id_a, r.id_b) for r in got} == {(1, 2)}
+
+
+def test_cluster_assign_cc_exact_on_long_paths_and_random_graph(spark):
+    """Star contraction is exact for ANY component diameter: a
+    48-node path (diameter 47 — far beyond any fixed hop budget)
+    plus a randomized graph, both against a python union-find
+    oracle, converging in O(log n) alternating rounds."""
+    import random
+
+    from quasdb_spark.operators.dedup import cluster_assign_cc
+
+    rng = random.Random(11)
+    n = 120
+    # one long path through ids 0..47 (+offset to avoid trivial 0-min
+    # adjacency), plus random edges over the rest
+    path = [(i + 50, i + 51) for i in range(47)]
+    rand = [tuple(sorted((rng.randrange(50), rng.randrange(50))))
+            for _ in range(30)]
+    edges = sorted({(a, b) for a, b in path + rand if a != b})
+
+    parent = list(range(n))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {i: find(i) for i in range(n)}
+
+    pairs = spark.createDataFrame(edges, "id_a long, id_b long")
+    nodes = spark.createDataFrame([(i,) for i in range(n)], "doc_id long")
+    labels = cluster_assign_cc(pairs, nodes, max_rounds=16)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == want
