@@ -4370,6 +4370,67 @@ _IVF_ORACLE["sim_ivf_recall"] = f"""
     GROUP BY b.query_id"""
 
 
+def q_emb_rp_recall(spark, sf_dir):
+    """Sketch-quality measurement for the JL projection: recall@10 of
+    brute cosine in the 16-dim PROJECTED space against the 64-dim
+    exact ground truth — the number that decides whether a projected
+    (4x narrower) index is good enough to serve, oracle-gated so the
+    recall arithmetic is verified cross-engine. Projections are
+    rounded to 4 decimals first (the emb_project output contract), so
+    both engines rank bit-identical inputs. Like sim_ivf_recall, the
+    ground-truth side embeds the brute cross BY CONSTRUCTION —
+    bounded query sample, never corpus×corpus; production swaps the
+    projected-space brute for the banded/IVF paths over the projected
+    column. (On THIS corpus the measured recall is low (~0.1-0.3):
+    the synthetic embeddings are near-uniform, so top-10 neighbor
+    margins are vanishingly small and any 4x sketch scrambles them —
+    a stress floor, not a typical-corpus estimate; real clustered
+    embeddings keep their margins through JL. Exactly why the
+    measurement belongs in the suite.)"""
+    e = _t(spark, sf_dir, "embeddings")
+    proj = (SIM.random_project(e, 16, seed=7)
+            .select("vec_id",
+                    F.transform("projected",
+                                lambda x: F.round(x, 4) + F.lit(0.0))
+                    .alias("pv")))
+    qp = proj.where(F.col("vec_id") % 100 == 0)
+    approx = SIM.cosine_topk(proj, qp, 10, vec_col="pv") \
+        .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    brute = SIM.cosine_topk(e, queries, 10) \
+        .select("query_id", "neighbor_id")
+    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    return (j.groupBy("query_id")
+             .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("int")
+                   .alias("n_hits"),
+                  F.round(F.sum(F.coalesce("_hit", F.lit(0)))
+                          / F.count(F.lit(1)), 4)
+                  .alias("recall_at_10")))
+
+
+_SIM_ORACLES["emb_rp_recall"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, {_hp_proj_sql('v', 16, seed=7)} AS pv FROM e),
+    qp AS (SELECT vec_id AS query_id, pv AS qv FROM p
+           WHERE vec_id % 100 = 0),
+    approx AS (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qp.query_id, p.vec_id AS neighbor_id,
+               row_number() OVER (PARTITION BY qp.query_id
+                 ORDER BY {_COS_SQL.replace("vv", "p.pv")} DESC,
+                          p.vec_id) AS rn
+        FROM qp, p WHERE qp.query_id != p.vec_id) t
+      WHERE rn <= 10),
+    brute AS ({_SIM_ORACLES["sim_cosine_topk"]})
+    SELECT b.query_id, CAST(count(a.neighbor_id) AS INT) AS n_hits,
+           round(count(a.neighbor_id) / CAST(count(*) AS DOUBLE), 4)
+             AS recall_at_10
+    FROM brute b
+    LEFT JOIN approx a ON a.query_id = b.query_id
+                      AND a.neighbor_id = b.neighbor_id
+    GROUP BY b.query_id"""
+
+
 def q_ts_pivot_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     types = ["click", "error", "purchase", "signup", "view"]
@@ -4577,6 +4638,7 @@ QUERIES = {
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_project": q_emb_project,
+    "emb_rp_recall": q_emb_rp_recall,
     "emb_label_separation": q_emb_label_separation,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
@@ -4640,7 +4702,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "doc_importance", "emb_project", "rel_min_cost_supplier",
-    "dedup_clusters_cc",
+    "dedup_clusters_cc", "emb_rp_recall",
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",

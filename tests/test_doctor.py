@@ -65,11 +65,14 @@ def test_suite_queries_pass_error_lint(spark, sf_dir):
     # - emb_label_separation: centroid side is one row per LABEL
     #   (bounded by the label vocabulary, not the corpus) — the lint
     #   cannot prove a keyed aggregate's cardinality statically.
-    # - sim_ivf_recall: embeds the brute cross ON PURPOSE — recall is
-    #   measured against the exact ground truth, so the baseline's
-    #   cost model (bounded query batch) is inherited by construction.
+    # - sim_ivf_recall / emb_rp_recall: embed the brute cross ON
+    #   PURPOSE — recall is measured against the exact ground truth,
+    #   so the baseline's cost model (bounded query batch) is
+    #   inherited by construction (emb_rp_recall's approx side is the
+    #   projected-space brute baseline for the same reason).
     allow_bnlj = {"sim_cosine_topk", "crossmodal_neighbors",
-                  "emb_label_separation", "sim_ivf_recall"}
+                  "emb_label_separation", "sim_ivf_recall",
+                  "emb_rp_recall"}
     failures = {}
     for name, fn in suite.QUERIES.items():
         if name in skip:
