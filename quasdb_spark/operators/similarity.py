@@ -911,6 +911,67 @@ def dequantize_error(vectors: DataFrame, *, id_col: str = "vec_id",
         (F.round(err, round_to) + F.lit(0.0)).alias("mae"))
 
 
+def pq_quantization(vectors: DataFrame, *, m: int = 4, k: int = 8,
+                    id_col: str = "vec_id", vec_col: str = "embedding",
+                    dims: int = 64, n_iter: int = 2,
+                    sample_cap: int = 65536,
+                    round_to: int = 6) -> DataFrame:
+    """Product-quantization codebook diagnostics — the FAISS-PQ shape:
+    split each vector into ``m`` contiguous subvectors, train an
+    INDEPENDENT ``k``-centroid codebook per subspace (seeded sampled
+    Lloyd, the kmeans_centroids contract), and code each vector as its
+    per-subspace argmax centroid. Emits per-(subspace, code)
+    membership and fit (n_vecs, avg/min cosine of member subvectors to
+    their centroid) — the table that decides m and k before switching
+    an ANN corpus to m*log2(k)-bit PQ storage (here 4x8: 12 bits vs
+    2048 for float32x64, a 170x compression).
+
+    Spherical variant: subspace assignment maximizes cosine, matching
+    this module's k-means family end to end (classic PQ uses L2; for
+    the normalized-embedding corpora these pipelines process, the two
+    agree up to the subvector-norm weighting).
+
+    Scale shape: per subspace, TRAINING sees only the bounded
+    md5-ranked sample (never the corpus); the corpus is then ASSIGNED
+    map-side against k broadcast centroids and aggregated per
+    (subspace, code) with map-side combine — m*k output rows and the
+    corpus never shuffles (the sim_ivf_quantization plan family, m
+    times). ``dims % m`` must be 0; subvector widths stay equal.
+    """
+    if dims % m:
+        raise ValueError(f"pq_quantization: dims {dims} not divisible "
+                         f"by m {m}")
+    sub = dims // m
+    outs = []
+    for s in range(m):
+        sl = vectors.select(
+            F.col(id_col).alias("_id"),
+            F.slice(_as_double(vec_col), s * sub + 1, sub).alias("_sv"))
+        cents = kmeans_centroids(sl, k, id_col="_id", vec_col="_sv",
+                                 n_iter=n_iter, sample_cap=sample_cap,
+                                 round_to=round_to)
+        scored = (sl.crossJoin(F.broadcast(cents))
+                  .withColumn("_cs", cosine(F.col("_sv"),
+                                            F.col("centroid"))))
+        assigned = scored.groupBy("_id").agg(
+            F.max_by(F.struct("c_label", "_cs"),
+                     F.struct(F.col("_cs"),
+                              (-F.col("c_label")).alias("_t"))).alias("_a"))
+        per = assigned.select(F.col("_a.c_label").alias("c_label"),
+                              F.round(F.col("_a._cs"), 6).alias("_cs6"))
+        outs.append(
+            per.groupBy("c_label")
+            .agg(F.count(F.lit(1)).alias("n_vecs"),
+                 (F.round(F.avg("_cs6"), 4) + F.lit(0.0)).alias("avg_cos"),
+                 (F.round(F.min("_cs6"), 6) + F.lit(0.0)).alias("min_cos"))
+            .select(F.lit(s).alias("subspace"), "c_label", "n_vecs",
+                    "avg_cos", "min_cos"))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def random_project(vectors: DataFrame, out_dim: int = 16, *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dims: int = 64, seed: int = 0,

@@ -4226,6 +4226,20 @@ def q_emb_quantize_int8(spark, sf_dir):
     return SIM.dequantize_error(e)
 
 
+def q_emb_pq_quantization(spark, sf_dir):
+    """Product-quantization health check: 4 subspaces x 8 codes over
+    the 64-dim embeddings — per-(subspace, code) membership and
+    cosine fit, the table that picks m/k before storing the ANN
+    corpus at 12 bits/vector. Training is sampled per subspace (never
+    the corpus); assignment is map-side against broadcast codebooks;
+    output is m*k rows. The oracle unrolls all four seeded Lloyd
+    trainings in SQL (the emb_centroids machinery, namespaced per
+    subspace), so codebooks AND assignments are verified
+    cross-engine."""
+    e = _t(spark, sf_dir, "embeddings")
+    return SIM.pq_quantization(e, m=4, k=8)
+
+
 def q_emb_project(spark, sf_dir):
     """Johnson-Lindenstrauss ±1 random projection 64 -> 16 dims — the
     map-only width-reduction pass run before clustering / dedup / ANN
@@ -4247,23 +4261,28 @@ _SIM_ORACLES["emb_project"] = f"""
     FROM e"""
 
 
-def _kmeans_iter_sql(n: int, prev: str) -> str:
+def _kmeans_iter_sql(n: int, prev: str, src: str = "tr",
+                     tag: str = "") -> str:
     """One unrolled Lloyd iteration: assign to argmax-cosine centroid
-    (ties -> lowest cluster id), then per-dim rounded mean."""
+    (ties -> lowest cluster id), then per-dim rounded mean. ``src`` is
+    the training-sample CTE; ``tag`` namespaces the a/c CTE names so
+    several independent k-means (e.g. PQ subspaces) compose in one
+    statement."""
     return f"""
-        a{n} AS (
+        a{tag}{n} AS (
           SELECT vec_id, v, c_label FROM (
             SELECT e.vec_id, e.v, s.c_label,
                    row_number() OVER (PARTITION BY e.vec_id
                      ORDER BY {_cos2('e.v', 's.centroid')} DESC,
                               s.c_label ASC) AS rn
-            FROM tr e, {prev} s) t
+            FROM {src} e, {prev} s) t
           WHERE rn = 1),
-        c{n} AS (
+        c{tag}{n} AS (
           SELECT c_label, list(cx ORDER BY pos) AS centroid FROM (
             SELECT c_label, pos, round(avg(v[pos]), 6) AS cx FROM (
               SELECT c_label, v,
-                     unnest(generate_series(1, len(v))) AS pos FROM a{n}) u
+                     unnest(generate_series(1, len(v))) AS pos
+              FROM a{tag}{n}) u
             GROUP BY 1, 2) p
           GROUP BY 1)"""
 
@@ -4368,6 +4387,48 @@ _IVF_ORACLE["sim_ivf_recall"] = f"""
     LEFT JOIN ivf i ON i.query_id = b.query_id
                    AND i.neighbor_id = b.neighbor_id
     GROUP BY b.query_id"""
+
+
+def _pq_sub_cte(s: int, k: int = 8, sub: int = 16) -> str:
+    """One PQ subspace's training + assignment CTE chain (slice of
+    the shared md5-ranked sample ``tr`` and corpus ``e``)."""
+    lo, hi = s * sub + 1, (s + 1) * sub
+    t = f"p{s}"
+    return f"""
+        tr{t} AS (SELECT vec_id, v[{lo}:{hi}] AS v, rk FROM tr),
+        seeds{t} AS (
+          SELECT CAST(rk - 1 AS BIGINT) AS c_label,
+                 list_transform(v, x -> round(x, 6)) AS centroid
+          FROM tr{t} WHERE rk <= {k}),
+        {_kmeans_iter_sql(1, f'seeds{t}', src=f'tr{t}', tag=t)},
+        {_kmeans_iter_sql(2, f'c{t}1', src=f'tr{t}', tag=t)},
+        asg{t} AS (
+          SELECT t.vec_id, t.c_label, round(t.cs, 6) AS cs6 FROM (
+            SELECT e.vec_id, c.c_label,
+                   {_cos2(f'e.v[{lo}:{hi}]', 'c.centroid')} AS cs,
+                   row_number() OVER (PARTITION BY e.vec_id
+                     ORDER BY {_cos2(f'e.v[{lo}:{hi}]', 'c.centroid')}
+                       DESC, c.c_label ASC) AS cr
+            FROM e, c{t}2 c) t
+          WHERE cr = 1),
+        agg{t} AS (
+          SELECT {s} AS subspace, c_label, count(*) AS n_vecs,
+                 round(avg(cs6), 4) + 0.0 AS avg_cos,
+                 round(min(cs6), 6) + 0.0 AS min_cos
+          FROM asg{t} GROUP BY 2)"""
+
+
+_SIM_ORACLES["emb_pq_quantization"] = f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    tr AS (
+      SELECT vec_id, v, row_number() OVER (
+               ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) AS rk
+      FROM e
+      QUALIFY row_number() OVER (
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id) <= 65536),
+    {", ".join(_pq_sub_cte(s) for s in range(4))}
+    SELECT * FROM aggp0 UNION ALL SELECT * FROM aggp1
+    UNION ALL SELECT * FROM aggp2 UNION ALL SELECT * FROM aggp3"""
 
 
 def q_emb_rp_recall(spark, sf_dir):
@@ -4639,6 +4700,7 @@ QUERIES = {
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_project": q_emb_project,
     "emb_rp_recall": q_emb_rp_recall,
+    "emb_pq_quantization": q_emb_pq_quantization,
     "emb_label_separation": q_emb_label_separation,
     "ts_pivot_hourly": q_ts_pivot_hourly,
     "rel_cube": q_rel_cube,
@@ -4702,7 +4764,7 @@ _DRIVER_CHECK_FIRST = [
     # point-read engine behind every kv_* row), then the
     # oldest-driver-evidence cohort (last checked r4).
     "doc_importance", "emb_project", "rel_min_cost_supplier",
-    "dedup_clusters_cc", "emb_rp_recall",
+    "dedup_clusters_cc", "emb_rp_recall", "emb_pq_quantization",
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",

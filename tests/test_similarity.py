@@ -590,3 +590,38 @@ def test_random_project_null_and_length_contract(spark):
                                 "vec_id long, embedding array<double>")
     with pytest.raises(Exception, match="random_project"):
         random_project(bad, 4).collect()
+
+
+def test_pq_quantization_codebook_properties(spark, sf_dir):
+    """PQ diagnostics contract: every (subspace, code) row is within
+    range, per-subspace membership covers the whole corpus, and the
+    trained codebooks actually fit — members' average cosine to their
+    own centroid is high (assignment is argmax, so fit >= any random
+    centroid's)."""
+    from quasdb_spark.operators.similarity import pq_quantization
+    from quasdb_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    rows = pq_quantization(e, m=4, k=8).collect()
+    by_sub = {}
+    for r in rows:
+        assert 0 <= r.subspace < 4 and 0 <= r.c_label < 8
+        assert r.min_cos <= r.avg_cos
+        by_sub.setdefault(r.subspace, []).append(r)
+    assert set(by_sub) == {0, 1, 2, 3}
+    for s, rs in by_sub.items():
+        assert sum(r.n_vecs for r in rs) == n, s
+        # corpus-weighted fit: argmax-of-8 assignment on 16-dim
+        # subvectors must beat the ~0 expectation of a random centroid
+        w = sum(r.avg_cos * r.n_vecs for r in rs) / n
+        assert w > 0.2, (s, w)
+
+
+def test_pq_quantization_rejects_ragged_split(spark):
+    from quasdb_spark.operators.similarity import pq_quantization
+
+    df = spark.createDataFrame([(1, [1.0] * 64)],
+                               "vec_id long, embedding array<double>")
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_quantization(df, m=5, k=4)
