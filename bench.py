@@ -66,7 +66,8 @@ EXTRA_BENCH = [
     "emb_hard_negatives", "dedup_minhash_wide", "doc_global_shuffle",
     "sim_ivf_recall", "doc_mixture_epoch",  # r8
     "doc_importance", "emb_project", "dedup_clusters_cc",
-    "emb_rp_recall", "rel_min_cost_supplier",  # r8 pass 3
+    "emb_rp_recall", "rel_min_cost_supplier",
+    "emb_pq_quantization",  # r8 pass 3
 ]
 
 
