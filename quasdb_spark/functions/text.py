@@ -590,7 +590,13 @@ def importance_weights(df: DataFrame, target: DataFrame, *,
 
     Determinism: per-bucket log-ratios are rounded to integer MICROS
     before the per-doc sum (order-free integer adds — the
-    bm25/lm_bigram contract), so a SQL oracle agrees bit-for-bit.
+    bm25/lm_bigram contract), so a SQL oracle agrees bit-for-bit. The
+    output weight is reported at MICRO precision (round to 6): the
+    per-doc sum is an exact integer of micros, so the 6-decimal value
+    is on-grid and never a rounding tie — rounding the same sum to 4
+    decimals hits exact X.XXXX5 ties (whenever s ≡ 50 mod 100), where
+    Java (decimal-string HALF_UP) and C/DuckDB (binary-double round)
+    legitimately disagree. Found by the sf1 sweep.
     """
     bucket = (F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
               .cast("bigint") % n_buckets).alias("bucket")
@@ -619,4 +625,4 @@ def importance_weights(df: DataFrame, target: DataFrame, *,
                     F.sum("_lwm").alias("_s")))
     return per_doc.select(
         id_col, "n_tokens",
-        (F.round(F.col("_s") / 1e6, 4) + F.lit(0.0)).alias("weight"))
+        (F.round(F.col("_s") / 1e6, 6) + F.lit(0.0)).alias("weight"))

@@ -2254,7 +2254,7 @@ _TEXT_ORACLES["doc_importance"] = f"""
               FROM raw r LEFT JOIN tgt t USING (bucket), tot),
     d AS (SELECT doc_id, count(*) AS n_tokens, sum(lwm) AS s
           FROM tk JOIN model USING (bucket) GROUP BY 1)
-    SELECT doc_id, n_tokens, round(s / 1e6, 4) + 0.0 AS weight FROM d"""
+    SELECT doc_id, n_tokens, round(s / 1e6, 6) + 0.0 AS weight FROM d"""
 
 _TEXT_ORACLES["text_bpe_pairs"] = f"""
     WITH w AS (SELECT unnest({_TOKENS_SQL}) AS w FROM documents),
