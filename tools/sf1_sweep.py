@@ -31,11 +31,13 @@ ROOT = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 sys.path.insert(0, ROOT)
 
 
-def prior_results(paths: list[str]) -> dict[str, tuple[str, str]]:
-    """name -> (status, detail) from earlier check_oracle logs (lines
-    'ok    name (N rows)' / 'FAIL  name: detail') or a previous
-    CORRECTNESS_sf1.json."""
-    out: dict[str, tuple[str, str]] = {}
+def prior_results(paths: list[str]) -> dict[str, tuple[str, object]]:
+    """name -> (status, detail) from earlier check_oracle / sweep logs
+    (lines 'ok    name (N rows)' / 'FAIL  name: detail' /
+    'TIMEOUT name (...; spark rows=N)') or a previous
+    CORRECTNESS_sf1.json (incl. its oracle_timeout records — dropping
+    those on merge silently upgraded rows-only evidence to absent)."""
+    out: dict[str, tuple[str, object]] = {}
     for p in paths:
         if p.endswith(".json"):
             rec = json.load(open(p))
@@ -43,6 +45,8 @@ def prior_results(paths: list[str]) -> dict[str, tuple[str, str]]:
                 out[n] = ("ok", "")
             for n, d in rec.get("fail", {}).items():
                 out[n] = ("fail", d)
+            for n, rows in rec.get("oracle_timeout", {}).items():
+                out[n] = ("oracle_timeout", rows)
             continue
         for line in open(p):
             if line.startswith("ok    "):
@@ -51,6 +55,16 @@ def prior_results(paths: list[str]) -> dict[str, tuple[str, str]]:
             elif line.startswith("FAIL  "):
                 name = line.split()[1].rstrip(":")
                 out[name] = ("fail", line.strip())
+            elif line.startswith("TIMEOUT "):
+                name = line.split()[1]
+                m = line.rstrip().rsplit("rows=", 1)
+                rows = None
+                if len(m) == 2:
+                    try:
+                        rows = int(m[1].rstrip(")"))
+                    except ValueError:
+                        pass
+                out[name] = ("oracle_timeout", rows)
     return out
 
 
@@ -105,9 +119,15 @@ def main() -> None:
     ok: list[str] = [n for n, (s, _) in prior.items()
                      if s == "ok" and n in suite.QUERIES]
     fail: dict[str, str] = {}
-    oracle_timeout: dict[str, int | None] = {}
+    # carry prior rows-only (oracle-timeout) evidence forward; a name
+    # re-runs only when named in --only (re-paying a known-heavy
+    # oracle is an explicit choice, not a merge default)
+    oracle_timeout: dict[str, int | None] = {
+        n: d for n, (s, d) in prior.items()
+        if s == "oracle_timeout" and n in suite.QUERIES}
     todo = [n for n in suite.QUERIES
-            if n not in ok and (not only or n in only)]
+            if n not in ok
+            and (n in only if only else n not in oracle_timeout)]
     print(f"{len(ok)} prior ok; sweeping {len(todo)} "
           f"(budget {timeout}s each)", flush=True)
     for n in todo:
@@ -120,6 +140,7 @@ def main() -> None:
             out = p.stdout or ""
             if f"ok    {n}" in out:
                 ok.append(n)
+                oracle_timeout.pop(n, None)
                 print(f"ok    {n} ({time.time() - t0:.0f}s)", flush=True)
             else:
                 detail = next((ln for ln in out.splitlines()
