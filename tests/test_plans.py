@@ -257,3 +257,27 @@ def test_doc_chunking_is_map_only(spark, sf_dir):
     assert "Exchange" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
     assert "Generate explode" in plan
+
+
+def test_emb_project_is_map_only(spark, sf_dir):
+    """The JL projection is one codegen projection over the scan: no
+    shuffle, no Python — at 100 TB it is a single map pass that
+    shrinks the vector column 4x before anything downstream
+    shuffles it."""
+    plan = _plan(suite.QUERIES["emb_project"](spark, sf_dir))
+    assert "Exchange" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_doc_importance_broadcasts_model(spark, sf_dir):
+    """DSIR scoring must join the 256-bucket importance model as a
+    BROADCAST (the model is tiny by construction); the only
+    corpus-keyed exchange is the per-doc sum. A shuffle join on
+    bucket would re-partition the whole exploded-token stream by a
+    256-value key — a guaranteed skew disaster at 100 TB."""
+    plan = _plan(suite.QUERIES["doc_importance"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    # doc-sum exchange + the raw/tgt bucket aggregates (partial→final
+    # on a 256-value key, tiny by construction)
+    assert plan.count("Exchange hashpartitioning") <= 5
