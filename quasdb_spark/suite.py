@@ -2808,17 +2808,27 @@ def _simhash_oracle(bits: int = 60) -> str:
 
 
 _DEDUP_ORACLES["dedup_simhash"] = _simhash_oracle()
+# Blocked by the same pigeonhole the Spark side uses (Manku): hamming
+# <= 3 over 60 bits means >= 1 of the 4 disjoint 15-bit blocks is
+# IDENTICAL, so the block-equality join loses nothing — this is an
+# exact rewrite of the all-pairs form, which evaluated two 60-step
+# lambdas on O(n^2) pairs and blew the sf1 oracle budget (n=20k ->
+# 200M pairs); candidates here are collisions only.
 _DEDUP_ORACLES["dedup_simhash_pairs"] = f"""
     WITH sim AS ({_simhash_oracle()}),
-    pairs AS (
-      SELECT a.doc_id AS id_a, b2.doc_id AS id_b,
-             a.simhash AS sh_a, b2.simhash AS sh_b
-      FROM sim a JOIN sim b2 ON a.doc_id < b2.doc_id)
-    SELECT id_a, id_b,
-           CAST(len(list_filter(generate_series(1, 60),
-                i -> sh_a[i] != sh_b[i])) AS INT) AS hamming
-    FROM pairs
-    WHERE len(list_filter(generate_series(1, 60), i -> sh_a[i] != sh_b[i])) <= 3"""
+    blk AS (SELECT doc_id, simhash, b,
+                   substr(simhash, b * 15 + 1, 15) AS key
+            FROM sim, (SELECT unnest([0, 1, 2, 3]) AS b)),
+    cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, c.doc_id AS id_b,
+             a.simhash AS sh_a, c.simhash AS sh_b
+      FROM blk a JOIN blk c ON a.b = c.b AND a.key = c.key
+                           AND a.doc_id < c.doc_id),
+    ham AS (SELECT id_a, id_b,
+                   CAST(len(list_filter(generate_series(1, 60),
+                        i -> sh_a[i] != sh_b[i])) AS INT) AS hamming
+            FROM cand)
+    SELECT id_a, id_b, hamming FROM ham WHERE hamming <= 3"""
 
 
 # =====================================================================
