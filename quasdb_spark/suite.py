@@ -2674,9 +2674,14 @@ _DEDUP_ORACLES = {
 
 def _label_prop_iter_sql(n: int) -> str:
     """One unrolled min-label-propagation round (mirrors
-    dedup.cluster_assign)."""
+    dedup.cluster_assign). MATERIALIZED: each round references the
+    previous one TWICE — left inlined, DuckDB re-evaluates the whole
+    upstream pipeline per reference, doubling work per round (the
+    emb_semdedup oracle re-ran its banded-LSH pair mining ~2^3 times
+    and blew the sf1 budget). Materialization changes evaluation
+    strategy only, never values."""
     return f"""
-        l{n} AS (
+        l{n} AS MATERIALIZED (
           SELECT n.id, least(n.label, coalesce(min(l.label), n.label))
                    AS label
           FROM l{n - 1} n
@@ -2686,8 +2691,8 @@ def _label_prop_iter_sql(n: int) -> str:
 
 
 _DEDUP_ORACLES["dedup_clusters"] = f"""
-    WITH pairs AS ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    WITH pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     l0 AS (SELECT doc_id AS id, doc_id AS label FROM documents),
     {_label_prop_iter_sql(1)},
@@ -3146,8 +3151,8 @@ _SIM_ORACLES["emb_hard_negatives"] = f"""
     FROM ranked WHERE rn <= 3"""
 
 _SIM_ORACLES["emb_semdedup"] = f"""
-    WITH pairs AS ({_SIM_ORACLES["sim_neardup_cosine"]}),
-    e AS (SELECT id_a AS src, id_b AS dst FROM pairs
+    WITH pairs AS MATERIALIZED ({_SIM_ORACLES["sim_neardup_cosine"]}),
+    e AS MATERIALIZED (SELECT id_a AS src, id_b AS dst FROM pairs
           UNION ALL SELECT id_b, id_a FROM pairs),
     l0 AS (SELECT vec_id AS id, vec_id AS label FROM embeddings),
     {_label_prop_iter_sql(1)},
