@@ -67,7 +67,7 @@ EXTRA_BENCH = [
     "sim_ivf_recall", "doc_mixture_epoch",  # r8
     "doc_importance", "emb_project", "dedup_clusters_cc",
     "emb_rp_recall", "rel_min_cost_supplier",
-    "emb_pq_quantization",  # r8 pass 3
+    "emb_pq_quantization", "sim_ivfpq_topk",  # r8 pass 3
 ]
 
 

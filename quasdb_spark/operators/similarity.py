@@ -944,19 +944,9 @@ def pq_quantization(vectors: DataFrame, *, m: int = 4, k: int = 8,
     sub = dims // m
     outs = []
     for s in range(m):
-        sl = vectors.select(
-            F.col(id_col).alias("_id"),
-            F.slice(_as_double(vec_col), s * sub + 1, sub).alias("_sv"))
-        cents = kmeans_centroids(sl, k, id_col="_id", vec_col="_sv",
-                                 n_iter=n_iter, sample_cap=sample_cap,
-                                 round_to=round_to)
-        scored = (sl.crossJoin(F.broadcast(cents))
-                  .withColumn("_cs", cosine(F.col("_sv"),
-                                            F.col("centroid"))))
-        assigned = scored.groupBy("_id").agg(
-            F.max_by(F.struct("c_label", "_cs"),
-                     F.struct(F.col("_cs"),
-                              (-F.col("c_label")).alias("_t"))).alias("_a"))
+        cents, assigned = _pq_subspace(
+            vectors, s, sub, k, id_col=id_col, vec_col=vec_col,
+            n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
         per = assigned.select(F.col("_a.c_label").alias("c_label"),
                               F.round(F.col("_a._cs"), 6).alias("_cs6"))
         outs.append(
@@ -970,6 +960,126 @@ def pq_quantization(vectors: DataFrame, *, m: int = 4, k: int = 8,
     for o in outs[1:]:
         out = out.unionAll(o)
     return out
+
+
+def _pq_subspace(vectors: DataFrame, s: int, sub: int, k: int, *,
+                 id_col: str, vec_col: str, n_iter: int,
+                 sample_cap: int, round_to: int):
+    """One PQ subspace: train a k-centroid codebook on the sliced
+    vectors (seeded sampled Lloyd) and assign every vector its argmax
+    code. Returns (codebook, assigned) with assigned carrying
+    ``_a.c_label`` / ``_a._cs`` per ``_id``."""
+    sl = vectors.select(
+        F.col(id_col).alias("_id"),
+        F.slice(_as_double(vec_col), s * sub + 1, sub).alias("_sv"))
+    cents = kmeans_centroids(sl, k, id_col="_id", vec_col="_sv",
+                             n_iter=n_iter, sample_cap=sample_cap,
+                             round_to=round_to)
+    scored = (sl.crossJoin(F.broadcast(cents))
+              .withColumn("_cs", cosine(F.col("_sv"), F.col("centroid"))))
+    assigned = scored.groupBy("_id").agg(
+        F.max_by(F.struct("c_label", "_cs"),
+                 F.struct(F.col("_cs"),
+                          (-F.col("c_label")).alias("_t"))).alias("_a"))
+    return cents, assigned
+
+
+def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
+               id_col: str = "vec_id", vec_col: str = "embedding",
+               m: int = 4, pq_k: int = 8, dims: int = 64,
+               nprobe: int = 2, centroids: DataFrame,
+               lists: DataFrame, n_iter: int = 2,
+               sample_cap: int = 65536,
+               round_to: int = 6) -> DataFrame:
+    """FAISS-IVFPQ search shape: coarse IVF probe pruning composed
+    with asymmetric distance computation (ADC) over product-quantized
+    codes. Candidates come from the query's ``nprobe`` nearest
+    inverted lists (the materialized coarse index — only ids and list
+    labels are read); each candidate is represented ONLY by its m
+    per-subspace codes (m*log2(pq_k) bits — 12 here), and its score
+    is reconstructed from a per-query ADC TABLE of m × pq_k exact
+    query-sub-dot-codebook entries: the classic lookup-table search,
+    in which the corpus's float vectors are never touched at query
+    time.
+
+    score_adc(q, x) = <q, x̂> / (|q| · |x̂|) with x̂ the concatenated
+    code centroids — cosine against the PQ reconstruction (spherical
+    variant, consistent with this module's k-means family).
+
+    Determinism: ADC table entries and code-centroid norms² are
+    rounded to integer MICROS; a candidate's numerator/norm² are then
+    ORDER-FREE integer sums of m table entries, so Spark and the SQL
+    oracle rank identical doubles (the bm25/lm-score contract applied
+    to ANN scoring).
+
+    Scale shape: the ADC table is queries × m × pq_k rows — broadcast
+    by construction; codes are one m-row map-side pass per corpus
+    vector (production materializes them next to the inverted lists;
+    the inline training here is the bounded md5-ranked-sample pass);
+    the probe join dynamic-partition-prunes the corpus to nprobe
+    lists per query, and the score aggregate carries m rows per
+    (query, candidate). No full-width vector math touches the corpus
+    at query time.
+    """
+    if dims % m:
+        raise ValueError(f"ivfpq_topk: dims {dims} not divisible "
+                         f"by m {m}")
+    sub = dims // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_qv"),
+                       norm(_as_double(vec_col)).alias("_qn"))
+    code_frames, adc_frames, cn2_frames = [], [], []
+    for s in range(m):
+        cents, assigned = _pq_subspace(
+            vectors, s, sub, pq_k, id_col=id_col, vec_col=vec_col,
+            n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
+        code_frames.append(assigned.select(
+            F.col("_id").alias("neighbor_id"), F.lit(s).alias("_s"),
+            F.col("_a.c_label").alias("_code")))
+        qs = q.select("query_id",
+                      F.slice(F.col("_qv"), s * sub + 1, sub).alias("_qs"))
+        adc_frames.append(qs.crossJoin(F.broadcast(cents)).select(
+            "query_id", F.lit(s).alias("_s"),
+            F.col("c_label").alias("_code"),
+            F.round(dot(F.col("_qs"), F.col("centroid")) * 1e6)
+            .cast("long").alias("_dotm")))
+        cn2_frames.append(cents.select(
+            F.lit(s).alias("_s"), F.col("c_label").alias("_code"),
+            F.round(dot(F.col("centroid"), F.col("centroid")) * 1e6)
+            .cast("long").alias("_n2m")))
+    codes = code_frames[0]
+    for f_ in code_frames[1:]:
+        codes = codes.unionAll(f_)
+    adc = adc_frames[0]
+    for f_ in adc_frames[1:]:
+        adc = adc.unionAll(f_)
+    cn2 = cn2_frames[0]
+    for f_ in cn2_frames[1:]:
+        cn2 = cn2.unionAll(f_)
+    cn = (centroids.select("c_label", "centroid")
+          .withColumn("_cn", norm(F.col("centroid"))))
+    probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
+        .withColumnRenamed("c_label", "list_label")
+    cand = (F.broadcast(probes.select("query_id", "_qn", "list_label"))
+            .join(lists.select(F.col("vec_id").alias("neighbor_id"),
+                               "list_label"), "list_label")
+            .where(F.col("query_id") != F.col("neighbor_id")))
+    scored = (cand.join(codes, "neighbor_id")
+              .join(F.broadcast(adc), ["query_id", "_s", "_code"])
+              .join(F.broadcast(cn2), ["_s", "_code"])
+              .groupBy("query_id", "neighbor_id", "_qn")
+              .agg(F.sum("_dotm").alias("_dm"),
+                   F.sum("_n2m").alias("_n2")))
+    score = (F.col("_dm") / 1e6) \
+        / (F.col("_qn") * F.sqrt(F.col("_n2") / 1e6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("_score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    (F.round("_score", 4) + F.lit(0.0))
+                    .alias("score_adc")))
 
 
 def random_project(vectors: DataFrame, out_dim: int = 16, *,

@@ -4446,6 +4446,83 @@ _SIM_ORACLES["emb_pq_quantization"] = f"""
     UNION ALL SELECT * FROM aggp2 UNION ALL SELECT * FROM aggp3"""
 
 
+def q_sim_ivfpq_topk(spark, sf_dir):
+    """FAISS-IVFPQ search: the persisted coarse quantizer prunes the
+    corpus to nprobe inverted lists (ids only — no corpus vectors at
+    query time), and candidates score by ADC lookup against 4x8
+    product-quantization codebooks (integer-micro table sums, so both
+    engines rank identical doubles). The oracle unrolls the coarse
+    k-means AND all four subspace trainings in one statement —
+    codebooks, codes, probes and the ADC arithmetic are all
+    cross-engine-verified."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    cents, lists = _ivf_lists(spark, sf_dir)
+    return SIM.ivfpq_topk(e, queries, 10, nprobe=2,
+                          centroids=cents, lists=lists)
+
+
+def _adc_sub_sql(s: int, sub: int = 16) -> str:
+    lo, hi = s * sub + 1, (s + 1) * sub
+    return (f"SELECT q.query_id, {s} AS s, c.c_label AS code, "
+            f"CAST(round(list_sum(list_transform("
+            f"generate_series(1, {sub}), "
+            f"i -> (q.qv[{lo}:{hi}])[i] * c.centroid[i])) * 1e6) "
+            f"AS BIGINT) AS dotm "
+            f"FROM qsub q, cp{s}2 c")
+
+
+_IVF_ORACLE["sim_ivfpq_topk"] = f"""{_IVF_CENTS_CTE},
+    lists AS MATERIALIZED (
+      SELECT vec_id AS neighbor_id, c_label AS list_label FROM (
+        SELECT e.vec_id, c.c_label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.v', 'c.centroid')} DESC,
+                          c.c_label ASC) AS cr
+        FROM e, cents c) t
+      WHERE cr = 1),
+    pr AS MATERIALIZED (
+      SELECT query_id, qv, qn, c_label AS list_label FROM (
+        SELECT e.vec_id AS query_id, e.v AS qv,
+               sqrt(list_sum(list_transform(e.v, x -> x * x))) AS qn,
+               c.c_label,
+               row_number() OVER (PARTITION BY e.vec_id
+                 ORDER BY {_cos2('e.v', 'c.centroid')} DESC,
+                          c.c_label ASC) AS cr
+        FROM e, cents c WHERE e.vec_id % 100 = 0) t
+      WHERE cr <= 2),
+    {", ".join(_pq_sub_cte(s) for s in range(4))},
+    codes AS ({" UNION ALL ".join(
+        f"SELECT vec_id AS neighbor_id, {s} AS s, c_label AS code "
+        f"FROM asgp{s}" for s in range(4))}),
+    qsub AS (SELECT DISTINCT query_id, qv, qn FROM pr),
+    adc AS ({" UNION ALL ".join(_adc_sub_sql(s) for s in range(4))}),
+    cn2 AS ({" UNION ALL ".join(
+        f"SELECT {s} AS s, c_label AS code, "
+        f"CAST(round(list_sum(list_transform(centroid, x -> x * x)) "
+        f"* 1e6) AS BIGINT) AS n2m FROM cp{s}2" for s in range(4))}),
+    cand AS (SELECT p.query_id, p.qn, l.neighbor_id
+             FROM pr p JOIN lists l USING (list_label)
+             WHERE p.query_id != l.neighbor_id),
+    sc AS (SELECT c.query_id, c.neighbor_id, max(c.qn) AS qn,
+                  sum(a.dotm) AS dm, sum(n.n2m) AS n2
+           FROM cand c
+           JOIN codes kc ON kc.neighbor_id = c.neighbor_id
+           JOIN adc a ON a.query_id = c.query_id
+                     AND a.s = kc.s AND a.code = kc.code
+           JOIN cn2 n ON n.s = kc.s AND n.code = kc.code
+           GROUP BY 1, 2),
+    ranked AS (SELECT query_id, neighbor_id,
+                      (dm / 1e6) / (qn * sqrt(n2 / 1e6)) AS score,
+                      row_number() OVER (PARTITION BY query_id
+                        ORDER BY (dm / 1e6) / (qn * sqrt(n2 / 1e6))
+                          DESC, neighbor_id) AS rn
+               FROM sc)
+    SELECT query_id, CAST(rn AS INT) AS rank, neighbor_id,
+           round(score, 4) + 0.0 AS score_adc
+    FROM ranked WHERE rn <= 10"""
+
+
 def q_emb_rp_recall(spark, sf_dir):
     """Sketch-quality measurement for the JL projection: recall@10 of
     brute cosine in the 16-dim PROJECTED space against the 64-dim
@@ -4711,6 +4788,7 @@ QUERIES = {
     "emb_semdedup": q_emb_semdedup,
     "sim_ivf_topk": q_sim_ivf_topk,
     "sim_ivf_recall": q_sim_ivf_recall,
+    "sim_ivfpq_topk": q_sim_ivfpq_topk,
     "sim_ivf_quantization": q_sim_ivf_quantization,
     "emb_quantize_int8": q_emb_quantize_int8,
     "emb_project": q_emb_project,
@@ -4780,6 +4858,7 @@ _DRIVER_CHECK_FIRST = [
     # oldest-driver-evidence cohort (last checked r4).
     "doc_importance", "emb_project", "rel_min_cost_supplier",
     "dedup_clusters_cc", "emb_rp_recall", "emb_pq_quantization",
+    "sim_ivfpq_topk",
     "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
     "doc_mixture_epoch",
     "text_lm_score", "text_bpe_pairs", "doc_domain_mix",

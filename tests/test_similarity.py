@@ -625,3 +625,31 @@ def test_pq_quantization_rejects_ragged_split(spark):
                                "vec_id long, embedding array<double>")
     with pytest.raises(ValueError, match="not divisible"):
         pq_quantization(df, m=5, k=4)
+
+
+def test_ivfpq_topk_contract(spark, sf_dir):
+    """IVFPQ search contract: dense unique ranks per query, ADC scores
+    are true cosines against the PQ reconstruction (bounded by 1 up
+    to micro rounding), and the quantized ranking still surfaces
+    genuinely-similar vectors (top-1 ADC score is far above the ~0
+    expectation of random 64-dim pairs)."""
+    from quasdb_spark.operators.similarity import (ivfpq_topk,
+                                                   kmeans_centroids)
+    from quasdb_spark.operators.similarity import ivf_assign
+    from quasdb_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    lists = ivf_assign(e, cents)
+    got = ivfpq_topk(e, queries, 10, nprobe=2,
+                     centroids=cents, lists=lists).collect()
+    per_q = {}
+    for r in got:
+        per_q.setdefault(r.query_id, []).append(r)
+        assert -1.01 <= r.score_adc <= 1.01
+        assert r.neighbor_id != r.query_id
+    for qid, rows in per_q.items():
+        assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
+        top1 = min(rows, key=lambda r: r.rank)
+        assert top1.score_adc > 0.2, (qid, top1)
