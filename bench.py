@@ -100,10 +100,14 @@ def main() -> None:
     suite._ivf_lists(spark, sf_dir)
     t2 = time.perf_counter()
     suite._dedup_idx(spark, sf_dir)
+    t3 = time.perf_counter()
+    suite._pq_artifacts(spark, sf_dir)
     maintenance = {
         "ivf_quantizer_train_or_load": round(t1 - t0, 3),
         "ivf_lists_build_or_load": round(t2 - t1, 3),
-        "dedup_index_build_or_load": round(time.perf_counter() - t2, 3)}
+        "dedup_index_build_or_load": round(t3 - t2, 3),
+        "pq_codebooks_codes_build_or_load": round(
+            time.perf_counter() - t3, 3)}
 
     # ---- KV store lifecycle benches (B1, B3-B5, B8): REPS fresh cycles ----
     ev = load_table(spark, sf_dir, "events")

@@ -264,3 +264,113 @@ def clear_cache() -> None:
     """Drop the process-local cache (tests)."""
     with _LOCK:
         _MEM.clear()
+
+
+# ---------------------------------------------------------------------
+# Product-quantization artifacts (codebooks + codes) — same lifecycle
+# as the coarse quantizer/lists: train/encode at most once per
+# (corpus fingerprint, hyperparameters), queries only read.
+# ---------------------------------------------------------------------
+
+_PQ_SCHEMA = "subspace long, c_label long, centroid array<double>"
+_CODES_SCHEMA = "vec_id long, subspace long, code long"
+
+
+def _pq_key(fingerprint: str, m: int, k: int, n_iter: int,
+            sample_cap: int | None, round_to: int) -> str:
+    return hashlib.md5(
+        f"{fingerprint}|pq m={m}|k={k}|it={n_iter}|cap={sample_cap}"
+        f"|rt={round_to}".encode()).hexdigest()
+
+
+def pq_path(key: str, root: str | None = None) -> str:
+    return os.path.join(root or artifact_root(), f"pq_{key}.json")
+
+
+def pq_codes_path(key: str, root: str | None = None) -> str:
+    return os.path.join(root or artifact_root(), f"pq_codes_{key}")
+
+
+def get_or_train_pq(vectors: DataFrame, *, fingerprint: str,
+                    m: int = 4, k: int = 8, dims: int = 64,
+                    id_col: str = "vec_id",
+                    vec_col: str = "embedding", n_iter: int = 2,
+                    sample_cap: int | None = 65536,
+                    round_to: int = 6, root: str | None = None,
+                    force: bool = False) -> DataFrame:
+    """Per-subspace PQ codebooks (subspace, c_label, centroid),
+    trained at most once per (fingerprint, hyperparameters) — the PQ
+    half of the FAISS train() split. Queries carry a LocalTableScan
+    of m*k rows; training (m seeded sampled-Lloyd runs) happens only
+    on a cold artifact. JSON floats round-trip exactly (repr), so a
+    loaded codebook scores bit-identically to a fresh one."""
+    key = _pq_key(fingerprint, m, k, n_iter, sample_cap, round_to)
+    path = pq_path(key, root)
+    spark = vectors.sparkSession
+    if not force:
+        with _LOCK:
+            rows = _MEM.get("pq:" + key)
+        if rows is None:
+            try:
+                with open(path) as f:
+                    payload = json.load(f)
+                rows = [(int(s), int(l), [float(x) for x in c])
+                        for s, l, c in payload["codebooks"]]
+            except (OSError, ValueError, KeyError):
+                rows = None
+        if rows is not None:
+            with _LOCK:
+                _MEM["pq:" + key] = rows
+            return spark.createDataFrame(rows, _PQ_SCHEMA)
+    from quasdb_spark.operators.similarity import _pq_subspace
+
+    sub = dims // m
+    rows = []
+    for s in range(m):
+        cents, _ = _pq_subspace(vectors, s, sub, k, id_col=id_col,
+                                vec_col=vec_col, n_iter=n_iter,
+                                sample_cap=sample_cap,
+                                round_to=round_to)
+        rows += [(s, r["c_label"], list(r["centroid"]))
+                 for r in cents.collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"meta": {"fingerprint": fingerprint, "m": m,
+                                "k": k, "n_iter": n_iter,
+                                "sample_cap": sample_cap,
+                                "round_to": round_to},
+                       "codebooks": [[s, l, list(map(float, c))]
+                                     for s, l, c in rows]}, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    with _LOCK:
+        _MEM["pq:" + key] = rows
+    return spark.createDataFrame(rows, _PQ_SCHEMA)
+
+
+def get_or_build_codes(vectors: DataFrame, codebooks: DataFrame, *,
+                       fingerprint: str, m: int = 4, k: int = 8,
+                       dims: int = 64, id_col: str = "vec_id",
+                       vec_col: str = "embedding", n_iter: int = 2,
+                       sample_cap: int | None = 65536,
+                       round_to: int = 6, root: str | None = None,
+                       force: bool = False) -> DataFrame:
+    """Materialized PQ codes (vec_id, subspace, code) for (corpus,
+    codebooks) — the add() half: one m-pass assignment written as
+    parquet, read back by every query. This is the whole point of PQ
+    at 100 TB: the corpus is stored as m*log2(k) bits per vector and
+    the float embeddings never load at query time."""
+    from quasdb_spark.operators.similarity import pq_assign
+
+    key = _pq_key(fingerprint, m, k, n_iter, sample_cap, round_to)
+    path = pq_codes_path(key, root)
+    spark = vectors.sparkSession
+    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+        (pq_assign(vectors, codebooks, m=m, dims=dims, id_col=id_col,
+                   vec_col=vec_col)
+         .write.mode("overwrite").parquet(path))
+    return spark.read.schema(_CODES_SCHEMA).parquet(path)

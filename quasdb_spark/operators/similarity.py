@@ -984,13 +984,47 @@ def _pq_subspace(vectors: DataFrame, s: int, sub: int, k: int, *,
     return cents, assigned
 
 
+def pq_assign(vectors: DataFrame, codebooks: DataFrame, *,
+              m: int = 4, dims: int = 64, id_col: str = "vec_id",
+              vec_col: str = "embedding") -> DataFrame:
+    """PQ encode: (id, subspace, code) for every vector against GIVEN
+    per-subspace codebooks (subspace, c_label, centroid) — the add()
+    pass, meant to be persisted (quantizer.get_or_build_codes) so
+    queries read codes instead of re-encoding the corpus. m map-side
+    broadcast-argmax passes, no shuffle of the corpus."""
+    sub = dims // m
+    outs = []
+    for s in range(m):
+        cents = (codebooks.where(F.col("subspace") == s)
+                 .select("c_label", "centroid"))
+        sl = vectors.select(
+            F.col(id_col).alias("vec_id"),
+            F.slice(_as_double(vec_col), s * sub + 1, sub).alias("_sv"))
+        assigned = (sl.crossJoin(F.broadcast(cents))
+                    .withColumn("_cs", cosine(F.col("_sv"),
+                                              F.col("centroid")))
+                    .groupBy("vec_id")
+                    .agg(F.max_by("c_label",
+                                  F.struct(F.col("_cs"),
+                                           (-F.col("c_label"))
+                                           .alias("_t"))).alias("code")))
+        outs.append(assigned.select("vec_id", F.lit(s).alias("subspace"),
+                                    F.col("code").cast("long")))
+    out = outs[0]
+    for o in outs[1:]:
+        out = out.unionAll(o)
+    return out
+
+
 def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                id_col: str = "vec_id", vec_col: str = "embedding",
                m: int = 4, pq_k: int = 8, dims: int = 64,
                nprobe: int = 2, centroids: DataFrame,
                lists: DataFrame, n_iter: int = 2,
                sample_cap: int = 65536,
-               round_to: int = 6) -> DataFrame:
+               round_to: int = 6,
+               codebooks: DataFrame | None = None,
+               codes: DataFrame | None = None) -> DataFrame:
     """FAISS-IVFPQ search shape: coarse IVF probe pruning composed
     with asymmetric distance computation (ADC) over product-quantized
     codes. Candidates come from the query's ``nprobe`` nearest
@@ -1028,14 +1062,38 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
                        norm(_as_double(vec_col)).alias("_qn"))
+    # Per-subspace codebooks: provided (the persisted-artifact serving
+    # path — quantizer.get_or_train_pq) or trained inline (ad-hoc).
+    # Provided codes skip the encode pass entirely: the corpus float
+    # vectors are then never touched by this query.
     code_frames, adc_frames, cn2_frames = [], [], []
     for s in range(m):
-        cents, assigned = _pq_subspace(
-            vectors, s, sub, pq_k, id_col=id_col, vec_col=vec_col,
-            n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
-        code_frames.append(assigned.select(
-            F.col("_id").alias("neighbor_id"), F.lit(s).alias("_s"),
-            F.col("_a.c_label").alias("_code")))
+        if codebooks is not None:
+            cents = (codebooks.where(F.col("subspace") == s)
+                     .select("c_label", "centroid"))
+            assigned = None
+        else:
+            cents, assigned = _pq_subspace(
+                vectors, s, sub, pq_k, id_col=id_col, vec_col=vec_col,
+                n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
+        if codes is None:
+            if assigned is None:
+                sl = vectors.select(
+                    F.col(id_col).alias("_id"),
+                    F.slice(_as_double(vec_col), s * sub + 1, sub)
+                    .alias("_sv"))
+                assigned = (sl.crossJoin(F.broadcast(cents))
+                            .withColumn("_cs", cosine(F.col("_sv"),
+                                                      F.col("centroid")))
+                            .groupBy("_id")
+                            .agg(F.max_by(
+                                F.struct("c_label", "_cs"),
+                                F.struct(F.col("_cs"),
+                                         (-F.col("c_label"))
+                                         .alias("_t"))).alias("_a")))
+            code_frames.append(assigned.select(
+                F.col("_id").alias("neighbor_id"), F.lit(s).alias("_s"),
+                F.col("_a.c_label").alias("_code")))
         qs = q.select("query_id",
                       F.slice(F.col("_qv"), s * sub + 1, sub).alias("_qs"))
         adc_frames.append(qs.crossJoin(F.broadcast(cents)).select(
@@ -1047,9 +1105,14 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             F.lit(s).alias("_s"), F.col("c_label").alias("_code"),
             F.round(dot(F.col("centroid"), F.col("centroid")) * 1e6)
             .cast("long").alias("_n2m")))
-    codes = code_frames[0]
-    for f_ in code_frames[1:]:
-        codes = codes.unionAll(f_)
+    if codes is not None:
+        codes_df = codes.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("subspace").alias("_s"),
+                                F.col("code").alias("_code"))
+    else:
+        codes_df = code_frames[0]
+        for f_ in code_frames[1:]:
+            codes_df = codes_df.unionAll(f_)
     adc = adc_frames[0]
     for f_ in adc_frames[1:]:
         adc = adc.unionAll(f_)
@@ -1064,7 +1127,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             .join(lists.select(F.col("vec_id").alias("neighbor_id"),
                                "list_label"), "list_label")
             .where(F.col("query_id") != F.col("neighbor_id")))
-    scored = (cand.join(codes, "neighbor_id")
+    scored = (cand.join(codes_df, "neighbor_id")
               .join(F.broadcast(adc), ["query_id", "_s", "_code"])
               .join(F.broadcast(cn2), ["_s", "_code"])
               .groupBy("query_id", "neighbor_id", "_qn")

@@ -4446,20 +4446,40 @@ _SIM_ORACLES["emb_pq_quantization"] = f"""
     UNION ALL SELECT * FROM aggp2 UNION ALL SELECT * FROM aggp3"""
 
 
+def _pq_artifacts(spark, sf_dir):
+    """The PERSISTED PQ codebooks + codes for a corpus (trained /
+    encoded at most once per fingerprint — quantizer.get_or_train_pq /
+    get_or_build_codes, the same lifecycle as the coarse quantizer
+    and its inverted lists). Queries read m*k codebook rows and the
+    materialized code table; the corpus float vectors are never
+    touched at query time."""
+    import os
+
+    e = _t(spark, sf_dir, "embeddings")
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
+    cbs = QZ.get_or_train_pq(e, fingerprint=fp, m=4, k=8)
+    codes = QZ.get_or_build_codes(e, cbs, fingerprint=fp, m=4, k=8)
+    return cbs, codes
+
+
 def q_sim_ivfpq_topk(spark, sf_dir):
     """FAISS-IVFPQ search: the persisted coarse quantizer prunes the
-    corpus to nprobe inverted lists (ids only — no corpus vectors at
-    query time), and candidates score by ADC lookup against 4x8
-    product-quantization codebooks (integer-micro table sums, so both
-    engines rank identical doubles). The oracle unrolls the coarse
-    k-means AND all four subspace trainings in one statement —
-    codebooks, codes, probes and the ADC arithmetic are all
+    corpus to nprobe inverted lists (ids only), candidates score by
+    ADC lookup against the PERSISTED 4x8 product-quantization
+    codebooks and materialized code table (integer-micro table sums,
+    so both engines rank identical doubles) — no corpus float vectors
+    and no training inside the query, the full FAISS train()/add()/
+    search() lifecycle split. The oracle unrolls the coarse k-means
+    AND all four subspace trainings in one statement — codebooks,
+    codes, probes and the ADC arithmetic are all
     cross-engine-verified."""
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
     cents, lists = _ivf_lists(spark, sf_dir)
+    cbs, codes = _pq_artifacts(spark, sf_dir)
     return SIM.ivfpq_topk(e, queries, 10, nprobe=2,
-                          centroids=cents, lists=lists)
+                          centroids=cents, lists=lists,
+                          codebooks=cbs, codes=codes)
 
 
 def _adc_sub_sql(s: int, sub: int = 16) -> str:

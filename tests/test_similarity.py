@@ -653,3 +653,35 @@ def test_ivfpq_topk_contract(spark, sf_dir):
         assert sorted(r.rank for r in rows) == list(range(1, len(rows) + 1))
         top1 = min(rows, key=lambda r: r.rank)
         assert top1.score_adc > 0.2, (qid, top1)
+
+
+def test_pq_artifact_roundtrip_and_codes(spark, sf_dir, tmp_path):
+    """PQ artifact lifecycle: loaded codebooks are bit-equal to the
+    trained ones (JSON floats round-trip via repr), the code table
+    covers every (vector, subspace), and an artifact-backed
+    ivfpq_topk equals the inline-trained one row for row."""
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import ivfpq_topk, ivf_assign, kmeans_centroids
+    from quasdb_spark.sources.tables import load_table
+
+    root = str(tmp_path / "artifacts")
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = "test-fp"
+    cbs = QZ.get_or_train_pq(e, fingerprint=fp, m=4, k=8, root=root,
+                             force=True)
+    loaded = QZ.get_or_train_pq(e, fingerprint=fp, m=4, k=8, root=root)
+    assert sorted(map(tuple, cbs.collect())) == \
+        sorted(map(tuple, loaded.collect()))
+    codes = QZ.get_or_build_codes(e, cbs, fingerprint=fp, m=4, k=8,
+                                  root=root)
+    assert codes.count() == e.count() * 4
+
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    lists = ivf_assign(e, cents)
+    with_art = ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                          lists=lists, codebooks=loaded, codes=codes)
+    inline = ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                        lists=lists)
+    assert sorted(map(tuple, with_art.collect())) == \
+        sorted(map(tuple, inline.collect()))
