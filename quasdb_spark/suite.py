@@ -2262,13 +2262,13 @@ _TEXT_ORACLES["text_bpe_pairs"] = f"""
           HAVING len(w) >= 2),
     p AS (SELECT substr(w, i, 2) AS pair, freq
           FROM f, unnest(range(1, len(w))) AS u(i)),
-    top AS (SELECT pair, sum(freq) AS n FROM p GROUP BY 1
+    top AS (SELECT pair, sum(freq)::BIGINT AS n FROM p GROUP BY 1
             ORDER BY n DESC, pair ASC LIMIT 50)
     SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n
     FROM top"""
 
 _TEXT_ORACLES["doc_domain_mix"] = f"""
-    WITH per AS (SELECT source AS domain, sum(len({_TOKENS_SQL}))
+    WITH per AS (SELECT source AS domain, sum(len({_TOKENS_SQL}))::BIGINT
                         AS n_tokens
                  FROM documents GROUP BY 1),
     tot AS (SELECT sum(n_tokens) AS tot, sum(pow(n_tokens, 0.3)) AS ptot
@@ -4260,20 +4260,26 @@ def q_emb_project(spark, sf_dir):
     map-only width-reduction pass run before clustering / dedup / ANN
     on wide embeddings (4x smaller vectors before anything shuffles
     them). Same md5-derived deterministic sign family as the LSH
-    bucket hash; elements rounded to 4 decimals on both engines."""
+    bucket hash; elements rounded to 4 decimals on both engines.
+
+    Output is exploded to scalar rows (vec_id, pos, component) — the
+    driver's pandas canonicalizer cannot sort/hash ARRAY columns (the
+    r4 sketch_events_profile lesson, regressed r8, fixed here)."""
     e = _t(spark, sf_dir, "embeddings")
     p = SIM.random_project(e, out_dim=16, dims=64, seed=7)
-    return p.select(
-        "vec_id",
-        F.transform("projected",
-                    lambda x: F.round(x, 4) + F.lit(0.0))
-        .alias("projected"))
+    return (p.select("vec_id",
+                     F.posexplode("projected").alias("pos", "_c"))
+            .select("vec_id",
+                    (F.col("pos") + 1).cast("int").alias("pos"),
+                    (F.round("_c", 4) + F.lit(0.0)).alias("component")))
 
 
 _SIM_ORACLES["emb_project"] = f"""
-    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-    SELECT vec_id, {_hp_proj_sql('v', 16, seed=7)} AS projected
-    FROM e"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    p AS (SELECT vec_id, {_hp_proj_sql('v', 16, seed=7)} AS projected
+          FROM e)
+    SELECT vec_id, CAST(i AS INT) AS pos, projected[i] + 0.0 AS component
+    FROM p, unnest(range(1, 17)) AS u(i)"""
 
 
 def _kmeans_iter_sql(n: int, prev: str, src: str = "tr",
