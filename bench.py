@@ -131,6 +131,46 @@ def main() -> None:
         finally:
             shutil.rmtree(tmp, ignore_errors=True)
 
+    # ---- serving micro-bench (VERDICT r8 #7): RawStoreServer loop ----
+    # 1k keep-alive point GETs against a freshly ingested store: 90%
+    # hits spread across the key range, 10% misses. p50/p99 make the
+    # footer-cache / early-stop claims ("warm get ~1 ms") a
+    # round-over-round artifact instead of prose. (Range scans are
+    # excluded on purpose: /scan collects a Spark job, which would
+    # bury the point-read latency this measures.)
+    import http.client
+
+    from quasdb_spark.server import RawStoreServer
+    tmp = tempfile.mkdtemp(prefix="quasdb-bench-serve-")
+    try:
+        st = KVStore.create(spark, os.path.join(tmp, "store"))
+        st.ingest(df, op_col="op", sub_col="sub")
+        st.get("u000042")  # warm footer/dir caches once, untimed
+        srv = RawStoreServer(st).start()
+        try:
+            conn = http.client.HTTPConnection("127.0.0.1", srv.port)
+            lat = []
+            for i in range(1000):
+                if i % 10 == 9:
+                    path = f"/get?key=zmiss{i:06d}"
+                else:
+                    path = f"/get?key=u{(i * 37) % 999:06d}"
+                t0 = time.perf_counter()
+                conn.request("GET", path)
+                r = conn.getresponse()
+                r.read()
+                lat.append((time.perf_counter() - t0) * 1000.0)
+            lat.sort()
+            serving = {"n": len(lat),
+                       "p50_ms": round(lat[len(lat) // 2], 3),
+                       "p99_ms": round(lat[int(len(lat) * 0.99)], 3),
+                       "max_ms": round(lat[-1], 3)}
+            conn.close()
+        finally:
+            srv.stop()
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
     # ---- declarative suite benches: REPS back-to-back runs each ----
     for name in SUITE_BENCH:
         fn = suite.QUERIES[name]
@@ -161,6 +201,7 @@ def main() -> None:
         "value": total, "unit": "sec", "queries": times, "sf": sf,
         "reps": REPS, "stat": "median", "query_spread": spread,
         "maintenance": maintenance, "extra_queries": extra,
+        "serving": serving,
     }
 
     # ---- sf1 scale spot-check (VERDICT r5 #8) ----
@@ -228,6 +269,43 @@ def main() -> None:
         "SPARK_GRAFT_BENCH_SIDECAR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_full.json"))
+    # ---- regression diff vs the previous artifact (VERDICT r8 #4) ----
+    # r8 shipped three artifacts carrying a 17x extras regression that
+    # nobody read. Before overwriting the sidecar, diff every per-query
+    # median (headline AND extras) against the existing artifact and
+    # flag >2x moves in either direction. The flags are embedded in the
+    # new artifact (so they're committed) and printed to STDERR (stdout
+    # must stay the compact driver line).
+    prev_path = os.environ.get("SPARK_GRAFT_BENCH_PREV", sidecar)
+    try:
+        with open(prev_path) as f:
+            prev = json.load(f)
+    except (OSError, ValueError):
+        prev = None
+    if prev:
+        prev_all = {**prev.get("queries", {}),
+                    **prev.get("extra_queries", {})}
+        new_all = {**times, **extra}
+        flagged = {}
+        for name, t_new in new_all.items():
+            t_old = prev_all.get(name)
+            if not t_old or not t_new:
+                continue
+            ratio = t_new / t_old
+            if ratio > 2.0 or ratio < 0.5:
+                flagged[name] = {"prev": t_old, "now": t_new,
+                                 "ratio": round(ratio, 2)}
+        payload["regression_vs_prev"] = {
+            "prev_value": prev.get("value"),
+            "value_ratio": round(total / prev["value"], 3)
+            if prev.get("value") else None,
+            "flagged_over_2x": flagged,
+        }
+        for name, d in sorted(flagged.items(),
+                              key=lambda kv: -kv[1]["ratio"]):
+            tag = "REGRESSION" if d["ratio"] > 1 else "improvement"
+            print(f"bench diff {tag}: {name} {d['prev']}s -> "
+                  f"{d['now']}s ({d['ratio']}x)", file=sys.stderr)
     with open(sidecar, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

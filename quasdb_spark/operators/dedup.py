@@ -158,6 +158,15 @@ def minhash_signature_fast(df: DataFrame, text_col: str = "text", *,
         av = [a for a, _ in params]
         bv = [b for _, b in params]
 
+        # A/B'd against a fully-flattened variant (concatenate all
+        # cells + one (M, k) rehash + np.minimum.reduceat over doc
+        # offsets, chunked 16k-8M elements): the reduceat shape LOST at
+        # every doc length (0.76-0.97x; 10k docs x 64 hashes, lengths
+        # 5-15/5-100/200-600) — the per-doc numpy ops below already run
+        # at int64 multiply-add-mod throughput (~12 ns/element), and
+        # flattening only adds a concat copy + strided reduceat. The
+        # Python loop is per-DOCUMENT (not per-element) and is not the
+        # bottleneck at any realistic shingle count. See SCALE.md §4c⁴.
         @F.pandas_udf(ArrayType(LongType()))
         def _sig(bh):
             a = np.asarray(av, dtype=np.int64)  # (k,)

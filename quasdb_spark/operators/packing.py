@@ -261,7 +261,9 @@ def materialize_mixture(df: DataFrame, factors: DataFrame, *,
     re-runs/engines agree row-for-row (no RNG). Output: input columns
     plus ``copy`` (0-based repeat index); rows drawn to 0 copies
     disappear. A NULL factor (e.g. an all-empty domain) contributes
-    nothing.
+    nothing. A domain entirely ABSENT from ``factors`` RAISES — a
+    truncated factors table must not silently shrink the epoch
+    (explicitly exclude a domain by giving it a NULL factor or 0.0).
 
     Scale shape: factors is per-domain — tiny by contract — and
     BROADCAST; the explode is in-row with output volume =
@@ -278,17 +280,31 @@ def materialize_mixture(df: DataFrame, factors: DataFrame, *,
     factors themselves, so any engine divergence fails THERE before
     it could skew a copy count here.
     """
-    # NULL-filter BEFORE the cap: F.least skips NULLs, so least(NULL,
-    # cap) would resurrect a NULL-factor domain at max_factor
-    f = F.least(F.col(factor_col).cast("double"), F.lit(float(max_factor)))
-    fac = (factors.where(F.col(factor_col).isNotNull())
-                  .select(F.col("domain").alias("_dom"), f.alias("_f")))
+    # Cap under a NULL guard: F.least skips NULLs, so least(NULL, cap)
+    # would resurrect a NULL-factor domain at max_factor. NULL-factor
+    # domains stay IN fac (with _f NULL, contributing nothing) so the
+    # left join below can tell "domain excluded on purpose" from
+    # "domain missing from a truncated factors table" — the latter
+    # fails loudly via the assert folded into _n (a used column, so
+    # column pruning can't drop it).
+    f = F.when(F.col(factor_col).isNotNull(),
+               F.least(F.col(factor_col).cast("double"),
+                       F.lit(float(max_factor))))
+    fac = factors.select(F.col("domain").alias("_dom"), f.alias("_f"))
     draw = sample_hash(F.col(id_col), salt) / F.lit(4294967296.0)
     n_copies = (F.floor("_f") +
                 F.when(draw < F.col("_f") - F.floor("_f"), 1).otherwise(0)
                 ).cast("int")
-    out = (df.join(F.broadcast(fac), df[domain_col] == F.col("_dom"))
-             .withColumn("_n", n_copies)
+    guard = F.assert_true(
+        F.col("_dom").isNotNull(),
+        F.format_string(
+            "materialize_mixture: domain %s has no row in factors — "
+            "a truncated factors table would silently shrink the "
+            "epoch (exclude a domain explicitly with a NULL factor)",
+            F.col(domain_col)))
+    out = (df.join(F.broadcast(fac), df[domain_col] == F.col("_dom"),
+                   "left")
+             .withColumn("_n", F.when(guard.isNull(), n_copies))
              .where(F.col("_n") > 0)
              .select(*df.columns,
                      F.explode(F.sequence(

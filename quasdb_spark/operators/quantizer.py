@@ -304,6 +304,10 @@ def get_or_train_pq(vectors: DataFrame, *, fingerprint: str,
     of m*k rows; training (m seeded sampled-Lloyd runs) happens only
     on a cold artifact. JSON floats round-trip exactly (repr), so a
     loaded codebook scores bit-identically to a fresh one."""
+    if dims % m:
+        raise ValueError(f"get_or_train_pq: dims {dims} not divisible "
+                         f"by m {m} — the trailing dims % m dimensions "
+                         "would be silently dropped from training")
     key = _pq_key(fingerprint, m, k, n_iter, sample_cap, round_to)
     path = pq_path(key, root)
     spark = vectors.sparkSession

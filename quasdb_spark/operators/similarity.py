@@ -992,6 +992,10 @@ def pq_assign(vectors: DataFrame, codebooks: DataFrame, *,
     pass, meant to be persisted (quantizer.get_or_build_codes) so
     queries read codes instead of re-encoding the corpus. m map-side
     broadcast-argmax passes, no shuffle of the corpus."""
+    if dims % m:
+        raise ValueError(f"pq_assign: dims {dims} not divisible by "
+                         f"m {m} — the trailing dims % m dimensions "
+                         "would be silently dropped from encoding")
     sub = dims // m
     outs = []
     for s in range(m):
@@ -1058,6 +1062,15 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     if dims % m:
         raise ValueError(f"ivfpq_topk: dims {dims} not divisible "
                          f"by m {m}")
+    if codes is not None and codebooks is None:
+        # ADC entries would come from freshly trained codebooks while
+        # the candidates are scored through externally persisted codes
+        # — silently wrong scores if they came from a different
+        # training run. Persisted artifacts travel as a pair
+        # (quantizer.get_or_train_pq + get_or_build_codes).
+        raise ValueError("ivfpq_topk: codes provided without the "
+                         "codebooks that produced them — pass both "
+                         "persisted artifacts or neither")
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
@@ -1132,7 +1145,21 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
               .join(F.broadcast(cn2), ["_s", "_code"])
               .groupBy("query_id", "neighbor_id", "_qn")
               .agg(F.sum("_dotm").alias("_dm"),
-                   F.sum("_n2m").alias("_n2")))
+                   F.sum("_n2m").alias("_n2"),
+                   F.count(F.lit(1)).alias("_nsub")))
+    # A candidate missing a subspace code row would otherwise sum
+    # fewer than m ADC terms without error (inner joins above) —
+    # fail loudly instead of mis-scoring it. The guard is folded into
+    # a USED column (the random_project pattern) so column pruning
+    # can't optimize the assert away.
+    guard = F.assert_true(
+        F.col("_nsub") == m,
+        F.format_string(
+            "ivfpq_topk: candidate %s scored %s of "
+            + str(m) + " subspaces — codes artifact is incomplete",
+            F.col("neighbor_id"), F.col("_nsub")))
+    scored = (scored.withColumn(
+        "_dm", F.when(guard.isNull(), F.col("_dm"))).drop("_nsub"))
     score = (F.col("_dm") / 1e6) \
         / (F.col("_qn") * F.sqrt(F.col("_n2") / 1e6))
     w = Window.partitionBy("query_id").orderBy(

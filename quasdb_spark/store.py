@@ -231,6 +231,15 @@ class _FooterCache:
         return pq.ParquetFile(path, metadata=md)
 
     def list_dir(self, path: str) -> list:
+        """Cached recursive ``*.parquet`` listing of a committed dir.
+
+        The cache key is the TOP-LEVEL dir's mtime, which a change
+        inside a nested subdirectory does not touch — so a listing
+        that found any subdirectory is returned fresh but NEVER
+        cached (committed KV data dirs are flat by construction:
+        ingest/compaction write unpartitioned parquet; anything
+        nested, e.g. a partitionBy artifact, stays correct at the
+        cost of a walk per call)."""
         try:
             st = os.stat(path)
         except FileNotFoundError:
@@ -241,14 +250,18 @@ class _FooterCache:
             if files is not None:
                 return files
         files = []
-        for root, _dirs, names in os.walk(path):
+        flat = True
+        for root, dirs, names in os.walk(path):
+            if dirs:
+                flat = False
             files += [os.path.join(root, n) for n in names
                       if n.endswith(".parquet")]
         files.sort()
-        with self._lock:
-            self._dirs[key] = files
-            while len(self._dirs) > self.capacity:
-                self._dirs.popitem(last=False)
+        if flat:
+            with self._lock:
+                self._dirs[key] = files
+                while len(self._dirs) > self.capacity:
+                    self._dirs.popitem(last=False)
         return files
 
     def clear(self) -> None:

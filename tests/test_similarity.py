@@ -685,3 +685,44 @@ def test_pq_artifact_roundtrip_and_codes(spark, sf_dir, tmp_path):
                         lists=lists)
     assert sorted(map(tuple, with_art.collect())) == \
         sorted(map(tuple, inline.collect()))
+
+
+def test_pq_guards(spark, sf_dir, tmp_path):
+    """Mismatched-artifact guards: codes without their codebooks raise
+    (ADC table from fresh training + foreign codes = silently wrong
+    scores); dims not divisible by m raises everywhere a subspace
+    width is derived (training, encoding, search); a codes table
+    missing a subspace row fails the per-candidate m-term assert
+    instead of under-summing."""
+    import pytest
+
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import (ivf_assign,
+                                                   ivfpq_topk,
+                                                   kmeans_centroids,
+                                                   pq_assign)
+    from quasdb_spark.sources.tables import load_table
+
+    root = str(tmp_path / "artifacts")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, 4, n_iter=1, sample_cap=4096)
+    lists = ivf_assign(e, cents)
+    queries = e.where(F.col("vec_id") % 200 == 0)
+    cbs = QZ.get_or_train_pq(e, fingerprint="guard-fp", m=4, k=4,
+                             root=root, n_iter=1, force=True)
+    codes = QZ.get_or_build_codes(e, cbs, fingerprint="guard-fp",
+                                  m=4, k=4, root=root)
+    with pytest.raises(ValueError, match="without the codebooks"):
+        ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                   lists=lists, codes=codes)
+    with pytest.raises(ValueError, match="not divisible"):
+        QZ.get_or_train_pq(e, fingerprint="bad", m=5, root=root)
+    with pytest.raises(ValueError, match="not divisible"):
+        pq_assign(e, cbs, m=5)
+    # drop one subspace row for one corpus vector: the candidate must
+    # fail the m-term assert, not score on 3 of 4 subspaces
+    holey = codes.where(~((F.col("vec_id") == 7)
+                          & (F.col("subspace") == 2)))
+    with pytest.raises(Exception, match="subspaces|ASSERT"):
+        ivfpq_topk(e, queries, 5, nprobe=4, centroids=cents,
+                   lists=lists, codebooks=cbs, codes=holey).collect()

@@ -509,6 +509,25 @@ def test_materialize_mixture_copies_and_guards(spark):
     assert again == sorted((r.doc_id, r.source, r.copy) for r in out)
 
 
+def test_materialize_mixture_missing_domain_raises(spark):
+    """A domain entirely absent from factors must RAISE (a truncated
+    factors table silently shrinking the epoch), while a NULL-factor
+    domain is an explicit exclusion and stays silent."""
+    import pytest
+
+    from quasdb_spark.operators.packing import materialize_mixture
+
+    df = spark.createDataFrame(
+        [(1, "a"), (2, "b"), (3, "orphan")],
+        "doc_id int, source string")
+    fac = spark.createDataFrame(
+        [("a", 2.0), ("b", None)], "domain string, oversample double")
+    with pytest.raises(Exception, match="no row in factors"):
+        materialize_mixture(df, fac).collect()
+    ok = materialize_mixture(df.where("source != 'orphan'"), fac)
+    assert {r.source for r in ok.collect()} == {"a"}
+
+
 def test_pack_offset_in_pack_bounds_and_continuity(spark):
     """offset_in_pack = where the doc's first token lands inside its
     pack: always in [0, budget); doc i's offset equals the previous
