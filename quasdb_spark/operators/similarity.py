@@ -1172,6 +1172,183 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                     .alias("score_adc")))
 
 
+def residual_frame(centroids: DataFrame, lists: DataFrame) -> DataFrame:
+    """(vec_id, list_label, _rv): each corpus vector's residual
+    against its assigned coarse centroid — the encode input of
+    FAISS-style residual IVFPQ (faiss IndexIVFPQ encodes
+    x − centroid(list(x)) by default; by_residual=true). Reads the
+    materialized inverted-list layout (ivf_assign / get_or_build_lists
+    carry the vector alongside its label), joins the tiny centroid
+    table broadcast: one map-side pass, no corpus shuffle.
+
+    PQ training/encoding on residuals reuses the untouched quantizer
+    artifacts machinery: pass this frame with ``vec_col="_rv"`` (and a
+    residual-namespaced fingerprint) to get_or_train_pq /
+    get_or_build_codes."""
+    c = centroids.select(F.col("c_label").alias("list_label"),
+                         F.col("centroid").alias("_c"))
+    return (lists.join(F.broadcast(c), "list_label")
+            .select("vec_id", "list_label",
+                    F.zip_with("vec", "_c", lambda x, y: x - y)
+                    .alias("_rv")))
+
+
+def ivfpq_topk_residual(vectors: DataFrame, queries: DataFrame, k: int, *,
+                        id_col: str = "vec_id",
+                        vec_col: str = "embedding",
+                        m: int = 4, pq_k: int = 8, dims: int = 64,
+                        nprobe: int = 2, centroids: DataFrame,
+                        lists: DataFrame, n_iter: int = 2,
+                        sample_cap: int = 65536, round_to: int = 6,
+                        codebooks: DataFrame | None = None,
+                        codes: DataFrame | None = None) -> DataFrame:
+    """IVF-PQ search with RESIDUAL encoding — the FAISS IndexIVFPQ
+    default (by_residual): codes quantize r = x − c_list rather than x
+    itself, spending the codebook's resolution on the within-list
+    spread instead of re-describing the coarse structure.
+
+    Score is cosine against the reconstruction x̂ = c_list + r̂:
+      <q, x̂>  = <q, c>          (per query×probed-list scalar)
+               + Σ_s <q_s, r̂_s>  (per query×subspace×code ADC table)
+      |x̂|²    = |c|²            (per list scalar)
+               + Σ_s (2<c_s, r̂_s> + |r̂_s|²)
+                                  (per list×subspace×code cross table)
+    Every term is rounded to integer MICROS, so candidate sums stay
+    order-free and cross-engine exact (the ivfpq_topk contract). The
+    extra cost vs raw-vector PQ is the cross table — n_lists × m ×
+    pq_k rows, broadcast by construction — plus a per-(query, list)
+    coarse-dot scalar already needed for probing.
+
+    Same artifact lifecycle as ivfpq_topk: pass residual-trained
+    ``codebooks``/``codes`` (see residual_frame) or let it train
+    inline; codes without codebooks raises (mismatched-artifact
+    guard)."""
+    if dims % m:
+        raise ValueError(f"ivfpq_topk_residual: dims {dims} not "
+                         f"divisible by m {m}")
+    if codes is not None and codebooks is None:
+        raise ValueError("ivfpq_topk_residual: codes provided without "
+                         "the codebooks that produced them — pass "
+                         "both persisted artifacts or neither")
+    sub = dims // m
+    q = queries.select(F.col(id_col).alias("query_id"),
+                       _as_double(vec_col).alias("_qv"),
+                       norm(_as_double(vec_col)).alias("_qn"))
+    res = residual_frame(centroids, lists)
+    cents_by_s, code_frames = [], []
+    for s in range(m):
+        if codebooks is not None:
+            cents = (codebooks.where(F.col("subspace") == s)
+                     .select("c_label", "centroid"))
+        else:
+            sl = res.select(F.col("vec_id").alias("_id"),
+                            F.slice("_rv", s * sub + 1, sub)
+                            .alias("_sv"))
+            cents = kmeans_centroids(sl, pq_k, id_col="_id",
+                                     vec_col="_sv", n_iter=n_iter,
+                                     sample_cap=sample_cap,
+                                     round_to=round_to)
+        cents_by_s.append(cents)
+        if codes is None:
+            sl = res.select("vec_id",
+                            F.slice("_rv", s * sub + 1, sub)
+                            .alias("_sv"))
+            assigned = (sl.crossJoin(F.broadcast(cents))
+                        .withColumn("_cs", cosine(F.col("_sv"),
+                                                  F.col("centroid")))
+                        .groupBy("vec_id")
+                        .agg(F.max_by(
+                            "c_label",
+                            F.struct(F.col("_cs"),
+                                     (-F.col("c_label")).alias("_t")))
+                            .alias("_code")))
+            code_frames.append(assigned.select(
+                F.col("vec_id").alias("neighbor_id"),
+                F.lit(s).alias("_s"), F.col("_code")))
+    if codes is not None:
+        codes_df = codes.select(F.col("vec_id").alias("neighbor_id"),
+                                F.col("subspace").alias("_s"),
+                                F.col("code").alias("_code"))
+    else:
+        codes_df = code_frames[0]
+        for f_ in code_frames[1:]:
+            codes_df = codes_df.unionAll(f_)
+    # ADC table: <q_s, r̂_code> per (query, subspace, code), micros
+    adc_frames = []
+    for s, cents in enumerate(cents_by_s):
+        qs = q.select("query_id",
+                      F.slice(F.col("_qv"), s * sub + 1, sub)
+                      .alias("_qs"))
+        adc_frames.append(qs.crossJoin(F.broadcast(cents)).select(
+            "query_id", F.lit(s).alias("_s"),
+            F.col("c_label").alias("_code"),
+            F.round(dot(F.col("_qs"), F.col("centroid")) * 1e6)
+            .cast("long").alias("_qrm")))
+    adc = adc_frames[0]
+    for f_ in adc_frames[1:]:
+        adc = adc.unionAll(f_)
+    # Cross table: 2<c_{list,s}, r̂_code> + |r̂_code|² per
+    # (list, subspace, code), micros — n_lists × m × pq_k rows
+    cl = centroids.select(F.col("c_label").alias("list_label"),
+                          F.col("centroid").alias("_cv"))
+    cross_frames = []
+    for s, cents in enumerate(cents_by_s):
+        cs = cl.select("list_label",
+                       F.slice("_cv", s * sub + 1, sub).alias("_cs"))
+        cross_frames.append(cs.crossJoin(F.broadcast(cents)).select(
+            "list_label", F.lit(s).alias("_s"),
+            F.col("c_label").alias("_code"),
+            (F.round(dot(F.col("_cs"), F.col("centroid")) * 2e6)
+             .cast("long")
+             + F.round(dot(F.col("centroid"), F.col("centroid")) * 1e6)
+             .cast("long")).alias("_xnm")))
+    cross = cross_frames[0]
+    for f_ in cross_frames[1:]:
+        cross = cross.unionAll(f_)
+    cn = (centroids.select("c_label", "centroid")
+          .withColumn("_cn", norm(F.col("centroid"))))
+    probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
+        .withColumnRenamed("c_label", "list_label")
+    # Per (query, probed list): coarse dot + |c|² scalars, micros
+    pl = (probes.join(F.broadcast(cl), "list_label")
+          .select("query_id", "_qn", "list_label",
+                  F.round(dot(F.col("_qv"), F.col("_cv")) * 1e6)
+                  .cast("long").alias("_qcm"),
+                  F.round(dot(F.col("_cv"), F.col("_cv")) * 1e6)
+                  .cast("long").alias("_cn2m")))
+    cand = (F.broadcast(pl)
+            .join(lists.select(F.col("vec_id").alias("neighbor_id"),
+                               "list_label"), "list_label")
+            .where(F.col("query_id") != F.col("neighbor_id")))
+    scored = (cand.join(codes_df, "neighbor_id")
+              .join(F.broadcast(adc), ["query_id", "_s", "_code"])
+              .join(F.broadcast(cross), ["list_label", "_s", "_code"])
+              .groupBy("query_id", "neighbor_id", "_qn", "_qcm",
+                       "_cn2m")
+              .agg(F.sum("_qrm").alias("_qr"),
+                   F.sum("_xnm").alias("_xn"),
+                   F.count(F.lit(1)).alias("_nsub")))
+    guard = F.assert_true(
+        F.col("_nsub") == m,
+        F.format_string(
+            "ivfpq_topk_residual: candidate %s scored %s of "
+            + str(m) + " subspaces — codes artifact is incomplete",
+            F.col("neighbor_id"), F.col("_nsub")))
+    scored = scored.withColumn(
+        "_qr", F.when(guard.isNull(), F.col("_qr"))).drop("_nsub")
+    score = ((F.col("_qcm") + F.col("_qr")) / 1e6) \
+        / (F.col("_qn")
+           * F.sqrt((F.col("_cn2m") + F.col("_xn")) / 1e6))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("neighbor_id").asc())
+    return (scored.withColumn("_score", score)
+            .withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("query_id", "rank", "neighbor_id",
+                    (F.round("_score", 4) + F.lit(0.0))
+                    .alias("score_adc")))
+
+
 def random_project(vectors: DataFrame, out_dim: int = 16, *,
                    id_col: str = "vec_id", vec_col: str = "embedding",
                    dims: int = 64, seed: int = 0,

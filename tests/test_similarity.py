@@ -687,6 +687,55 @@ def test_pq_artifact_roundtrip_and_codes(spark, sf_dir, tmp_path):
         sorted(map(tuple, inline.collect()))
 
 
+def test_ivfpq_residual_contract(spark, sf_dir, tmp_path):
+    """Residual IVF-PQ (the FAISS by_residual default): k rows per
+    query, rank contiguous, deterministic across runs, and the
+    artifact-backed run (residual-trained codebooks/codes persisted
+    through the SAME quantizer machinery, vec_col='_rv') equals the
+    inline-trained one row for row. Guards match ivfpq_topk."""
+    import pytest
+
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import (ivf_assign,
+                                                   ivfpq_topk_residual,
+                                                   kmeans_centroids,
+                                                   residual_frame)
+    from quasdb_spark.sources.tables import load_table
+
+    root = str(tmp_path / "artifacts")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, 4, n_iter=1, sample_cap=4096)
+    lists = ivf_assign(e, cents)
+    queries = e.where(F.col("vec_id") % 200 == 0)
+    out = ivfpq_topk_residual(e, queries, 5, nprobe=2, pq_k=4,
+                              n_iter=1, centroids=cents, lists=lists)
+    rows = sorted(map(tuple, out.collect()))
+    assert rows == sorted(map(tuple, out.collect()))
+    per_q = {}
+    for qid, rank, nid, score in rows:
+        per_q.setdefault(qid, []).append((rank, nid, score))
+        assert qid != nid
+    for qid, rs in per_q.items():
+        assert [r for r, _, _ in sorted(rs)] == list(range(1, len(rs) + 1))
+        scores = [s for _, _, s in sorted(rs)]
+        assert scores == sorted(scores, reverse=True)
+    # artifact path: residual frame through the standard quantizer
+    res = residual_frame(cents, lists)
+    cbs = QZ.get_or_train_pq(res, fingerprint="res-fp", m=4, k=4,
+                             vec_col="_rv", n_iter=1, root=root,
+                             force=True)
+    codes = QZ.get_or_build_codes(res, cbs, fingerprint="res-fp",
+                                  m=4, k=4, vec_col="_rv", root=root)
+    with_art = ivfpq_topk_residual(e, queries, 5, nprobe=2, pq_k=4,
+                                   n_iter=1, centroids=cents,
+                                   lists=lists, codebooks=cbs,
+                                   codes=codes)
+    assert sorted(map(tuple, with_art.collect())) == rows
+    with pytest.raises(ValueError, match="without the codebooks"):
+        ivfpq_topk_residual(e, queries, 5, nprobe=2, centroids=cents,
+                            lists=lists, codes=codes)
+
+
 def test_pq_guards(spark, sf_dir, tmp_path):
     """Mismatched-artifact guards: codes without their codebooks raise
     (ADC table from fresh training + foreign codes = silently wrong
