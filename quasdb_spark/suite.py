@@ -4878,31 +4878,31 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r8 rotation: NEW r8 queries first, then queries over r8-CHANGED
-    # code (dedup hash/skew-guard changes, the rewritten driver
-    # point-read engine behind every kv_* row), then the
-    # oldest-driver-evidence cohort (last checked r4).
-    "doc_importance", "emb_project", "rel_min_cost_supplier",
-    "dedup_clusters_cc", "emb_rp_recall", "emb_pq_quantization",
-    "sim_ivfpq_topk",
-    "dedup_minhash_wide", "doc_global_shuffle", "sim_ivf_recall",
-    "doc_mixture_epoch",
-    "text_lm_score", "text_bpe_pairs", "doc_domain_mix",
-    "emb_hard_negatives", "rel_small_qty_revenue", "rel_product_revenue",
-    "dedup_substring_spans", "dedup_minhash_pairs", "dedup_minhash_sig",
-    "dedup_incremental", "dedup_clusters", "dedup_apply", "dedup_exact",
-    "dedup_containment", "kv_point_get", "kv_multi_get", "kv_state_latest",
-    "kv_state_asof", "kv_state_diff", "kv_typed_state", "kv_range_scan",
-    "kv_prefix_scan", "kv_reverse_topn", "kv_seek_page", "kv_state_postcompact",
-    "kv_codec_reverse_scan", "kv_live_stats", "kv_stream_state",
-    "mm_audio_stats", "mm_decode_stats", "mm_frame_sample", "mm_resize_roundtrip",
-    "rel_above_avg_orders", "rel_cube", "rel_customer_quartiles",
-    "rel_grouping_sets", "rel_inactive_customers", "rel_order_count_dist",
-    "rel_region_share", "rel_rollup", "rel_set_ops", "rel_shipping_priority",
+    # r9 rotation: queries whose code/oracle CHANGED in round 9 first
+    # — the three r8 driver-red rows (emb_project reshaped to scalar
+    # rows, the two ::BIGINT oracle casts), the whole MinHash family
+    # (nonempty_only pre-filter replaced the post-hoc signature
+    # filter), doc_mixture_epoch (materialize_mixture missing-domain
+    # guard), the PQ queries (artifact guards), and kv_* (footer-cache
+    # flat-dir fix) — then the cohort whose newest driver row predates
+    # round 8 (CORRECTNESS_r08 checked the other 50).
+    "emb_project", "text_bpe_pairs", "doc_domain_mix",
+    "dedup_incremental", "dedup_minhash_pairs", "dedup_minhash_sig",
+    "dedup_minhash_wide", "dedup_clusters", "dedup_clusters_cc",
+    "dedup_apply", "dedup_containment", "doc_mixture_epoch",
+    "sim_ivfpq_topk", "emb_pq_quantization", "kv_point_get",
+    "kv_multi_get", "kv_state_latest", "kv_range_scan",
+    "rel_rollup", "rel_set_ops", "rel_shipping_priority",
     "rel_sole_blamed_supplier", "rel_top_supplier", "rel_unpivot",
-    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk", "text_lang_confusion",
-    "text_zipf", "ts_anomaly_zscore", "ts_ohlc_daily", "ts_percentiles",
-    "ts_pivot_hourly", "ts_trailing_1h_sum", "emb_semdedup",
+    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk",
+    "text_lang_confusion", "text_zipf", "ts_anomaly_zscore",
+    "ts_ohlc_daily", "ts_percentiles", "ts_pivot_hourly",
+    "ts_trailing_1h_sum", "emb_semdedup", "kv_version_history",
+    "ts_tumbling_hourly", "stream_tumbling_hourly", "stream_join",
+    "stream_dedup", "stream_sessionize", "stream_rollup_hourly",
+    "ts_sliding_1h_15m", "ts_downsample_10m_last", "ts_asof_join",
+    "ts_asof_nearest", "ts_interval_join", "ts_sessionize",
+    "ts_moving_avg", "ts_topk_per_type",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},

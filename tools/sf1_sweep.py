@@ -116,8 +116,13 @@ def main() -> None:
 
     from quasdb_spark import suite
     prior = prior_results(merge)
+    # --only names re-run UNCONDITIONALLY (dropping any prior ok):
+    # the flag exists to refresh evidence for queries whose code
+    # changed this round — carrying a stale green forward would defeat
+    # that (and silently did, until round 9).
     ok: list[str] = [n for n, (s, _) in prior.items()
-                     if s == "ok" and n in suite.QUERIES]
+                     if s == "ok" and n in suite.QUERIES
+                     and n not in only]
     fail: dict[str, str] = {}
     # carry prior rows-only (oracle-timeout) evidence forward; a name
     # re-runs only when named in --only (re-paying a known-heavy
