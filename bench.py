@@ -68,6 +68,8 @@ EXTRA_BENCH = [
     "doc_importance", "emb_project", "dedup_clusters_cc",
     "emb_rp_recall", "rel_min_cost_supplier",
     "emb_pq_quantization", "sim_ivfpq_topk",  # r8 pass 3
+    "rel_late_orders", "rel_ship_delay_dist",  # r9
+    "rel_part_supplier_counts", "rel_dominant_supplier",
 ]
 
 

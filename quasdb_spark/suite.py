@@ -1489,7 +1489,159 @@ def q_rel_min_cost_supplier(spark, sf_dir):
                     .alias("acctbal")))
 
 
+def q_rel_late_orders(spark, sf_dir):
+    """TPC-H Q4 shape (order priority checking), adapted: this
+    lineitem carries no commit/receipt dates, so a LATE order is one
+    with some line shipped more than 30 days after the order date.
+    The correlated EXISTS decorrelates to a LEFT SEMI join with the
+    date predicate inside the join condition — no fan-out, no
+    post-join distinct, the orders side never duplicates. At 100 TB
+    both sides shuffle once on orderkey; the quarter filter prunes
+    orders at the scan (PushedFilters) and lineitem reads only
+    (l_orderkey, l_shipdate)."""
+    o = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-04-01").cast("timestamp")))
+    li = _t(spark, sf_dir, "lineitem")
+    late = o.join(
+        li, (o.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > o.o_orderdate + F.expr("INTERVAL 30 DAYS")),
+        "left_semi")
+    return (late.groupBy("o_orderpriority")
+                .agg(F.count(F.lit(1)).alias("n_orders")))
+
+
+def q_rel_ship_delay_dist(spark, sf_dir):
+    """TPC-H Q12 shape (shipping-mode priority distribution), adapted:
+    no l_shipmode column, so lines bucket by shipping DELAY instead
+    (FAST <= 14 days from order to ship, else SLOW), counting
+    critical-priority (1-URGENT / 2-HIGH) vs other orders per bucket
+    over one year. One join shuffle on orderkey, then a two-row
+    hash aggregate with map-side combine; the CASE sums are exact
+    integer counts."""
+    o = _t(spark, sf_dir, "orders")
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit("1998-01-01").cast("timestamp"))
+        & (F.col("l_shipdate") < F.lit("1999-01-01").cast("timestamp")))
+    j = li.join(o, li.l_orderkey == o.o_orderkey)
+    bucket = F.when(F.datediff(F.col("l_shipdate"),
+                               F.col("o_orderdate")) <= 14,
+                    "FAST").otherwise("SLOW")
+    crit = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (j.groupBy(bucket.alias("delay_bucket"))
+             .agg(F.sum(F.when(crit, 1).otherwise(0)).cast("bigint")
+                  .alias("n_critical"),
+                  F.sum(F.when(crit, 0).otherwise(1)).cast("bigint")
+                  .alias("n_normal")))
+
+
+def q_rel_part_supplier_counts(spark, sf_dir):
+    """TPC-H Q16 shape (parts/supplier relationship), adapted: no
+    partsupp table, so supplied pairs come from shipment history (the
+    Q2 adaptation); no comment column, so the NOT-IN exclusion list is
+    suppliers with negative account balance. Decorrelated pieces: the
+    NOT IN becomes a LEFT ANTI join against the tiny broadcast
+    exclusion set, the pair set is one distinct on (brand, type,
+    suppkey), and the count is a distinct-agg per (brand, type) —
+    output rows = |brands| x |types|, bounded by construction."""
+    p = _t(spark, sf_dir, "part").where(F.col("p_size").isin(5, 15, 25))
+    li = _t(spark, sf_dir, "lineitem")
+    s_excl = (_t(spark, sf_dir, "supplier")
+              .where(F.col("s_acctbal") < 0).select("s_suppkey"))
+    pairs = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+               .select("p_brand", "p_type", "l_suppkey").distinct())
+    kept = pairs.join(F.broadcast(s_excl),
+                      pairs.l_suppkey == s_excl.s_suppkey, "left_anti")
+    return (kept.groupBy("p_brand", "p_type")
+                .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
+
+
+def q_rel_dominant_supplier(spark, sf_dir):
+    """TPC-H Q20 shape (potential part promotion), adapted: suppliers
+    who DOMINATE some red part — shipped more than TWICE the average
+    per-supplier quantity of that part (the availqty > 1/2
+    sum(l_quantity) correlated subquery of Q20, reframed against the
+    within-part mean so the threshold stays non-vacuous at every
+    scale factor; with shipment history standing in for partsupp).
+    The nested IN-chain decorrelates to: per-(part, supplier)
+    quantity aggregate over the name-filtered lineitem, per-part
+    total + supplier count by a second aggregate, an exact-integer
+    dominance filter (q * n_suppliers > 2 * total), then a join into
+    supplier and broadcast nation. Both aggregates shuffle on
+    partkey; the part filter is broadcast into the lineitem scan."""
+    p = (_t(spark, sf_dir, "part")
+         .where(F.col("p_name").startswith("red"))
+         .select("p_partkey"))
+    li = _t(spark, sf_dir, "lineitem")
+    qty = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+             .groupBy("l_partkey", "l_suppkey")
+             .agg(F.sum(F.col("l_quantity").cast("bigint"))
+                  .alias("_q")))
+    tot = (qty.groupBy("l_partkey")
+              .agg(F.sum("_q").alias("_tot"),
+                   F.count(F.lit(1)).alias("_ns")))
+    dom = (qty.join(tot, "l_partkey")
+              .where(F.col("_q") * F.col("_ns") > F.col("_tot") * 2)
+              .select("l_suppkey", "l_partkey"))
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    per_s = dom.groupBy("l_suppkey").agg(
+        F.count(F.lit(1)).alias("n_dominated"))
+    return (s.join(per_s, s.s_suppkey == per_s.l_suppkey)
+             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+             .select("s_suppkey", "s_name",
+                     F.col("n_name").alias("nation"), "n_dominated"))
+
+
 _REL_ORACLES = {
+    "rel_late_orders": """
+        SELECT o_orderpriority, count(*) AS n_orders
+        FROM orders o
+        WHERE o.o_orderdate >= TIMESTAMP '1997-01-01'
+          AND o.o_orderdate < TIMESTAMP '1997-04-01'
+          AND EXISTS (SELECT 1 FROM lineitem l
+                      WHERE l.l_orderkey = o.o_orderkey
+                        AND l.l_shipdate > o.o_orderdate
+                                           + INTERVAL 30 DAY)
+        GROUP BY 1""",
+    "rel_ship_delay_dist": """
+        SELECT CASE WHEN date_diff('day', o_orderdate, l_shipdate) <= 14
+                    THEN 'FAST' ELSE 'SLOW' END AS delay_bucket,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END)::BIGINT AS n_critical,
+               sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 0 ELSE 1 END)::BIGINT AS n_normal
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+          AND l_shipdate < TIMESTAMP '1999-01-01'
+        GROUP BY 1""",
+    "rel_part_supplier_counts": """
+        WITH pairs AS (
+          SELECT DISTINCT p.p_brand, p.p_type, l.l_suppkey
+          FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+          WHERE p.p_size IN (5, 15, 25))
+        SELECT p_brand, p_type,
+               count(DISTINCT l_suppkey) AS supplier_cnt
+        FROM pairs
+        WHERE l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+                                WHERE s_acctbal < 0)
+        GROUP BY 1, 2""",
+    "rel_dominant_supplier": """
+        WITH qty AS (
+          SELECT l_partkey, l_suppkey,
+                 sum(CAST(l_quantity AS BIGINT)) AS q
+          FROM lineitem JOIN part ON l_partkey = p_partkey
+          WHERE p_name LIKE 'red%'
+          GROUP BY 1, 2),
+        tot AS (SELECT l_partkey, sum(q) AS tot, count(*) AS ns
+                FROM qty GROUP BY 1),
+        dom AS (SELECT l_suppkey, count(*) AS n_dominated
+                FROM qty JOIN tot USING (l_partkey)
+                WHERE q * ns > tot * 2 GROUP BY 1)
+        SELECT s_suppkey, s_name, n_name AS nation, n_dominated
+        FROM dom
+        JOIN supplier ON l_suppkey = s_suppkey
+        JOIN nation ON s_nationkey = n_nationkey""",
     "rel_min_cost_supplier": """
         WITH pairs AS (
           SELECT DISTINCT p.p_partkey, p.p_brand, l.l_suppkey
@@ -4770,6 +4922,10 @@ QUERIES = {
     "rel_disjunctive_revenue": q_rel_disjunctive_revenue,
     "rel_sales_opportunity": q_rel_sales_opportunity,
     "rel_min_cost_supplier": q_rel_min_cost_supplier,
+    "rel_late_orders": q_rel_late_orders,
+    "rel_ship_delay_dist": q_rel_ship_delay_dist,
+    "rel_part_supplier_counts": q_rel_part_supplier_counts,
+    "rel_dominant_supplier": q_rel_dominant_supplier,
     # text
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -4886,6 +5042,8 @@ _DRIVER_CHECK_FIRST = [
     # guard), the PQ queries (artifact guards), and kv_* (footer-cache
     # flat-dir fix) — then the cohort whose newest driver row predates
     # round 8 (CORRECTNESS_r08 checked the other 50).
+    "rel_late_orders", "rel_ship_delay_dist",
+    "rel_part_supplier_counts", "rel_dominant_supplier",
     "emb_project", "text_bpe_pairs", "doc_domain_mix",
     "dedup_incremental", "dedup_minhash_pairs", "dedup_minhash_sig",
     "dedup_minhash_wide", "dedup_clusters", "dedup_clusters_cc",
