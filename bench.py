@@ -70,6 +70,7 @@ EXTRA_BENCH = [
     "emb_pq_quantization", "sim_ivfpq_topk",  # r8 pass 3
     "rel_late_orders", "rel_ship_delay_dist",  # r9
     "rel_part_supplier_counts", "rel_dominant_supplier",
+    "rel_important_stock",
 ]
 
 

@@ -1593,7 +1593,48 @@ def q_rel_dominant_supplier(spark, sf_dir):
                      F.col("n_name").alias("nation"), "n_dominated"))
 
 
+def q_rel_important_stock(spark, sf_dir):
+    """TPC-H Q11 shape (important stock identification), adapted: no
+    partsupp, so "stock value" is shipped revenue per (supplier
+    nation, part brand), keeping groups whose value exceeds 1/500 of
+    the GLOBAL total — Q11's HAVING sum(...) > (scalar subquery) *
+    fraction. The scalar subquery decorrelates to a 1-row aggregate
+    broadcast into the filter (constant-cost BroadcastNestedLoopJoin
+    over one row); the threshold compare is exact-integer
+    (rev_u4 * 500 > total_u4, both long), so boundary groups land the
+    same side in both engines. Revenue groups shuffle once on
+    (nation, brand) with map-side combine; nation and part broadcast.
+    Being share-based, the predicate stays non-vacuous at every scale
+    factor."""
+    li = _t(spark, sf_dir, "lineitem")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    p = _t(spark, sf_dir, "part")
+    g = (li.join(s, li.l_suppkey == s.s_suppkey)
+           .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+           .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .groupBy("n_name", "p_brand")
+           .agg(F.sum(_rev_u4()).alias("_rev")))
+    tot = g.agg(F.sum("_rev").alias("_tot"))
+    return (g.join(tot)
+             .where(F.col("_rev") * 500 > F.col("_tot"))
+             .select("n_name", "p_brand",
+                     (F.round(F.col("_rev") / 100.0, 0) / 100.0)
+                     .alias("value")))
+
+
 _REL_ORACLES = {
+    "rel_important_stock": f"""
+        WITH g AS (
+          SELECT n_name, p_brand, sum({_REV_U4_SQL}) AS rev
+          FROM lineitem
+          JOIN supplier ON l_suppkey = s_suppkey
+          JOIN nation ON s_nationkey = n_nationkey
+          JOIN part ON l_partkey = p_partkey
+          GROUP BY 1, 2),
+        t AS (SELECT sum(rev) AS tot FROM g)
+        SELECT n_name, p_brand, round(rev / 100.0) / 100.0 AS value
+        FROM g, t WHERE rev * 500 > tot""",
     "rel_late_orders": """
         SELECT o_orderpriority, count(*) AS n_orders
         FROM orders o
@@ -4926,6 +4967,7 @@ QUERIES = {
     "rel_ship_delay_dist": q_rel_ship_delay_dist,
     "rel_part_supplier_counts": q_rel_part_supplier_counts,
     "rel_dominant_supplier": q_rel_dominant_supplier,
+    "rel_important_stock": q_rel_important_stock,
     # text
     "text_stats": q_text_stats,
     "text_quality": q_text_quality,
@@ -5044,6 +5086,7 @@ _DRIVER_CHECK_FIRST = [
     # round 8 (CORRECTNESS_r08 checked the other 50).
     "rel_late_orders", "rel_ship_delay_dist",
     "rel_part_supplier_counts", "rel_dominant_supplier",
+    "rel_important_stock",
     "emb_project", "text_bpe_pairs", "doc_domain_mix",
     "dedup_incremental", "dedup_minhash_pairs", "dedup_minhash_sig",
     "dedup_minhash_wide", "dedup_clusters", "dedup_clusters_cc",
