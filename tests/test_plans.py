@@ -281,3 +281,35 @@ def test_doc_importance_broadcasts_model(spark, sf_dir):
     # doc-sum exchange + the raw/tgt bucket aggregates (partial→final
     # on a 256-value key, tiny by construction)
     assert plan.count("Exchange hashpartitioning") <= 5
+
+
+def test_late_orders_is_semi_join_no_distinct(spark, sf_dir):
+    """Q4's correlated EXISTS must decorrelate to a LEFT SEMI join
+    with the lateness predicate inside the join condition — never a
+    fan-out join + distinct (which would shuffle the duplicated
+    orders stream again at 100 TB)."""
+    plan = _plan(suite.QUERIES["rel_late_orders"](spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "HashAggregate(keys=[o_orderkey" not in plan  # no dedup agg
+    assert "CartesianProduct" not in plan
+
+
+def test_part_supplier_counts_anti_joins_exclusion(spark, sf_dir):
+    """Q16's NOT IN must become a broadcast ANTI join against the
+    tiny exclusion set — a shuffle anti join would repartition the
+    whole pair stream by suppkey for a 6-row lookup."""
+    plan = _plan(suite.QUERIES["rel_part_supplier_counts"](spark,
+                                                           sf_dir))
+    assert "LeftAnti" in plan and "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_important_stock_scalar_subquery_is_one_row_bnlj(spark,
+                                                         sf_dir):
+    """Q11's scalar subquery must decorrelate to a 1-row aggregate
+    joined by BroadcastNestedLoopJoin — constant cost at any sf; a
+    real nested-loop over data-sized inputs would be flagged by the
+    doctor lint instead."""
+    plan = _plan(suite.QUERIES["rel_important_stock"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "SubqueryExec" not in plan

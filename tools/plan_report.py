@@ -73,6 +73,21 @@ SHOW = [
      "materialized lists via the probe join (ids only) and score as "
      "integer-micro sums over code rows — no full-width corpus "
      "vector math in the scoring stage"),
+    ("rel_late_orders", "Q4 EXISTS decorrelated: LeftSemi join with "
+     "the lateness predicate in the join condition — no fan-out, no "
+     "post-join distinct; the quarter filter is pushed to the orders "
+     "scan"),
+    ("rel_part_supplier_counts", "Q16 NOT IN decorrelated: "
+     "BroadcastHashJoin LeftAnti against the tiny exclusion set; "
+     "distinct-agg over shipment-derived pairs, part broadcast"),
+    ("rel_dominant_supplier", "Q20 nested-IN chain decorrelated: two "
+     "partkey-keyed hash aggregates + exact-integer dominance "
+     "filter; part filter broadcast into the lineitem scan — no "
+     "correlated subquery machinery in the plan"),
+    ("rel_important_stock", "Q11 scalar subquery decorrelated: the "
+     "global total is a 1-row aggregate joined by "
+     "BroadcastNestedLoopJoin (constant cost); groups aggregate with "
+     "map-side combine before the exchange"),
 ]
 
 _STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
