@@ -88,13 +88,18 @@ def test_every_query_returns_scalar_columns(spark):
 
 
 @pytest.mark.parametrize("name", ["emb_project", "text_bpe_pairs",
-                                  "doc_domain_mix"])
+                                  "doc_domain_mix",
+                                  "rel_late_orders",
+                                  "rel_ship_delay_dist",
+                                  "rel_part_supplier_counts",
+                                  "rel_dominant_supplier",
+                                  "rel_important_stock"])
 def test_r8_red_rows_pandas_canonical_match(spark, name):
-    """Full driver-faithful replica for the three r8 red rows: run the
-    Spark query and the DuckDB oracle at sf0.001, canonicalize both
-    through pandas exactly like the driver (sort columns by name,
-    sort_values over all columns, dtype-sensitive hash), and require
-    byte-identical hashes."""
+    """Full driver-faithful replica for the three r8 red rows plus
+    every round-9 addition: run the Spark query and the DuckDB oracle
+    at sf0.001, canonicalize both through pandas exactly like the
+    driver (sort columns by name, sort_values over all columns,
+    dtype-sensitive hash), and require byte-identical hashes."""
     import pandas as pd
 
     def canon(df):
