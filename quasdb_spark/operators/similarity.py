@@ -390,7 +390,7 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
                    label_col: str = "label", n_bands: int = 8,
                    band_bits: int = 8,
                    max_bucket_size: int | None = 1000, dims: int = 64,
-                   seed: int = 0) -> DataFrame:
+                   seed: int = 0, vectorized: bool = False) -> DataFrame:
     """Contrastive hard-negative mining: for every anchor vector, the
     top-k most-cosine-similar vectors carrying a DIFFERENT label —
     the negatives that sit closest to the decision boundary, which is
@@ -436,9 +436,48 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = e.select(F.col("_id").alias("negative_id"),
                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    if vectorized:
+        # Arrow-vectorized twin of the fold dot — BIT-IDENTICAL by
+        # the signature_frame_pandas argument: the expression fold
+        # computes acc <- acc + a_i*b_i sequentially in IEEE float64,
+        # and the numpy loop below accumulates over dims in the SAME
+        # order with the SAME float64 elementwise ops, so every score
+        # (hence every top-k rank at the 4-decimal boundary) is
+        # equal, not just close (pinned by test).
+        #
+        # OFF by default after an A/B at dims=64/sf0.1: shipping BOTH
+        # 64-dim arrays per candidate pair through Arrow costs more
+        # than the interpreted fold saves (6.99 vs 6.49 s medians,
+        # exact-equal 6000-row output) — unlike the per-VECTOR
+        # signature pass, per-PAIR scoring transfers each vector once
+        # per candidate. The crossover is at real embedding widths
+        # (768/1536), where the fold is ~25x more lambda steps but
+        # the Arrow bytes only grow linearly — flip it on there.
+        import numpy as np
+        import pandas as pd
+
+        # NB: no type hints — locally-imported pd isn't resolvable at
+        # decoration time (the repo-wide pandas_udf convention)
+        @F.pandas_udf("double")
+        def _dot_seq(pa, pb):
+            if not len(pa):
+                return pd.Series([], dtype="float64")
+            a = np.array(pa.tolist(), dtype=np.float64)
+            b = np.array(pb.tolist(), dtype=np.float64)
+            # start from 0.0 exactly like the fold (keeps even the
+            # sign of zero identical before the +0.0 normalization)
+            acc = np.zeros(len(a))
+            for i in range(a.shape[1]):
+                acc = acc + a[:, i] * b[:, i]
+            return pd.Series(acc)
+
+        score_expr = (_dot_seq(F.col("_va"), F.col("_vb"))
+                      / (F.col("_na") * F.col("_nb")))
+    else:
+        score_expr = (dot(F.col("_va"), F.col("_vb"))
+                      / (F.col("_na") * F.col("_nb")))
     scored = (cand.join(va, "anchor_id").join(vb, "negative_id")
-              .withColumn("score", dot(F.col("_va"), F.col("_vb"))
-                          / (F.col("_na") * F.col("_nb"))))
+              .withColumn("score", score_expr))
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("negative_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))

@@ -775,3 +775,20 @@ def test_pq_guards(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="subspaces|ASSERT"):
         ivfpq_topk(e, queries, 5, nprobe=4, centroids=cents,
                    lists=lists, codebooks=cbs, codes=holey).collect()
+
+
+def test_hard_negatives_vectorized_scorer_bit_parity(spark, sf_dir):
+    """The Arrow scorer (dims-sequential numpy accumulation) must be
+    BIT-identical to the expression fold — same rows, same ranks,
+    same 4-decimal scores (the signature_frame_pandas argument
+    applied to per-pair scoring)."""
+    from quasdb_spark.operators.similarity import hard_negatives
+    from quasdb_spark.sources.tables import load_table
+
+    e = (load_table(spark, sf_dir, "embeddings")
+         .withColumn("label", F.col("vec_id") % 5))
+    a = sorted(map(tuple, hard_negatives(e, 3, vectorized=True)
+                   .collect()))
+    b = sorted(map(tuple, hard_negatives(e, 3, vectorized=False)
+                   .collect()))
+    assert a == b and len(a) > 0
