@@ -1089,14 +1089,24 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     oracle rank identical doubles (the bm25/lm-score contract applied
     to ANN scoring).
 
-    Scale shape: the ADC table is queries × m × pq_k rows — broadcast
-    by construction; codes are one m-row map-side pass per corpus
-    vector (production materializes them next to the inverted lists;
-    the inline training here is the bounded md5-ranked-sample pass);
-    the probe join dynamic-partition-prunes the corpus to nprobe
-    lists per query, and the score aggregate carries m rows per
-    (query, candidate). No full-width vector math touches the corpus
-    at query time.
+    Scale shape (r10 array-codes layout): codes travel as ONE row per
+    corpus vector carrying an m-length ``array<long>`` (production
+    materializes them next to the inverted lists —
+    quantizer.get_or_build_codes_array); the ADC table and the
+    code-centroid norms² are nested array columns on the (broadcast)
+    query frame, built from one-row code-ordered codebook arrays; a
+    candidate's score is an INLINE sum of m element_at lookups — no
+    per-(candidate, subspace) row amplification and no groupBy in the
+    scoring path (the r9 layout shipped m rows per candidate and
+    aggregated them back; VERDICT r9 #1). The probe join
+    dynamic-partition-prunes the corpus to nprobe lists per query. No
+    full-width vector math touches the corpus at query time.
+
+    The completeness guard is now structural: size(codes) == m (and,
+    for row-layout inputs, subspaces exactly 0..m-1), asserted in a
+    USED column so pruning can't drop it; a code outside the codebook
+    range fails the lookup-null assert instead of silently ranking
+    the candidate out.
     """
     if dims % m:
         raise ValueError(f"ivfpq_topk: dims {dims} not divisible "
@@ -1118,7 +1128,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # path — quantizer.get_or_train_pq) or trained inline (ad-hoc).
     # Provided codes skip the encode pass entirely: the corpus float
     # vectors are then never touched by this query.
-    code_frames, adc_frames, cn2_frames = [], [], []
+    cents_by_s, code_frames = [], []
     for s in range(m):
         if codebooks is not None:
             cents = (codebooks.where(F.col("subspace") == s)
@@ -1128,6 +1138,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             cents, assigned = _pq_subspace(
                 vectors, s, sub, pq_k, id_col=id_col, vec_col=vec_col,
                 n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
+        cents_by_s.append(cents)
         if codes is None:
             if assigned is None:
                 sl = vectors.select(
@@ -1146,31 +1157,28 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             code_frames.append(assigned.select(
                 F.col("_id").alias("neighbor_id"), F.lit(s).alias("_s"),
                 F.col("_a.c_label").alias("_code")))
-        qs = q.select("query_id",
-                      F.slice(F.col("_qv"), s * sub + 1, sub).alias("_qs"))
-        adc_frames.append(qs.crossJoin(F.broadcast(cents)).select(
-            "query_id", F.lit(s).alias("_s"),
-            F.col("c_label").alias("_code"),
-            F.round(dot(F.col("_qs"), F.col("centroid")) * 1e6)
-            .cast("long").alias("_dotm")))
-        cn2_frames.append(cents.select(
-            F.lit(s).alias("_s"), F.col("c_label").alias("_code"),
-            F.round(dot(F.col("centroid"), F.col("centroid")) * 1e6)
-            .cast("long").alias("_n2m")))
-    if codes is not None:
-        codes_df = codes.select(F.col("vec_id").alias("neighbor_id"),
-                                F.col("subspace").alias("_s"),
-                                F.col("code").alias("_code"))
-    else:
-        codes_df = code_frames[0]
-        for f_ in code_frames[1:]:
-            codes_df = codes_df.unionAll(f_)
-    adc = adc_frames[0]
-    for f_ in adc_frames[1:]:
-        adc = adc.unionAll(f_)
-    cn2 = cn2_frames[0]
-    for f_ in cn2_frames[1:]:
-        cn2 = cn2.unionAll(f_)
+    codes_arr = _codes_array_frame(codes, code_frames)
+    # Per-query nested tables: _adc[s][code+1] = round(<q_s, c>·1e6),
+    # _cn2[s][code+1] = round(|c|²·1e6) — both derived from ONE-ROW
+    # code-ordered codebook arrays (a keyless collect_list aggregate
+    # over pq_k rows), so the per-(s, code) rows of the r9 layout
+    # never exist. The integer table entries are IDENTICAL to r9's, so
+    # candidate sums — hence scores and the SQL oracle — are unchanged.
+    adc_q = q
+    for s, cents in enumerate(cents_by_s):
+        qs = F.slice(F.col("_qv"), s * sub + 1, sub)
+        adc_q = (adc_q.crossJoin(F.broadcast(_codebook_array(cents)))
+                 .withColumn(f"_a{s}", F.transform(
+                     "_ca",
+                     lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
+                 .withColumn(f"_n{s}", F.transform(
+                     "_ca",
+                     lambda c: F.round(dot(c, c) * 1e6).cast("long")))
+                 .drop("_ca"))
+    adc_tbl = adc_q.select(
+        "query_id",
+        F.array(*[f"_a{s}" for s in range(m)]).alias("_adc"),
+        F.array(*[f"_n{s}" for s in range(m)]).alias("_cn2"))
     cn = (centroids.select("c_label", "centroid")
           .withColumn("_cn", norm(F.col("centroid"))))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
@@ -1179,26 +1187,12 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             .join(lists.select(F.col("vec_id").alias("neighbor_id"),
                                "list_label"), "list_label")
             .where(F.col("query_id") != F.col("neighbor_id")))
-    scored = (cand.join(codes_df, "neighbor_id")
-              .join(F.broadcast(adc), ["query_id", "_s", "_code"])
-              .join(F.broadcast(cn2), ["_s", "_code"])
-              .groupBy("query_id", "neighbor_id", "_qn")
-              .agg(F.sum("_dotm").alias("_dm"),
-                   F.sum("_n2m").alias("_n2"),
-                   F.count(F.lit(1)).alias("_nsub")))
-    # A candidate missing a subspace code row would otherwise sum
-    # fewer than m ADC terms without error (inner joins above) —
-    # fail loudly instead of mis-scoring it. The guard is folded into
-    # a USED column (the random_project pattern) so column pruning
-    # can't optimize the assert away.
-    guard = F.assert_true(
-        F.col("_nsub") == m,
-        F.format_string(
-            "ivfpq_topk: candidate %s scored %s of "
-            + str(m) + " subspaces — codes artifact is incomplete",
-            F.col("neighbor_id"), F.col("_nsub")))
-    scored = (scored.withColumn(
-        "_dm", F.when(guard.isNull(), F.col("_dm"))).drop("_nsub"))
+    scored = (cand.join(codes_arr, "neighbor_id")
+              .join(F.broadcast(adc_tbl), "query_id"))
+    scored = _fold_codes_guard(
+        scored, m, "ivfpq_topk",
+        {"_dm": _adc_lookup_sum(m, "_adc"),
+         "_n2": _adc_lookup_sum(m, "_cn2")})
     score = (F.col("_dm") / 1e6) \
         / (F.col("_qn") * F.sqrt(F.col("_n2") / 1e6))
     w = Window.partitionBy("query_id").orderBy(
@@ -1209,6 +1203,105 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             .select("query_id", "rank", "neighbor_id",
                     (F.round("_score", 4) + F.lit(0.0))
                     .alias("score_adc")))
+
+
+def _codes_array_frame(codes: DataFrame | None,
+                       code_frames: list[DataFrame]) -> DataFrame:
+    """Normalize PQ codes to the array layout: one row per vector,
+    (neighbor_id, _codes array<long>[, _subs array<long>]).
+
+    Array-layout inputs (vec_id, codes) — the persisted
+    quantizer.get_or_build_codes_array artifact — pass through with
+    positions trusted (positional-by-construction contract). Row
+    layout (vec_id, subspace, code) — the legacy artifact or the
+    inline encode frames — is collapsed by one aggregate, keeping the
+    subspace ids alongside so the scorer can assert they are exactly
+    0..m-1 (a duplicated/missing subspace row must fail loudly, not
+    misalign the positional lookup)."""
+    if codes is not None and "codes" in codes.columns:
+        return codes.select(F.col("vec_id").alias("neighbor_id"),
+                            F.col("codes").alias("_codes"))
+    if codes is not None:
+        src = codes.select(F.col("vec_id").alias("neighbor_id"),
+                           F.col("subspace").cast("long").alias("_s"),
+                           F.col("code").alias("_code"))
+    else:
+        src = code_frames[0]
+        for f_ in code_frames[1:]:
+            src = src.unionAll(f_)
+        src = src.select("neighbor_id", F.col("_s").cast("long"),
+                         "_code")
+    pairs = F.sort_array(F.collect_list(F.struct("_s", "_code")))
+    return (src.groupBy("neighbor_id")
+            .agg(F.transform(pairs, lambda x: x["_code"]).alias("_codes"),
+                 F.transform(pairs, lambda x: x["_s"]).alias("_subs")))
+
+
+def _codebook_array(cents: DataFrame) -> DataFrame:
+    """One-row frame (_ca array<array<double>>): a subspace codebook's
+    centroids ordered by code label, so _ca[code+1] is code's
+    centroid. A keyless aggregate over pq_k rows — statically bounded
+    (the plan doctor's BNLJ contract)."""
+    return cents.groupBy().agg(F.transform(
+        F.sort_array(F.collect_list(F.struct("c_label", "centroid"))),
+        lambda x: x["centroid"]).alias("_ca"))
+
+
+def _adc_lookup_sum(m: int, tbl: str) -> Column:
+    """Inline Σ_s tbl[s][codes[s]+1] over the per-query nested table —
+    m integer element_at lookups, whole-stage-codegen'd, replacing the
+    r9 (candidate × subspace) join+groupBy."""
+    # try_element_at (not element_at): Spark 4 element_at THROWS on an
+    # out-of-bounds index before the shape assert can run; try_ makes a
+    # short/invalid codes array surface as NULL, which the guard then
+    # reports with the artifact-mismatch message instead of a bare
+    # INVALID_ARRAY_INDEX error.
+    terms = [F.try_element_at(
+                 F.try_element_at(F.col(tbl), F.lit(s + 1)),
+                 (F.try_element_at(F.col("_codes"), F.lit(s + 1)) + 1)
+                 .cast("int"))
+             for s in range(m)]
+    out = terms[0]
+    for t in terms[1:]:
+        out = out + t
+    return out
+
+
+def _fold_codes_guard(scored: DataFrame, m: int, op: str,
+                      exprs: dict[str, Column]) -> DataFrame:
+    """Attach every ``exprs[out_col]`` gated behind the codes-shape
+    asserts: size(_codes) == m, row-layout subspaces exactly 0..m-1
+    (when present), and every lookup in range (each expr non-null —
+    an out-of-range code makes try_element_at NULL, which would
+    silently rank the candidate out). Folded into the USED columns
+    (the random_project pattern) so pruning can't drop the assert.
+
+    EVERY lookup sum the score touches must come through here, not
+    just one: Spark's Divide/Mod eval SHORT-CIRCUITS — the right
+    operand is evaluated first and a NULL right returns NULL without
+    ever evaluating the left — so a guard folded only into the
+    numerator never runs when an unguarded denominator term is NULL
+    (found the hard way in r10: the holey-codes assert silently
+    stopped firing)."""
+    ok = F.size("_codes") == m
+    if "_subs" in scored.columns:
+        ok = ok & (F.col("_subs")
+                   == F.array(*[F.lit(s).cast("long") for s in range(m)]))
+    for expr in exprs.values():
+        ok = ok & expr.isNotNull()
+    guard = F.assert_true(
+        ok, F.format_string(
+            op + ": candidate %s carries codes %s for subspaces %s — "
+            "expected " + str(m) + " codes for subspaces 0.."
+            + str(m - 1) + " within the codebook range; the codes "
+            "artifact is incomplete or mismatched",
+            F.col("neighbor_id"),
+            F.col("_codes").cast("string"),
+            (F.col("_subs") if "_subs" in scored.columns
+             else F.lit(None)).cast("string")))
+    for out_col, expr in exprs.items():
+        scored = scored.withColumn(out_col, F.when(guard.isNull(), expr))
+    return scored
 
 
 def residual_frame(centroids: DataFrame, lists: DataFrame) -> DataFrame:
@@ -1232,7 +1325,7 @@ def residual_frame(centroids: DataFrame, lists: DataFrame) -> DataFrame:
                     .alias("_rv")))
 
 
-def ivfpq_topk_residual(vectors: DataFrame, queries: DataFrame, k: int, *,
+def ivfpq_topk_residual(queries: DataFrame, k: int, *,
                         id_col: str = "vec_id",
                         vec_col: str = "embedding",
                         m: int = 4, pq_k: int = 8, dims: int = 64,
@@ -1261,7 +1354,15 @@ def ivfpq_topk_residual(vectors: DataFrame, queries: DataFrame, k: int, *,
     Same artifact lifecycle as ivfpq_topk: pass residual-trained
     ``codebooks``/``codes`` (see residual_frame) or let it train
     inline; codes without codebooks raises (mismatched-artifact
-    guard)."""
+    guard). The corpus is defined ENTIRELY by ``lists``/``centroids``
+    (residuals are x − c_list over the materialized inverted lists) —
+    there is deliberately no ``vectors`` parameter: r9 accepted one
+    and silently ignored it (ADVICE r9), an API trap vs ivfpq_topk.
+
+    r10 array-codes layout, same as ivfpq_topk: one array row per
+    candidate, nested per-query ADC / per-list cross tables, inline
+    m-lookup sums — identical integer terms, so scores and the SQL
+    oracle are unchanged."""
     if dims % m:
         raise ValueError(f"ivfpq_topk_residual: dims {dims} not "
                          f"divisible by m {m}")
@@ -1304,46 +1405,37 @@ def ivfpq_topk_residual(vectors: DataFrame, queries: DataFrame, k: int, *,
             code_frames.append(assigned.select(
                 F.col("vec_id").alias("neighbor_id"),
                 F.lit(s).alias("_s"), F.col("_code")))
-    if codes is not None:
-        codes_df = codes.select(F.col("vec_id").alias("neighbor_id"),
-                                F.col("subspace").alias("_s"),
-                                F.col("code").alias("_code"))
-    else:
-        codes_df = code_frames[0]
-        for f_ in code_frames[1:]:
-            codes_df = codes_df.unionAll(f_)
-    # ADC table: <q_s, r̂_code> per (query, subspace, code), micros
-    adc_frames = []
+    codes_arr = _codes_array_frame(codes, code_frames)
+    # Per-query ADC nested table: _adc[s][code+1] = <q_s, r̂_code>
+    # micros, from one-row code-ordered codebook arrays (ivfpq_topk's
+    # r10 layout — same integer entries as the r9 row table).
+    adc_q = q
     for s, cents in enumerate(cents_by_s):
-        qs = q.select("query_id",
-                      F.slice(F.col("_qv"), s * sub + 1, sub)
-                      .alias("_qs"))
-        adc_frames.append(qs.crossJoin(F.broadcast(cents)).select(
-            "query_id", F.lit(s).alias("_s"),
-            F.col("c_label").alias("_code"),
-            F.round(dot(F.col("_qs"), F.col("centroid")) * 1e6)
-            .cast("long").alias("_qrm")))
-    adc = adc_frames[0]
-    for f_ in adc_frames[1:]:
-        adc = adc.unionAll(f_)
-    # Cross table: 2<c_{list,s}, r̂_code> + |r̂_code|² per
-    # (list, subspace, code), micros — n_lists × m × pq_k rows
+        qs = F.slice(F.col("_qv"), s * sub + 1, sub)
+        adc_q = (adc_q.crossJoin(F.broadcast(_codebook_array(cents)))
+                 .withColumn(f"_a{s}", F.transform(
+                     "_ca",
+                     lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
+                 .drop("_ca"))
+    adc_tbl = adc_q.select(
+        "query_id",
+        F.array(*[f"_a{s}" for s in range(m)]).alias("_adc"))
+    # Per-list cross nested table: _xtb[s][code+1] =
+    # 2<c_{list,s}, r̂_code> + |r̂_code|² micros — n_lists rows.
     cl = centroids.select(F.col("c_label").alias("list_label"),
                           F.col("centroid").alias("_cv"))
-    cross_frames = []
+    xt = cl
     for s, cents in enumerate(cents_by_s):
-        cs = cl.select("list_label",
-                       F.slice("_cv", s * sub + 1, sub).alias("_cs"))
-        cross_frames.append(cs.crossJoin(F.broadcast(cents)).select(
-            "list_label", F.lit(s).alias("_s"),
-            F.col("c_label").alias("_code"),
-            (F.round(dot(F.col("_cs"), F.col("centroid")) * 2e6)
-             .cast("long")
-             + F.round(dot(F.col("centroid"), F.col("centroid")) * 1e6)
-             .cast("long")).alias("_xnm")))
-    cross = cross_frames[0]
-    for f_ in cross_frames[1:]:
-        cross = cross.unionAll(f_)
+        cs = F.slice(F.col("_cv"), s * sub + 1, sub)
+        xt = (xt.crossJoin(F.broadcast(_codebook_array(cents)))
+              .withColumn(f"_x{s}", F.transform(
+                  "_ca",
+                  lambda c: F.round(dot(cs, c) * 2e6).cast("long")
+                  + F.round(dot(c, c) * 1e6).cast("long")))
+              .drop("_ca"))
+    cross_tbl = xt.select(
+        "list_label",
+        F.array(*[f"_x{s}" for s in range(m)]).alias("_xtb"))
     cn = (centroids.select("c_label", "centroid")
           .withColumn("_cn", norm(F.col("centroid"))))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
@@ -1359,22 +1451,13 @@ def ivfpq_topk_residual(vectors: DataFrame, queries: DataFrame, k: int, *,
             .join(lists.select(F.col("vec_id").alias("neighbor_id"),
                                "list_label"), "list_label")
             .where(F.col("query_id") != F.col("neighbor_id")))
-    scored = (cand.join(codes_df, "neighbor_id")
-              .join(F.broadcast(adc), ["query_id", "_s", "_code"])
-              .join(F.broadcast(cross), ["list_label", "_s", "_code"])
-              .groupBy("query_id", "neighbor_id", "_qn", "_qcm",
-                       "_cn2m")
-              .agg(F.sum("_qrm").alias("_qr"),
-                   F.sum("_xnm").alias("_xn"),
-                   F.count(F.lit(1)).alias("_nsub")))
-    guard = F.assert_true(
-        F.col("_nsub") == m,
-        F.format_string(
-            "ivfpq_topk_residual: candidate %s scored %s of "
-            + str(m) + " subspaces — codes artifact is incomplete",
-            F.col("neighbor_id"), F.col("_nsub")))
-    scored = scored.withColumn(
-        "_qr", F.when(guard.isNull(), F.col("_qr"))).drop("_nsub")
+    scored = (cand.join(codes_arr, "neighbor_id")
+              .join(F.broadcast(adc_tbl), "query_id")
+              .join(F.broadcast(cross_tbl), "list_label"))
+    scored = _fold_codes_guard(
+        scored, m, "ivfpq_topk_residual",
+        {"_qr": _adc_lookup_sum(m, "_adc"),
+         "_xn": _adc_lookup_sum(m, "_xtb")})
     score = ((F.col("_qcm") + F.col("_qr")) / 1e6) \
         / (F.col("_qn")
            * F.sqrt((F.col("_cn2m") + F.col("_xn")) / 1e6))

@@ -4657,7 +4657,7 @@ def _pq_artifacts(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     cbs = QZ.get_or_train_pq(e, fingerprint=fp, m=4, k=8)
-    codes = QZ.get_or_build_codes(e, cbs, fingerprint=fp, m=4, k=8)
+    codes = QZ.get_or_build_codes_array(e, cbs, fingerprint=fp, m=4, k=8)
     return cbs, codes
 
 

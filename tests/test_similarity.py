@@ -707,7 +707,7 @@ def test_ivfpq_residual_contract(spark, sf_dir, tmp_path):
     cents = kmeans_centroids(e, 4, n_iter=1, sample_cap=4096)
     lists = ivf_assign(e, cents)
     queries = e.where(F.col("vec_id") % 200 == 0)
-    out = ivfpq_topk_residual(e, queries, 5, nprobe=2, pq_k=4,
+    out = ivfpq_topk_residual(queries, 5, nprobe=2, pq_k=4,
                               n_iter=1, centroids=cents, lists=lists)
     rows = sorted(map(tuple, out.collect()))
     assert rows == sorted(map(tuple, out.collect()))
@@ -726,13 +726,13 @@ def test_ivfpq_residual_contract(spark, sf_dir, tmp_path):
                              force=True)
     codes = QZ.get_or_build_codes(res, cbs, fingerprint="res-fp",
                                   m=4, k=4, vec_col="_rv", root=root)
-    with_art = ivfpq_topk_residual(e, queries, 5, nprobe=2, pq_k=4,
+    with_art = ivfpq_topk_residual(queries, 5, nprobe=2, pq_k=4,
                                    n_iter=1, centroids=cents,
                                    lists=lists, codebooks=cbs,
                                    codes=codes)
     assert sorted(map(tuple, with_art.collect())) == rows
     with pytest.raises(ValueError, match="without the codebooks"):
-        ivfpq_topk_residual(e, queries, 5, nprobe=2, centroids=cents,
+        ivfpq_topk_residual(queries, 5, nprobe=2, centroids=cents,
                             lists=lists, codes=codes)
 
 
@@ -775,6 +775,50 @@ def test_pq_guards(spark, sf_dir, tmp_path):
     with pytest.raises(Exception, match="subspaces|ASSERT"):
         ivfpq_topk(e, queries, 5, nprobe=4, centroids=cents,
                    lists=lists, codebooks=cbs, codes=holey).collect()
+
+
+def test_ivfpq_array_codes_layout(spark, sf_dir, tmp_path):
+    """The r10 serving layout: get_or_build_codes_array persists ONE
+    row per vector with codes[s] positional by subspace, and
+    ivfpq_topk over the array artifact equals the row-layout artifact
+    AND the inline-trained run row for row (same integer ADC terms,
+    inline lookup sum instead of the m-row join+groupBy)."""
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import (ivf_assign,
+                                                   ivfpq_topk,
+                                                   kmeans_centroids)
+    from quasdb_spark.sources.tables import load_table
+
+    root = str(tmp_path / "artifacts")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, 10, n_iter=2, sample_cap=65536)
+    lists = ivf_assign(e, cents)
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    cbs = QZ.get_or_train_pq(e, fingerprint="arr-fp", m=4, k=8,
+                             root=root, force=True)
+    rows_codes = QZ.get_or_build_codes(e, cbs, fingerprint="arr-fp",
+                                       m=4, k=8, root=root)
+    arr_codes = QZ.get_or_build_codes_array(e, cbs, fingerprint="arr-fp",
+                                            m=4, k=8, root=root)
+    # one row per vector, m codes each, positional by subspace
+    assert arr_codes.count() == e.count()
+    assert arr_codes.where(F.size("codes") != 4).count() == 0
+    sample = dict((r["vec_id"], r["codes"])
+                  for r in arr_codes.limit(50).collect())
+    row_map = {}
+    for r in rows_codes.where(F.col("vec_id").isin(*sample)).collect():
+        row_map.setdefault(r["vec_id"], {})[r["subspace"]] = r["code"]
+    for vid, codes in sample.items():
+        assert codes == [row_map[vid][s] for s in range(4)], vid
+    via_arr = ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                         lists=lists, codebooks=cbs, codes=arr_codes)
+    via_rows = ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                          lists=lists, codebooks=cbs, codes=rows_codes)
+    inline = ivfpq_topk(e, queries, 5, nprobe=2, centroids=cents,
+                        lists=lists)
+    got = sorted(map(tuple, via_arr.collect()))
+    assert got == sorted(map(tuple, via_rows.collect()))
+    assert got == sorted(map(tuple, inline.collect()))
 
 
 def test_hard_negatives_vectorized_scorer_bit_parity(spark, sf_dir):

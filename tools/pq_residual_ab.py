@@ -89,7 +89,7 @@ def main():
         e, queries, 10, nprobe=2, m=m, pq_k=pq_k, centroids=cents,
         lists=lists, codebooks=cbs_raw, codes=codes_raw))
     res_df, t_res = run(lambda: SIM.ivfpq_topk_residual(
-        e, queries, 10, nprobe=2, m=m, pq_k=pq_k, centroids=cents,
+        queries, 10, nprobe=2, m=m, pq_k=pq_k, centroids=cents,
         lists=lists, codebooks=cbs_res, codes=codes_res))
     ivf_df, t_ivf = run(lambda: SIM.ivf_topk(
         e, queries, 10, nprobe=2, centroids=cents, lists=lists))
