@@ -410,6 +410,16 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
     recall curve, and the right trade at 100 TB (those are easy
     negatives anyway).
     """
+    if vectorized:
+        # Arrow path end to end: the vectorized signature pass (same
+        # bit-identical frame semdedup rides) carries the label as a
+        # passthrough column, then the bucket-local scorer runs one
+        # numpy Gram per (band, key) bucket.
+        e = signature_frame_pandas(
+            vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
+            band_bits=band_bits, dims=dims, seed=seed,
+            passthrough={label_col: "_lbl"}).persist()
+        return _hard_negatives_bucketed(e, k, max_bucket_size)
     keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
                                 dims=dims, seed=seed)
     e = ensure_parallelism(vectors).select(
@@ -436,51 +446,114 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = e.select(F.col("_id").alias("negative_id"),
                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    if vectorized:
-        # Arrow-vectorized twin of the fold dot — BIT-IDENTICAL by
-        # the signature_frame_pandas argument: the expression fold
-        # computes acc <- acc + a_i*b_i sequentially in IEEE float64,
-        # and the numpy loop below accumulates over dims in the SAME
-        # order with the SAME float64 elementwise ops, so every score
-        # (hence every top-k rank at the 4-decimal boundary) is
-        # equal, not just close (pinned by test).
-        #
-        # OFF by default after an A/B at dims=64/sf0.1: shipping BOTH
-        # 64-dim arrays per candidate pair through Arrow costs more
-        # than the interpreted fold saves (6.99 vs 6.49 s medians,
-        # exact-equal 6000-row output) — unlike the per-VECTOR
-        # signature pass, per-PAIR scoring transfers each vector once
-        # per candidate. The crossover is at real embedding widths
-        # (768/1536), where the fold is ~25x more lambda steps but
-        # the Arrow bytes only grow linearly — flip it on there.
-        import numpy as np
-        import pandas as pd
-
-        # NB: no type hints — locally-imported pd isn't resolvable at
-        # decoration time (the repo-wide pandas_udf convention)
-        @F.pandas_udf("double")
-        def _dot_seq(pa, pb):
-            if not len(pa):
-                return pd.Series([], dtype="float64")
-            a = np.array(pa.tolist(), dtype=np.float64)
-            b = np.array(pb.tolist(), dtype=np.float64)
-            # start from 0.0 exactly like the fold (keeps even the
-            # sign of zero identical before the +0.0 normalization)
-            acc = np.zeros(len(a))
-            for i in range(a.shape[1]):
-                acc = acc + a[:, i] * b[:, i]
-            return pd.Series(acc)
-
-        score_expr = (_dot_seq(F.col("_va"), F.col("_vb"))
-                      / (F.col("_na") * F.col("_nb")))
-    else:
-        score_expr = (dot(F.col("_va"), F.col("_vb"))
-                      / (F.col("_na") * F.col("_nb")))
+    score_expr = (dot(F.col("_va"), F.col("_vb"))
+                  / (F.col("_na") * F.col("_nb")))
     scored = (cand.join(va, "anchor_id").join(vb, "negative_id")
               .withColumn("score", score_expr))
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("negative_id").asc())
     return (scored.withColumn("rank", F.row_number().over(w))
+            .where(F.col("rank") <= k)
+            .select("anchor_id", "rank", "negative_id", "anchor_label",
+                    "negative_label",
+                    (F.round("score", 4) + F.lit(0.0)).alias("score")))
+
+
+def _hard_negatives_bucketed(e: DataFrame, k: int,
+                             max_bucket_size: int | None) -> DataFrame:
+    """BUCKET-LOCAL Arrow scorer for hard_negatives (VERDICT r9 #2):
+    applyInPandas over each (band, key) LSH bucket computes the whole
+    bucket's anchor×negative cosine table with ONE dims-sequential
+    numpy Gram accumulation, emits each anchor's in-bucket top-k, and
+    the global per-anchor top-k window runs over those candidates
+    only. Each vector ships through Arrow ONCE PER BUCKET (n_bands
+    rows), never once per candidate pair — the r9 per-pair Arrow
+    scorer lost its A/B at dims=64 precisely because it shipped both
+    64-double arrays per pair (6.99 vs 6.49 s); bucket-local transfer
+    is ~|pairs|/|bucket| times smaller.
+
+    BIT-IDENTICAL to the expression fold (pinned by test): the Gram
+    loop accumulates G += V[:, i] ⊗ V[:, i] over dims in the fold's
+    exact order with the same float64 elementwise ops, then divides
+    by the SAME precomputed JVM-side norms (na*nb first), so every
+    score — hence every rank at the 4-decimal boundary — is equal.
+
+    In-bucket top-k is lossless for the global top-k: ranks use the
+    strict total order (score desc, negative_id asc), and any
+    candidate in an anchor's global top-k has fewer than k candidates
+    above it globally, hence fewer than k above it in any shared
+    bucket — the cosine_topk_pandas partial-top-k argument. Pairs
+    sharing several buckets score identically in each, so the
+    keep-any dropDuplicates is sound. A zero-norm vector scores
+    NaN in numpy where the fold's x/0.0 yields NULL: both are emitted
+    as NULL, ordered last, exactly like the fold path's NULLS LAST.
+    """
+    import numpy as np
+    import pandas as pd
+
+    id_t = e.schema["_id"].dataType.simpleString()
+    lbl_t = e.schema["_lbl"].dataType.simpleString()
+    out_schema = (f"anchor_id {id_t}, anchor_label {lbl_t}, "
+                  f"negative_id {id_t}, negative_label {lbl_t}, "
+                  f"score double")
+
+    def score_bucket(pdf):
+        n = len(pdf)
+        if n < 2:
+            return pd.DataFrame(
+                {c: [] for c in ("anchor_id", "anchor_label",
+                                 "negative_id", "negative_label",
+                                 "score")})
+        ids = pdf["_id"].to_numpy()
+        lbls = pdf["_lbl"].to_numpy()
+        ns = pdf["_n"].to_numpy(dtype=np.float64)
+        V = np.stack([np.asarray(v, dtype=np.float64)
+                      for v in pdf["_v"]])
+        # dims-sequential accumulation == the expression fold's float
+        # order; do NOT replace with one matmul (pairwise summation
+        # differs in the last ulp and can flip a rank boundary)
+        G = np.zeros((n, n))
+        for i in range(V.shape[1]):
+            G = G + V[:, i:i + 1] * V[:, i][None, :]
+        with np.errstate(divide="ignore", invalid="ignore"):
+            S = G / (ns[:, None] * ns[None, :])
+        out = {"anchor_id": [], "anchor_label": [], "negative_id": [],
+               "negative_label": [], "score": []}
+        for a in range(n):
+            cand = np.flatnonzero((lbls != lbls[a]) & (ids != ids[a]))
+            if not len(cand):
+                continue
+            s = S[a, cand]
+            finite = np.isfinite(s)
+            # fold-path order: score desc (NULLS LAST), id asc — rank
+            # finite scores first, backfill NaN (→ NULL) by id asc
+            fin = cand[finite]
+            order = np.lexsort((ids[fin], -s[finite]))
+            pick = list(fin[order][:k])
+            if len(pick) < k:
+                nf = cand[~finite]
+                pick += list(nf[np.argsort(ids[nf])][:k - len(pick)])
+            for j in pick:
+                out["anchor_id"].append(ids[a])
+                out["anchor_label"].append(lbls[a])
+                out["negative_id"].append(ids[j])
+                out["negative_label"].append(lbls[j])
+                sc = S[a, j]
+                out["score"].append(float(sc) if np.isfinite(sc)
+                                    else None)
+        return pd.DataFrame(out)
+
+    bands = e.select("_id", "_lbl", "_v", "_n",
+                     F.posexplode("_keys").alias("_band", "_key"))
+    if max_bucket_size is not None:
+        bands = drop_hot_buckets(bands, ["_band", "_key"],
+                                 max_bucket_size)
+    cands = (bands.groupBy("_band", "_key")
+             .applyInPandas(score_bucket, out_schema)
+             .dropDuplicates(["anchor_id", "negative_id"]))
+    w = Window.partitionBy("anchor_id").orderBy(
+        F.col("score").desc(), F.col("negative_id").asc())
+    return (cands.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("anchor_id", "rank", "negative_id", "anchor_label",
                     "negative_label",
@@ -1576,7 +1649,9 @@ def cosine_topk_pandas(vectors: DataFrame, queries: DataFrame, k: int, *,
 def signature_frame_pandas(vectors: DataFrame, *, id_col: str = "vec_id",
                            vec_col: str = "embedding", n_bands: int = 8,
                            band_bits: int = 8, dims: int = 64,
-                           seed: int = 0) -> DataFrame:
+                           seed: int = 0,
+                           passthrough: dict[str, str] | None = None,
+                           ) -> DataFrame:
     """Arrow-vectorized twin of the expression signature projection in
     ``neardup_pairs_banded`` — same output frame (_id, _v, _n, _keys),
     BIT-IDENTICAL floats and keys, built with numpy instead of
@@ -1605,8 +1680,15 @@ def signature_frame_pandas(vectors: DataFrame, *, id_col: str = "vec_id",
     planes = hyperplane_signs(n_bands * band_bits, dims, seed)
     n_bits = n_bands * band_bits
     id_type = vectors.schema[id_col].dataType.simpleString()
+    # passthrough: {source_col: out_col} columns copied verbatim onto
+    # the signature frame (e.g. a label for hard-negative mining) —
+    # saves the downstream join that re-attaching them would cost
+    passthrough = passthrough or {}
+    extra_schema = "".join(
+        f", {out} {vectors.schema[src].dataType.simpleString()}"
+        for src, out in passthrough.items())
     out_schema = (f"_id {id_type}, _v array<double>, _n double, "
-                  f"_keys array<string>")
+                  f"_keys array<string>{extra_schema}")
 
     def gen(batches):
         W = np.asarray(planes, dtype=np.float64)  # (bits, dims)
@@ -1649,7 +1731,10 @@ def signature_frame_pandas(vectors: DataFrame, *, id_col: str = "vec_id",
                                    for b in range(n_bands)]
                     n_out[r] = float(nrm[k])
                     v_out[r] = V[k].tolist()
-            yield pd.DataFrame({"_id": ids, "_v": v_out,
-                                "_n": n_out, "_keys": keys_out})
+            out = {"_id": ids, "_v": v_out, "_n": n_out,
+                   "_keys": keys_out}
+            for src, dst in passthrough.items():
+                out[dst] = pdf[src]
+            yield pd.DataFrame(out)
 
     return ensure_parallelism(vectors).mapInPandas(gen, out_schema)

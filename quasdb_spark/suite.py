@@ -3094,11 +3094,16 @@ def q_sim_neardup_cosine(spark, sf_dir):
 def q_emb_hard_negatives(spark, sf_dir):
     """Contrastive hard-negative mining: per anchor, the top-3
     most-similar OTHER-label vectors among its banded sign-LSH
-    candidates (8 bands x 8 bits, skew-guarded). Label filter runs
-    BEFORE scoring; the top-k window partitions by anchor."""
+    candidates (8 bands x 8 bits, skew-guarded). vectorized=True:
+    the r10 bucket-local Arrow scorer — one numpy Gram per (band,
+    key) bucket with in-bucket top-k, each vector shipped once per
+    bucket instead of once per candidate pair — BIT-identical to the
+    expression fold (test_hard_negatives_vectorized_scorer_bit_parity),
+    so the oracle is unchanged; the fold path remains the
+    cross-check."""
     e = _t(spark, sf_dir, "embeddings")
     return SIM.hard_negatives(e, 3, n_bands=8, band_bits=8,
-                              max_bucket_size=1000)
+                              max_bucket_size=1000, vectorized=True)
 
 
 def q_emb_decontaminate(spark, sf_dir):

@@ -822,10 +822,11 @@ def test_ivfpq_array_codes_layout(spark, sf_dir, tmp_path):
 
 
 def test_hard_negatives_vectorized_scorer_bit_parity(spark, sf_dir):
-    """The Arrow scorer (dims-sequential numpy accumulation) must be
-    BIT-identical to the expression fold — same rows, same ranks,
-    same 4-decimal scores (the signature_frame_pandas argument
-    applied to per-pair scoring)."""
+    """The bucket-local Arrow scorer (one dims-sequential numpy Gram
+    per LSH bucket + in-bucket top-k) must be BIT-identical to the
+    expression fold — same rows, same ranks, same 4-decimal scores
+    (the signature_frame_pandas float-order argument plus the
+    partial-top-k losslessness argument)."""
     from quasdb_spark.operators.similarity import hard_negatives
     from quasdb_spark.sources.tables import load_table
 
