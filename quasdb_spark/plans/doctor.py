@@ -77,6 +77,60 @@ def _broadcast_sides_bounded(plan: str) -> bool:
     return found_any
 
 
+# Key columns that identify an sf-SCALED TPC-H relation in a logical
+# plan's `Relation [cols] parquet` line. A frame derived from one of
+# these grows linearly with the scale factor, so an EXPLICIT broadcast
+# hint on it OOMs the build side at the 100 TB target (r9's forced
+# part/supplier/customer broadcasts — VERDICT r9 #3). nation/region are
+# constant-size (25/5 rows at every sf) and fine to pin; query-side
+# embeddings/documents frames are broadcast under an explicit
+# small-by-contract bound (e.g. a sampled query set) and are the
+# caller's stated contract, not an accident — both excluded here.
+_SF_SCALED_KEYS = {
+    "c_custkey#": "customer",
+    "p_partkey#": "part",
+    "s_suppkey#": "supplier",
+    "o_orderkey#": "orders",
+    "l_orderkey#": "lineitem",
+}
+
+# Logical-plan markers that statically bound a subtree's cardinality:
+# a limit, or a KEYLESS (global) aggregate — `Aggregate [aggs]` prints
+# one bracket group, a grouped aggregate prints two (`[keys], [aggs]`).
+_LOGICAL_BOUNDED = re.compile(
+    r"(GlobalLimit|LocalLimit|Aggregate \[[^\]]*\](?!, \[))")
+
+
+def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
+    """Tables from ``_SF_SCALED_KEYS`` that sit under an EXPLICIT
+    broadcast hint in the ANALYZED logical plan (hints survive there;
+    the optimizer folds them into join nodes) with no statically
+    bounding operator (limit / keyless aggregate) between the hint and
+    the scan. Each is a 100x-scale hazard: AQE would have broadcast it
+    at today's size anyway, and at the target scale the pinned build
+    side is linear in the data."""
+    plan = df._jdf.queryExecution().analyzed().toString()
+    lines = plan.splitlines()
+    hits: list[str] = []
+    for i, ln in enumerate(lines):
+        if "ResolvedHint" not in ln or "broadcast" not in ln.lower():
+            continue
+        depth = _subtree_indent(ln)
+        bounded_depths: list[int] = []
+        for child in lines[i + 1:]:
+            if child.strip() and _subtree_indent(child) <= depth:
+                break
+            cd = _subtree_indent(child)
+            bounded_depths = [d for d in bounded_depths if d < cd]
+            if _LOGICAL_BOUNDED.search(child):
+                bounded_depths.append(cd)
+            if "Relation" in child and not bounded_depths:
+                for key, tbl in _SF_SCALED_KEYS.items():
+                    if key in child and tbl not in hits:
+                        hits.append(tbl)
+    return hits
+
+
 def lint_plan(df: DataFrame) -> list[dict]:
     """Inspect ``df``'s physical plan; return findings as dicts with
     ``rule``, ``severity`` ("error" | "warn" | "info"), ``detail``.
@@ -84,6 +138,18 @@ def lint_plan(df: DataFrame) -> list[dict]:
     not a proof)."""
     plan = _plan_str(df)
     out: list[dict] = []
+
+    sf_bcast = broadcast_sf_scaled_findings(df)
+    if sf_bcast:
+        out.append(dict(
+            rule="broadcast_sf_scaled", severity="error",
+            detail="Explicit broadcast hint on a frame derived from "
+                   f"sf-scaled table(s) {sf_bcast}: the build side "
+                   "grows linearly with the data and OOMs at scale. "
+                   "Drop the hint — AQE still broadcasts it while it "
+                   "is actually small; keep hints for constant-size "
+                   "dims (nation/region) or explicitly bounded "
+                   "frames (limits, global aggregates)."))
 
     if "CartesianProduct" in plan:
         out.append(dict(

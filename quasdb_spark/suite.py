@@ -1082,7 +1082,7 @@ def q_rel_top_orders(spark, sf_dir):
     o = _t(spark, sf_dir, "orders")
     li = _t(spark, sf_dir, "lineitem")
     rev = (li.join(o, li.l_orderkey == o.o_orderkey)
-             .join(F.broadcast(cu.where(F.col("c_mktsegment") == "BUILDING")),
+             .join(cu.where(F.col("c_mktsegment") == "BUILDING"),
                    o.o_custkey == cu.c_custkey)
              .groupBy("o_orderkey", "o_orderdate")
              .agg((F.round(F.sum(_rev_u4()) / 100.0, 0)
@@ -1128,7 +1128,7 @@ def q_rel_promo_share(spark, sf_dir):
     # order on both engines), scale-rounded at 4
     promo_u4 = F.sum(F.when(F.col("p_type") == "PROMO", _rev_u4())
                      .otherwise(F.lit(0).cast("long")))
-    return (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    return (li.join(p, li.l_partkey == p.p_partkey)
               .groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
               .agg((F.round(F.lit(100.0) * promo_u4 / F.sum(_rev_u4())
                             * 10000, 0) / 10000.0).alias("promo_share"),
@@ -1146,12 +1146,12 @@ def q_rel_small_qty_revenue(spark, sf_dir):
     engines land boundary rows identically."""
     p = _t(spark, sf_dir, "part").where(F.col("p_brand") == "Brand#1")
     li = _t(spark, sf_dir, "lineitem")
-    per_part = (li.join(F.broadcast(p.select("p_partkey")),
+    per_part = (li.join(p.select("p_partkey"),
                         li.l_partkey == F.col("p_partkey"))
                 .groupBy("l_partkey")
                 .agg(F.sum(_qty_l()).alias("_sq"),
                      F.count(F.lit(1)).alias("_cnt")))
-    small = (li.join(F.broadcast(p.select("p_partkey")),
+    small = (li.join(p.select("p_partkey"),
                      li.l_partkey == F.col("p_partkey")).drop("p_partkey")
              .join(per_part, "l_partkey")
              .where(_qty_l() * 5 * F.col("_cnt") < F.col("_sq")))
@@ -1170,7 +1170,7 @@ def q_rel_product_revenue(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     n = _t(spark, sf_dir, "nation")
     li = _t(spark, sf_dir, "lineitem")
-    return (li.join(F.broadcast(p.select("p_partkey")),
+    return (li.join(p.select("p_partkey"),
                     li.l_partkey == F.col("p_partkey"))
             .join(s, li.l_suppkey == s.s_suppkey)
             .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
@@ -1204,7 +1204,7 @@ def q_rel_customer_rank(spark, sf_dir):
 def q_rel_supplier_volume(spark, sf_dir):
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    return (li.join(F.broadcast(s), li.l_suppkey == s.s_suppkey)
+    return (li.join(s, li.l_suppkey == s.s_suppkey)
               .groupBy("s_name")
               .agg(F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
                    F.count(F.lit(1)).alias("n_lines")))
@@ -1476,12 +1476,12 @@ def q_rel_min_cost_supplier(spark, sf_dir):
     p = _t(spark, sf_dir, "part").where(F.col("p_size") == 25)
     s = _t(spark, sf_dir, "supplier")
     li = _t(spark, sf_dir, "lineitem")
-    pairs = (li.join(F.broadcast(p.select("p_partkey", "p_brand")),
+    pairs = (li.join(p.select("p_partkey", "p_brand"),
                      li.l_partkey == F.col("p_partkey"))
              .select("p_partkey", "p_brand", "l_suppkey").distinct())
     w = Window.partitionBy("p_partkey").orderBy(
         F.col("s_acctbal").asc(), F.col("s_suppkey").asc())
-    return (pairs.join(F.broadcast(s), pairs.l_suppkey == s.s_suppkey)
+    return (pairs.join(s, pairs.l_suppkey == s.s_suppkey)
             .withColumn("_rn", F.row_number().over(w))
             .where(F.col("_rn") == 1)
             .select("p_partkey", "p_brand", "s_name",
@@ -1548,9 +1548,9 @@ def q_rel_part_supplier_counts(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem")
     s_excl = (_t(spark, sf_dir, "supplier")
               .where(F.col("s_acctbal") < 0).select("s_suppkey"))
-    pairs = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    pairs = (li.join(p, li.l_partkey == p.p_partkey)
                .select("p_brand", "p_type", "l_suppkey").distinct())
-    kept = pairs.join(F.broadcast(s_excl),
+    kept = pairs.join(s_excl,
                       pairs.l_suppkey == s_excl.s_suppkey, "left_anti")
     return (kept.groupBy("p_brand", "p_type")
                 .agg(F.countDistinct("l_suppkey").alias("supplier_cnt")))
@@ -1573,7 +1573,7 @@ def q_rel_dominant_supplier(spark, sf_dir):
          .where(F.col("p_name").startswith("red"))
          .select("p_partkey"))
     li = _t(spark, sf_dir, "lineitem")
-    qty = (li.join(F.broadcast(p), li.l_partkey == p.p_partkey)
+    qty = (li.join(p, li.l_partkey == p.p_partkey)
              .groupBy("l_partkey", "l_suppkey")
              .agg(F.sum(F.col("l_quantity").cast("bigint"))
                   .alias("_q")))
@@ -1612,12 +1612,17 @@ def q_rel_important_stock(spark, sf_dir):
     p = _t(spark, sf_dir, "part")
     g = (li.join(s, li.l_suppkey == s.s_suppkey)
            .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
-           .join(F.broadcast(p), li.l_partkey == p.p_partkey)
+           .join(p, li.l_partkey == p.p_partkey)
            .groupBy("n_name", "p_brand")
            .agg(F.sum(_rev_u4()).alias("_rev")))
     tot = g.agg(F.sum("_rev").alias("_tot"))
+    # threshold compare in decimal(38,0): at ~sf4500+ the long
+    # rev_u4*500 cross-multiplication would wrap silently under
+    # non-ANSI Spark while DuckDB promotes sums to HUGEINT (ADVICE
+    # r9) — decimal keeps the exact-integer contract at every sf
     return (g.join(tot)
-             .where(F.col("_rev") * 500 > F.col("_tot"))
+             .where(F.col("_rev").cast("decimal(38,0)") * 500
+                    > F.col("_tot").cast("decimal(38,0)"))
              .select("n_name", "p_brand",
                      (F.round(F.col("_rev") / 100.0, 0) / 100.0)
                      .alias("value")))
@@ -3407,7 +3412,7 @@ def q_rel_shipping_priority(spark, sf_dir):
     o = _t(spark, sf_dir, "orders").where(F.col("o_orderstatus") == "O")
     li = _t(spark, sf_dir, "lineitem")
     rev = (li.join(o, li.l_orderkey == o.o_orderkey)
-           .join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+           .join(cu, o.o_custkey == cu.c_custkey)
            .groupBy("o_orderkey", "o_orderdate", "o_orderpriority")
            .agg((F.round(F.sum(_rev_u4()) / 100.0, 0) / 100.0)
                 .alias("revenue")))
@@ -3793,7 +3798,7 @@ def q_rel_region_share(spark, sf_dir):
     n = _t(spark, sf_dir, "nation")
     cu = _t(spark, sf_dir, "customer")
     o = _t(spark, sf_dir, "orders")
-    nat_rev = (o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey)
+    nat_rev = (o.join(cu, o.o_custkey == cu.c_custkey)
                 .join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
                 .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
                 .groupBy("r_name", "n_name")
@@ -4458,26 +4463,37 @@ def q_emb_project(spark, sf_dir):
     map-only width-reduction pass run before clustering / dedup / ANN
     on wide embeddings (4x smaller vectors before anything shuffles
     them). Same md5-derived deterministic sign family as the LSH
-    bucket hash; elements rounded to 4 decimals on both engines.
+    bucket hash.
 
-    Output is exploded to scalar rows (vec_id, pos, component) — the
-    driver's pandas canonicalizer cannot sort/hash ARRAY columns (the
-    r4 sketch_events_profile lesson, regressed r8, fixed here)."""
+    Output is ONE row per vector with an md5 digest of the projected
+    components (the text_winnow pattern) — the driver's pandas
+    canonicalizer cannot sort/hash ARRAY columns, and r9's 16x
+    posexplode driver-compat shape cost 2-3x the projection itself
+    (VERDICT r9 #7). Components are rounded to 4 decimals then scaled
+    to exact integer 1e-4 units before stringifying, so the digest
+    never compares float formatting across engines — both sides hash
+    the same "12345,-678,..." text."""
     e = _t(spark, sf_dir, "embeddings")
     p = SIM.random_project(e, out_dim=16, dims=64, seed=7)
-    return (p.select("vec_id",
-                     F.posexplode("projected").alias("pos", "_c"))
-            .select("vec_id",
-                    (F.col("pos") + 1).cast("int").alias("pos"),
-                    (F.round("_c", 4) + F.lit(0.0)).alias("component")))
+    comp_u4 = F.transform(
+        "projected",
+        lambda x: F.round(F.round(x, 4) * 10000).cast("long")
+        .cast("string"))
+    return p.select(
+        "vec_id",
+        F.size("projected").cast("int").alias("out_dim"),
+        F.md5(F.concat_ws(",", comp_u4)).alias("proj_digest"))
 
 
 _SIM_ORACLES["emb_project"] = f"""
     WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
     p AS (SELECT vec_id, {_hp_proj_sql('v', 16, seed=7)} AS projected
           FROM e)
-    SELECT vec_id, CAST(i AS INT) AS pos, projected[i] + 0.0 AS component
-    FROM p, unnest(range(1, 17)) AS u(i)"""
+    SELECT vec_id, CAST(len(projected) AS INT) AS out_dim,
+           md5(list_aggregate(list_transform(projected,
+                 x -> CAST(CAST(round(x * 10000) AS BIGINT) AS VARCHAR)),
+               'string_agg', ',')) AS proj_digest
+    FROM p"""
 
 
 def _kmeans_iter_sql(n: int, prev: str, src: str = "tr",
