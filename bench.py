@@ -71,6 +71,7 @@ EXTRA_BENCH = [
     "rel_late_orders", "rel_ship_delay_dist",  # r9
     "rel_part_supplier_counts", "rel_dominant_supplier",
     "rel_important_stock",
+    "text_bpe_train", "dedup_paragraphs",  # r10
 ]
 
 

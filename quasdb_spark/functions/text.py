@@ -524,6 +524,112 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", *,
             .select("rank", "pair", "n"))
 
 
+# Symbol-boundary sentinel for BPE training: every symbol of a word's
+# current segmentation is stored as <SEP>sym<SEP>, so applying merge
+# (a, b) -> ab is ONE engine-native string replace of
+# <SEP>a<SEP><SEP>b<SEP> with <SEP>ab<SEP> — and because replace() is
+# left-to-right non-overlapping in both the JVM and DuckDB, it IS the
+# canonical BPE merge semantics ("aaa" + (a,a) -> (aa, a)). The double
+# sentinel between symbols keeps a match from consuming the boundary
+# the next candidate pair needs ("a a a a" merges to (aa, aa), not
+# (aa, a, a)).
+BPE_SEP = "\x1f"
+
+
+def bpe_train(df: DataFrame, text_col: str = "text", *,
+              n_merges: int = 8,
+              word_re: str = "^[a-z]{2,}$") -> DataFrame:
+    """FULL iterative BPE tokenizer training (Sennrich et al. 2016):
+    repeatedly count adjacent symbol pairs over the corpus, merge the
+    most frequent (ties: count desc, then left asc, right asc), and
+    recount — emitting the merge table (merge_rank, lhs, rhs, merged,
+    pair_count) a tokenizer applies at encode time. ``bpe_pair_counts``
+    materializes only round one's candidates; this runs the n-merge
+    loop a real vocabulary build needs.
+
+    Scale shape: the corpus is touched ONCE — words collapse to a
+    DISTINCT-word frequency table (hash aggregate; vocabulary grows
+    sublinearly in corpus size) that is persisted and re-segmented
+    per round. Each round is one pair-count aggregate over the vocab
+    plus a 1-row driver fetch of the winning pair (the CC-fixpoint
+    "tiny driver aggregate" pattern), and the merge applies as one
+    map-side string replace — no Python in any per-row path.
+
+    Determinism / oracle-parity: pair counts are exact integers; the
+    tie-break is binary string order, identical in Spark and DuckDB;
+    the merge-application semantics are both engines' native
+    left-to-right non-overlapping replace (see BPE_SEP). A DuckDB
+    oracle can therefore unroll a fixed n_merges round for round.
+
+    Training vocabulary is words matching ``word_re`` (default:
+    all-alphabetic, len >= 2 — the classic BPE setup; it also keeps
+    the sentinel character and multi-code-unit regex '.' semantics
+    out of scope). Stops early if the vocabulary is fully merged.
+    Returns a driver-local merge table (n_merges rows — the quantizer
+    centroids pattern: a LocalTableScan, broadcast-sized artifact)."""
+    spark = df.sparkSession
+    words = (df.select(F.explode(tokens(text_col)).alias("w"))
+             .where(F.col("w").rlike(word_re))
+             .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
+    enc = F.regexp_replace("w", "(.)", BPE_SEP + "$1" + BPE_SEP)
+    cur = words.select(enc.alias("s"), "freq").persist()
+    toks = F.split(
+        F.regexp_replace("s", f"^{BPE_SEP}|{BPE_SEP}$", ""),
+        BPE_SEP + BPE_SEP)
+    merges: list[tuple] = []
+    for r in range(1, n_merges + 1):
+        pairs = (cur.select("freq", toks.alias("_t"))
+                 # guard: sequence(1, 0) DESCENDS in Spark, so a fully
+                 # merged 1-symbol word must not reach the explode
+                 .where(F.size("_t") >= 2)
+                 .select("freq", "_t",
+                         F.explode(F.sequence(F.lit(1), F.size("_t") - 1))
+                         .alias("i"))
+                 .select(F.element_at("_t", F.col("i")).alias("lhs"),
+                         F.element_at("_t", F.col("i") + 1).alias("rhs"),
+                         "freq"))
+        best = (pairs.groupBy("lhs", "rhs")
+                .agg(F.sum("freq").alias("n"))
+                .orderBy(F.col("n").desc(), F.col("lhs").asc(),
+                         F.col("rhs").asc())
+                .limit(1).collect())
+        if not best:
+            break
+        b = best[0]
+        merges.append((r, b["lhs"], b["rhs"], b["lhs"] + b["rhs"],
+                       b["n"]))
+        cur = cur.select(
+            F.replace(
+                F.col("s"),
+                F.lit(BPE_SEP + b["lhs"] + BPE_SEP
+                      + BPE_SEP + b["rhs"] + BPE_SEP),
+                F.lit(BPE_SEP + b["lhs"] + b["rhs"] + BPE_SEP))
+            .alias("s"),
+            "freq")
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, lhs string, rhs string, merged string, "
+        "pair_count long")
+
+
+def bpe_segment(text_col: str | Column, merges: list[tuple], *,
+                word_re: str = "^[a-z]{2,}$") -> Column:
+    """Apply a trained merge table to a single WORD column: returns
+    the word's BPE segmentation as array<string> (encode-time
+    counterpart of bpe_train, same sentinel mechanics — merges apply
+    in rank order, each as one left-to-right replace). ``merges`` is
+    the collected merge table: [(rank, lhs, rhs, ...), ...]."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    s = F.regexp_replace(c, "(.)", BPE_SEP + "$1" + BPE_SEP)
+    for m in sorted(merges):
+        lhs, rhs = m[1], m[2]
+        s = F.replace(s, F.lit(BPE_SEP + lhs + BPE_SEP
+                               + BPE_SEP + rhs + BPE_SEP),
+                      F.lit(BPE_SEP + lhs + rhs + BPE_SEP))
+    return F.split(F.regexp_replace(s, f"^{BPE_SEP}|{BPE_SEP}$", ""),
+                   BPE_SEP + BPE_SEP)
+
+
 def domain_mix_weights(df: DataFrame, domain_col: str = "source",
                        text_col: str = "text", *,
                        alpha: float = 0.3) -> DataFrame:

@@ -921,3 +921,123 @@ def drop_duplicate_spans(df: DataFrame, spans: DataFrame,
     return (df.join(sp, id_col, "left")
               .withColumn(out_col, F.concat_ws(" ", kept))
               .drop("_spans"))
+
+
+# Composite paragraph id for fuzzy paragraph dedup: pid preserves the
+# corpus order (doc_id, para_idx) as a single orderable long, so the
+# min-label connected-components keeper IS the globally-first
+# paragraph. Contract: para_idx < 2^20 paragraphs per doc and
+# doc_id < 2^43 (asserted in the plan).
+PARA_ID_STRIDE = 1 << 20
+
+
+def split_paragraphs(df: DataFrame, id_col: str = "doc_id",
+                     text_col: str = "text", *,
+                     delimiter: str | None = None,
+                     para_tokens: int = 10) -> DataFrame:
+    """Explode documents to (id, para_idx, para) — the map-only first
+    stage of sub-document dedup. Two paragraph definitions:
+
+    - ``delimiter`` (a regex, e.g. ``r"\\n{2,}"``): the CCNet /
+      RefinedWeb shape — split on blank lines, trim, drop empties.
+    - ``delimiter=None`` (default): FIXED TOKEN BLOCKS of
+      ``para_tokens`` whitespace tokens (lowercased — the repo's token
+      normalization). The structural fallback for corpora without
+      newline structure, and the deterministic unit the SQL oracle
+      mirrors; the trailing block may be shorter.
+
+    One pass, no shuffle; empty documents produce no rows (both
+    engines agree: range(0, 0) / posexplode of an empty array)."""
+    if delimiter is not None:
+        return (df.select(F.col(id_col),
+                          F.posexplode(F.split(F.col(text_col), delimiter))
+                          .alias("para_idx", "para"))
+                .withColumn("para", F.trim("para"))
+                .where(F.length("para") > 0))
+    w = tokens(text_col)
+    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case
+    blocks = F.when(
+        F.size(w) > 0,
+        F.transform(
+            F.sequence(F.lit(0),
+                       F.ceil(F.size(w) / F.lit(float(para_tokens)))
+                       .cast("int") - 1),
+            lambda i: F.concat_ws(
+                " ", F.slice(w, i * para_tokens + 1, para_tokens))))
+    return df.select(F.col(id_col),
+                     F.posexplode(blocks).alias("para_idx", "para"))
+
+
+def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
+                    text_col: str = "text", *, mode: str = "exact",
+                    delimiter: str | None = None, para_tokens: int = 10,
+                    threshold: float = 0.7, n_hashes: int = N_MINHASH,
+                    n_bands: int = 2, shingle_n: int = 3,
+                    n_iter: int = 3,
+                    max_bucket_size: int | None = None) -> DataFrame:
+    """PARAGRAPH-level dedup with document reconstruction — the
+    CCNet/RefinedWeb deployment shape (VERDICT r9 #6): explode docs to
+    paragraphs (``split_paragraphs``), drop every paragraph that
+    duplicates an earlier one corpus-wide (keep-first: smallest
+    (doc_id, para_idx) survives — the duplicate_spans policy), and
+    reconstruct each document from its kept paragraphs in order.
+
+    ``mode="exact"``: duplicates share the md5 of the normalized
+    paragraph; keep-first is one window over the fingerprint (shuffle
+    keyed by fingerprint — the exact_dedup shape at paragraph grain).
+    ``mode="minhash"``: near-duplicate paragraphs found by the
+    repo's banded MinHash-LSH + exact-Jaccard verify (>= threshold),
+    connected-components'd (min-label propagation), keeping each
+    component's globally-first paragraph. Paragraphs shorter than
+    ``shingle_n`` tokens never produce shingles and are always kept
+    (the pair finders' nonempty contract); exact duplicates of
+    shingled paragraphs always collide into the same bucket
+    (identical signatures), so minhash mode subsumes exact mode for
+    shingle-able paragraphs.
+
+    Returns one row per NON-EMPTY document: (id, n_paras, n_kept,
+    new_text) — new_text joins kept paragraphs with a space (block
+    mode) or a blank line (delimiter mode). At 100 TB: one map-only
+    explode, one fingerprint-keyed shuffle (exact) or the banded-LSH
+    pipeline (minhash), one doc-keyed reconstruction aggregate."""
+    paras = split_paragraphs(df, id_col, text_col, delimiter=delimiter,
+                             para_tokens=para_tokens)
+    if mode == "exact":
+        w = Window.partitionBy(F.md5("para")).orderBy(
+            F.col(id_col).asc(), F.col("para_idx").asc())
+        kept = (paras.withColumn("_rn", F.row_number().over(w))
+                .withColumn("is_kept", F.col("_rn") == 1).drop("_rn"))
+    elif mode == "minhash":
+        guard = F.assert_true(
+            (F.col("para_idx") < PARA_ID_STRIDE)
+            & (F.col(id_col) < (1 << 43)),
+            F.lit("paragraph_dedup: composite pid overflow — doc_id "
+                  "or para_idx outside the documented stride bounds"))
+        pid = F.when(guard.isNull(),
+                     F.col(id_col) * PARA_ID_STRIDE + F.col("para_idx"))
+        pf = paras.withColumn("_pid", pid).persist()
+        pairs = minhash_candidate_pairs(
+            pf, id_col="_pid", text_col="para", n_hashes=n_hashes,
+            n_bands=n_bands, shingle_n=shingle_n,
+            max_bucket_size=max_bucket_size)
+        verified = jaccard_pairs(pf, pairs, id_col="_pid",
+                                 text_col="para", shingle_n=shingle_n,
+                                 threshold=threshold)
+        labels = cluster_assign(verified.select("id_a", "id_b"),
+                                pf.select("_pid"), id_col="_pid",
+                                n_iter=n_iter)
+        kept = (pf.join(labels, "_pid")
+                .withColumn("is_kept", F.col("_pid") == F.col("cluster_id"))
+                .drop("cluster_id", "_pid"))
+    else:
+        raise ValueError(f"paragraph_dedup: unknown mode {mode!r} "
+                         "(exact | minhash)")
+    joiner = "\n\n" if delimiter is not None else " "
+    kp = F.when(F.col("is_kept"), F.struct("para_idx", "para"))
+    return (kept.groupBy(id_col)
+            .agg(F.count(F.lit(1)).cast("int").alias("n_paras"),
+                 F.sum(F.col("is_kept").cast("int")).cast("int")
+                 .alias("n_kept"),
+                 F.concat_ws(joiner, F.transform(
+                     F.sort_array(F.collect_list(kp)),
+                     lambda x: x["para"])).alias("new_text")))

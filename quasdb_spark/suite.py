@@ -2034,6 +2034,47 @@ def q_text_bpe_pairs(spark, sf_dir):
     return T.bpe_pair_counts(d, k=50)
 
 
+def q_text_bpe_train(spark, sf_dir):
+    """FULL iterative BPE training (VERDICT r9 #5): 8 merge rounds
+    over the distinct-word vocabulary — count adjacent symbol pairs,
+    merge the winner (count desc, pair asc), re-segment, repeat —
+    emitting the merge table a tokenizer consumes. Merge application
+    is both engines' native left-to-right non-overlapping string
+    replace over sentinel-wrapped symbols (functions/text.BPE_SEP),
+    so the oracle unrolls all 8 rounds exactly (the
+    emb_pq_quantization fixed-n pattern). Per round: one exact-integer
+    pair aggregate over the vocab + a 1-row driver fetch of the
+    winning pair (the CC tiny-fixpoint pattern) + one map-side
+    replace; the corpus is scanned once."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    return T.bpe_train(d, n_merges=8)
+
+
+def _bpe_train_round_sql(r: int) -> str:
+    """One unrolled BPE round: pair counts over w{r-1}'s segmentation,
+    the winning pair (count desc, lhs/rhs asc), and the merged
+    vocabulary w{r}. chr(31) is functions/text.BPE_SEP."""
+    prev = f"w{r - 1}"
+    return f"""
+    t{r} AS MATERIALIZED (
+      SELECT string_split(trim(s, chr(31)), chr(31) || chr(31)) AS toks,
+             freq
+      FROM {prev}),
+    p{r} AS (
+      SELECT toks[i] AS lhs, toks[i + 1] AS rhs,
+             sum(freq)::BIGINT AS n
+      FROM t{r}, unnest(range(1, len(toks))) AS u(i)
+      GROUP BY 1, 2),
+    b{r} AS MATERIALIZED (
+      SELECT lhs, rhs, n FROM p{r}
+      ORDER BY n DESC, lhs ASC, rhs ASC LIMIT 1),
+    w{r} AS MATERIALIZED (
+      SELECT replace(s, chr(31) || lhs || chr(31) || chr(31) || rhs
+                        || chr(31),
+                     chr(31) || lhs || rhs || chr(31)) AS s, freq
+      FROM {prev}, b{r})"""
+
+
 def q_doc_importance(spark, sf_dir):
     """DSIR-style importance weights (Xie et al. 2023): hashed-unigram
     log-likelihood ratio of the English subset (the target domain)
@@ -2113,6 +2154,25 @@ def q_dedup_substring_spans(spark, sf_dir):
     is per-doc window functions — never global."""
     d = _t(spark, sf_dir, "documents")
     return D.duplicate_spans(d, k=8, min_count=2)
+
+
+def q_dedup_paragraphs(spark, sf_dir):
+    """Paragraph-level dedup + document reconstruction (the CCNet /
+    RefinedWeb deployment shape, VERDICT r9 #6): docs explode to
+    10-token block paragraphs (this corpus has no newline structure;
+    the delimiter mode is pytest-covered), every paragraph that
+    exactly duplicates an earlier one corpus-wide is dropped
+    (keep-first by (doc_id, para_idx)), and each doc is rebuilt from
+    its kept paragraphs in order. Output digests the rebuilt text
+    (md5) so the oracle compares reconstruction exactly without
+    shipping long strings through the canonicalizer. Plan: map-only
+    explode -> one fingerprint-keyed window -> one doc-keyed
+    reconstruction aggregate. The fuzzy (MinHash) paragraph mode is
+    the same operator with mode='minhash', pytest-gated."""
+    d = _par(_t(spark, sf_dir, "documents"))
+    out = D.paragraph_dedup(d, para_tokens=10)
+    return out.select("doc_id", "n_paras", "n_kept",
+                      F.md5("new_text").alias("text_digest"))
 
 
 def q_dedup_incremental(spark, sf_dir):
@@ -2464,6 +2524,19 @@ _TEXT_ORACLES["text_bpe_pairs"] = f"""
             ORDER BY n DESC, pair ASC LIMIT 50)
     SELECT row_number() OVER (ORDER BY n DESC, pair ASC) AS rank, pair, n
     FROM top"""
+
+_TEXT_ORACLES["text_bpe_train"] = f"""
+    WITH w0 AS MATERIALIZED (
+      SELECT regexp_replace(w, '(.)', chr(31) || '\\1' || chr(31), 'g')
+               AS s,
+             count(*)::BIGINT AS freq
+      FROM (SELECT unnest({_TOKENS_SQL}) AS w FROM documents) t
+      WHERE regexp_matches(w, '^[a-z]{{2,}}$')
+      GROUP BY 1),
+    {", ".join(_bpe_train_round_sql(r) for r in range(1, 9))}
+    {" UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, lhs, rhs, lhs || rhs AS merged, "
+        f"n AS pair_count FROM b{r}" for r in range(1, 9))}"""
 
 _TEXT_ORACLES["doc_domain_mix"] = f"""
     WITH per AS (SELECT source AS domain, sum(len({_TOKENS_SQL}))::BIGINT
@@ -2887,6 +2960,24 @@ def _label_prop_iter_sql(n: int) -> str:
           LEFT JOIN l{n - 1} l ON l.id = e.dst
           GROUP BY n.id, n.label)"""
 
+
+_DEDUP_ORACLES["dedup_paragraphs"] = f"""
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    pars AS (
+      SELECT doc_id, CAST(i AS INT) AS para_idx,
+             array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS para
+      FROM d, unnest(range(0, CAST(ceil(len(w) / 10.0) AS BIGINT)))
+             AS u(i)),
+    k AS (
+      SELECT doc_id, para_idx, para,
+             row_number() OVER (PARTITION BY md5(para)
+                                ORDER BY doc_id, para_idx) AS rn
+      FROM pars)
+    SELECT doc_id, CAST(count(*) AS INT) AS n_paras,
+           CAST(count(*) FILTER (rn = 1) AS INT) AS n_kept,
+           md5(coalesce(string_agg(para, ' ' ORDER BY para_idx)
+                          FILTER (rn = 1), '')) AS text_digest
+    FROM k GROUP BY doc_id"""
 
 _DEDUP_ORACLES["dedup_clusters"] = f"""
     WITH pairs AS MATERIALIZED ({_DEDUP_ORACLES["dedup_minhash_pairs"]}),
@@ -5005,6 +5096,7 @@ QUERIES = {
     "text_token_counts": q_text_token_counts,
     "text_lm_score": q_text_lm_score,
     "text_bpe_pairs": q_text_bpe_pairs,
+    "text_bpe_train": q_text_bpe_train,
     "doc_importance": q_doc_importance,
     "doc_domain_mix": q_doc_domain_mix,
     "doc_mixture_epoch": q_doc_mixture_epoch,
@@ -5018,6 +5110,7 @@ QUERIES = {
     "dedup_clusters_cc": q_dedup_clusters_cc,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_containment": q_dedup_containment,
     "dedup_simhash": q_dedup_simhash,
@@ -5097,34 +5190,35 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r9 rotation: queries whose code/oracle CHANGED in round 9 first
-    # — the three r8 driver-red rows (emb_project reshaped to scalar
-    # rows, the two ::BIGINT oracle casts), the whole MinHash family
-    # (nonempty_only pre-filter replaced the post-hoc signature
-    # filter), doc_mixture_epoch (materialize_mixture missing-domain
-    # guard), the PQ queries (artifact guards), and kv_* (footer-cache
-    # flat-dir fix) — then the cohort whose newest driver row predates
-    # round 8 (CORRECTNESS_r08 checked the other 50).
-    "rel_late_orders", "rel_ship_delay_dist",
+    # r10 rotation: the two NEW oracle-gated queries, then everything
+    # whose code/oracle CHANGED in round 10 — the IVF-PQ array-codes
+    # layout, the bucket-local hard-negatives scorer, the emb_project
+    # digest reshape, the decimal threshold in rel_important_stock,
+    # and the 11 rel_* queries whose forced sf-scaled broadcasts were
+    # dropped (plans changed; results must not have) — then the
+    # cohort whose newest driver row is oldest (computed from the
+    # committed CORRECTNESS_r0*.json history).
+    "text_bpe_train", "dedup_paragraphs",
+    "sim_ivfpq_topk", "emb_hard_negatives", "emb_project",
+    "rel_important_stock", "rel_top_orders", "rel_promo_share",
+    "rel_small_qty_revenue", "rel_product_revenue",
+    "rel_supplier_volume", "rel_min_cost_supplier",
     "rel_part_supplier_counts", "rel_dominant_supplier",
-    "rel_important_stock",
-    "emb_project", "text_bpe_pairs", "doc_domain_mix",
-    "dedup_incremental", "dedup_minhash_pairs", "dedup_minhash_sig",
-    "dedup_minhash_wide", "dedup_clusters", "dedup_clusters_cc",
-    "dedup_apply", "dedup_containment", "doc_mixture_epoch",
-    "sim_ivfpq_topk", "emb_pq_quantization", "kv_point_get",
-    "kv_multi_get", "kv_state_latest", "kv_range_scan",
-    "rel_rollup", "rel_set_ops", "rel_shipping_priority",
-    "rel_sole_blamed_supplier", "rel_top_supplier", "rel_unpivot",
-    "sim_neardup_cosine", "sim_probe_topk", "text_bigram_topk",
-    "text_lang_confusion", "text_zipf", "ts_anomaly_zscore",
-    "ts_ohlc_daily", "ts_percentiles", "ts_pivot_hourly",
-    "ts_trailing_1h_sum", "emb_semdedup", "kv_version_history",
-    "ts_tumbling_hourly", "stream_tumbling_hourly", "stream_join",
-    "stream_dedup", "stream_sessionize", "stream_rollup_hourly",
-    "ts_sliding_1h_15m", "ts_downsample_10m_last", "ts_asof_join",
-    "ts_asof_nearest", "ts_interval_join", "ts_sessionize",
-    "ts_moving_avg", "ts_topk_per_type",
+    "rel_shipping_priority", "rel_region_share",
+    "events_retention", "events_transitions",
+    "rel_disjunctive_revenue", "rel_forecast_revenue",
+    "rel_large_volume_customers", "rel_local_supplier_volume",
+    "rel_market_share", "rel_nation_volume", "rel_pricing_summary",
+    "rel_region_revenue", "rel_reorder_gaps", "rel_returned_items",
+    "rel_sales_opportunity", "rel_salted_supplier_volume",
+    "sim_ivf_quantization", "sim_ivf_topk", "sketch_events_profile",
+    "text_bm25_search", "text_pii_redact", "ts_asof_nearest",
+    "ts_first_last", "ts_gapfill_hourly", "ts_gapfill_interp",
+    "ts_interval_join", "ts_moving_avg", "ts_rate", "ts_sessionize",
+    "ts_topk_per_type", "crossmodal_neighbors", "dedup_simhash",
+    "dedup_simhash_pairs", "doc_chunking", "doc_pack_manifest",
+    "doc_sample_fixed_k", "doc_sample_stratified",
+    "doc_sample_weighted",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},

@@ -404,3 +404,67 @@ def test_cluster_assign_cc_exact_on_long_paths_and_random_graph(spark):
     labels = cluster_assign_cc(pairs, nodes, max_rounds=16)
     got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     assert got == want
+
+
+def test_paragraph_dedup_exact_blocks_and_reconstruction(spark):
+    """Exact paragraph dedup on planted duplicate blocks: the first
+    corpus-wide occurrence (by doc_id, para_idx) survives, later
+    copies — across docs AND within a doc — are dropped, and docs
+    rebuild from kept paragraphs in order."""
+    from quasdb_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "a b c d e f"),          # paras: "a b c", "d e f"
+        (2, "a b c x y z"),          # "a b c" duplicates doc 1
+        (3, "p q r p q r"),          # intra-doc duplicate
+        (4, "d e f a b c"),          # both paras duplicate earlier
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(df, para_tokens=3).collect()}
+    assert (got[1].n_paras, got[1].n_kept,
+            got[1].new_text) == (2, 2, "a b c d e f")
+    assert (got[2].n_paras, got[2].n_kept,
+            got[2].new_text) == (2, 1, "x y z")
+    assert (got[3].n_paras, got[3].n_kept,
+            got[3].new_text) == (2, 1, "p q r")
+    assert (got[4].n_paras, got[4].n_kept, got[4].new_text) == (2, 0, "")
+
+
+def test_paragraph_dedup_delimiter_mode(spark):
+    """CCNet-shape delimiter paragraphs: split on blank lines, empty
+    paragraphs dropped, reconstruction rejoins with a blank line."""
+    from quasdb_spark.operators.dedup import paragraph_dedup
+
+    rows = [
+        (1, "first para here\n\nsecond para here"),
+        (2, "second para here\n\n\n\nbrand new content"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(df, delimiter=r"\n{2,}").collect()}
+    assert got[1].new_text == "first para here\n\nsecond para here"
+    assert (got[2].n_paras, got[2].n_kept) == (2, 1)
+    assert got[2].new_text == "brand new content"
+
+
+def test_paragraph_dedup_minhash_mode(spark):
+    """Fuzzy paragraph dedup: a near-duplicate paragraph (one token
+    changed, Jaccard over 3-shingles >= threshold) clusters with the
+    original and only the globally-first survives; an unrelated
+    paragraph and a too-short-to-shingle paragraph are kept."""
+    from quasdb_spark.operators.dedup import paragraph_dedup
+
+    base = "the quick brown fox jumps over the lazy dog again today"
+    near = "the quick brown fox jumps over the lazy cat again today"
+    other = "completely different content about spark shuffle plans"
+    rows = [(1, base), (2, near), (3, other), (4, "hi")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(df, mode="minhash", para_tokens=20,
+                           threshold=0.5, n_hashes=8, n_bands=4)
+           .collect()}
+    assert (got[1].n_kept, got[1].new_text) == (1, base)
+    assert (got[2].n_kept, got[2].new_text) == (0, "")
+    assert got[3].n_kept == 1
+    assert (got[4].n_kept, got[4].new_text) == (1, "hi")

@@ -566,3 +566,58 @@ def test_importance_weights_prefers_target_like_docs(spark):
     assert got[1].n_tokens == 6 and got[3].n_tokens == 4
     assert got[1].weight > got[3].weight > got[2].weight
     assert got[2].weight < 0
+
+
+def test_bpe_train_known_merges(spark):
+    """Full iterative BPE on the classic Sennrich-style corpus —
+    merge table hand-computed: low x5, lower x2, newest x6,
+    widest x3. Ties break count desc then (lhs, rhs) asc."""
+    from quasdb_spark.functions.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in bpe_train(df, n_merges=6).collect()]
+    assert got == [
+        (1, "e", "s", "es", 9),
+        (2, "es", "t", "est", 9),
+        (3, "l", "o", "lo", 7),
+        (4, "lo", "w", "low", 7),
+        (5, "e", "w", "ew", 6),
+        (6, "ew", "est", "ewest", 6),
+    ]
+
+
+def test_bpe_train_left_to_right_overlap(spark):
+    """Overlapping occurrences merge LEFT TO RIGHT, non-overlapping —
+    'aaaa' under (a,a) becomes (aa, aa), and the same pair re-merges
+    the doubled symbol next round: the canonical BPE semantics the
+    sentinel string-replace encodes."""
+    from quasdb_spark.functions.text import bpe_train
+
+    df = spark.createDataFrame([(1, "aaaa aaaa")],
+                               "doc_id long, text string")
+    got = [(r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in bpe_train(df, n_merges=3).collect()]
+    # round 1: a-a appears 3x per word (weighted) = 6; merge -> aa,aa
+    # round 2: aa-aa once per word = 2; merge -> aaaa
+    # round 3: fully merged vocabulary -> early stop
+    assert got == [(1, "a", "a", "aa", 6), (2, "aa", "aa", "aaaa", 2)]
+
+
+def test_bpe_segment_applies_merge_table(spark):
+    """Encode-time counterpart: segmenting an UNSEEN word with the
+    trained merge table applies merges in rank order."""
+    from quasdb_spark.functions.text import bpe_segment, bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [tuple(r) for r in bpe_train(df, n_merges=6).collect()]
+    w = spark.createDataFrame([("lowest",), ("newer",)], "w string")
+    got = {r.w: r.segs for r in
+           w.select("w", bpe_segment("w", merges).alias("segs"))
+           .collect()}
+    assert got["lowest"] == ["low", "est"]
+    assert got["newer"] == ["n", "ew", "e", "r"]
