@@ -313,3 +313,37 @@ def test_important_stock_scalar_subquery_is_one_row_bnlj(spark,
     plan = _plan(suite.QUERIES["rel_important_stock"](spark, sf_dir))
     assert "BroadcastNestedLoopJoin" in plan
     assert "SubqueryExec" not in plan
+
+
+def test_ivfpq_scoring_has_no_aggregate_or_row_amplification(spark,
+                                                             sf_dir):
+    """r10 array-codes layout: a candidate's ADC score is an inline
+    sum of m element_at lookups over broadcast nested tables — the
+    scoring stage must contain NO sum aggregate (the r9 layout
+    shipped m rows per candidate and summed them back) and no
+    SortMergeJoin; the codes scan reads exactly (vec_id, codes)."""
+    plan = _plan(suite.QUERIES["sim_ivfpq_topk"](spark, sf_dir))
+    assert "partial_sum" not in plan and "sum(_dotm" not in plan
+    assert "SortMergeJoin" not in plan
+    assert "struct<vec_id:bigint,codes:array<bigint>>" in plan
+
+
+def test_hard_negatives_scores_bucket_local(spark, sf_dir):
+    """r10 bucket-local scorer: exactly one grouped-Arrow stage
+    (FlatMapGroupsInPandas per LSH bucket) plus the signature
+    mapInPandas — vectors must NOT join per candidate pair (no
+    SortMergeJoin of vector arrays, no per-pair ArrowEvalPython)."""
+    plan = _plan(suite.QUERIES["emb_hard_negatives"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "ArrowEvalPython" not in plan  # the losing per-pair scorer
+    assert "SortMergeJoin" not in plan
+
+
+def test_dedup_paragraphs_two_exchanges(spark, sf_dir):
+    """Paragraph dedup: map-only explode, ONE fingerprint-keyed
+    window (corpus-wide keep-first), one doc-keyed reconstruction
+    aggregate — two exchanges total; paragraph text shuffles once."""
+    plan = _plan(suite.QUERIES["dedup_paragraphs"](spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Generate posexplode" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan

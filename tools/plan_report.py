@@ -63,16 +63,29 @@ SHOW = [
      "the symmetric finder pinned in test_similarity)"),
     ("emb_project", "JL random projection: one codegen projection "
      "over the scan — zero Exchange, no Python; the 16 components "
-     "are literal-weight folds evaluated in-row"),
+     "are literal-weight folds evaluated in-row, digested to one md5 "
+     "per vector (r10: no posexplode row amplification)"),
     ("doc_importance", "DSIR scoring: the 256-bucket importance "
      "model is built by tiny hash aggregates and BROADCAST back "
      "(BroadcastHashJoin on bucket); the only corpus-keyed shuffle "
      "is the per-doc integer-micro sum"),
-    ("sim_ivfpq_topk", "IVF-PQ ADC search: probes and the per-query "
-     "ADC lookup table are BROADCAST; candidates come from the "
-     "materialized lists via the probe join (ids only) and score as "
-     "integer-micro sums over code rows — no full-width corpus "
-     "vector math in the scoring stage"),
+    ("sim_ivfpq_topk", "IVF-PQ ADC search (r10 array-codes layout): "
+     "probes and the per-query nested ADC/norm tables are BROADCAST; "
+     "candidates come from the materialized lists via the probe join "
+     "(ids only), codes join as ONE array row per vector, and the "
+     "score is an inline sum of m element_at lookups — NO aggregate "
+     "and no per-subspace row amplification in the scoring stage, no "
+     "full-width corpus vector math anywhere"),
+    ("emb_hard_negatives", "hard-negative mining (r10 bucket-local "
+     "scorer): the Arrow signature pass feeds one "
+     "FlatMapGroupsInPandas per (band, key) bucket — one numpy Gram "
+     "per bucket, per-anchor in-bucket top-k — so Python sees each "
+     "vector once per band, never once per candidate pair; the "
+     "global top-k window runs over emitted candidates only"),
+    ("dedup_paragraphs", "paragraph dedup: map-only explode to token "
+     "blocks, ONE fingerprint-keyed window for corpus-wide "
+     "keep-first, one doc-keyed reconstruction aggregate — two "
+     "exchanges total, text shuffles once per paragraph"),
     ("rel_late_orders", "Q4 EXISTS decorrelated: LeftSemi join with "
      "the lateness predicate in the join condition — no fan-out, no "
      "post-join distinct; the quarter filter is pushed to the orders "
