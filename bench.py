@@ -71,7 +71,7 @@ EXTRA_BENCH = [
     "rel_late_orders", "rel_ship_delay_dist",  # r9
     "rel_part_supplier_counts", "rel_dominant_supplier",
     "rel_important_stock",
-    "text_bpe_train", "dedup_paragraphs",  # r10
+    "text_bpe_train", "text_bpe_vocab", "dedup_paragraphs",  # r10
 ]
 
 
@@ -148,12 +148,15 @@ def main() -> None:
     suite._dedup_idx(spark, sf_dir)
     t3 = time.perf_counter()
     suite._pq_artifacts(spark, sf_dir)
+    t4 = time.perf_counter()
+    suite._bpe_merges(spark, sf_dir)
     maintenance = {
         "ivf_quantizer_train_or_load": round(t1 - t0, 3),
         "ivf_lists_build_or_load": round(t2 - t1, 3),
         "dedup_index_build_or_load": round(t3 - t2, 3),
-        "pq_codebooks_codes_build_or_load": round(
-            time.perf_counter() - t3, 3)}
+        "pq_codebooks_codes_build_or_load": round(t4 - t3, 3),
+        "bpe_merges_train_or_load": round(
+            time.perf_counter() - t4, 3)}
 
     # ---- KV store lifecycle benches (B1, B3-B5, B8): REPS fresh cycles ----
     ev = load_table(spark, sf_dir, "events")

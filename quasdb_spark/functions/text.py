@@ -612,6 +612,68 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
         "pair_count long")
 
 
+def get_or_train_bpe(df: DataFrame, *, fingerprint: str,
+                     text_col: str = "text", n_merges: int = 8,
+                     word_re: str = "^[a-z]{2,}$",
+                     root: str | None = None,
+                     force: bool = False) -> list[tuple]:
+    """BPE merge table trained AT MOST ONCE per (corpus fingerprint,
+    hyperparameters) — the quantizer artifact lifecycle applied to
+    tokenizer training: production trains a tokenizer on a schedule
+    and ships the merge table; queries only LOAD it (a few hundred
+    bytes of JSON — strings and exact ints round-trip losslessly, so
+    a loaded table segments identically to a fresh one). Returns the
+    merges as a driver-local list [(rank, lhs, rhs, merged, count)]
+    for bpe_segment / createDataFrame."""
+    import hashlib
+    import json
+    import os
+    import tempfile
+
+    # lazy import: operators.quantizer reaches this module through
+    # similarity -> dedup -> functions.text, so a top-level import
+    # would be circular
+    from quasdb_spark.operators import quantizer as QZ
+
+    key = hashlib.md5(
+        f"{fingerprint}|bpe n={n_merges}|re={word_re}"
+        f"|col={text_col}".encode()).hexdigest()
+    path = os.path.join(root or QZ.artifact_root(), f"bpe_{key}.json")
+    if not force:
+        with QZ._LOCK:
+            rows = QZ._MEM.get("bpe:" + key)
+        if rows is None:
+            try:
+                with open(path) as f:
+                    payload = json.load(f)
+                rows = [(int(r), str(a), str(b), str(m), int(n))
+                        for r, a, b, m, n in payload["merges"]]
+            except (OSError, ValueError, KeyError):
+                rows = None
+        if rows is not None:
+            with QZ._LOCK:
+                QZ._MEM["bpe:" + key] = rows
+            return rows
+    merges = [tuple(r) for r in
+              bpe_train(df, text_col, n_merges=n_merges,
+                        word_re=word_re).collect()]
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=os.path.dirname(path), suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump({"meta": {"fingerprint": fingerprint,
+                                "n_merges": n_merges,
+                                "word_re": word_re},
+                       "merges": [list(m) for m in merges]}, f)
+        os.replace(tmp, path)
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+    with QZ._LOCK:
+        QZ._MEM["bpe:" + key] = merges
+    return merges
+
+
 def bpe_segment(text_col: str | Column, merges: list[tuple], *,
                 word_re: str = "^[a-z]{2,}$") -> Column:
     """Apply a trained merge table to a single WORD column: returns

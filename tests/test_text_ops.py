@@ -621,3 +621,31 @@ def test_bpe_segment_applies_merge_table(spark):
            .collect()}
     assert got["lowest"] == ["low", "est"]
     assert got["newer"] == ["n", "ew", "e", "r"]
+
+
+def test_bpe_artifact_roundtrip(spark, tmp_path):
+    """get_or_train_bpe trains at most once per (fingerprint, params):
+    the loaded merge table is exactly the trained one (strings + exact
+    ints round-trip JSON losslessly), and a different fingerprint or
+    n_merges is a separate artifact."""
+    from quasdb_spark.functions.text import get_or_train_bpe
+
+    root = str(tmp_path / "artifacts")
+    df = spark.createDataFrame(
+        [(1, "low low low lower newest newest")],
+        "doc_id long, text string")
+    trained = get_or_train_bpe(df, fingerprint="bpe-fp", n_merges=3,
+                               root=root, force=True)
+    empty = spark.createDataFrame([], "doc_id long, text string")
+    # drop the process-local cache so the load exercises the JSON
+    # artifact itself, then: same key loads — the (empty) frame is
+    # never scanned
+    from quasdb_spark.operators import quantizer as QZ
+    QZ.clear_cache()
+    loaded = get_or_train_bpe(empty, fingerprint="bpe-fp", n_merges=3,
+                              root=root)
+    assert loaded == trained and len(trained) == 3
+    # different n_merges = different artifact -> trains on the frame
+    other = get_or_train_bpe(df, fingerprint="bpe-fp", n_merges=2,
+                             root=root)
+    assert other == trained[:2]
