@@ -1232,36 +1232,42 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                 F.col("_a.c_label").alias("_code")))
     codes_arr = _codes_array_frame(codes, code_frames)
     # Per-query nested tables: _adc[s][code+1] = round(<q_s, c>·1e6),
-    # _cn2[s][code+1] = round(|c|²·1e6) — both derived from ONE-ROW
-    # code-ordered codebook arrays (a keyless collect_list aggregate
-    # over pq_k rows), so the per-(s, code) rows of the r9 layout
-    # never exist. The integer table entries are IDENTICAL to r9's, so
-    # candidate sums — hence scores and the SQL oracle — are unchanged.
-    adc_q = q
-    for s, cents in enumerate(cents_by_s):
+    # _cn2[s][code+1] = round(|c|²·1e6) — both derived from ONE
+    # one-row nested codebook frame (all m subspaces, code-ordered),
+    # so the whole query-side prep is a single broadcast cross join
+    # instead of m of them (each broadcast exchange is a fixed-cost
+    # stage; at demo sf the query is stage-count-bound). The integer
+    # table entries are IDENTICAL to r9's, so candidate sums — hence
+    # scores and the SQL oracle — are unchanged.
+    cb1 = _codebooks_nested(cents_by_s, m)
+    adc_q = q.crossJoin(F.broadcast(cb1))
+    a_cols, n_cols = [], []
+    for s in range(m):
         qs = F.slice(F.col("_qv"), s * sub + 1, sub)
-        adc_q = (adc_q.crossJoin(F.broadcast(_codebook_array(cents)))
-                 .withColumn(f"_a{s}", F.transform(
-                     "_ca",
-                     lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
-                 .withColumn(f"_n{s}", F.transform(
-                     "_ca",
-                     lambda c: F.round(dot(c, c) * 1e6).cast("long")))
-                 .drop("_ca"))
+        cents_s = F.element_at("_cb", s + 1)
+        a_cols.append(F.transform(
+            cents_s, lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
+        n_cols.append(F.transform(
+            cents_s, lambda c: F.round(dot(c, c) * 1e6).cast("long")))
     adc_tbl = adc_q.select(
         "query_id",
-        F.array(*[f"_a{s}" for s in range(m)]).alias("_adc"),
-        F.array(*[f"_n{s}" for s in range(m)]).alias("_cn2"))
+        F.array(*a_cols).alias("_adc"),
+        F.array(*n_cols).alias("_cn2"))
     cn = (centroids.select("c_label", "centroid")
           .withColumn("_cn", norm(F.col("centroid"))))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
         .withColumnRenamed("c_label", "list_label")
-    cand = (F.broadcast(probes.select("query_id", "_qn", "list_label"))
+    # fold the nested ADC/norm tables INTO the broadcast probe frame
+    # (a tiny queries×nprobe ⋈ queries join) so the candidate stream
+    # takes ONE broadcast hash join instead of two — at 7M+ candidate
+    # rows per query batch the second probe-side join is pure waste
+    probes_full = (probes.select("query_id", "_qn", "list_label")
+                   .join(adc_tbl, "query_id"))
+    cand = (F.broadcast(probes_full)
             .join(lists.select(F.col("vec_id").alias("neighbor_id"),
                                "list_label"), "list_label")
             .where(F.col("query_id") != F.col("neighbor_id")))
-    scored = (cand.join(codes_arr, "neighbor_id")
-              .join(F.broadcast(adc_tbl), "query_id"))
+    scored = cand.join(codes_arr, "neighbor_id")
     scored = _fold_codes_guard(
         scored, m, "ivfpq_topk",
         {"_dm": _adc_lookup_sum(m, "_adc"),
@@ -1318,6 +1324,28 @@ def _codebook_array(cents: DataFrame) -> DataFrame:
     return cents.groupBy().agg(F.transform(
         F.sort_array(F.collect_list(F.struct("c_label", "centroid"))),
         lambda x: x["centroid"]).alias("_ca"))
+
+
+def _codebooks_nested(cents_by_s: list[DataFrame], m: int) -> DataFrame:
+    """One-row frame (_cb array<array<array<double>>>): ALL m subspace
+    codebooks nested as _cb[s+1][code+1] = centroid — built by ONE
+    keyless aggregate over the m·pq_k codebook rows, so the query-side
+    ADC prep broadcasts a single constant-size row instead of m
+    per-subspace ones (each broadcast exchange is a fixed-cost
+    stage)."""
+    src = cents_by_s[0].select(F.lit(0).alias("_s"), "c_label",
+                               "centroid")
+    for s, cents in enumerate(cents_by_s[1:], start=1):
+        src = src.unionAll(cents.select(F.lit(s).alias("_s"), "c_label",
+                                        "centroid"))
+    flat = F.sort_array(F.collect_list(
+        F.struct(F.col("_s"), F.col("c_label"), F.col("centroid"))))
+    return (src.groupBy().agg(flat.alias("_flat"))
+            .select(F.transform(
+                F.sequence(F.lit(0), F.lit(m - 1)),
+                lambda s: F.transform(
+                    F.filter("_flat", lambda x: x["_s"] == s),
+                    lambda x: x["centroid"])).alias("_cb")))
 
 
 def _adc_lookup_sum(m: int, tbl: str) -> Column:
@@ -1480,35 +1508,33 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
                 F.lit(s).alias("_s"), F.col("_code")))
     codes_arr = _codes_array_frame(codes, code_frames)
     # Per-query ADC nested table: _adc[s][code+1] = <q_s, r̂_code>
-    # micros, from one-row code-ordered codebook arrays (ivfpq_topk's
-    # r10 layout — same integer entries as the r9 row table).
-    adc_q = q
-    for s, cents in enumerate(cents_by_s):
+    # micros — from ONE one-row nested codebook broadcast
+    # (ivfpq_topk's r10 layout; same integer entries as the r9 row
+    # table).
+    cb1 = _codebooks_nested(cents_by_s, m)
+    adc_q = q.crossJoin(F.broadcast(cb1))
+    a_cols = []
+    for s in range(m):
         qs = F.slice(F.col("_qv"), s * sub + 1, sub)
-        adc_q = (adc_q.crossJoin(F.broadcast(_codebook_array(cents)))
-                 .withColumn(f"_a{s}", F.transform(
-                     "_ca",
-                     lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
-                 .drop("_ca"))
-    adc_tbl = adc_q.select(
-        "query_id",
-        F.array(*[f"_a{s}" for s in range(m)]).alias("_adc"))
+        a_cols.append(F.transform(
+            F.element_at("_cb", s + 1),
+            lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
+    adc_tbl = adc_q.select("query_id", F.array(*a_cols).alias("_adc"))
     # Per-list cross nested table: _xtb[s][code+1] =
-    # 2<c_{list,s}, r̂_code> + |r̂_code|² micros — n_lists rows.
+    # 2<c_{list,s}, r̂_code> + |r̂_code|² micros — n_lists rows, same
+    # single nested-codebook broadcast.
     cl = centroids.select(F.col("c_label").alias("list_label"),
                           F.col("centroid").alias("_cv"))
-    xt = cl
-    for s, cents in enumerate(cents_by_s):
+    xt = cl.crossJoin(F.broadcast(cb1))
+    x_cols = []
+    for s in range(m):
         cs = F.slice(F.col("_cv"), s * sub + 1, sub)
-        xt = (xt.crossJoin(F.broadcast(_codebook_array(cents)))
-              .withColumn(f"_x{s}", F.transform(
-                  "_ca",
-                  lambda c: F.round(dot(cs, c) * 2e6).cast("long")
-                  + F.round(dot(c, c) * 1e6).cast("long")))
-              .drop("_ca"))
-    cross_tbl = xt.select(
-        "list_label",
-        F.array(*[f"_x{s}" for s in range(m)]).alias("_xtb"))
+        x_cols.append(F.transform(
+            F.element_at("_cb", s + 1),
+            lambda c: F.round(dot(cs, c) * 2e6).cast("long")
+            + F.round(dot(c, c) * 1e6).cast("long")))
+    cross_tbl = xt.select("list_label",
+                          F.array(*x_cols).alias("_xtb"))
     cn = (centroids.select("c_label", "centroid")
           .withColumn("_cn", norm(F.col("centroid"))))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
@@ -1520,13 +1546,17 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
                   .cast("long").alias("_qcm"),
                   F.round(dot(F.col("_cv"), F.col("_cv")) * 1e6)
                   .cast("long").alias("_cn2m")))
-    cand = (F.broadcast(pl)
+    # fold the per-query ADC table AND the per-list cross table into
+    # the broadcast probe frame (tiny query-side joins), so the
+    # candidate stream takes ONE broadcast hash join (ivfpq_topk's
+    # r10 shape)
+    pl_full = (pl.join(adc_tbl, "query_id")
+               .join(F.broadcast(cross_tbl), "list_label"))
+    cand = (F.broadcast(pl_full)
             .join(lists.select(F.col("vec_id").alias("neighbor_id"),
                                "list_label"), "list_label")
             .where(F.col("query_id") != F.col("neighbor_id")))
-    scored = (cand.join(codes_arr, "neighbor_id")
-              .join(F.broadcast(adc_tbl), "query_id")
-              .join(F.broadcast(cross_tbl), "list_label"))
+    scored = cand.join(codes_arr, "neighbor_id")
     scored = _fold_codes_guard(
         scored, m, "ivfpq_topk_residual",
         {"_qr": _adc_lookup_sum(m, "_adc"),
