@@ -272,6 +272,12 @@ def main() -> None:
         "SPARK_GRAFT_SF1_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf1"))
     if os.path.isdir(sf1_dir):
+        # The spot runs LAST, on a host still carrying the whole
+        # suite's load (r10 measured 3.5-5x dedup_minhash_pairs
+        # readings here whose protocol-clean solo ratio is 2.1x) —
+        # record a probe AT SPOT TIME so the artifact shows the load
+        # the ratios were taken under.
+        payload["host"]["sf1_spot"] = _host_probe()
         suite._ivf_cents(spark, sf1_dir)   # untimed maintenance, as at sf0.1
         suite._ivf_lists(spark, sf1_dir)
         spot_qs = ["dedup_minhash_pairs", "emb_semdedup", "sim_ivf_topk",
