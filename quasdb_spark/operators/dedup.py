@@ -955,9 +955,15 @@ def split_paragraphs(df: DataFrame, id_col: str = "doc_id",
                 .withColumn("para", F.trim("para"))
                 .where(F.length("para") > 0))
     w = tokens(text_col)
-    # sequence(0, -1) DESCENDS in Spark — guard the empty-doc case
+    # Empty/whitespace-only docs produce NO paragraphs. The guard must
+    # be on the trimmed TEXT, not size(tokens): split('', '\\s+') is
+    # [''] (size 1) in both engines, which would otherwise emit one
+    # empty paragraph per blank doc — found by the randomized
+    # invariant test. (The length check also covers sequence(0, -1)
+    # descending in Spark.)
     blocks = F.when(
-        F.size(w) > 0,
+        F.length(F.trim(F.col(text_col)
+                        if isinstance(text_col, str) else text_col)) > 0,
         F.transform(
             F.sequence(F.lit(0),
                        F.ceil(F.size(w) / F.lit(float(para_tokens)))

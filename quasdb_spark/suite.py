@@ -3025,7 +3025,8 @@ def _label_prop_iter_sql(n: int) -> str:
 
 
 _DEDUP_ORACLES["dedup_paragraphs"] = f"""
-    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
+    WITH d AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+               WHERE length(trim(text)) > 0),
     pars AS (
       SELECT doc_id, CAST(i AS INT) AS para_idx,
              array_to_string(w[(i * 10 + 1):(i * 10 + 10)], ' ') AS para

@@ -468,3 +468,50 @@ def test_paragraph_dedup_minhash_mode(spark):
     assert (got[2].n_kept, got[2].new_text) == (0, "")
     assert got[3].n_kept == 1
     assert (got[4].n_kept, got[4].new_text) == (1, "hi")
+
+
+def test_paragraph_dedup_invariants_randomized(spark):
+    """Properties of exact paragraph dedup over a seeded random
+    corpus: (1) every reconstruction is the in-order space-join of a
+    subset of that doc's paragraphs; (2) each distinct paragraph
+    string survives EXACTLY once corpus-wide; (3) the survivor is the
+    globally-first occurrence by (doc_id, para_idx)."""
+    import random
+
+    from quasdb_spark.operators.dedup import paragraph_dedup
+
+    rng = random.Random(11)
+    vocab = ["red", "blue", "fox", "dog", "run", "sit"]
+    rows = [(i, " ".join(rng.choice(vocab) for _ in
+                         range(rng.randint(0, 25))))
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in
+           paragraph_dedup(df, para_tokens=4).collect()}
+
+    # python reference of the paragraph split + keep-first policy
+    paras = {}
+    order = []
+    for doc_id, text in rows:
+        toks = text.split()
+        blocks = [" ".join(toks[i:i + 4]) for i in range(0, len(toks), 4)]
+        paras[doc_id] = blocks
+        for idx, p in enumerate(blocks):
+            order.append((doc_id, idx, p))
+    first = {}
+    for doc_id, idx, p in sorted(order):
+        first.setdefault(p, (doc_id, idx))
+
+    total_kept = 0
+    for doc_id, blocks in paras.items():
+        if not blocks:
+            assert doc_id not in got  # empty docs emit no paragraphs
+            continue
+        r = got[doc_id]
+        assert r.n_paras == len(blocks)
+        expect = [p for idx, p in enumerate(blocks)
+                  if first[p] == (doc_id, idx)]
+        assert r.new_text == " ".join(expect), doc_id
+        assert r.n_kept == len(expect)
+        total_kept += r.n_kept
+    assert total_kept == len(first)  # each distinct paragraph once

@@ -649,3 +649,30 @@ def test_bpe_artifact_roundtrip(spark, tmp_path):
     other = get_or_train_bpe(df, fingerprint="bpe-fp", n_merges=2,
                              root=root)
     assert other == trained[:2]
+
+
+def test_bpe_segment_preserves_content_randomized(spark):
+    """Property: for EVERY vocabulary word, concatenating its BPE
+    segmentation reproduces the word exactly (merges only regroup,
+    never alter content), and no emitted symbol is empty — over a
+    seeded random corpus from a small alphabet (maximizes merge
+    collisions, incl. runs like 'aaaa' that exercise the
+    left-to-right overlap rule)."""
+    import random
+
+    from quasdb_spark.functions.text import bpe_segment, bpe_train
+
+    rng = random.Random(7)
+    words = ["".join(rng.choice("abc") for _ in range(rng.randint(2, 8)))
+             for _ in range(60)]
+    text = " ".join(rng.choice(words) for _ in range(400))
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    merges = [tuple(r) for r in bpe_train(df, n_merges=10).collect()]
+    assert len(merges) >= 5  # the corpus is mergeable
+    w = spark.createDataFrame([(x,) for x in sorted(set(words))],
+                              "w string")
+    rows = (w.select("w", bpe_segment("w", merges).alias("segs"))
+            .collect())
+    for r in rows:
+        assert "".join(r.segs) == r.w, (r.w, r.segs)
+        assert all(s for s in r.segs), (r.w, r.segs)
