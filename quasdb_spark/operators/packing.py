@@ -84,6 +84,49 @@ def fixed_size_sample(df: DataFrame, id_col: str, k: int, *,
               .where(F.col("_rk") <= k).drop("_rk"))
 
 
+def global_ranks(df: DataFrame, order_cols: list[Column], *,
+                 n_parts: int | None = None,
+                 rank_col: str = "_rank",
+                 total_col: str = "_n") -> DataFrame:
+    """Distributed global row_number over ``order_cols`` — the
+    scale-safe replacement for ``Window.orderBy(...)`` with no
+    PARTITION BY (which funnels the whole dataset through ONE task).
+
+    Two-phase, same shape as ``pack_by_token_budget``:
+    range-repartition on the ordering (partition i holds the i-th key
+    range), rank within each partition, then add broadcast
+    per-partition row-count offsets. The only global stage is a
+    cumulative sum over ONE ROW PER PARTITION — bounded by cluster
+    parallelism, not by data.
+
+    Adds ``rank_col`` (1-based, unique, == row_number over the given
+    ordering) and ``total_col`` (total row count); with a tie-free
+    ordering these give every SQL ranking function in closed form:
+    rank == dense_rank == row_number == r, percent_rank ==
+    (r-1)/(n-1), cume_dist == r/n, ntile(k) by integer bucket
+    arithmetic (see suite.q_rel_customer_quartiles).
+    """
+    spark = df.sparkSession
+    n_parts = n_parts or max(1, spark.sparkContext.defaultParallelism)
+    parted = (df.repartitionByRange(n_parts, *order_cols)
+                .withColumn("_pid", F.spark_partition_id()))
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
+    woff = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow)
+    wall = Window.orderBy("_pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing)
+    offsets = (counts
+               .withColumn("_off", F.sum("_cnt").over(woff) - F.col("_cnt"))
+               .withColumn(total_col, F.sum("_cnt").over(wall))
+               .drop("_cnt"))
+    return (parted.join(F.broadcast(offsets), "_pid")
+                  .withColumn(rank_col,
+                              (F.row_number().over(w) + F.col("_off"))
+                              .cast("long"))
+                  .drop("_pid", "_off"))
+
+
 def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
                          budget: int) -> DataFrame:
     """Pack rows (in ascending ``id_col`` order) into consecutive packs

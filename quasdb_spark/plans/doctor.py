@@ -95,10 +95,14 @@ _SF_SCALED_KEYS = {
 }
 
 # Logical-plan markers that statically bound a subtree's cardinality:
-# a limit, or a KEYLESS (global) aggregate — `Aggregate [aggs]` prints
-# one bracket group, a grouped aggregate prints two (`[keys], [aggs]`).
+# a limit, a KEYLESS (global) aggregate — `Aggregate [aggs]` prints
+# one bracket group, a grouped aggregate prints two (`[keys], [aggs]`)
+# — or an aggregate keyed SOLELY on a spark_partition_id column (the
+# `_pid` convention of packing.global_ranks: at most one row per
+# partition, bounded by parallelism, broadcast-safe by construction).
 _LOGICAL_BOUNDED = re.compile(
-    r"(GlobalLimit|LocalLimit|Aggregate \[[^\]]*\](?!, \[))")
+    r"(GlobalLimit|LocalLimit|Aggregate \[[^\]]*\](?!, \[)"
+    r"|Aggregate \[_pid#\d+[^,\]]*\], \[)")
 
 
 def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
@@ -129,6 +133,43 @@ def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
                     if key in child and tbl not in hits:
                         hits.append(tbl)
     return hits
+
+
+# An aggregate keyed SOLELY on a spark_partition_id column (the
+# `_pid` convention used by packing.global_ranks / pack_by_token_budget)
+# yields at most one row per partition — bounded by cluster parallelism,
+# not by data. The cumulative-offsets window over those rows is the one
+# legitimate single-partition exchange a distributed global rank needs.
+_PID_BOUNDED = re.compile(
+    r"(?:HashAggregate\(keys=|SortAggregate\(key=)\[_pid#\d+[^,\]]*\]")
+
+
+def _single_partition_counts(plan: str) -> tuple[int, int]:
+    """(bounded, unbounded) counts of ``Exchange SinglePartition``
+    stages. Bounded = the exchange's input subtree contains a
+    statically-bounding operator (limit / keyless aggregate /
+    driver-local table — ``_BOUNDED_MARKERS``) or a
+    partition-id-keyed aggregate (``_PID_BOUNDED``); everything the
+    full dataset flows through unreduced counts as unbounded."""
+    lines = plan.splitlines()
+    bounded = unbounded = 0
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" not in ln:
+            continue
+        depth = _subtree_indent(ln)
+        ok = False
+        for child in lines[i + 1:]:
+            if child.strip() and _subtree_indent(child) <= depth:
+                break
+            if any(m in child for m in _BOUNDED_MARKERS) \
+                    or _PID_BOUNDED.search(child):
+                ok = True
+                break
+        if ok:
+            bounded += 1
+        else:
+            unbounded += 1
+    return bounded, unbounded
 
 
 def lint_plan(df: DataFrame) -> list[dict]:
@@ -214,14 +255,25 @@ def lint_plan(df: DataFrame) -> list[dict]:
                    "TakeOrderedAndProject; if it orders output files, "
                    "prefer repartitionByRange + sortWithinPartitions."))
 
-    n_single = plan.count("Exchange SinglePartition")
-    if n_single:
+    n_bounded, n_unbounded = _single_partition_counts(plan)
+    if n_unbounded:
+        out.append(dict(
+            rule="single_partition_exchange", severity="error",
+            detail=f"{n_unbounded} Exchange SinglePartition stage(s) "
+                   "over UNBOUNDED input: all data funnels through one "
+                   "task — correct today, a wall at 100x (typically a "
+                   "window with no PARTITION BY). Rank after a "
+                   "limit/top-k, or use the distributed two-pass rank "
+                   "(operators/packing.global_ranks: range-partitioned "
+                   "per-partition ranks + broadcast offsets)."))
+    if n_bounded:
         out.append(dict(
             rule="single_partition_exchange", severity="warn",
-            detail=f"{n_single} Exchange SinglePartition stage(s): "
-                   "all data funnels through one task. Expected for a "
-                   "final tiny aggregate/limit; a problem mid-plan "
-                   "(e.g. a window with no PARTITION BY)."))
+            detail=f"{n_bounded} Exchange SinglePartition stage(s) "
+                   "over statically bounded input (post-limit / "
+                   "keyless-aggregate / per-partition-totals rows): "
+                   "constant-size, scales. Verify the bound really is "
+                   "data-independent."))
 
     n_ex = len(re.findall(r"Exchange (?:hash|range)partitioning", plan))
     if n_ex:

@@ -3701,19 +3701,45 @@ def q_rel_above_avg_orders(spark, sf_dir):
 
 def q_rel_customer_quartiles(spark, sf_dir):
     """Ranking-function coverage: ntile quartiles + percent_rank +
-    cume_dist over per-customer revenue. One window over an
-    aggregated (small) input — the window sorts distinct customers,
-    not raw orders."""
+    cume_dist over per-customer revenue — computed DISTRIBUTED.
+
+    A bare ``Window.orderBy(revenue)`` would funnel every customer
+    through ONE task (Exchange SinglePartition — invisible at 15k
+    customers, a scale-killer at 100x). Instead: packing.global_ranks
+    gives each row its global position r and the total n via
+    range-partitioned per-partition ranks + broadcast offsets, and the
+    ordering (revenue DESC, custkey ASC) is TIE-FREE, so every ranking
+    function is a closed form of (r, n):
+
+      percent_rank = (r-1)/(n-1)      cume_dist = r/n
+      ntile(4): base = n div 4, rem = n mod 4 — the first rem buckets
+      get base+1 rows (SQL-standard semantics, both engines):
+        r <= rem*(base+1): bucket = (r-1) div (base+1) + 1
+        else:              bucket = rem + (r - rem*(base+1) - 1) div base + 1
+    """
+    from quasdb_spark.operators.packing import global_ranks
     o = _t(spark, sf_dir, "orders")
     rev = (o.groupBy("o_custkey")
            .agg((F.sum(F.round(F.col("o_totalprice") * 100).cast("long"))
                  / 100.0).alias("revenue")))
-    w = Window.orderBy(F.col("revenue").desc(), F.col("o_custkey").asc())
-    return (rev.select(
+    ranked = global_ranks(
+        rev, [F.col("revenue").desc(), F.col("o_custkey").asc()])
+    # GREATEST guards: base=0 (n<4) and n=1 rows are unreachable in the
+    # branches that divide by them, but ANSI mode must never see a /0.
+    quartile = F.expr("""CAST(CASE
+        WHEN _rank <= (_n % 4) * (_n DIV 4 + 1)
+        THEN (_rank - 1) DIV (_n DIV 4 + 1) + 1
+        ELSE _n % 4
+             + (_rank - (_n % 4) * (_n DIV 4 + 1) - 1)
+               DIV GREATEST(_n DIV 4, 1) + 1
+        END AS INT)""")
+    pct = F.when(F.col("_n") > 1,
+                 (F.col("_rank") - 1) / (F.col("_n") - 1)).otherwise(0.0)
+    return (ranked.select(
         "o_custkey", "revenue",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"))
+        quartile.alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(F.col("_rank") / F.col("_n"), 6).alias("cume"))
         .where(F.col("quartile") == 1))
 
 

@@ -45,7 +45,34 @@ def test_single_partition_window_detected(spark):
 
     df = spark.range(1000).withColumn(
         "rn", F.row_number().over(Window.orderBy("id")))
-    assert "single_partition_exchange" in _rules(df)
+    sev = {f["rule"]: f["severity"] for f in lint_plan(df)}
+    # a global window over UNBOUNDED input is the scale-killer shape —
+    # error severity, so check_plan (and the suite-wide gate) rejects it
+    assert sev.get("single_partition_exchange") == "error"
+    with pytest.raises(ValueError, match="single_partition_exchange"):
+        check_plan(df)
+
+
+def test_single_partition_bounded_is_warn(spark):
+    """The two legitimate shapes stay warnings: a rank window AFTER a
+    limit (input statically bounded), and the per-partition-totals
+    cumulative-offsets window inside the distributed global rank."""
+    from pyspark.sql import Window
+
+    post_limit = (spark.range(1000).orderBy(F.col("id").desc()).limit(5)
+                  .withColumn("rn", F.row_number().over(Window.orderBy("id"))))
+    sev = {f["rule"]: f["severity"] for f in lint_plan(post_limit)}
+    # TakeOrderedAndProject output is already a single partition, so the
+    # window may need no exchange at all; if one appears it is bounded
+    assert sev.get("single_partition_exchange") in (None, "warn")
+    check_plan(post_limit)
+
+    from quasdb_spark.operators.packing import global_ranks
+    ranked = global_ranks(spark.range(1000).withColumn("k", F.col("id") % 7),
+                          [F.col("k").asc(), F.col("id").asc()])
+    sev2 = {f["rule"]: f["severity"] for f in lint_plan(ranked)}
+    assert sev2.get("single_partition_exchange") in (None, "warn")
+    check_plan(ranked)
 
 
 def test_suite_queries_pass_error_lint(spark, sf_dir):

@@ -347,3 +347,42 @@ def test_dedup_paragraphs_two_exchanges(spark, sf_dir):
     assert plan.count("Exchange hashpartitioning") == 2
     assert "Generate posexplode" in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_customer_quartiles_distributed_rank(spark, sf_dir):
+    """rel_customer_quartiles must NOT funnel all customers through a
+    single-partition window (the r10 VERDICT's one scale-killer): its
+    only Exchange SinglePartition is the per-partition-totals offsets
+    frame (one row per partition), which the doctor proves bounded."""
+    from quasdb_spark.plans.doctor import _single_partition_counts
+
+    plan = _plan(suite.QUERIES["rel_customer_quartiles"](spark, sf_dir))
+    bounded, unbounded = _single_partition_counts(plan)
+    assert unbounded == 0
+    assert "ntile" not in plan        # closed-form, no ranking window
+    assert "percent_rank" not in plan
+
+
+def test_global_ranks_matches_global_window(spark):
+    """global_ranks == row_number over a bare global window, on a
+    shuffled frame with duplicate sort values (ties broken by id)."""
+    from pyspark.sql import Window
+
+    from quasdb_spark.operators.packing import global_ranks
+
+    df = (spark.range(0, 977).withColumn("k", (F.col("id") * 37) % 11)
+          .repartition(7))
+    cols = ["id", "k", "_rank", "_n"]
+    got = global_ranks(df, [F.col("k").desc(), F.col("id").asc()],
+                       n_parts=5).select(cols)
+    want = df.withColumn(
+        "_rank", F.row_number().over(
+            Window.orderBy(F.col("k").desc(), F.col("id").asc()))
+        .cast("long")).withColumn("_n", F.lit(977).cast("long")) \
+        .select(cols)
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+    # n smaller than n_parts: every row still ranked exactly once
+    tiny = global_ranks(spark.range(3).withColumn("k", F.lit(0)),
+                        [F.col("id").asc()], n_parts=8)
+    assert [r._rank for r in tiny.orderBy("id").collect()] == [1, 2, 3]
