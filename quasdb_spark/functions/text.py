@@ -536,9 +536,66 @@ def bpe_pair_counts(df: DataFrame, text_col: str = "text", *,
 BPE_SEP = "\x1f"
 
 
+def _bpe_select_batch(cands: list, known_syms: set[str],
+                      max_take: int) -> list:
+    """Greedy prefix of ranked pair candidates that is PROVABLY what
+    sequential BPE would pick in consecutive rounds — the exactness
+    argument behind ``bpe_train(batched=True)``:
+
+    Process candidates in global rank order (count desc, lhs asc,
+    rhs asc). Keep a symbol set S of every chosen merge's {lhs, rhs,
+    merged} and a barrier B = max count seen among candidates skipped
+    for overlapping S. A candidate c is appended iff
+
+      (1) c shares no symbol with S — applying the chosen merges can
+          neither create nor destroy an occurrence of c, so c's count
+          (and its own round's count) is exactly its round-start count;
+      (2) c.count > B — every pair a chosen merge CAN affect overlaps
+          S: pairs it destroys share a raw symbol, pairs it creates
+          are bounded by an overlapping source pair ((x, ab) arises
+          only from contexts x·a·b, each an occurrence of (x, a)).
+          Sources ranked above c were processed and skipped into B,
+          so no affected pair can reach c's count...
+      (3) ...unless the source ranks BELOW c with an EQUAL count —
+          invisible to B. So c's count must be strictly greater than
+          the next ranked candidate's (ties park at a round boundary,
+          where a fresh count makes the comparison real);
+      (4) the merged string must be a NEW symbol: if lhs+rhs collides
+          with an existing token, post-merge counts ADD to that
+          token's existing pair counts and the static bounds above no
+          longer hold — the colliding merge closes the batch.
+
+    The first failing candidate ENDS the batch (a disjoint pair we
+    skipped would outrank a later chosen one at its sequential round);
+    rank 1 is always safe (it IS the sequential pick). Candidates are
+    Rows with fields lhs/rhs/n, already in rank order."""
+    chosen: list = []
+    syms: set[str] = set()
+    barrier = -1
+    for i, c in enumerate(cands):
+        if len(chosen) >= max_take:
+            break
+        if c.lhs in syms or c.rhs in syms:
+            barrier = max(barrier, c.n)
+            continue
+        if chosen:
+            nxt = cands[i + 1] if i + 1 < len(cands) else None
+            if c.n <= barrier or nxt is None or c.n <= nxt.n:
+                break
+        merged = c.lhs + c.rhs
+        chosen.append(c)
+        syms |= {c.lhs, c.rhs, merged}
+        if merged in known_syms:
+            break
+        known_syms.add(merged)
+    return chosen
+
+
 def bpe_train(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 8,
-              word_re: str = "^[a-z]{2,}$") -> DataFrame:
+              word_re: str = "^[a-z]{2,}$",
+              batched: bool = True,
+              candidate_k: int = 1024) -> DataFrame:
     """FULL iterative BPE tokenizer training (Sennrich et al. 2016):
     repeatedly count adjacent symbol pairs over the corpus, merge the
     most frequent (ties: count desc, then left asc, right asc), and
@@ -566,18 +623,43 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
     the sentinel character and multi-code-unit regex '.' semantics
     out of scope). Stops early if the vocabulary is fully merged.
     Returns a driver-local merge table (n_merges rows — the quantizer
-    centroids pattern: a LocalTableScan, broadcast-sized artifact)."""
+    centroids pattern: a LocalTableScan, broadcast-sized artifact).
+
+    MERGE-COUNT scale (``batched=True``, the default): one Spark job
+    per ROUND, not per merge — each round collects the top
+    ``candidate_k`` pair candidates and applies the longest
+    rank-order prefix that is provably identical to running the
+    sequential rounds one by one (``_bpe_select_batch``; ties and
+    symbol collisions close a batch, so worst case degrades to one
+    merge per round, never to a wrong table). The segmentation frame
+    is localCheckpoint()ed each round, so the logical plan stays
+    CONSTANT-depth — the sequential trainer's per-merge lineage
+    growth (r10 VERDICT: O(n_merges²) string-replace analysis; a
+    persist() chain doesn't help because nested InMemoryRelations
+    still print/analyze their full children) is gone. See
+    tests/test_text_ops.py batch parity tests and SCALE.md for the
+    256-merge sf0.1 wall-clock. ``batched=False`` keeps the
+    one-merge-per-round reference loop (the parity oracle for
+    tests)."""
     spark = df.sparkSession
     words = (df.select(F.explode(tokens(text_col)).alias("w"))
              .where(F.col("w").rlike(word_re))
              .groupBy("w").agg(F.count(F.lit(1)).alias("freq")))
     enc = F.regexp_replace("w", "(.)", BPE_SEP + "$1" + BPE_SEP)
-    cur = words.select(enc.alias("s"), "freq").persist()
+    cur = words.select(enc.alias("s"), "freq").localCheckpoint(eager=False)
     toks = F.split(
         F.regexp_replace("s", f"^{BPE_SEP}|{BPE_SEP}$", ""),
         BPE_SEP + BPE_SEP)
+    known_syms: set[str] = set()
+    if batched:
+        # driver-tracked symbol vocabulary for the collision guard:
+        # initial symbols (distinct characters of the training vocab,
+        # alphabet-sized) + one per merge. One tiny job, run once.
+        known_syms = {r.c for r in
+                      (words.select(F.explode(F.split("w", "")).alias("c"))
+                       .where(F.col("c") != "").distinct().collect())}
     merges: list[tuple] = []
-    for r in range(1, n_merges + 1):
+    while len(merges) < n_merges:
         pairs = (cur.select("freq", toks.alias("_t"))
                  # guard: sequence(1, 0) DESCENDS in Spark, so a fully
                  # merged 1-symbol word must not reach the explode
@@ -588,24 +670,33 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
                  .select(F.element_at("_t", F.col("i")).alias("lhs"),
                          F.element_at("_t", F.col("i") + 1).alias("rhs"),
                          "freq"))
-        best = (pairs.groupBy("lhs", "rhs")
-                .agg(F.sum("freq").alias("n"))
-                .orderBy(F.col("n").desc(), F.col("lhs").asc(),
-                         F.col("rhs").asc())
-                .limit(1).collect())
-        if not best:
+        k = min(candidate_k, max(2, 8 * (n_merges - len(merges)))) \
+            if batched else 1
+        cands = (pairs.groupBy("lhs", "rhs")
+                 .agg(F.sum("freq").alias("n"))
+                 .orderBy(F.col("n").desc(), F.col("lhs").asc(),
+                          F.col("rhs").asc())
+                 .limit(k).collect())
+        if not cands:
             break
-        b = best[0]
-        merges.append((r, b["lhs"], b["rhs"], b["lhs"] + b["rhs"],
-                       b["n"]))
-        cur = cur.select(
-            F.replace(
-                F.col("s"),
-                F.lit(BPE_SEP + b["lhs"] + BPE_SEP
-                      + BPE_SEP + b["rhs"] + BPE_SEP),
-                F.lit(BPE_SEP + b["lhs"] + b["rhs"] + BPE_SEP))
-            .alias("s"),
-            "freq")
+        batch = _bpe_select_batch(cands, known_syms,
+                                  n_merges - len(merges)) \
+            if batched else [cands[0]]
+        s = F.col("s")
+        for b in batch:
+            merges.append((len(merges) + 1, b.lhs, b.rhs,
+                           b.lhs + b.rhs, b.n))
+            s = F.replace(
+                s,
+                F.lit(BPE_SEP + b.lhs + BPE_SEP + BPE_SEP + b.rhs
+                      + BPE_SEP),
+                F.lit(BPE_SEP + b.lhs + b.rhs + BPE_SEP))
+        # checkpoint truncates lineage: each round's plan is one
+        # projection over the previous round's materialized blocks
+        # (superseded checkpoint RDDs are reclaimed by the
+        # ContextCleaner once unreferenced)
+        cur = (cur.select(s.alias("s"), "freq")
+               .localCheckpoint(eager=False))
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "

@@ -1017,8 +1017,14 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         guard = F.assert_true(
             (F.col("para_idx") < PARA_ID_STRIDE)
             & (F.col(id_col) < (1 << 43)),
-            F.lit("paragraph_dedup: composite pid overflow — doc_id "
-                  "or para_idx outside the documented stride bounds"))
+            F.format_string(
+                "paragraph_dedup: composite pid overflow — doc_id=%s "
+                "para_idx=%s exceed the dedup.PARA_ID_STRIDE contract "
+                "(para_idx < 2^20 paragraphs/doc, doc_id < 2^43). "
+                "Raise PARA_ID_STRIDE (and keep doc_id*stride within "
+                "int64) or split oversized docs upstream "
+                "(chunk_by_tokens).",
+                F.col(id_col), F.col("para_idx")))
         pid = F.when(guard.isNull(),
                      F.col(id_col) * PARA_ID_STRIDE + F.col("para_idx"))
         pf = paras.withColumn("_pid", pid).persist()

@@ -117,6 +117,85 @@ class QuantizerMiss(RuntimeError):
     implicit training is disabled (QUASDB_IVF_ON_MISS=raise)."""
 
 
+class StaleIndexError(RuntimeError):
+    """Raised when a search runs against inverted lists whose recorded
+    corpus fingerprint no longer matches the live corpus — vectors
+    added/compacted/tombstoned out of the store since the lists were
+    built would silently (re)appear as neighbors. Rebuild or maintain
+    the artifact (get_or_build_lists(force=True) / append_to_lists /
+    drop_from_lists), or pass allow_stale=True to search anyway. The
+    reference never serves files its manifest GC'd
+    (kv/db/db_impl.cpp:248-320); index artifacts get the same
+    discipline."""
+
+
+_META_NAME = "_quasdb_meta.json"
+
+
+def _write_artifact_meta(path: str, meta: dict) -> None:
+    """Sidecar metadata for a directory artifact (fingerprint the
+    lists/codes were built against + maintenance audit trail).
+    Atomic publish, same as the JSON artifacts."""
+    os.makedirs(path, exist_ok=True)
+    fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
+    try:
+        with os.fdopen(fd, "w") as f:
+            json.dump(meta, f)
+        os.replace(tmp, os.path.join(path, _META_NAME))
+    finally:
+        if os.path.exists(tmp):
+            os.unlink(tmp)
+
+
+def read_artifact_meta(path: str) -> dict | None:
+    """The sidecar metadata of a lists/codes artifact directory, or
+    None for artifacts that predate meta stamping."""
+    try:
+        with open(os.path.join(path, _META_NAME)) as f:
+            return json.load(f)
+    except (OSError, ValueError):
+        return None
+
+
+def check_fresh(lists: DataFrame, corpus_fingerprint: str, *,
+                allow_stale: bool = False) -> None:
+    """Staleness guard used by similarity.ivf_topk/ivfpq_topk: assert
+    the artifact behind ``lists`` was built/maintained against
+    ``corpus_fingerprint``. The artifact is located from the frame's
+    stamped metadata (set by every build/append/drop in this module)
+    or, for a frame read directly from parquet, from its input files'
+    directory. Unstamped artifacts (no sidecar) pass — the guard can
+    only enforce what maintenance recorded."""
+    if allow_stale:
+        return
+    meta = getattr(lists, "_quasdb_ivf_meta", None)
+    if meta is None:
+        try:
+            files = lists.inputFiles()
+            if not files:
+                return
+            d = os.path.dirname(files[0].replace("file:", ""))
+            # partitioned layouts nest one level (.../list_label=N/x.parquet)
+            if os.path.basename(d).startswith("list_label="):
+                d = os.path.dirname(d)
+            meta = read_artifact_meta(d)
+        except Exception:
+            return
+    if meta and meta.get("fingerprint") not in (None, corpus_fingerprint):
+        raise StaleIndexError(
+            f"index artifact was built against corpus fingerprint "
+            f"{meta.get('fingerprint', '')[:12]}… but the live corpus "
+            f"is {corpus_fingerprint[:12]}…; rebuild or maintain the "
+            "artifact (get_or_build_lists(force=True) / "
+            "append_to_lists / drop_from_lists), or pass "
+            "allow_stale=True to search the stale index anyway")
+
+
+def _stamp(df: DataFrame, meta: dict | None) -> DataFrame:
+    df._quasdb_ivf_meta = meta
+    return df
+
+
 def get_or_train(vectors: DataFrame, n_clusters: int, *,
                  fingerprint: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_iter: int = 2,
@@ -213,7 +292,10 @@ def get_or_build_lists(vectors: DataFrame, centroids: DataFrame, *,
         (ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
          .write.mode("overwrite").partitionBy("list_label")
          .parquet(path))
-    return spark.read.schema(_LISTS_SCHEMA).parquet(path)
+        _write_artifact_meta(path, {"fingerprint": fingerprint,
+                                    "key": key, "ops": ["build"]})
+    return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path),
+                  read_artifact_meta(path))
 
 
 def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
@@ -222,7 +304,8 @@ def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
                     sample_cap: int | None = None,
                     id_col: str = "vec_id",
                     vec_col: str = "embedding",
-                    root: str | None = None) -> DataFrame:
+                    root: str | None = None,
+                    new_fingerprint: str | None = None) -> DataFrame:
     """Incremental add: assign ONLY the new vectors against the
     existing quantizer and append them to the materialized lists —
     the add() path for a growing corpus, no retraining and no
@@ -248,7 +331,166 @@ def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
     spark = new_vectors.sparkSession
     (ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
      .write.mode("append").partitionBy("list_label").parquet(path))
-    return spark.read.schema(_LISTS_SCHEMA).parquet(path)
+    meta = read_artifact_meta(path) or {"fingerprint": fingerprint,
+                                        "key": key, "ops": []}
+    # an append changes what the lists index: when the caller passes
+    # the GROWN corpus's fingerprint, searches checked against the old
+    # corpus now fail fresh-checks (and vice versa)
+    if new_fingerprint is not None:
+        meta["fingerprint"] = new_fingerprint
+    meta["ops"] = (meta.get("ops") or []) + ["append"]
+    _write_artifact_meta(path, meta)
+    return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path), meta)
+
+
+def _ids_frame(spark: SparkSession, ids, id_col: str = "vec_id"):
+    """Normalize a delete set (iterable of ints or a DataFrame with
+    ``id_col``) to a one-column frame. Driver-local id lists are the
+    expected case (deletes arrive in bounded batches, like the
+    store's tombstones); a DataFrame passes through for bigger sets."""
+    if isinstance(ids, DataFrame):
+        return ids.select(ids[id_col].cast("long").alias("vec_id"))
+    return spark.createDataFrame([(int(i),) for i in ids],
+                                 "vec_id long")
+
+
+def _swap_dirs(dst: str, src: str, trash: str) -> None:
+    """dst <- src via rename, parking the old dst in ``trash``.
+    Artifacts are rebuildable caches (unlike the store's manifest-
+    committed data): a crash mid-swap loses only the artifact, and
+    recovery is get_or_build_*(force=True)."""
+    if os.path.exists(dst):
+        os.makedirs(trash, exist_ok=True)
+        os.rename(dst, os.path.join(trash, os.path.basename(dst)
+                                    + f".{len(os.listdir(trash))}"))
+    if os.path.exists(src):
+        os.rename(src, dst)
+    # else: every row of this partition was deleted — dst stays absent
+
+
+def drop_from_lists(spark: SparkSession, ids, *, fingerprint: str,
+                    n_clusters: int, n_iter: int = 2,
+                    round_to: int = 6,
+                    sample_cap: int | None = None,
+                    root: str | None = None,
+                    new_fingerprint: str | None = None) -> DataFrame:
+    """Delete vectors from the materialized inverted lists — the
+    remove_ids() half of the index lifecycle (r10 VERDICT: vectors
+    compacted/tombstoned out of a store left stale list entries that
+    searches kept returning). BOUNDED rewrite, the compaction
+    discipline applied to the index artifact:
+
+    1. one column-pruned scan finds which list_label partitions
+       contain doomed ids (broadcast semi-join on vec_id);
+    2. only those partitions are rewritten (anti-join) into a staging
+       dir and swapped in per-partition — cost is proportional to the
+       AFFECTED lists, never the corpus;
+    3. the sidecar meta records the drop (and the new corpus
+       fingerprint when given), so check_fresh() keeps working.
+
+    ``ids`` is an iterable of vec_ids or a DataFrame with a vec_id
+    column. Returns the fresh lists frame. Crash mid-swap can only
+    lose the artifact (rebuildable with force=True), never store
+    data."""
+    import shutil
+
+    key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
+    path = lists_path(key, root)
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise QuantizerMiss(
+            f"no inverted lists at {path}; build with "
+            f"get_or_build_lists before dropping")
+    from pyspark.sql import functions as F
+
+    ids_df = _ids_frame(spark, ids)
+    lists = spark.read.schema(_LISTS_SCHEMA).parquet(path)
+    affected = sorted(
+        r.list_label for r in
+        (lists.select("vec_id", "list_label")
+         .join(F.broadcast(ids_df), "vec_id")
+         .select("list_label").distinct().collect()))
+    if affected:
+        staging = path + ".drop_staging"
+        trash = path + ".drop_trash"
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+        (lists.where(F.col("list_label").isin(affected))
+         .join(F.broadcast(ids_df), "vec_id", "left_anti")
+         .write.mode("overwrite").partitionBy("list_label")
+         .parquet(staging))
+        for lbl in affected:
+            _swap_dirs(os.path.join(path, f"list_label={lbl}"),
+                       os.path.join(staging, f"list_label={lbl}"),
+                       trash)
+        shutil.rmtree(staging, ignore_errors=True)
+        shutil.rmtree(trash, ignore_errors=True)
+    meta = read_artifact_meta(path) or {"fingerprint": fingerprint,
+                                        "key": key, "ops": []}
+    if new_fingerprint is not None:
+        meta["fingerprint"] = new_fingerprint
+    meta["ops"] = (meta.get("ops") or []) + [
+        {"drop": len(affected), "partitions": affected}]
+    _write_artifact_meta(path, meta)
+    return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path), meta)
+
+
+def _drop_from_flat(spark: SparkSession, ids, path: str, schema: str,
+                    miss_msg: str) -> DataFrame:
+    """Full staged rewrite of an unpartitioned codes artifact minus
+    ``ids`` — the FAISS remove_ids() cost model (O(n) compaction of a
+    flat code array; at m·log2(k) bits per vector the whole artifact
+    is ~1000x smaller than the corpus it indexes)."""
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        raise QuantizerMiss(miss_msg)
+    ids_df = _ids_frame(spark, ids)
+    staging = path + ".drop_staging"
+    trash = path + ".drop_trash"
+    shutil.rmtree(staging, ignore_errors=True)
+    shutil.rmtree(trash, ignore_errors=True)
+    (spark.read.schema(schema).parquet(path)
+     .join(F.broadcast(ids_df), "vec_id", "left_anti")
+     .write.mode("overwrite").parquet(staging))
+    meta = read_artifact_meta(path)
+    os.rename(path, trash)
+    os.rename(staging, path)
+    shutil.rmtree(trash, ignore_errors=True)
+    if meta is not None:
+        meta["ops"] = (meta.get("ops") or []) + ["drop"]
+        _write_artifact_meta(path, meta)
+    return _stamp(spark.read.schema(schema).parquet(path), meta)
+
+
+def drop_from_codes(spark: SparkSession, ids, *, fingerprint: str,
+                    m: int = 4, k: int = 8, n_iter: int = 2,
+                    sample_cap: int | None = 65536,
+                    round_to: int = 6,
+                    root: str | None = None) -> DataFrame:
+    """Delete vectors from the row-layout PQ codes artifact."""
+    key = _pq_key(fingerprint, m, k, n_iter, sample_cap, round_to)
+    path = pq_codes_path(key, root)
+    return _drop_from_flat(
+        spark, ids, path, _CODES_SCHEMA,
+        f"no PQ codes at {path}; build with get_or_build_codes first")
+
+
+def drop_from_codes_array(spark: SparkSession, ids, *,
+                          fingerprint: str, m: int = 4, k: int = 8,
+                          n_iter: int = 2,
+                          sample_cap: int | None = 65536,
+                          round_to: int = 6,
+                          root: str | None = None) -> DataFrame:
+    """Delete vectors from the array-layout PQ codes artifact (the
+    serving layout ivfpq_topk scores with)."""
+    key = _pq_key(fingerprint, m, k, n_iter, sample_cap, round_to)
+    path = pq_codes_array_path(key, root)
+    return _drop_from_flat(
+        spark, ids, path, _CODES_ARRAY_SCHEMA,
+        f"no PQ codes-array at {path}; build with "
+        f"get_or_build_codes_array first")
 
 
 def retrain(vectors: DataFrame, n_clusters: int, *, fingerprint: str,
@@ -377,7 +619,10 @@ def get_or_build_codes(vectors: DataFrame, codebooks: DataFrame, *,
         (pq_assign(vectors, codebooks, m=m, dims=dims, id_col=id_col,
                    vec_col=vec_col)
          .write.mode("overwrite").parquet(path))
-    return spark.read.schema(_CODES_SCHEMA).parquet(path)
+        _write_artifact_meta(path, {"fingerprint": fingerprint,
+                                    "key": key, "ops": ["build"]})
+    return _stamp(spark.read.schema(_CODES_SCHEMA).parquet(path),
+                  read_artifact_meta(path))
 
 
 _CODES_ARRAY_SCHEMA = "vec_id long, codes array<long>"
@@ -428,4 +673,7 @@ def get_or_build_codes_array(vectors: DataFrame, codebooks: DataFrame, *,
         (arr.select("vec_id",
                     F.when(guard.isNull(), F.col("codes")).alias("codes"))
          .write.mode("overwrite").parquet(path))
-    return spark.read.schema(_CODES_ARRAY_SCHEMA).parquet(path)
+        _write_artifact_meta(path, {"fingerprint": fingerprint,
+                                    "key": key, "ops": ["build"]})
+    return _stamp(spark.read.schema(_CODES_ARRAY_SCHEMA).parquet(path),
+                  read_artifact_meta(path))

@@ -913,9 +913,18 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              label_col: str = "label", nprobe: int = 2,
              centroids: DataFrame | None = None,
-             lists: DataFrame | None = None) -> DataFrame:
+             lists: DataFrame | None = None,
+             corpus_fingerprint: str | None = None,
+             allow_stale: bool = False) -> DataFrame:
     """IVF-style approximate top-k: probe only the query's ``nprobe``
     nearest inverted lists.
+
+    Staleness guard: pass ``corpus_fingerprint`` (the live corpus's
+    quantizer.corpus_fingerprint) to assert the materialized lists
+    were built/maintained against THIS corpus — deleted vectors must
+    not resurface as neighbors, added ones must not be silently
+    missing (quantizer.StaleIndexError otherwise; ``allow_stale=True``
+    searches anyway, e.g. during a planned reindex window).
 
     Scale shape: centroids are tiny and broadcast; with materialized
     ``lists`` (ivf_assign persisted partitioned by list_label) a query
@@ -932,6 +941,10 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         if centroids is None:
             raise ValueError("ivf_topk(lists=...) needs the quantizer "
                              "centroids the lists were built with")
+        if corpus_fingerprint is not None:
+            from quasdb_spark.operators.quantizer import check_fresh
+            check_fresh(lists, corpus_fingerprint,
+                        allow_stale=allow_stale)
         cents = centroids.select("c_label", "centroid")
         assigned = lists.select(F.col("vec_id").alias("neighbor_id"),
                                 F.col("vec").alias("_vv"),
@@ -1140,7 +1153,9 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                sample_cap: int = 65536,
                round_to: int = 6,
                codebooks: DataFrame | None = None,
-               codes: DataFrame | None = None) -> DataFrame:
+               codes: DataFrame | None = None,
+               corpus_fingerprint: str | None = None,
+               allow_stale: bool = False) -> DataFrame:
     """FAISS-IVFPQ search shape: coarse IVF probe pruning composed
     with asymmetric distance computation (ADC) over product-quantized
     codes. Candidates come from the query's ``nprobe`` nearest
@@ -1193,6 +1208,16 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         raise ValueError("ivfpq_topk: codes provided without the "
                          "codebooks that produced them — pass both "
                          "persisted artifacts or neither")
+    if corpus_fingerprint is not None:
+        # staleness guard (see ivf_topk): lists AND codes must have
+        # been maintained against the live corpus — a vector dropped
+        # from the lists but not the codes (or vice versa) is the
+        # split-brain this catches
+        from quasdb_spark.operators.quantizer import check_fresh
+        check_fresh(lists, corpus_fingerprint, allow_stale=allow_stale)
+        if codes is not None:
+            check_fresh(codes, corpus_fingerprint,
+                        allow_stale=allow_stale)
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),

@@ -2265,6 +2265,28 @@ def q_mm_decode_stats(spark, sf_dir):
     return decode_images(media_from_ids(d))
 
 
+def q_mm_decode_path_counts(spark, sf_dir):
+    """Corrupt-blob observability (r10 VERDICT nit): decode a corpus
+    where every 7th blob is TRUNCATED mid-header and aggregate
+    decode_path outcomes — the operational failure-rate surface
+    (decode_images marks unparseable blobs decode_path='error'
+    instead of silently absorbing them; decode_path_counts is the
+    monitoring aggregate a 100 TB ingest watches). Corruption is
+    deterministic in doc_id, so DuckDB mirrors the counts."""
+    from quasdb_spark.operators.multimodal import (decode_images,
+                                                   decode_path_counts,
+                                                   media_from_ids)
+    d = _par(_t(spark, sf_dir, "documents"))
+    m = media_from_ids(d)
+    corrupted = m.withColumn(
+        "data",
+        F.when(F.col("media_id") % 7 == 0,
+               F.expr("substring(data, 1, 5)"))
+        .otherwise(F.col("data")))
+    return (decode_path_counts(decode_images(corrupted))
+            .select("decode_path", F.col("n").cast("long").alias("n")))
+
+
 def q_mm_resize_roundtrip(spark, sf_dir):
     """Three chained Arrow/mapInPandas stages, oracle-checked: pack
     blobs -> resize (stub codec, real batch plumbing) -> decode the
@@ -2323,6 +2345,11 @@ _MM_ORACLES = {
                CAST(75 AS BIGINT) AS n_bytes,
                'fake' AS decode_path
         FROM documents""",
+    "mm_decode_path_counts": """
+        SELECT CASE WHEN doc_id % 7 = 0 THEN 'error' ELSE 'fake' END
+                 AS decode_path,
+               CAST(count(*) AS BIGINT) AS n
+        FROM documents GROUP BY 1""",
     "mm_frame_sample": """
         SELECT doc_id AS media_id,
                CAST(unnest(generate_series(
@@ -4554,11 +4581,14 @@ def q_sim_ivf_topk(spark, sf_dir):
     The oracle below unrolls the identical training + assignment in
     SQL; vectors/norms round-trip the parquet artifact exactly, so
     probing the lists scores bit-identically to inline assignment."""
+    import os
+
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
     cents, lists = _ivf_lists(spark, sf_dir)
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return SIM.ivf_topk(e, queries, 10, nprobe=2, centroids=cents,
-                        lists=lists)
+                        lists=lists, corpus_fingerprint=fp)
 
 
 def q_sim_ivf_recall(spark, sf_dir):
@@ -4874,13 +4904,17 @@ def q_sim_ivfpq_topk(spark, sf_dir):
     AND all four subspace trainings in one statement — codebooks,
     codes, probes and the ADC arithmetic are all
     cross-engine-verified."""
+    import os
+
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
     cents, lists = _ivf_lists(spark, sf_dir)
     cbs, codes = _pq_artifacts(spark, sf_dir)
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "embeddings.parquet"))
     return SIM.ivfpq_topk(e, queries, 10, nprobe=2,
                           centroids=cents, lists=lists,
-                          codebooks=cbs, codes=codes)
+                          codebooks=cbs, codes=codes,
+                          corpus_fingerprint=fp)
 
 
 def _adc_sub_sql(s: int, sub: int = 16) -> str:
@@ -5263,6 +5297,7 @@ QUERIES = {
     "doc_pack_manifest": q_doc_pack_manifest,
     "doc_token_packing": q_doc_token_packing,
     "mm_decode_stats": q_mm_decode_stats,
+    "mm_decode_path_counts": q_mm_decode_path_counts,
     "mm_resize_roundtrip": q_mm_resize_roundtrip,
     "mm_frame_sample": q_mm_frame_sample,
     "mm_audio_stats": q_mm_audio_stats,

@@ -837,3 +837,142 @@ def test_hard_negatives_vectorized_scorer_bit_parity(spark, sf_dir):
     b = sorted(map(tuple, hard_negatives(e, 3, vectorized=False)
                    .collect()))
     assert a == b and len(a) > 0
+
+
+def test_ivf_drop_from_lists_deletes_neighbors(spark, sf_dir, tmp_path):
+    """Index deletion lifecycle (r10 VERDICT #3): a vector dropped
+    from the materialized lists never appears as a neighbor again,
+    append+drop equals a clean rebuild, and only the affected
+    list_label partitions are rewritten."""
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="t-drop",
+                                  n_clusters=10, root=str(tmp_path))
+    before = ivf_topk(e, q, 10, nprobe=2, centroids=cents,
+                      lists=lists).collect()
+    doomed = sorted({r.neighbor_id for r in before})[:5]
+    assert doomed
+
+    path = QZ.lists_path(QZ._key("t-drop", 10, 2, None, 6),
+                         str(tmp_path))
+    mtimes_before = {
+        d: os.path.getmtime(os.path.join(path, d))
+        for d in os.listdir(path) if d.startswith("list_label=")}
+    # (captured before the drop: the old frame's file list dies with it)
+    doomed_lbls = {r.list_label for r in lists.where(
+        F.col("vec_id").isin(doomed)).select("list_label").collect()}
+    lists2 = QZ.drop_from_lists(spark, doomed, fingerprint="t-drop",
+                                n_clusters=10, root=str(tmp_path))
+    after = ivf_topk(e, q, 10, nprobe=2, centroids=cents,
+                     lists=lists2).collect()
+    assert not {r.neighbor_id for r in after} & set(doomed)
+    assert len(after) > 0
+    # bounded rewrite: untouched partitions were not rewritten
+    untouched = [d for d in mtimes_before
+                 if int(d.split("=")[1]) not in doomed_lbls]
+    assert untouched, "test corpus degenerate: every list affected"
+    for d in untouched:
+        assert os.path.getmtime(os.path.join(path, d)) \
+            == mtimes_before[d], f"{d} rewritten needlessly"
+
+    # append + drop == clean rebuild (same key space, orderless)
+    base = e.where(F.col("vec_id") % 5 != 0)
+    fresh = e.where(F.col("vec_id") % 5 == 0)
+    QZ.get_or_build_lists(base, cents, fingerprint="t-ad",
+                          n_clusters=10, root=str(tmp_path))
+    QZ.append_to_lists(fresh, cents, fingerprint="t-ad",
+                       n_clusters=10, root=str(tmp_path))
+    dropped = QZ.drop_from_lists(
+        spark, fresh.select("vec_id"), fingerprint="t-ad",
+        n_clusters=10, root=str(tmp_path))
+    rebuilt = QZ.get_or_build_lists(base, cents, fingerprint="t-ad2",
+                                    n_clusters=10, root=str(tmp_path))
+    got = sorted((r.vec_id, r.list_label, tuple(r.vec))
+                 for r in dropped.collect())
+    want = sorted((r.vec_id, r.list_label, tuple(r.vec))
+                  for r in rebuilt.collect())
+    assert got == want and len(got) > 0
+
+
+def test_ivf_stale_index_guard(spark, sf_dir, tmp_path):
+    """Searches against lists whose recorded corpus fingerprint no
+    longer matches the live corpus raise StaleIndexError unless
+    allow_stale=True; matching fingerprints and maintained artifacts
+    pass."""
+    import pytest as _pt
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="fp-A",
+                                  n_clusters=10, root=str(tmp_path))
+    # matching fingerprint: fine
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+             corpus_fingerprint="fp-A").collect()
+    # corpus moved on: guard trips...
+    with _pt.raises(QZ.StaleIndexError):
+        ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                 corpus_fingerprint="fp-B")
+    # ...unless explicitly allowed
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+             corpus_fingerprint="fp-B", allow_stale=True).collect()
+    # the guard also works on a RELOADED frame (meta read from the
+    # artifact sidecar via inputFiles, no stamp attribute)
+    reloaded = spark.read.schema(QZ._LISTS_SCHEMA).parquet(
+        QZ.lists_path(QZ._key("fp-A", 10, 2, None, 6), str(tmp_path)))
+    with _pt.raises(QZ.StaleIndexError):
+        ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=reloaded,
+                 corpus_fingerprint="fp-B")
+    # maintenance updates the recorded fingerprint
+    upd = QZ.drop_from_lists(spark, [int(e.limit(1).collect()[0].vec_id)],
+                             fingerprint="fp-A", n_clusters=10,
+                             root=str(tmp_path), new_fingerprint="fp-B")
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=upd,
+             corpus_fingerprint="fp-B").collect()
+
+
+def test_pq_codes_drop_matches_rebuild(spark, sf_dir, tmp_path):
+    """drop_from_codes_array == rebuilding codes on the surviving
+    corpus (codes are a pure per-vector function), and ivfpq_topk
+    never returns a dropped vector."""
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import ivfpq_topk
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="t-pqd",
+                                  n_clusters=10, root=str(tmp_path))
+    cbs = QZ.get_or_train_pq(e, fingerprint="t-pqd", m=4, k=8,
+                             root=str(tmp_path))
+    codes = QZ.get_or_build_codes_array(e, cbs, fingerprint="t-pqd",
+                                        m=4, k=8, root=str(tmp_path))
+    before = ivfpq_topk(e, q, 10, nprobe=2, centroids=cents,
+                        lists=lists, codebooks=cbs,
+                        codes=codes).collect()
+    doomed = sorted({r.neighbor_id for r in before})[:5]
+    lists2 = QZ.drop_from_lists(spark, doomed, fingerprint="t-pqd",
+                                n_clusters=10, root=str(tmp_path))
+    codes2 = QZ.drop_from_codes_array(spark, doomed,
+                                      fingerprint="t-pqd", m=4, k=8,
+                                      root=str(tmp_path))
+    after = ivfpq_topk(e, q, 10, nprobe=2, centroids=cents,
+                       lists=lists2, codebooks=cbs,
+                       codes=codes2).collect()
+    assert not {r.neighbor_id for r in after} & set(doomed)
+    assert len(after) > 0
+    # drop == rebuild on the surviving corpus
+    survivors = e.where(~F.col("vec_id").isin(doomed))
+    rebuilt = QZ.get_or_build_codes_array(
+        survivors, cbs, fingerprint="t-pqd2", m=4, k=8,
+        root=str(tmp_path))
+    got = sorted((r.vec_id, tuple(r.codes)) for r in codes2.collect())
+    want = sorted((r.vec_id, tuple(r.codes)) for r in rebuilt.collect())
+    assert got == want and len(got) > 0

@@ -587,6 +587,70 @@ def test_bpe_train_known_merges(spark):
         (5, "e", "w", "ew", 6),
         (6, "ew", "est", "ewest", 6),
     ]
+    # the batched trainer (one Spark job per ROUND) must be
+    # bit-identical to the sequential reference — this corpus is
+    # tie-heavy, so every batch degenerates to one merge, exercising
+    # the barrier and next-count guards on each round
+    seq = [(r.merge_rank, r.lhs, r.rhs, r.merged, r.pair_count)
+           for r in bpe_train(df, n_merges=6, batched=False).collect()]
+    assert got == seq
+
+
+def test_bpe_train_batched_matches_sequential_randomized(spark):
+    """Batched == sequential on randomized Zipf-ish corpora — the
+    _bpe_select_batch exactness proof checked empirically end to end
+    (distinct counts let real multi-merge batches form here, unlike
+    the tie-heavy Sennrich corpus)."""
+    import random
+
+    from quasdb_spark.functions.text import bpe_train
+
+    rng = random.Random(411)
+    for trial in range(3):
+        vocab = ["".join(rng.choice("abcdef")
+                         for _ in range(rng.randint(2, 7)))
+                 for _ in range(40)]
+        corpus = " ".join(w for w in vocab
+                          for _ in range(rng.randint(1, 30)))
+        df = spark.createDataFrame([(1, corpus)],
+                                   "doc_id long, text string")
+        fast = [tuple(r) for r in
+                bpe_train(df, n_merges=24).collect()]
+        slow = [tuple(r) for r in
+                bpe_train(df, n_merges=24, batched=False).collect()]
+        assert fast == slow, f"trial {trial} diverged"
+
+
+def test_bpe_train_batched_tie_and_collision_guards(spark):
+    """The two adversarial shapes the batch rule must refuse to batch:
+    (a) equal-count disjoint pairs where merging the first creates a
+    pair that outranks the second by tie-break ('a z y' x n makes
+    (az,y) beat (m,q) at count n); (b) a merge whose lhs+rhs string
+    collides with an existing token, after which created counts ADD
+    to the colliding token's pairs."""
+    from quasdb_spark.functions.text import bpe_train
+
+    # (a): pairs (a,z), (m,q), (z,y) all count 4; sequential merges
+    # (a,z) then the CREATED (az,y), then (m,q)
+    corpus_a = " ".join(["azy"] * 4 + ["mq"] * 4)
+    df_a = spark.createDataFrame([(1, corpus_a)],
+                                 "doc_id long, text string")
+    fast = [tuple(r) for r in bpe_train(df_a, n_merges=3).collect()]
+    slow = [tuple(r) for r in
+            bpe_train(df_a, n_merges=3, batched=False).collect()]
+    assert fast == slow
+    assert [m[3] for m in fast] == ["az", "azy", "mq"]
+
+    # (b): token "ab" exists (via words 'xaby'), and merging (a,b)
+    # inside 'zab' adds occurrences to pairs around the existing
+    # symbol — the collision guard must close the batch at (a,b)
+    corpus_b = " ".join(["ab"] * 6 + ["zab"] * 5 + ["cd"] * 4)
+    df_b = spark.createDataFrame([(1, corpus_b)],
+                                 "doc_id long, text string")
+    fast_b = [tuple(r) for r in bpe_train(df_b, n_merges=3).collect()]
+    slow_b = [tuple(r) for r in
+              bpe_train(df_b, n_merges=3, batched=False).collect()]
+    assert fast_b == slow_b
 
 
 def test_bpe_train_left_to_right_overlap(spark):
