@@ -222,6 +222,34 @@ def main() -> None:
                        "p50_ms": round(lat[len(lat) // 2], 3),
                        "p99_ms": round(lat[int(len(lat) * 0.99)], 3),
                        "max_ms": round(lat[-1], 3)}
+            # bounded /scan pages via the driver heap-merge engine
+            # (r10 VERDICT #5) + a small A/B against the Spark path —
+            # the scheduler round-trip the fast path removes
+            slat = []
+            for i in range(200):
+                frm = hit_keys[(i * 53) % len(hit_keys)]
+                t0 = time.perf_counter()
+                conn.request("GET", f"/scan?from={frm}&limit=50")
+                r = conn.getresponse()
+                r.read()
+                slat.append((time.perf_counter() - t0) * 1000.0)
+            slat.sort()
+            serving["scan_p50_ms"] = round(slat[len(slat) // 2], 3)
+            serving["scan_p99_ms"] = round(slat[int(len(slat) * 0.99)], 3)
+            st.point_read_engine = "spark"   # A/B: same pages, Spark
+            try:
+                ab = []
+                for i in range(10):
+                    frm = hit_keys[(i * 53) % len(hit_keys)]
+                    t0 = time.perf_counter()
+                    conn.request("GET", f"/scan?from={frm}&limit=50")
+                    r = conn.getresponse()
+                    r.read()
+                    ab.append((time.perf_counter() - t0) * 1000.0)
+                ab.sort()
+                serving["scan_spark_p50_ms"] = round(ab[len(ab) // 2], 3)
+            finally:
+                st.point_read_engine = "driver"
             conn.close()
         finally:
             srv.stop()

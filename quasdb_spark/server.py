@@ -93,10 +93,15 @@ def handle_request(store: KVStore | None, doc_root: str | None,
         if store is not None and url.path == "/scan":
             asof = int(q["asof"]) if "asof" in q else None
             limit = min(int(q.get("limit", "100")), 10000)
-            df = store.scan(q.get("from"), q.get("to"), asof=asof,
-                            reverse=q.get("reverse") == "1",
-                            limit=limit)
-            rows = [[r["key"], store._row_value(r)] for r in df.collect()]
+            # bounded pages answer on the DRIVER (pyarrow heap merge,
+            # no Spark job — store.scan_rows; single-digit ms like
+            # /get); stores the driver engine defers fall back to the
+            # Spark scan inside scan_rows, same rows either way
+            rows = [[k, v] for k, v in
+                    store.scan_rows(q.get("from"), q.get("to"),
+                                    asof=asof,
+                                    reverse=q.get("reverse") == "1",
+                                    limit=limit)]
             return reply(200, *jbody({"rows": rows}))
         if doc_root is not None:
             # static files (H1), with traversal protection

@@ -1257,6 +1257,162 @@ class KVStore:
                  .where(F.col("key").isin(encs))
         return {self._dec(r["key"]): self._row_value(r) for r in st.collect()}
 
+    def _driver_range_winners(self, lo, hi, *, asof: int | None,
+                              reverse: bool, limit: int) -> list:
+        """Bounded range scan on the DRIVER (no Spark job): the
+        reference's NewIterator two-level heap merge
+        (kv/db/db_impl.cpp:1351-1362; kv/table/two_level_iterator.cc)
+        re-expressed over Parquet row groups.
+
+        Manifest-pruned dirs contribute their row groups overlapping
+        [lo, hi) as merge units ordered by key stats (cached footers —
+        no data read to plan the merge). Units are consumed in key
+        order; a buffered key FINALIZES once every unread unit's
+        key-range provably starts past it (truncated Parquet string
+        stats stay conservative: stored min <= true min), at which
+        point its LWW winner — max_by(seq, sub), the same contract as
+        state_view and _driver_point_winners — is emitted (tombstone
+        winners drop the key). The scan STOPS after ``limit`` live
+        keys, so it reads only the row groups needed to fill the page,
+        not the range: a bounded /scan costs ~one row-group read, the
+        Get() cost model extended to Seek+Next*limit.
+
+        Memory is bounded by row-group overlap (sorted ingest/compact
+        output overlaps little) plus one decoded row group. Seek-stats
+        accounting matches the Spark path (log_df): survivors are
+        charged when the scan is key-bounded, so alternating engines
+        can't drift the compaction pressure."""
+        units = []   # (order_key, path, group_idx)
+        ver = self.manifest.current()
+        survivors = self._surviving_files(
+            ver, lo_stat=self._stat_key(lo), hi_stat=self._stat_key(hi),
+            asof=asof)
+        if lo is not None or hi is not None:
+            self._record_seeks(survivors)
+        for f in survivors:
+            for path in self._dir_parquet_files(f.path):
+                pf = _FOOTER_CACHE.open(path)
+                try:
+                    names = pf.schema_arrow.names
+                    ki, si = names.index("key"), names.index("seq")
+                    for g in range(pf.metadata.num_row_groups):
+                        md = pf.metadata.row_group(g)
+                        ks = md.column(ki).statistics
+                        kmin = kmax = None
+                        if ks is not None and ks.has_min_max:
+                            kmin, kmax = ks.min, ks.max
+                            # stats may be truncated: stored min <=
+                            # true min and stored max >= true max, so
+                            # both prunes below stay conservative
+                            if hi is not None and kmin >= hi:
+                                continue
+                            if lo is not None and kmax < lo:
+                                continue
+                        if asof is not None:
+                            ss = md.column(si).statistics
+                            if ss is not None and ss.has_min_max \
+                                    and ss.min > asof:
+                                continue
+                        units.append((kmin if not reverse else kmax,
+                                      path, g))
+                finally:
+                    pf.close()
+        # stat-less units sort FIRST (they could contain anything, so
+        # nothing finalizes until they are read)
+        units.sort(key=lambda u: ((u[0] is not None, u[0])
+                                  if not reverse else
+                                  (u[0] is None, u[0] or b"" if self.binary
+                                   else u[0] or "")),
+                   reverse=reverse)
+        best: dict = {}
+        out: list = []
+        for i, (_, path, g) in enumerate(units):
+            for r in self._read_range_rows(path, g, lo, hi, asof):
+                sub = r.get("sub")
+                o = (r["seq"], 0 if sub is None else 1,
+                     0 if sub is None else sub)
+                k = r["key"]
+                if self.binary:
+                    k = bytes(k)
+                if k not in best or o > best[k][0]:
+                    best[k] = (o, r)
+            frontier = units[i + 1][0] if i + 1 < len(units) else None
+            done = i + 1 >= len(units)
+            if not done and frontier is None:
+                continue  # a stat-less unit is still unread
+            if done:
+                ready = sorted(best, reverse=reverse)
+            elif reverse:
+                ready = sorted((k for k in best if k > frontier),
+                               reverse=True)
+            else:
+                ready = sorted(k for k in best if k < frontier)
+            for k in ready:
+                _, r = best.pop(k)
+                if r["op"] != DEL:
+                    out.append((k, r))
+                    if len(out) >= limit:
+                        return out
+        return out
+
+    def _read_range_rows(self, path: str, group: int, lo, hi,
+                         asof: int | None) -> list:
+        """One row group's rows inside [lo, hi) at ``asof`` (pyarrow,
+        cached footer)."""
+        import pyarrow as pa
+        import pyarrow.compute as pc
+
+        pf = _FOOTER_CACHE.open(path)
+        try:
+            tbl = pf.read_row_groups([group])
+        finally:
+            pf.close()
+        kt = tbl.schema.field("key").type
+        mask = None
+        if lo is not None:
+            mask = pc.greater_equal(tbl.column("key"), pa.scalar(lo, kt))
+        if hi is not None:
+            m2 = pc.less(tbl.column("key"), pa.scalar(hi, kt))
+            mask = m2 if mask is None else pc.and_(mask, m2)
+        if asof is not None:
+            m3 = pc.less_equal(tbl.column("seq"), pa.scalar(asof, pa.int64()))
+            mask = m3 if mask is None else pc.and_(mask, m3)
+        return (tbl if mask is None else tbl.filter(mask)).to_pylist()
+
+    def scan_rows(self, key_from=None, key_to=None, *,
+                  asof: int | None = None, reverse: bool = False,
+                  limit: int = 1000, prefix=None) -> list:
+        """Bounded range scan returning DRIVER-LOCAL [(key, value)]
+        rows — the serving surface behind /scan. With the driver read
+        engine (point_read_engine='driver' and a pyarrow-safe schema)
+        this never launches a Spark job: manifest-pruned heap merge
+        over cached-footer row groups with early stop at ``limit``
+        (_driver_range_winners — single-digit-ms pages, like get()).
+        Other stores fall back to the Spark scan; both engines return
+        IDENTICAL rows (pinned by tests/test_serving.py). Unbounded
+        result sets belong on the DataFrame surface (``scan``), which
+        scales with the cluster instead of the driver."""
+        if limit is None or limit <= 0:
+            raise ValueError("scan_rows is the BOUNDED scan surface: "
+                             "pass a positive limit (use scan() for "
+                             "unbounded DataFrame results)")
+        if prefix is not None:
+            if self.binary:
+                lo, hi = prefix, prefix_successor_bytes(prefix)
+            else:
+                enc_p = self.codec.encode_prefix(prefix)
+                lo, hi = enc_p, prefix_successor(enc_p)
+        else:
+            lo, hi = self._enc_bound(key_from), self._enc_bound(key_to)
+        if self._driver_reads_ok():
+            wins = self._driver_range_winners(lo, hi, asof=asof,
+                                              reverse=reverse,
+                                              limit=limit)
+            return [(self._dec(k), self._row_value(r)) for k, r in wins]
+        rows = self._scan_stored(lo, hi, asof=asof, reverse=reverse,
+                                 limit=limit).collect()
+        return [(self._dec(r["key"]), self._row_value(r)) for r in rows]
+
     def scan_iter(self, key_from: str | None = None,
                   key_to: str | None = None, *, asof: int | None = None,
                   reverse: bool = False, page_size: int = 10000):

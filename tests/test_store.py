@@ -1012,3 +1012,66 @@ def test_repair_preserves_compression(spark, tmp_path):
     codecs = {pq.read_metadata(p).row_group(0).column(0).compression
               for p in glob.glob(f"{st2.path}/data/*/*.parquet")}
     assert codecs == {"UNCOMPRESSED"}
+
+
+def test_scan_rows_driver_and_spark_engines_agree(spark, tmp_path):
+    """Bounded range scans answer on the DRIVER (pyarrow heap merge
+    over manifest-pruned row groups — the reference's NewIterator cost
+    model); rows must be IDENTICAL to the Spark scan across bounds,
+    reverse, limits, as-of snapshots, overwrites, tombstones, multiple
+    uncompacted dirs, and post-compaction."""
+    st = _mk(spark, tmp_path)
+    assert st._driver_reads_ok()
+    st.write_batch([("put", f"k{i:03d}", f"v{i}") for i in range(60)])
+    snap = st.manifest.current().last_seq
+    st.write_batch([("put", "k005", "v5b"), ("del", "k007", None)])
+    st.write_batch([("put", f"k{i:03d}", f"w{i}")
+                    for i in range(40, 80)])      # overlapping dir
+    st.delete("k011")
+
+    def both(**kw):
+        driver = st.scan_rows(**kw)
+        st.point_read_engine = "spark"
+        try:
+            assert st.scan_rows(**kw) == driver, kw
+        finally:
+            st.point_read_engine = "driver"
+        return driver
+
+    full = both(limit=1000)
+    assert [k for k, _ in full] == sorted(
+        set(f"k{i:03d}" for i in range(80)) - {"k007", "k011"})
+    assert dict(full)["k005"] == "v5b" and dict(full)["k045"] == "w45"
+    # bounded + limit: early-stopped page == Spark TakeOrdered page
+    assert both(key_from="k010", key_to="k050", limit=7) == \
+        [(f"k{i:03d}", f"v{i}") for i in (10, 12, 13, 14, 15, 16, 17)]
+    # reverse pages, exclusive upper bound
+    assert both(key_from="k010", key_to="k050", reverse=True, limit=3) \
+        == [("k049", "w49"), ("k048", "w48"), ("k047", "w47")]
+    # as-of resurrects the tombstoned/overwritten keys
+    old = both(key_from="k005", key_to="k008", asof=snap, limit=10)
+    assert old == [("k005", "v5"), ("k006", "v6"), ("k007", "v7")]
+    # prefix form
+    assert both(prefix="k01", limit=100) == \
+        [(f"k{i:03d}", f"v{i}") for i in range(10, 20) if i != 11]
+    # limit larger than range; empty range
+    assert both(key_from="k998", limit=5) == []
+    # compaction must not change any answer
+    st.compact()
+    assert both(key_from="k010", key_to="k050", limit=7) == \
+        [(f"k{i:03d}", f"v{i}") for i in (10, 12, 13, 14, 15, 16, 17)]
+    assert both(limit=1000) == full
+
+
+def test_scan_rows_launches_no_spark_job(spark, tmp_path):
+    """The driver scan path must never schedule a Spark job — the
+    whole point of the serving fast path (same pin as the driver
+    get())."""
+    st = _mk(spark, tmp_path)
+    st.write_batch([("put", f"k{i:02d}", str(i)) for i in range(30)])
+    st.scan_rows(limit=5)  # warm footer/dir caches
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    rows = st.scan_rows(key_from="k05", key_to="k25", limit=5)
+    assert len(rows) == 5
+    assert tracker.getJobIdsForGroup(None) == before
