@@ -345,6 +345,43 @@ def main() -> None:
             "sf0.1": t_small, "sf1": round(t_big, 3),
             "ratio": round(t_big / t_small, 2) if t_small else None}
         payload["sf1_spot"] = spot
+
+    # ---- sf10 scale spot-check: 100x bench data (VERDICT r10 #4) ----
+    # Second measured decade for the 3 steepest movers. One timed run
+    # each (the data is 100x; medians would triple a many-minute
+    # section for noise the host probes already diagnose). Expected
+    # wall on local[32]: ~linear in data for the CPU-bound pair
+    # (minhash shingling, bm25 tokenization), so ~100x of a sub-second
+    # sf0.1 reading; ivf_topk stays probe-bound AFTER its (untimed,
+    # amortized-by-contract) quantizer/lists maintenance.
+    sf10_dir = os.environ.get(
+        "SPARK_GRAFT_SF10_DIR",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf10"))
+    if os.path.isdir(sf10_dir) \
+            and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1":
+        payload["host"]["sf10_spot"] = _host_probe()
+        spot10: dict[str, dict] = {}
+        try:
+            t0 = time.perf_counter()
+            suite._ivf_cents(spark, sf10_dir)
+            suite._ivf_lists(spark, sf10_dir)
+            spot10["_ivf_maintenance_untimed"] = {
+                "sf10": round(time.perf_counter() - t0, 3)}
+            for name in ["dedup_minhash_pairs", "text_bm25_search",
+                         "sim_ivf_topk"]:
+                fn = suite.QUERIES[name]
+                t_small = times.get(name, extra.get(name))
+                t0 = time.perf_counter()
+                _force(fn(spark, sf10_dir))
+                t_big = time.perf_counter() - t0
+                spot10[name] = {
+                    "sf0.1": t_small, "sf10": round(t_big, 3),
+                    "ratio_100x": round(t_big / t_small, 2)
+                    if t_small else None}
+        except Exception as ex:  # record, never sink the artifact
+            spot10["error"] = str(ex)[:300]
+        payload["host"]["sf10_spot_end"] = _host_probe()
+        payload["sf10_spot"] = spot10
     # Emit the JSON line LAST, after the JVM is down, as the sole stdout
     # output (BENCH_r05.json was truncated by interleaved console-progress
     # \r lines; showConsoleProgress is now off in session defaults, and

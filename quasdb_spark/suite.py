@@ -5316,35 +5316,34 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r10 rotation: the two NEW oracle-gated queries, then everything
-    # whose code/oracle CHANGED in round 10 — the IVF-PQ array-codes
-    # layout, the bucket-local hard-negatives scorer, the emb_project
-    # digest reshape, the decimal threshold in rel_important_stock,
-    # and the 11 rel_* queries whose forced sf-scaled broadcasts were
-    # dropped (plans changed; results must not have) — then the
-    # cohort whose newest driver row is oldest (computed from the
-    # committed CORRECTNESS_r0*.json history).
-    "text_bpe_train", "text_bpe_vocab", "dedup_paragraphs",
-    "sim_ivfpq_topk", "emb_hard_negatives", "emb_project",
-    "rel_important_stock", "rel_top_orders", "rel_promo_share",
-    "rel_small_qty_revenue", "rel_product_revenue",
-    "rel_supplier_volume", "rel_min_cost_supplier",
-    "rel_part_supplier_counts", "rel_dominant_supplier",
-    "rel_shipping_priority", "rel_region_share",
-    "events_retention", "events_transitions",
-    "rel_disjunctive_revenue", "rel_forecast_revenue",
-    "rel_large_volume_customers", "rel_local_supplier_volume",
-    "rel_market_share", "rel_nation_volume", "rel_pricing_summary",
-    "rel_region_revenue", "rel_reorder_gaps", "rel_returned_items",
-    "rel_sales_opportunity", "rel_salted_supplier_volume",
-    "sim_ivf_quantization", "sim_ivf_topk", "sketch_events_profile",
-    "text_bm25_search", "text_pii_redact", "ts_asof_nearest",
-    "ts_first_last", "ts_gapfill_hourly", "ts_gapfill_interp",
-    "ts_interval_join", "ts_moving_avg", "ts_rate", "ts_sessionize",
-    "ts_topk_per_type", "crossmodal_neighbors", "dedup_simhash",
-    "dedup_simhash_pairs", "doc_chunking", "doc_pack_manifest",
+    # r11 rotation: the NEW oracle-gated query (corrupt-blob decode
+    # counts), then everything whose code changed in round 11 — the
+    # distributed-rank rel_customer_quartiles, the batched BPE trainer
+    # (train + the vocab consumer), and the three IVF queries that now
+    # route through the staleness guard (plans/params changed; results
+    # must not have) — then the cohort whose newest driver row is
+    # oldest (computed from CORRECTNESS_r0*.json: the r7 cohort, then
+    # r8's). CORRECTNESS_r10 checked the r10-change set + the other
+    # rotation half.
+    "mm_decode_path_counts", "rel_customer_quartiles",
+    "text_bpe_train", "text_bpe_vocab",
+    "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
     "doc_sample_fixed_k", "doc_sample_stratified",
-    "doc_sample_weighted",
+    "doc_sample_weighted", "doc_split_assign", "doc_token_packing",
+    "emb_centroids", "emb_decontaminate", "emb_label_separation",
+    "emb_quantize_int8", "events_funnel", "events_json_extract",
+    "pipeline_curation", "rel_customer_rank", "rel_order_priority",
+    "rel_price_histogram", "sim_bucket_topk", "sim_cosine_topk",
+    "sim_knn_graph", "text_decontaminate", "text_fingerprint",
+    "text_gopher_rules", "text_langid", "text_pii_scan",
+    "text_quality", "text_repetition", "text_stats",
+    "text_tfidf_topk", "text_token_counts", "text_winnow",
+    "dedup_exact", "dedup_substring_spans", "doc_global_shuffle",
+    "doc_importance", "emb_rp_recall", "kv_codec_reverse_scan",
+    "kv_live_stats", "kv_prefix_scan", "kv_reverse_topn",
+    "kv_seek_page", "kv_state_asof", "kv_state_diff",
+    "kv_state_postcompact", "kv_stream_state", "kv_typed_state",
+    "mm_audio_stats",
 ]
 
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},
