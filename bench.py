@@ -184,9 +184,9 @@ def main() -> None:
     # 1k keep-alive point GETs against a freshly ingested store: 90%
     # hits spread across the key range, 10% misses. p50/p99 make the
     # footer-cache / early-stop claims ("warm get ~1 ms") a
-    # round-over-round artifact instead of prose. (Range scans are
-    # excluded on purpose: /scan collects a Spark job, which would
-    # bury the point-read latency this measures.)
+    # round-over-round artifact instead of prose. Bounded /scan pages
+    # follow (r11: the driver heap-merge engine — no Spark job), with
+    # an uncompacted reading and a Spark-path A/B alongside.
     import http.client
 
     from quasdb_spark.server import RawStoreServer
@@ -225,15 +225,29 @@ def main() -> None:
             # bounded /scan pages via the driver heap-merge engine
             # (r10 VERDICT #5) + a small A/B against the Spark path —
             # the scheduler round-trip the fast path removes
-            slat = []
-            for i in range(200):
-                frm = hit_keys[(i * 53) % len(hit_keys)]
-                t0 = time.perf_counter()
-                conn.request("GET", f"/scan?from={frm}&limit=50")
-                r = conn.getresponse()
-                r.read()
-                slat.append((time.perf_counter() - t0) * 1000.0)
-            slat.sort()
+            def scan_pages(n):
+                lat = []
+                for i in range(n):
+                    frm = hit_keys[(i * 53) % len(hit_keys)]
+                    t0 = time.perf_counter()
+                    conn.request("GET", f"/scan?from={frm}&limit=50")
+                    r = conn.getresponse()
+                    r.read()
+                    lat.append((time.perf_counter() - t0) * 1000.0)
+                lat.sort()
+                return lat
+
+            # On the UNCOMPACTED store every ingest file spans the key
+            # range, so the merge must consult them all — honest LSM
+            # behavior (the reference reads every L0 file too); record
+            # it, then compact (untimed maintenance — a serving store
+            # is compacted by contract, as the reference serves from
+            # compacted levels) and measure the steady-state page cost.
+            ulat = scan_pages(40)
+            serving["scan_uncompacted_p50_ms"] = round(
+                ulat[len(ulat) // 2], 3)
+            st.compact()
+            slat = scan_pages(200)
             serving["scan_p50_ms"] = round(slat[len(slat) // 2], 3)
             serving["scan_p99_ms"] = round(slat[int(len(slat) * 0.99)], 3)
             st.point_read_engine = "spark"   # A/B: same pages, Spark
