@@ -1,8 +1,10 @@
 """Serve a store over HTTP with the raw-socket frontend (H1): open a
 KV store, ingest a batch, start RawStoreServer, and exercise the JSON
 endpoints over a keep-alive connection. Interactive ops ride the
-driver fast paths (ms-latency puts/gets), so the HTTP surface behaves
-like an embedded KV service while scans stay pruned Spark jobs.
+driver fast paths (ms-latency puts/gets, and — r11 — bounded /scan
+pages through the driver heap merge), so the HTTP surface behaves
+like an embedded KV service end to end; unbounded scans stay on the
+DataFrame surface.
 Run: python examples/serving_kv_api.py
 """
 

@@ -101,6 +101,13 @@ SHOW = [
      "global total is a 1-row aggregate joined by "
      "BroadcastNestedLoopJoin (constant cost); groups aggregate with "
      "map-side combine before the exchange"),
+    ("rel_customer_quartiles", "distributed global ranking (r11): "
+     "range-repartition on the ordering + per-partition row_number + "
+     "broadcast one-row-per-partition count offsets; "
+     "ntile/percent_rank/cume_dist are closed forms of (rank, n). "
+     "The ONLY Exchange SinglePartition sits under the per-partition "
+     "totals aggregate (bounded by parallelism, not data) — no "
+     "global ranking window"),
 ]
 
 _STRIP = re.compile(r"#\d+L?|\[plan_id=\d+\]")
