@@ -78,6 +78,15 @@ def main() -> None:
     print(f"dropped {doomed}: gone from results; artifact ops = "
           f"{meta['ops']}")
 
+    # --- maybe_retrain: the compaction-picking analogue ---
+    health = QZ.index_health(lists, cents, n_clusters=10)
+    print(f"index health: {health}")
+    out = QZ.maybe_retrain(e, cents, lists, fingerprint=fp,
+                           n_clusters=10, root=root,
+                           max_size_skew=1e9, min_avg_cos=-1.0)
+    print(f"healthy thresholds -> retrained={out['retrained']} "
+          "(artifacts untouched)")
+
     spark.stop()
     print("done")
 

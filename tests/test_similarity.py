@@ -976,3 +976,55 @@ def test_pq_codes_drop_matches_rebuild(spark, sf_dir, tmp_path):
     got = sorted((r.vec_id, tuple(r.codes)) for r in codes2.collect())
     want = sorted((r.vec_id, tuple(r.codes)) for r in rebuilt.collect())
     assert got == want and len(got) > 0
+
+
+def test_maybe_retrain_triggers_on_drift_and_noops_when_healthy(
+        spark, sf_dir, tmp_path):
+    """maybe_retrain is the compaction-picking analogue for the ANN
+    index: a quantizer trained on a biased slice leaves the full
+    corpus piled into few lists (skew/empty triggers) -> retrain +
+    rebuild restores balance; a healthy index is left byte-untouched
+    (no silent rewrites on every maintenance tick)."""
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # bias: train 10 centroids on ONE label's vectors only
+    biased = kmeans_centroids(e.where(F.col("label") == 0), 10, n_iter=2)
+    lists = QZ.get_or_build_lists(e, biased, fingerprint="t-drift",
+                                  n_clusters=10, root=str(tmp_path))
+    h0 = QZ.index_health(lists, biased, n_clusters=10)
+    assert h0["n_vectors"] > 0
+
+    # the near-uniform testdata keeps lists balanced even under a
+    # biased quantizer, so the FIT trigger is the live one here
+    # (biased avg_cos ~0.228 vs ~0.277 after a full-corpus retrain)
+    out = QZ.maybe_retrain(e, biased, lists, fingerprint="t-drift",
+                           n_clusters=10, root=str(tmp_path),
+                           max_size_skew=1e9, min_avg_cos=0.25)
+    assert out["retrained"] is True
+    h1 = out["health"]
+    assert h1["n_vectors"] == h0["n_vectors"]       # nothing lost
+    assert h1["avg_cos"] > h0["avg_cos"]            # better fit
+    # meta op trail records the retrain
+    meta = QZ.read_artifact_meta(QZ.lists_path(
+        QZ._key("t-drift", 10, 2, None, 6), str(tmp_path)))
+    assert meta["ops"][-1] == "retrain"
+    # the rebuilt index still serves
+    q = e.where(F.col("vec_id") % 100 == 0)
+    assert ivf_topk(e, q, 5, nprobe=2, centroids=out["centroids"],
+                    lists=out["lists"]).count() > 0
+
+    # healthy path: generous thresholds -> no-op, artifact untouched
+    path = QZ.lists_path(QZ._key("t-drift", 10, 2, None, 6),
+                         str(tmp_path))
+    mtimes = {d: os.path.getmtime(os.path.join(path, d))
+              for d in os.listdir(path) if d.startswith("list_label=")}
+    out2 = QZ.maybe_retrain(e, out["centroids"], out["lists"],
+                            fingerprint="t-drift", n_clusters=10,
+                            root=str(tmp_path), max_size_skew=1e9,
+                            min_avg_cos=-1.0, max_empty_lists=10)
+    assert out2["retrained"] is False
+    for d, m in mtimes.items():
+        assert os.path.getmtime(os.path.join(path, d)) == m
