@@ -123,3 +123,35 @@ def test_binary_bulk_ingest(spark, tmp_path):
     st.ingest(df)
     got = [(bytes(r["key"]), bytes(r["value"])) for r in st.scan().collect()]
     assert got == sorted(rows)
+
+
+def test_binary_scan_rows_engines_agree(spark, tmp_path):
+    """The driver heap-merge scan handles BYTES keys (arrow binary
+    comparisons, bytes frontier from parquet stats) identically to
+    the Spark scan — including reverse and as-of pages."""
+    st = KVStore.create(spark, str(tmp_path / "b"), binary=True)
+    st.write_batch([("put", bytes([i, 255 - i]), bytes([i] * 3))
+                    for i in range(40)])
+    snap = st.manifest.current().last_seq
+    st.write_batch([("del", bytes([7, 248]), None),
+                    ("put", bytes([9, 246]), b"v9b")])
+
+    def both(**kw):
+        driver = st.scan_rows(**kw)
+        st.point_read_engine = "spark"
+        try:
+            assert st.scan_rows(**kw) == driver, kw
+        finally:
+            st.point_read_engine = "driver"
+        return driver
+
+    full = both(limit=100)
+    assert len(full) == 39                      # 40 puts - 1 tombstone
+    assert all(isinstance(k, bytes) for k, _ in full)
+    assert dict(full)[bytes([9, 246])] == b"v9b"
+    page = both(key_from=bytes([5]), key_to=bytes([12]), limit=4)
+    assert [k[0] for k, _ in page] == [5, 6, 8, 9]   # 7 tombstoned
+    rev = both(reverse=True, limit=2)
+    assert [k[0] for k, _ in rev] == [39, 38]
+    old = both(key_from=bytes([7]), key_to=bytes([8]), asof=snap, limit=5)
+    assert old == [(bytes([7, 248]), bytes([7] * 3))]
