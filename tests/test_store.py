@@ -144,6 +144,24 @@ def test_randomized_model(spark, tmp_path, n_batches, ops_per, keyspace):
         got_asof = [(r["key"], r["value"]) for r in st.scan(asof=seq).collect()]
         assert got_asof == sorted(expect.items()), f"asof={seq}"
 
+    # DRIVER heap-merge scan (scan_rows) under the same randomized
+    # model: many overlapping dirs, skewed overwrites, tombstones,
+    # random bounds/limits/direction/as-of — vs the dict oracle
+    for trial in range(12):
+        lo = f"key{rng.randrange(keyspace):06d}" if rng.random() < .7 else None
+        hi = f"key{rng.randrange(keyspace):06d}" if rng.random() < .7 else None
+        if lo is not None and hi is not None and hi < lo:
+            lo, hi = hi, lo
+        rev = rng.random() < 0.4
+        lim = rng.choice([1, 3, 7, 1000])
+        seq = rng.choice(seqs + [None])
+        state = oracle.state if seq is None else oracle.at(seq)
+        want = sorted(((k, v) for k, v in state.items()
+                       if (lo is None or k >= lo)
+                       and (hi is None or k < hi)), reverse=rev)[:lim]
+        got = st.scan_rows(lo, hi, asof=seq, reverse=rev, limit=lim)
+        assert got == want, (trial, lo, hi, rev, lim, seq)
+
 
 def test_seek_and_limit(spark, tmp_path):
     """Seek(target) = first key >= target; LIMIT paging (S3-S5)."""
