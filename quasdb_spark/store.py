@@ -1530,8 +1530,20 @@ class KVStore:
         lo, hi = self._enc_bound(key_from), self._enc_bound(key_to)
         try:
             while True:
-                rows = self._scan_stored(lo, hi, asof=asof, reverse=reverse,
-                                         limit=page_size).collect()
+                # pages ride the driver heap-merge engine when the
+                # store supports it (r11: same rows as the Spark page,
+                # pinned by the engines-agree/randomized tests, at
+                # ms cost instead of a Spark job per page); the cursor
+                # math below is engine-independent stored-key space
+                if self._driver_reads_ok():
+                    wins = self._driver_range_winners(
+                        lo, hi, asof=asof, reverse=reverse,
+                        limit=page_size)
+                    rows = [{"key": k, **r} for k, r in wins]
+                else:
+                    rows = self._scan_stored(lo, hi, asof=asof,
+                                             reverse=reverse,
+                                             limit=page_size).collect()
                 if not rows:
                     return
                 yield from ((self._dec(r["key"]), self._row_value(r))
