@@ -130,9 +130,39 @@ class TSStore:
             F.get_json_object("value", "$.v").cast("double").alias("value"),
             F.get_json_object("value", "$.tags").alias("tags_json"))
 
+    def _driver_point(self, series_id: str,
+                      t1: dt.datetime | None, asof: int | None):
+        """Newest live point of a series (optionally at-or-before t1)
+        via the store's driver heap-merge engine: one reverse
+        limit-1 page, no Spark job — the TSDB point query at the
+        reference's embedded cost. Typed stores only (native columns
+        round-trip exactly; the legacy JSON layout keeps the Spark
+        path). Returns a mapping with the same fields as the Spark
+        row: series_id, ts, value, tags_json."""
+        lo = f"{series_id}:"
+        hi = (encode_key(series_id, t1) if t1 is not None
+              else f"{series_id};")    # ';' = ':' + 1
+        rows = self.store.scan_rows(key_from=lo, key_to=hi, asof=asof,
+                                    reverse=True, limit=1)
+        if not rows:
+            return None
+        key, val = rows[0]
+        _, _, tspart = key.partition(":")
+        ts = dt.datetime.strptime(tspart, "%Y-%m-%dT%H:%M:%S.%f")
+        return {"series_id": series_id, "ts": ts,
+                "value": val["v"], "tags_json": val["tags_json"]}
+
+    def _points_fast_ok(self) -> bool:
+        return (self.store.value_schema is not None
+                and self.store._driver_reads_ok())
+
     def latest(self, series_id: str, asof: int | None = None):
         """Newest point of a series: reverse scan LIMIT 1 over the
-        series' key prefix (SeekToLast analogue, S4)."""
+        series' key prefix (SeekToLast analogue, S4). Driver engine
+        when available (ms, no Spark job); both engines return the
+        same fields, pinned by tests."""
+        if self._points_fast_ok():
+            return self._driver_point(series_id, None, asof)
         rows = (self.points(series_id, asof=asof)
                 .orderBy(F.col("ts").desc()).limit(1).collect())
         return rows[0] if rows else None
@@ -142,8 +172,10 @@ class TSStore:
         """Value at-or-before ``ts`` — the canonical TSDB point query.
         A bounded reverse key-range scan with LIMIT 1: the time bound
         becomes a key upper bound, so manifest/row-group pruning applies
-        before the top-1 sort."""
+        before the top-1 sort (driver engine when available)."""
         t1 = ts + dt.timedelta(microseconds=1)
+        if self._points_fast_ok():
+            return self._driver_point(series_id, t1, asof)
         rows = (self.points(series_id, asof=asof, t1=t1)
                 .orderBy(F.col("ts").desc()).limit(1).collect())
         return rows[0] if rows else None

@@ -139,3 +139,46 @@ def test_typed_and_legacy_stores_equivalent(spark, tmp_path):
     filtered_plan = (typed.store.log_df().where("v > 2.0")._jdf
                      .queryExecution().executedPlan().toString())
     assert "GreaterThan(v,2.0" in filtered_plan  # pushed to the scan
+
+
+def test_point_queries_driver_and_spark_engines_agree(spark, tmp_path):
+    """latest/asof_point ride the driver heap-merge engine on typed
+    stores (no Spark job); every field — ts included — must match the
+    Spark path, across upserts, deletes, and as-of snapshots."""
+    ts = TSStore.create(spark, str(tmp_path / "pp"))
+    base = _ts(0, 0)
+    ts.append([("cpu", base + dt.timedelta(minutes=m), float(m), None)
+               for m in range(10)])
+    snap = ts.store.manifest.current().last_seq
+    ts.append([("cpu", base + dt.timedelta(minutes=9), 99.0, {"r": "b"})])
+    ts.delete_point("cpu", base + dt.timedelta(minutes=8))
+
+    assert ts._points_fast_ok()
+
+    def both(fn):
+        driver = fn()
+        ts.store.point_read_engine = "spark"
+        try:
+            spark_row = fn()
+        finally:
+            ts.store.point_read_engine = "driver"
+        if driver is None or spark_row is None:
+            assert driver is None and spark_row is None
+        else:
+            for f in ("series_id", "ts", "value", "tags_json"):
+                assert driver[f] == spark_row[f], f
+        return driver
+
+    assert both(lambda: ts.latest("cpu"))["value"] == 99.0
+    assert both(lambda: ts.latest("cpu", asof=snap))["value"] == 9.0
+    assert both(lambda: ts.asof_point(
+        "cpu", base + dt.timedelta(minutes=8, seconds=30)))["value"] == 7.0
+    assert both(lambda: ts.asof_point(
+        "cpu", base - dt.timedelta(minutes=1))) is None
+    assert both(lambda: ts.latest("nope")) is None
+    # no Spark job on the driver path
+    ts.latest("cpu")
+    tracker = spark.sparkContext.statusTracker()
+    before = tracker.getJobIdsForGroup(None)
+    assert ts.latest("cpu")["value"] == 99.0
+    assert tracker.getJobIdsForGroup(None) == before
