@@ -294,12 +294,18 @@ def main() -> None:
                 time.perf_counter() - t0)
     extra = {n: round(statistics.median(v), 3)
              for n, v in extra_samples.items()}
+    # extras carry the same spread record as the headline (VERDICT
+    # r11 #1: a one-number extra can't tell host noise from a real
+    # regression — sim_ivfpq_topk's 1.40x "move" was min/max spread)
+    extra_spread = {n: [round(min(v), 3), round(max(v), 3)]
+                    for n, v in extra_samples.items()}
 
     payload = {
         "metric": "headline_suite_total_wall",
         "value": total, "unit": "sec", "queries": times, "sf": sf,
         "reps": REPS, "stat": "median", "query_spread": spread,
         "maintenance": maintenance, "extra_queries": extra,
+        "extra_query_spread": extra_spread,
         "serving": serving,
         "host": {"start": host_start, "end": _host_probe()},
     }
@@ -360,14 +366,20 @@ def main() -> None:
             "ratio": round(t_big / t_small, 2) if t_small else None}
         payload["sf1_spot"] = spot
 
-    # ---- sf10 scale spot-check: 100x bench data (VERDICT r10 #4) ----
-    # Second measured decade for the 3 steepest movers. One timed run
-    # each (the data is 100x; medians would triple a many-minute
-    # section for noise the host probes already diagnose). Expected
-    # wall on local[32]: ~linear in data for the CPU-bound pair
-    # (minhash shingling, bm25 tokenization), so ~100x of a sub-second
-    # sf0.1 reading; ivf_topk stays probe-bound AFTER its (untimed,
-    # amortized-by-contract) quantizer/lists maintenance.
+    # ---- sf10 scale spot-check: 100x bench data (VERDICT r10 #4, ----
+    # extended to the FULL headline + the 5 most expensive extras in
+    # r12 per VERDICT r11 #2: the lint catches known anti-pattern
+    # classes, but only a measured 100x run catches the next
+    # rel_customer_quartiles-class surprise empirically). One timed
+    # run each (the data is 100x; medians would triple a many-minute
+    # section for noise the bracketing host probes already diagnose).
+    # Expected wall on local[32]: ~linear in data for CPU-bound
+    # shapes (minhash shingling, bm25 tokenization, substring
+    # windows), sub-linear for scan/agg shapes whose sf0.1 reading is
+    # mostly per-job fixed overhead; ivf/pq queries stay probe-bound
+    # AFTER their (untimed, amortized-by-contract) maintenance.
+    # Per-query try/except: one bad query records its error without
+    # sinking the rest of the sweep.
     sf10_dir = os.environ.get(
         "SPARK_GRAFT_SF10_DIR",
         os.path.join(os.path.dirname(os.path.abspath(__file__)), ".sf10"))
@@ -375,16 +387,24 @@ def main() -> None:
             and os.environ.get("SPARK_GRAFT_SKIP_SF10") != "1":
         payload["host"]["sf10_spot"] = _host_probe()
         spot10: dict[str, dict] = {}
+        sf10_queries = SUITE_BENCH + [
+            "dedup_substring_spans", "dedup_clusters_cc",
+            "emb_hard_negatives", "sim_ivfpq_topk",
+            "emb_pq_quantization", "text_bm25_search",
+        ]
         try:
             t0 = time.perf_counter()
             suite._ivf_cents(spark, sf10_dir)
             suite._ivf_lists(spark, sf10_dir)
-            spot10["_ivf_maintenance_untimed"] = {
+            suite._pq_artifacts(spark, sf10_dir)
+            spot10["_ivf_pq_maintenance_untimed"] = {
                 "sf10": round(time.perf_counter() - t0, 3)}
-            for name in ["dedup_minhash_pairs", "text_bm25_search",
-                         "sim_ivf_topk"]:
-                fn = suite.QUERIES[name]
-                t_small = times.get(name, extra.get(name))
+        except Exception as ex:
+            spot10["maintenance_error"] = str(ex)[:300]
+        for name in sf10_queries:
+            fn = suite.QUERIES[name]
+            t_small = times.get(name, extra.get(name))
+            try:
                 t0 = time.perf_counter()
                 _force(fn(spark, sf10_dir))
                 t_big = time.perf_counter() - t0
@@ -392,8 +412,47 @@ def main() -> None:
                     "sf0.1": t_small, "sf10": round(t_big, 3),
                     "ratio_100x": round(t_big / t_small, 2)
                     if t_small else None}
-        except Exception as ex:  # record, never sink the artifact
-            spot10["error"] = str(ex)[:300]
+            except Exception as ex:  # record, never sink the artifact
+                spot10[name] = {"sf0.1": t_small,
+                                "error": str(ex)[:300]}
+        # kv store lifecycle at 100x: one fresh ingest->state->scan->
+        # get->compact->state cycle (10M events), same stages as the
+        # headline's REPS cycles
+        try:
+            ev10 = load_table(spark, sf10_dir, "events")
+            df10 = ev10.selectExpr(
+                "concat('u', lpad(cast(user_id as string), 9, '0')) as key",
+                "cast(event_id as long) as sub",
+                "case when event_type = 'error' then 'del' else 'put' "
+                "end as op",
+                "cast(value as string) as value")
+            tmp = tempfile.mkdtemp(prefix="quasdb-bench-sf10-")
+            try:
+                st = KVStore.create(spark, os.path.join(tmp, "store"))
+                kv_stages = [
+                    ("kv_ingest", lambda: st.ingest(df10, op_col="op",
+                                                    sub_col="sub")),
+                    ("kv_full_state", lambda: _force(st.state())),
+                    ("kv_range_scan",
+                     lambda: _force(st.scan("u000000020", "u000000080"))),
+                    ("kv_point_get", lambda: st.get("u000000042")),
+                    ("kv_compact", lambda: st.compact()),
+                    ("kv_full_state_postcompact",
+                     lambda: _force(st.state())),
+                ]
+                for name, fn in kv_stages:
+                    t_small = times.get(name)
+                    t0 = time.perf_counter()
+                    fn()
+                    t_big = time.perf_counter() - t0
+                    spot10[name] = {
+                        "sf0.1": t_small, "sf10": round(t_big, 3),
+                        "ratio_100x": round(t_big / t_small, 2)
+                        if t_small else None}
+            finally:
+                shutil.rmtree(tmp, ignore_errors=True)
+        except Exception as ex:
+            spot10["kv_lifecycle_error"] = str(ex)[:300]
         payload["host"]["sf10_spot_end"] = _host_probe()
         payload["sf10_spot"] = spot10
     # Emit the JSON line LAST, after the JVM is down, as the sole stdout
@@ -438,6 +497,9 @@ def main() -> None:
         if prev_host.get("calib_int_ms"):
             calib_ratio = round(host_start["calib_int_ms"]
                                 / prev_host["calib_int_ms"], 2)
+        prev_spread_all = {**(prev.get("query_spread") or {}),
+                           **(prev.get("extra_query_spread") or {})}
+        new_spread_all = {**spread, **extra_spread}
         flagged = {}
         for name, t_new in new_all.items():
             t_old = prev_all.get(name)
@@ -451,6 +513,13 @@ def main() -> None:
                     # slow-host allowance: calibration ratio + 30%
                     # run-to-run noise margin
                     d["noise_explained"] = ratio <= calib_ratio * 1.3
+                # overlapping min/max spreads exonerate a median move
+                # as run-to-run noise (VERDICT r11 #1)
+                ps, ns = (prev_spread_all.get(name),
+                          new_spread_all.get(name))
+                if ps and ns:
+                    d["spread_overlap"] = bool(
+                        ns[0] <= ps[1] and ps[0] <= ns[1])
                 flagged[name] = d
         payload["regression_vs_prev"] = {
             "prev_value": prev.get("value"),

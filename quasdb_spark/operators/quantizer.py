@@ -130,13 +130,27 @@ class StaleIndexError(RuntimeError):
 
 
 _META_NAME = "_quasdb_meta.json"
+_DROP_MARKER = "_DROP_IN_PROGRESS"
+
+
+def _drop_in_progress(path: str) -> bool:
+    """True while (or after a crash during) a partition-swap drop:
+    the marker is written BEFORE the first swap and cleared only
+    after the final sidecar commit, so a half-swapped artifact —
+    which still has an intact _SUCCESS and the OLD fingerprint —
+    is detectable and check_fresh() rejects it instead of serving
+    stale/partial lists silently."""
+    return os.path.exists(os.path.join(path, _DROP_MARKER))
 
 
 def _write_artifact_meta(path: str, meta: dict) -> None:
     """Sidecar metadata for a directory artifact (fingerprint the
     lists/codes were built against + maintenance audit trail).
-    Atomic publish, same as the JSON artifacts."""
+    Atomic publish, same as the JSON artifacts. Stamps the artifact
+    directory into the meta so a frame carrying it can re-locate the
+    directory (check_fresh's half-drop detection)."""
     os.makedirs(path, exist_ok=True)
+    meta["path"] = path
     fd, tmp = tempfile.mkstemp(dir=path, suffix=".tmp")
     try:
         with os.fdopen(fd, "w") as f:
@@ -145,6 +159,20 @@ def _write_artifact_meta(path: str, meta: dict) -> None:
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+
+
+def _ensure_meta(path: str, fingerprint: str, key: str) -> dict:
+    """Meta for a loaded artifact, ADOPTING artifacts that predate
+    sidecar stamping: the artifact path is keyed by the fingerprint,
+    so the requested fingerprint IS its provenance by construction —
+    writing the sidecar on first load makes check_fresh enforceable
+    on legacy artifacts instead of silently passing them."""
+    meta = read_artifact_meta(path)
+    if meta is None:
+        meta = {"fingerprint": fingerprint, "key": key,
+                "ops": ["adopted"]}
+        _write_artifact_meta(path, meta)
+    return meta
 
 
 def read_artifact_meta(path: str) -> dict | None:
@@ -179,8 +207,17 @@ def check_fresh(lists: DataFrame, corpus_fingerprint: str, *,
             if os.path.basename(d).startswith("list_label="):
                 d = os.path.dirname(d)
             meta = read_artifact_meta(d)
+            if meta is not None:
+                meta.setdefault("path", d)
         except Exception:
             return
+    if meta and meta.get("path") and _drop_in_progress(meta["path"]):
+        raise StaleIndexError(
+            f"index artifact at {meta['path']} has a drop in progress "
+            "(or a drop crashed mid-swap): some list partitions may be "
+            "rewritten and others not — rebuild with "
+            "get_or_build_lists(force=True), or pass allow_stale=True "
+            "to search the partial artifact anyway")
     if meta and meta.get("fingerprint") not in (None, corpus_fingerprint):
         raise StaleIndexError(
             f"index artifact was built against corpus fingerprint "
@@ -288,14 +325,17 @@ def get_or_build_lists(vectors: DataFrame, centroids: DataFrame, *,
     key = _key(fingerprint, n_clusters, n_iter, sample_cap, round_to)
     path = lists_path(key, root)
     spark = vectors.sparkSession
-    if force or not os.path.exists(os.path.join(path, "_SUCCESS")):
+    # a half-swapped drop (crash between marker and sidecar commit)
+    # makes the artifact unusable — rebuild, don't reuse
+    if force or _drop_in_progress(path) \
+            or not os.path.exists(os.path.join(path, "_SUCCESS")):
         (ivf_assign(vectors, centroids, id_col=id_col, vec_col=vec_col)
          .write.mode("overwrite").partitionBy("list_label")
          .parquet(path))
         _write_artifact_meta(path, {"fingerprint": fingerprint,
                                     "key": key, "ops": ["build"]})
     return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path),
-                  read_artifact_meta(path))
+                  _ensure_meta(path, fingerprint, key))
 
 
 def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
@@ -328,6 +368,11 @@ def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
         raise QuantizerMiss(
             f"no inverted lists at {path}; build with "
             f"get_or_build_lists before appending")
+    if _drop_in_progress(path):
+        raise StaleIndexError(
+            f"drop in progress (or crashed mid-swap) at {path}; "
+            "rebuild with get_or_build_lists(force=True) before "
+            "appending")
     spark = new_vectors.sparkSession
     (ivf_assign(new_vectors, centroids, id_col=id_col, vec_col=vec_col)
      .write.mode("append").partitionBy("list_label").parquet(path))
@@ -400,6 +445,10 @@ def drop_from_lists(spark: SparkSession, ids, *, fingerprint: str,
         raise QuantizerMiss(
             f"no inverted lists at {path}; build with "
             f"get_or_build_lists before dropping")
+    if _drop_in_progress(path):
+        raise StaleIndexError(
+            f"a previous drop at {path} is in progress or crashed "
+            "mid-swap; rebuild with get_or_build_lists(force=True)")
     from pyspark.sql import functions as F
 
     ids_df = _ids_frame(spark, ids)
@@ -418,6 +467,12 @@ def drop_from_lists(spark: SparkSession, ids, *, fingerprint: str,
          .join(F.broadcast(ids_df), "vec_id", "left_anti")
          .write.mode("overwrite").partitionBy("list_label")
          .parquet(staging))
+        # in-progress marker BEFORE the first swap: a crash mid-swap
+        # leaves _SUCCESS and the old fingerprint intact, so without
+        # the marker check_fresh would accept a half-dropped artifact
+        # and serve stale/partial lists silently
+        with open(os.path.join(path, _DROP_MARKER), "w") as f:
+            json.dump({"partitions": affected}, f)
         for lbl in affected:
             _swap_dirs(os.path.join(path, f"list_label={lbl}"),
                        os.path.join(staging, f"list_label={lbl}"),
@@ -431,6 +486,9 @@ def drop_from_lists(spark: SparkSession, ids, *, fingerprint: str,
     meta["ops"] = (meta.get("ops") or []) + [
         {"drop": len(affected), "partitions": affected}]
     _write_artifact_meta(path, meta)
+    # marker cleared only after the sidecar commit — the last step
+    if affected:
+        os.unlink(os.path.join(path, _DROP_MARKER))
     return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path), meta)
 
 
@@ -720,7 +778,7 @@ def get_or_build_codes(vectors: DataFrame, codebooks: DataFrame, *,
         _write_artifact_meta(path, {"fingerprint": fingerprint,
                                     "key": key, "ops": ["build"]})
     return _stamp(spark.read.schema(_CODES_SCHEMA).parquet(path),
-                  read_artifact_meta(path))
+                  _ensure_meta(path, fingerprint, key))
 
 
 _CODES_ARRAY_SCHEMA = "vec_id long, codes array<long>"
@@ -774,4 +832,4 @@ def get_or_build_codes_array(vectors: DataFrame, codebooks: DataFrame, *,
         _write_artifact_meta(path, {"fingerprint": fingerprint,
                                     "key": key, "ops": ["build"]})
     return _stamp(spark.read.schema(_CODES_ARRAY_SCHEMA).parquet(path),
-                  read_artifact_meta(path))
+                  _ensure_meta(path, fingerprint, key))

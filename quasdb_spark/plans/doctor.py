@@ -100,9 +100,13 @@ _SF_SCALED_KEYS = {
 # — or an aggregate keyed SOLELY on a spark_partition_id column (the
 # `_pid` convention of packing.global_ranks: at most one row per
 # partition, bounded by parallelism, broadcast-safe by construction).
+# The `_pid` form is NOT self-sufficient: it only counts when the same
+# subtree shows SPARK_PARTITION_ID() provenance (the Project that
+# computed the column) — a user column merely NAMED `_pid` has
+# data-dependent cardinality and must not silence the lint.
 _LOGICAL_BOUNDED = re.compile(
-    r"(GlobalLimit|LocalLimit|Aggregate \[[^\]]*\](?!, \[)"
-    r"|Aggregate \[_pid#\d+[^,\]]*\], \[)")
+    r"(GlobalLimit|LocalLimit|Aggregate \[[^\]]*\](?!, \[))")
+_LOGICAL_PID_AGG = re.compile(r"Aggregate \[_pid#\d+[^,\]]*\], \[")
 
 
 def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
@@ -121,12 +125,15 @@ def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
             continue
         depth = _subtree_indent(ln)
         bounded_depths: list[int] = []
-        for child in lines[i + 1:]:
+        for j in range(i + 1, len(lines)):
+            child = lines[j]
             if child.strip() and _subtree_indent(child) <= depth:
                 break
             cd = _subtree_indent(child)
             bounded_depths = [d for d in bounded_depths if d < cd]
-            if _LOGICAL_BOUNDED.search(child):
+            if _LOGICAL_BOUNDED.search(child) or (
+                    _LOGICAL_PID_AGG.search(child)
+                    and _subtree_has(lines, j, "SPARK_PARTITION_ID")):
                 bounded_depths.append(cd)
             if "Relation" in child and not bounded_depths:
                 for key, tbl in _SF_SCALED_KEYS.items():
@@ -140,8 +147,26 @@ def broadcast_sf_scaled_findings(df: DataFrame) -> list[str]:
 # yields at most one row per partition — bounded by cluster parallelism,
 # not by data. The cumulative-offsets window over those rows is the one
 # legitimate single-partition exchange a distributed global rank needs.
+# Only counts with SPARK_PARTITION_ID() provenance in the same subtree
+# (the Project that computed `_pid`) — a user column merely named
+# `_pid` must not silence the lint.
 _PID_BOUNDED = re.compile(
     r"(?:HashAggregate\(keys=|SortAggregate\(key=)\[_pid#\d+[^,\]]*\]")
+
+
+def _subtree_has(lines: list[str], i: int, needle: str) -> bool:
+    """True if ``needle`` appears in line ``i`` or anywhere in the
+    plan subtree rooted there (lines below with strictly greater
+    indent, up to the first sibling/ancestor)."""
+    if needle in lines[i]:
+        return True
+    depth = _subtree_indent(lines[i])
+    for child in lines[i + 1:]:
+        if child.strip() and _subtree_indent(child) <= depth:
+            break
+        if needle in child:
+            return True
+    return False
 
 
 def _single_partition_counts(plan: str) -> tuple[int, int]:
@@ -158,11 +183,13 @@ def _single_partition_counts(plan: str) -> tuple[int, int]:
             continue
         depth = _subtree_indent(ln)
         ok = False
-        for child in lines[i + 1:]:
+        for j in range(i + 1, len(lines)):
+            child = lines[j]
             if child.strip() and _subtree_indent(child) <= depth:
                 break
-            if any(m in child for m in _BOUNDED_MARKERS) \
-                    or _PID_BOUNDED.search(child):
+            if any(m in child for m in _BOUNDED_MARKERS) or (
+                    _PID_BOUNDED.search(child)
+                    and _subtree_has(lines, j, "SPARK_PARTITION_ID")):
                 ok = True
                 break
         if ok:

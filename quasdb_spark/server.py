@@ -92,7 +92,17 @@ def handle_request(store: KVStore | None, doc_root: str | None,
             return reply(200, *jbody({"key": key, "value": val}))
         if store is not None and url.path == "/scan":
             asof = int(q["asof"]) if "asof" in q else None
-            limit = min(int(q.get("limit", "100")), 10000)
+            try:
+                limit = int(q.get("limit", "100"))
+            except ValueError:
+                return reply(400, *jbody({"error": "bad limit",
+                                          "limit": q.get("limit")}))
+            if limit <= 0:
+                # a client-supplied empty page is a valid request, not
+                # a server error (the pre-driver-engine Spark path
+                # answered it with an empty rows array — keep that)
+                return reply(200, *jbody({"rows": []}))
+            limit = min(limit, 10000)
             # bounded pages answer on the DRIVER (pyarrow heap merge,
             # no Spark job — store.scan_rows; single-digit ms like
             # /get); stores the driver engine defers fall back to the

@@ -25,7 +25,7 @@ from __future__ import annotations
 import datetime as dt
 import json
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Row, SparkSession
 from pyspark.sql import functions as F
 
 from quasdb_spark.store import KVStore
@@ -137,8 +137,9 @@ class TSStore:
         limit-1 page, no Spark job — the TSDB point query at the
         reference's embedded cost. Typed stores only (native columns
         round-trip exactly; the legacy JSON layout keeps the Spark
-        path). Returns a mapping with the same fields as the Spark
-        row: series_id, ts, value, tags_json."""
+        path). Returns a ``pyspark.sql.Row`` with the same fields as
+        the Spark path — item AND attribute access work identically on
+        both engines: series_id, ts, value, tags_json."""
         lo = f"{series_id}:"
         hi = (encode_key(series_id, t1) if t1 is not None
               else f"{series_id};")    # ';' = ':' + 1
@@ -149,8 +150,8 @@ class TSStore:
         key, val = rows[0]
         _, _, tspart = key.partition(":")
         ts = dt.datetime.strptime(tspart, "%Y-%m-%dT%H:%M:%S.%f")
-        return {"series_id": series_id, "ts": ts,
-                "value": val["v"], "tags_json": val["tags_json"]}
+        return Row(series_id=series_id, ts=ts,
+                   value=val["v"], tags_json=val["tags_json"])
 
     def _points_fast_ok(self) -> bool:
         return (self.store.value_schema is not None

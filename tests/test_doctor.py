@@ -75,6 +75,23 @@ def test_single_partition_bounded_is_warn(spark):
     check_plan(ranked)
 
 
+def test_user_pid_column_does_not_silence_lint(spark):
+    """The `_pid`-keyed-aggregate exemption is anchored to
+    SPARK_PARTITION_ID() provenance: a USER column that merely shares
+    the name has data-dependent cardinality, so an unbounded
+    single-partition window over it must still be an error."""
+    from pyspark.sql import Window
+
+    df = (spark.range(100000)
+          .withColumn("_pid", F.col("id") % 50000)   # user data, not
+          .groupBy("_pid").count()                   # partition ids
+          .withColumn("rn", F.row_number().over(Window.orderBy("_pid"))))
+    sev = {f["rule"]: f["severity"] for f in lint_plan(df)}
+    assert sev.get("single_partition_exchange") == "error"
+    with pytest.raises(ValueError, match="single_partition_exchange"):
+        check_plan(df)
+
+
 def test_suite_queries_pass_error_lint(spark, sf_dir):
     """EVERY suite query's plan must carry no error-severity findings
     (cartesian products, broadcast nested loops, row-at-a-time Python

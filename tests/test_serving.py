@@ -70,6 +70,17 @@ def test_http_store_endpoints(spark, tmp_path):
         code, body = _get(srv.port, "/scan?limit=99999")  # clamped to max
         assert len(body["rows"]) <= 10000
 
+        # client-supplied degenerate limits are requests, not server
+        # errors: <=0 answers an empty page (the pre-driver-engine
+        # behavior), garbage answers 400 — never a 500
+        code, body = _get(srv.port, "/scan?limit=0")
+        assert code == 200 and body["rows"] == []
+        code, body = _get(srv.port, "/scan?limit=-5")
+        assert code == 200 and body["rows"] == []
+        with pytest.raises(urllib.error.HTTPError) as e:
+            _get(srv.port, "/scan?limit=abc")
+        assert e.value.code == 400
+
         # static file serving (H1 parity) + traversal protection
         with urllib.request.urlopen(f"http://127.0.0.1:{srv.port}/index.html") as r:
             assert r.status == 200 and b"quasdb" in r.read()

@@ -938,6 +938,62 @@ def test_ivf_stale_index_guard(spark, sf_dir, tmp_path):
              corpus_fingerprint="fp-B").collect()
 
 
+def test_ivf_half_drop_marker_rejected(spark, sf_dir, tmp_path):
+    """A drop that crashes mid-partition-swap leaves _SUCCESS and the
+    OLD fingerprint intact — the in-progress marker (written before
+    the first swap, cleared only after the sidecar commit) is what
+    makes the half-swapped artifact detectable: check_fresh and
+    further maintenance reject it; a rebuild recovers and clears it."""
+    import os
+
+    import pytest as _pt
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="fp-HD",
+                                  n_clusters=10, root=str(tmp_path))
+    path = QZ.lists_path(QZ._key("fp-HD", 10, 2, None, 6),
+                         str(tmp_path))
+    # simulate the crash window: marker present, artifact otherwise
+    # looks healthy (fingerprint matches, _SUCCESS intact)
+    with open(os.path.join(path, QZ._DROP_MARKER), "w") as f:
+        f.write("{}")
+    # stamped frame: the guard trips even with a matching fingerprint
+    with _pt.raises(QZ.StaleIndexError, match="in progress"):
+        ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                 corpus_fingerprint="fp-HD")
+    # reloaded frame (meta located via inputFiles): same
+    reloaded = spark.read.schema(QZ._LISTS_SCHEMA).parquet(path)
+    with _pt.raises(QZ.StaleIndexError, match="in progress"):
+        ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=reloaded,
+                 corpus_fingerprint="fp-HD")
+    # maintenance on a half-swapped artifact would compound damage
+    with _pt.raises(QZ.StaleIndexError):
+        QZ.drop_from_lists(spark, [1], fingerprint="fp-HD",
+                           n_clusters=10, root=str(tmp_path))
+    with _pt.raises(QZ.StaleIndexError):
+        QZ.append_to_lists(e.limit(1), cents, fingerprint="fp-HD",
+                           n_clusters=10, root=str(tmp_path))
+    # allow_stale is the explicit escape hatch
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+             corpus_fingerprint="fp-HD", allow_stale=True).collect()
+    # recovery: non-force get_or_build treats the marker as unusable
+    # and rebuilds (overwrite clears the marker)
+    rebuilt = QZ.get_or_build_lists(e, cents, fingerprint="fp-HD",
+                                    n_clusters=10, root=str(tmp_path))
+    assert not os.path.exists(os.path.join(path, QZ._DROP_MARKER))
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=rebuilt,
+             corpus_fingerprint="fp-HD").collect()
+    # a completed drop leaves no marker behind
+    QZ.drop_from_lists(spark, [int(e.limit(1).collect()[0].vec_id)],
+                       fingerprint="fp-HD", n_clusters=10,
+                       root=str(tmp_path))
+    assert not os.path.exists(os.path.join(path, QZ._DROP_MARKER))
+
+
 def test_pq_codes_drop_matches_rebuild(spark, sf_dir, tmp_path):
     """drop_from_codes_array == rebuilding codes on the surviving
     corpus (codes are a pure per-vector function), and ivfpq_topk

@@ -596,6 +596,37 @@ def test_bpe_train_known_merges(spark):
     assert got == seq
 
 
+def test_bpe_train_reliable_checkpoint_when_dir_set(spark, tmp_path):
+    """With sc.setCheckpointDir configured (the cluster posture), the
+    training loop uses RELIABLE checkpoints — localCheckpoint blocks
+    die with their executor and, lineage being truncated, would kill
+    the job on any executor loss. Same merges either way."""
+    from quasdb_spark.functions.text import bpe_train
+
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    want = [(r.merge_rank, r.merged) for r in
+            bpe_train(df, n_merges=6).collect()]
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    try:
+        got = [(r.merge_rank, r.merged) for r in
+               bpe_train(df, n_merges=6).collect()]
+        # reliable checkpoint files actually landed in the dir
+        import os
+        assert any(files for _, _, files in
+                   os.walk(str(tmp_path / "ckpt")))
+    finally:
+        # un-set for the rest of the shared session (no public API:
+        # poke the Scala var back to None)
+        getattr(sc._jsc.sc(), "checkpointDir_$eq")(
+            sc._jvm.scala.Option.apply(None))
+    assert got == want
+    assert sc.getCheckpointDir() is None
+
+
 def test_bpe_train_batched_matches_sequential_randomized(spark):
     """Batched == sequential on randomized Zipf-ish corpora — the
     _bpe_select_batch exactness proof checked empirically end to end

@@ -167,6 +167,13 @@ def test_point_queries_driver_and_spark_engines_agree(spark, tmp_path):
         else:
             for f in ("series_id", "ts", "value", "tags_json"):
                 assert driver[f] == spark_row[f], f
+            # both engines return a pyspark Row: attribute-style
+            # access (row.value) must work identically — callers must
+            # not behave differently depending on point_read_engine
+            from pyspark.sql import Row
+            assert isinstance(driver, Row) and isinstance(spark_row, Row)
+            assert driver.value == spark_row.value
+            assert driver.ts == spark_row.ts
         return driver
 
     assert both(lambda: ts.latest("cpu"))["value"] == 99.0
