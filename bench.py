@@ -265,6 +265,97 @@ def main() -> None:
             finally:
                 st.point_read_engine = "driver"
             conn.close()
+
+            # ---- concurrent serving (VERDICT r11 #5): N parallel ----
+            # keep-alive clients mixing point GETs (2/3) and bounded
+            # /scan pages (1/3) while one writer thread commits batches
+            # (manifest swaps under read load — the reference's
+            # thread-safe-concurrent-access contract, db.h:39-40).
+            # Every response is VALIDATED: a GET of a stable key must
+            # return its known value, a scan page must be key-sorted
+            # inside its bounds with known values matching — recorded
+            # as `errors` (must stay 0: corruption, not latency).
+            import threading
+            kv_expect = {r["key"]: r["value"] for r in
+                         st.state().select("key", "value")
+                         .orderBy("key").limit(500).collect()}
+            stable_keys = sorted(kv_expect)
+            hi_bound = "v"   # writer keys live at zz!…, never in-range
+
+            def client(n_req, lat, errs):
+                c = http.client.HTTPConnection("127.0.0.1", srv.port)
+                try:
+                    for i in range(n_req):
+                        k = stable_keys[(i * 131) % len(stable_keys)]
+                        scan = i % 3 == 2
+                        path = (f"/scan?from={k}&to={hi_bound}&limit=20"
+                                if scan else f"/get?key={k}")
+                        t0 = time.perf_counter()
+                        c.request("GET", path)
+                        r = c.getresponse()
+                        body = r.read()
+                        lat.append((time.perf_counter() - t0) * 1000.0)
+                        try:
+                            p = json.loads(body)
+                            if not scan:
+                                ok = (r.status == 200
+                                      and p["value"] == kv_expect[k])
+                            else:
+                                ks = [kk for kk, _ in p["rows"]]
+                                ok = (r.status == 200
+                                      and ks == sorted(ks)
+                                      and all(k <= kk < hi_bound
+                                              for kk in ks)
+                                      and all(kv_expect[kk] == vv
+                                              for kk, vv in p["rows"]
+                                              if kk in kv_expect))
+                            if not ok:
+                                errs.append(path)
+                        except Exception:
+                            errs.append(path)
+                finally:
+                    c.close()
+
+            stop_writer = threading.Event()
+            written = [0]
+
+            def writer():
+                j = 0
+                while not stop_writer.is_set():
+                    st.write_batch([("put", f"zz!{n:08d}", "w")
+                                    for n in range(j, j + 50)])
+                    written[0] += 1
+                    j += 50
+                    time.sleep(0.02)
+
+            serving["concurrent"] = {}
+            wt = threading.Thread(target=writer, daemon=True)
+            wt.start()
+            try:
+                for n_clients in (8, 32):
+                    lat, errs = [], []
+                    threads = [threading.Thread(
+                        target=client, args=(150, lat, errs))
+                        for _ in range(n_clients)]
+                    t0 = time.perf_counter()
+                    for t in threads:
+                        t.start()
+                    for t in threads:
+                        t.join()
+                    wall = time.perf_counter() - t0
+                    lat.sort()
+                    serving["concurrent"][str(n_clients)] = {
+                        "requests": len(lat),
+                        "errors": len(errs),
+                        "p50_ms": round(lat[len(lat) // 2], 3),
+                        "p99_ms": round(lat[int(len(lat) * 0.99)], 3),
+                        "max_ms": round(lat[-1], 3),
+                        "req_per_sec": round(len(lat) / wall, 1),
+                    }
+            finally:
+                stop_writer.set()
+                wt.join(timeout=10)
+            serving["concurrent"]["writer_batches"] = written[0]
         finally:
             srv.stop()
     finally:

@@ -610,7 +610,8 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
               n_merges: int = 8,
               word_re: str = "^[a-z]{2,}$",
               batched: bool = True,
-              candidate_k: int = 1024) -> DataFrame:
+              candidate_k: int = 1024,
+              stats: dict | None = None) -> DataFrame:
     """FULL iterative BPE tokenizer training (Sennrich et al. 2016):
     repeatedly count adjacent symbol pairs over the corpus, merge the
     most frequent (ties: count desc, then left asc, right asc), and
@@ -703,6 +704,10 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
         batch = _bpe_select_batch(cands, known_syms,
                                   n_merges - len(merges)) \
             if batched else [cands[0]]
+        if stats is not None:
+            # telemetry for scale studies: per-round batch sizes make
+            # the rounds-vs-merges claim measurable (SCALE.md)
+            stats.setdefault("batch_sizes", []).append(len(batch))
         s = F.col("s")
         for b in batch:
             merges.append((len(merges) + 1, b.lhs, b.rhs,
@@ -718,6 +723,9 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
         # ContextCleaner once unreferenced); reliable on clusters,
         # local in local mode (_bpe_checkpoint)
         cur = _bpe_checkpoint(cur.select(s.alias("s"), "freq"))
+    if stats is not None:
+        stats["n_rounds"] = len(stats.get("batch_sizes", []))
+        stats["n_merges"] = len(merges)
     return spark.createDataFrame(
         merges,
         "merge_rank int, lhs string, rhs string, merged string, "

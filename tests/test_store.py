@@ -453,6 +453,88 @@ def test_randomized_long_with_maintenance(spark, tmp_path):
     assert seqs == sorted(seqs, reverse=True)
 
 
+def test_randomized_stress_interleaved_maintenance(spark, tmp_path):
+    """Randomized stress for the driver read engine under interleaved
+    writes and maintenance (VERDICT r11 #6, the Constructor-matrix
+    spirit of kv/test/table_test.cpp:558-636 applied to the newest
+    read path): batches of skewed put/delete interleave with full and
+    range compactions, vacuum, and registered snapshots, while
+    scan_rows (random bounds/direction/limit/as-of), scan_iter page
+    walks, and point gets answer on BOTH engines — dict-oracle
+    equality asserted at every step."""
+    rng = random.Random(7777)
+    st = _mk(spark, tmp_path, "stress")
+    oracle = DictOracle()
+    snaps: list[int] = []   # REGISTERED snapshots only: compaction's
+    # retention contract covers registered seqs, not arbitrary ones
+
+    def check(step):
+        for trial in range(4):
+            lo = f"key{rng.randrange(45):06d}" if rng.random() < .7 else None
+            hi = f"key{rng.randrange(45):06d}" if rng.random() < .7 else None
+            if lo is not None and hi is not None and hi < lo:
+                lo, hi = hi, lo
+            rev = rng.random() < 0.4
+            lim = rng.choice([1, 5, 17, 1000])
+            seq = rng.choice(snaps + [None]) if snaps else None
+            state = oracle.state if seq is None else oracle.at(seq)
+            want = sorted(((k, v) for k, v in state.items()
+                           if (lo is None or k >= lo)
+                           and (hi is None or k < hi)), reverse=rev)[:lim]
+            ctx = (step, trial, lo, hi, rev, lim, seq)
+            got_d = st.scan_rows(lo, hi, asof=seq, reverse=rev, limit=lim)
+            assert got_d == want, ("driver", *ctx)
+            st.point_read_engine = "spark"
+            try:
+                got_s = st.scan_rows(lo, hi, asof=seq, reverse=rev,
+                                     limit=lim)
+            finally:
+                st.point_read_engine = "driver"
+            assert got_s == want, ("spark", *ctx)
+        # cursor walk in small pages (driver-merged pages since r11)
+        walked = list(st.scan_iter(page_size=rng.choice([3, 7])))
+        assert walked == sorted(oracle.state.items()), (step, "scan_iter")
+        # point gets across the keyspace
+        for i in rng.sample(range(45), 4):
+            k = f"key{i:06d}"
+            assert st.get(k) == oracle.state.get(k), (step, k)
+
+    for b in range(10):
+        ops = random_ops(rng, 30, keyspace=45, del_ratio=0.3)
+        seq = st.write_batch(ops)
+        oracle.apply_batch(ops, seq)
+        if rng.random() < 0.5:
+            snaps.append(st.snapshot(f"stress-{b}"))
+        r = rng.random()
+        if r < 0.25:
+            st.compact()
+        elif r < 0.40:
+            lo = f"key{rng.randrange(45):06d}"
+            hi = f"key{rng.randrange(45):06d}"
+            if hi < lo:
+                lo, hi = hi, lo
+            st.compact(key_from=lo, key_to=hi)
+        elif r < 0.55:
+            st.vacuum()
+        check(b)
+
+    # cursor pinned mid-maintenance: consume one page, compact+vacuum
+    # UNDER the open cursor, finish the walk — the pinned snapshot must
+    # make the cursor blind to the concurrent write and immune to the
+    # compaction (iterator-pins-a-snapshot, kv/db/db_impl.cpp:1351-62)
+    pinned_state = dict(oracle.state)
+    it = st.scan_iter(page_size=5)
+    first = next(it)
+    late_ops = [("put", "key000001", "LATE"), ("del", "key000002", None)]
+    late_seq = st.write_batch(late_ops)
+    st.compact()
+    st.vacuum()
+    rest = list(it)
+    assert [first] + rest == sorted(pinned_state.items())
+    oracle.apply_batch(late_ops, late_seq)
+    check("post-pinned-cursor")
+
+
 def test_multi_get_and_scan_iter(spark, tmp_path):
     st = _mk(spark, tmp_path)
     st.write_batch([("put", f"m{i:03d}", str(i)) for i in range(25)])

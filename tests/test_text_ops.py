@@ -596,6 +596,23 @@ def test_bpe_train_known_merges(spark):
     assert got == seq
 
 
+def test_bpe_train_stats_telemetry(spark):
+    """The optional stats dict records per-round batch sizes that sum
+    to the trained merge count — the instrumentation the Zipf scale
+    study (tools/bpe_zipf_bench.py) reads."""
+    from quasdb_spark.functions.text import bpe_train
+
+    text = " ".join(["low"] * 5 + ["lower"] * 2
+                    + ["newest"] * 6 + ["widest"] * 3)
+    df = spark.createDataFrame([(1, text)], "doc_id long, text string")
+    stats: dict = {}
+    n = bpe_train(df, n_merges=6, stats=stats).count()
+    assert n == 6
+    assert stats["n_merges"] == 6
+    assert stats["n_rounds"] == len(stats["batch_sizes"])
+    assert sum(stats["batch_sizes"]) == 6
+
+
 def test_bpe_train_reliable_checkpoint_when_dir_set(spark, tmp_path):
     """With sc.setCheckpointDir configured (the cluster posture), the
     training loop uses RELIABLE checkpoints — localCheckpoint blocks

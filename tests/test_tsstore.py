@@ -189,3 +189,100 @@ def test_point_queries_driver_and_spark_engines_agree(spark, tmp_path):
     before = tracker.getJobIdsForGroup(None)
     assert ts.latest("cpu")["value"] == 99.0
     assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_randomized_points_interleaved_maintenance(spark, tmp_path):
+    """Randomized TSStore stress (VERDICT r11 #6): appends, point
+    upserts, deletes, compactions, and registered snapshots interleave
+    while latest/asof_point answer on BOTH engines — checked against a
+    dict model (and each other) at every step."""
+    import random
+
+    rng = random.Random(4242)
+    ts = TSStore.create(spark, str(tmp_path / "rndts"))
+    base = _ts(0, 0)
+    series = ["cpu", "mem", "io"]
+    # model: {series: {ts: value}} snapshots at registered seqs
+    state: dict[str, dict] = {s: {} for s in series}
+    history: list[tuple[int, dict]] = []
+    snaps: list[int] = []
+
+    def both(fn, ctx):
+        driver = fn()
+        ts.store.point_read_engine = "spark"
+        try:
+            spark_row = fn()
+        finally:
+            ts.store.point_read_engine = "driver"
+        if driver is None or spark_row is None:
+            assert driver is None and spark_row is None, ctx
+        else:
+            for f in ("series_id", "ts", "value", "tags_json"):
+                assert driver[f] == spark_row[f], (ctx, f)
+        return driver
+
+    def model_latest(state_at, s, t_max=None):
+        live = {t: v for t, v in state_at[s].items()
+                if t_max is None or t <= t_max}
+        if not live:
+            return None
+        t = max(live)
+        return t, live[t]
+
+    def check(step):
+        for s in series:
+            ctx = (step, s)
+            want = model_latest(state, s)
+            got = both(lambda s=s: ts.latest(s), ctx)
+            if want is None:
+                assert got is None, ctx
+            else:
+                assert (got["ts"], got["value"]) == want, ctx
+            # as-of-time point at a random cut
+            cut = base + dt.timedelta(minutes=rng.randrange(40))
+            want_p = model_latest(state, s, t_max=cut)
+            got_p = both(lambda s=s, cut=cut: ts.asof_point(s, cut),
+                         (step, s, "asof_point", cut))
+            if want_p is None:
+                assert got_p is None, (ctx, cut)
+            else:
+                assert (got_p["ts"], got_p["value"]) == want_p, (ctx, cut)
+        # snapshot reads survive compaction (registered seqs only)
+        if snaps:
+            seq = rng.choice(snaps)
+            state_at = {s: {} for s in series}
+            for sq, snap_state in history:
+                if sq <= seq:
+                    state_at = snap_state
+            for s in series:
+                want = model_latest(state_at, s)
+                got = both(lambda s=s, seq=seq: ts.latest(s, asof=seq),
+                           (step, s, "asof-seq", seq))
+                if want is None:
+                    assert got is None, (step, s, seq)
+                else:
+                    assert (got["ts"], got["value"]) == want, (step, s, seq)
+
+    for b in range(8):
+        pts = []
+        for _ in range(12):
+            s = rng.choice(series)
+            t = base + dt.timedelta(minutes=rng.randrange(40))
+            v = round(rng.uniform(0, 100), 3)
+            pts.append((s, t, v, None))
+            state[s][t] = v
+        seq = ts.append(pts)
+        if rng.random() < 0.5:
+            s = rng.choice(series)
+            if state[s]:
+                t = rng.choice(sorted(state[s]))
+                seq = ts.delete_point(s, t)
+                del state[s][t]
+        history.append((seq, {s: dict(d) for s, d in state.items()}))
+        if rng.random() < 0.5:
+            snaps.append(ts.snapshot(f"ts-snap-{b}"))
+            history.append((snaps[-1],
+                            {s: dict(d) for s, d in state.items()}))
+        if rng.random() < 0.35:
+            ts.compact()
+        check(b)
