@@ -72,6 +72,7 @@ EXTRA_BENCH = [
     "rel_part_supplier_counts", "rel_dominant_supplier",
     "rel_important_stock",
     "text_bpe_train", "text_bpe_vocab", "dedup_paragraphs",  # r10
+    "sim_cosine_topk_blocked",  # r12: blocked exact brute-force scan
 ]
 
 
@@ -482,6 +483,11 @@ def main() -> None:
             "dedup_substring_spans", "dedup_clusters_cc",
             "emb_hard_negatives", "sim_ivfpq_topk",
             "emb_pq_quantization", "text_bm25_search",
+            # r12: the blocked exact scan next to the per-pair brute
+            # force it replaces at scale — the sweep's point is to
+            # show the quadratic baseline AND its fast exact path on
+            # the same 100x data
+            "sim_cosine_topk_blocked",
         ]
         try:
             t0 = time.perf_counter()

@@ -3226,6 +3226,18 @@ def q_sim_cosine_topk(spark, sf_dir):
     return SIM.cosine_topk(e, queries, 10)
 
 
+def q_sim_cosine_topk_blocked(spark, sf_dir):
+    """The blocked brute-force scan (FAISS IndexFlat shape): exact
+    same result set as sim_cosine_topk — same oracle — computed as
+    vectorized per-Arrow-batch numpy passes with per-partition top-k
+    instead of a per-pair crossJoin fold. The scale path for exact
+    search: measured 100x data cut from ~170 s (per-pair) to seconds
+    (see SCALE.md)."""
+    e = _t(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    return SIM.cosine_topk_blocked(e, queries, 10)
+
+
 def q_sim_bucket_topk(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     queries = e.where(F.col("vec_id") % 100 == 0)
@@ -5242,6 +5254,7 @@ QUERIES = {
     "dedup_simhash_pairs": q_dedup_simhash_pairs,
     # similarity
     "sim_cosine_topk": q_sim_cosine_topk,
+    "sim_cosine_topk_blocked": q_sim_cosine_topk_blocked,
     "sim_bucket_topk": q_sim_bucket_topk,
     "sim_knn_graph": q_sim_knn_graph,
     "text_lang_confusion": q_text_lang_confusion,
@@ -5316,15 +5329,11 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r11 rotation: the NEW oracle-gated query (corrupt-blob decode
-    # counts), then everything whose code changed in round 11 — the
-    # distributed-rank rel_customer_quartiles, the batched BPE trainer
-    # (train + the vocab consumer), and the three IVF queries that now
-    # route through the staleness guard (plans/params changed; results
-    # must not have) — then the cohort whose newest driver row is
-    # oldest (computed from CORRECTNESS_r0*.json: the r7 cohort, then
-    # r8's). CORRECTNESS_r10 checked the r10-change set + the other
-    # rotation half.
+    # r12 rotation: the NEW blocked brute-force scan first (its first
+    # driver row must land the round it ships), then the r11 head
+    # (new/changed-code queries keep accumulating evidence), then the
+    # oldest-evidence cohort as before.
+    "sim_cosine_topk_blocked",
     "mm_decode_path_counts", "rel_customer_quartiles",
     "text_bpe_train", "text_bpe_vocab",
     "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
@@ -5349,6 +5358,12 @@ _DRIVER_CHECK_FIRST = [
 QUERIES = {**{k: QUERIES[k] for k in _DRIVER_CHECK_FIRST},
            **{k: v for k, v in QUERIES.items()
               if k not in set(_DRIVER_CHECK_FIRST)}}
+
+# The blocked scan is EXACT — same result set, same total order, same
+# rounding as the per-pair path, so it shares sim_cosine_topk's oracle
+# verbatim (the strongest cross-check: two independent execution
+# strategies must hash identically against the same SQL).
+_SIM_ORACLES["sim_cosine_topk_blocked"] = _SIM_ORACLES["sim_cosine_topk"]
 
 ORACLES = {**_KV_ORACLES, **_TS_ORACLES, **_REL_ORACLES,
            **_TEXT_ORACLES, **_DEDUP_ORACLES, **_SIM_ORACLES,

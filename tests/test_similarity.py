@@ -1084,3 +1084,66 @@ def test_maybe_retrain_triggers_on_drift_and_noops_when_healthy(
     assert out2["retrained"] is False
     for d, m in mtimes.items():
         assert os.path.getmtime(os.path.join(path, d)) == m
+
+
+def test_cosine_topk_blocked_matches_perpair_on_testdata(spark, sf_dir):
+    """The blocked brute-force scan (mapInPandas numpy passes) must
+    reproduce the per-pair crossJoin fold ROW FOR ROW — same top-k
+    sets, same ranks, same rounded scores — on the real testdata.
+    The per-dimension accumulation order is engineered to be the
+    identical IEEE-754 sequence as dot()/norm()'s sequential folds,
+    so full-precision ranking cannot diverge."""
+    from quasdb_spark.operators.similarity import cosine_topk_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    want = sorted(map(tuple, cosine_topk(e, queries, 10).collect()))
+    got = sorted(map(tuple,
+                     cosine_topk_blocked(e, queries, 10).collect()))
+    assert want  # fixture must produce queries
+    assert got == want
+
+
+def test_cosine_topk_blocked_ties_nulls_and_small_corpus(spark):
+    """Adversarial parity: exact score TIES (duplicated vectors — the
+    (score DESC, id ASC) tie-break must agree), a corpus smaller than
+    k, and NULL / wrong-length vectors (dropped; they can never
+    out-rank a finite candidate)."""
+    from quasdb_spark.operators.similarity import cosine_topk_blocked
+
+    random.seed(7)
+    base = [[random.uniform(-1, 1) for _ in range(8)] for _ in range(6)]
+    rows = []
+    vid = 0
+    for v in base:
+        for _ in range(3):  # exact duplicates -> exact cosine ties
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    rows.append((vid, None))  # NULL vector: dropped, never ranked
+    corpus = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>")
+    queries = corpus.where((F.col("vec_id") % 6 == 0)
+                           & F.col("embedding").isNotNull())
+    for k in (3, 5, 40):  # 40 > corpus: every finite candidate ranks
+        want = sorted(map(tuple, cosine_topk(corpus.where(
+            F.col("embedding").isNotNull()), queries, k).collect()))
+        got = sorted(map(tuple, cosine_topk_blocked(
+            corpus, queries, k).collect()))
+        assert got == want, f"k={k}"
+
+
+def test_cosine_topk_blocked_corpus_never_shuffles(spark, sf_dir):
+    """Scale-shape pin: the corpus side feeds mapInPandas straight
+    from the scan — no Exchange below the scoring stage; the only
+    shuffle ranks the k-bounded candidate rows."""
+    from quasdb_spark.operators.similarity import cosine_topk_blocked
+
+    e = load_table(spark, sf_dir, "embeddings")
+    queries = e.where(F.col("vec_id") % 100 == 0)
+    plan = cosine_topk_blocked(e, queries, 10)._jdf \
+        .queryExecution().executedPlan().toString()
+    # exactly one exchange (the final bounded per-query ranking);
+    # scoring must not reshuffle or replicate the corpus
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
