@@ -227,7 +227,13 @@ def drop_hot_buckets(df: DataFrame, key_cols: list[str],
             .agg(F.count(F.lit(1)).alias("__bucket_n"))
             .where(F.col("__bucket_n") <= max_bucket_size)
             .drop("__bucket_n"))
-    return df.join(ok, key_cols)
+    # shuffle_hash, never broadcast: ``ok`` is ~the distinct-bucket
+    # set — corpus-scale and data-dependent. Same trap class the 100x
+    # sweep caught in duplicate_spans: AQE broadcasts it when its
+    # compressed bytes dip under the threshold, then the deserialized
+    # hash table blows the build. Both sides shuffle on the bucket
+    # key anyway (ok IS a groupBy on it), so the exchange is reused.
+    return df.join(ok.hint("shuffle_hash"), key_cols)
 
 
 def _nonempty_sig(sig_col: str = "minhash_sig") -> F.Column:
@@ -853,7 +859,16 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                .agg(F.count(F.lit(1)).alias("_c"))
                .where(F.col("_c") >= min_count)
                .select("_h"))
-    dup = wins.join(hot, "_h")
+    # shuffle_hash, NEVER broadcast: ``hot`` is the duplicated-window
+    # hash set — data-dependent and unbounded (grows with corpus
+    # duplication), so letting AQE broadcast it when its compressed
+    # shuffle bytes happen to dip under the threshold is a scale trap:
+    # the 100x sweep caught exactly that ("Not enough memory to build
+    # and broadcast the table" at sf10 — the deserialized hash table
+    # is many times the compressed estimate, and at 100 TB it would
+    # be GBs). Both sides already shuffle on _h (hot comes from a
+    # groupBy("_h")), so the hash join reuses that partitioning.
+    dup = wins.join(hot.hint("shuffle_hash"), "_h")
     if keep_first:
         # survivor occurrence per hash: smallest (id, pos) — a min
         # over an orderable struct, then filtered out
@@ -861,7 +876,7 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
                     .agg(F.min(F.struct("_id", "pos")).alias("_f"))
                     .select("_h", F.col("_f._id").alias("_fid"),
                             F.col("_f.pos").alias("_fpos")))
-        dup = (dup.join(first, "_h")
+        dup = (dup.join(first.hint("shuffle_hash"), "_h")
                   .where(~((F.col("_id") == F.col("_fid"))
                            & (F.col("pos") == F.col("_fpos")))))
     dup = dup.select("_id", "pos").dropDuplicates(["_id", "pos"])
