@@ -283,8 +283,9 @@ def main() -> None:
             stable_keys = sorted(kv_expect)
             hi_bound = "v"   # writer keys live at zz!…, never in-range
 
-            def client(n_req, lat, errs):
-                c = http.client.HTTPConnection("127.0.0.1", srv.port)
+            def client(n_req, lat, errs, port=None):
+                c = http.client.HTTPConnection("127.0.0.1",
+                                               port or srv.port)
                 try:
                     for i in range(n_req):
                         k = stable_keys[(i * 131) % len(stable_keys)]
@@ -357,6 +358,61 @@ def main() -> None:
                 stop_writer.set()
                 wt.join(timeout=10)
             serving["concurrent"]["writer_batches"] = written[0]
+
+            # ---- multi-process serving (r12): the SAME client/writer
+            # matrix against RawStoreServer(workers=8) — 8 extra
+            # processes, each an EMBEDDED (Spark-free) store reader,
+            # sharing the port via SO_REUSEPORT. The single-process
+            # numbers above measure the GIL ceiling (parse + driver
+            # reads all serialize); scaling must come from processes,
+            # exactly like the reference's real-thread concurrency.
+            srv2 = RawStoreServer(st, workers=8).start()
+            try:
+                time.sleep(4.0)  # spawned workers import + bind
+                stop_writer.clear()
+                written2 = [0]
+
+                def writer2():
+                    j = 1_000_000
+                    while not stop_writer.is_set():
+                        st.write_batch([("put", f"zz!{n:08d}", "w")
+                                        for n in range(j, j + 50)])
+                        written2[0] += 1
+                        j += 50
+                        time.sleep(0.02)
+
+                serving["concurrent_workers8"] = {}
+                wt2 = threading.Thread(target=writer2, daemon=True)
+                wt2.start()
+                try:
+                    for n_clients in (8, 32):
+                        lat, errs = [], []
+                        threads = [threading.Thread(
+                            target=client,
+                            args=(150, lat, errs, srv2.port))
+                            for _ in range(n_clients)]
+                        t0 = time.perf_counter()
+                        for t in threads:
+                            t.start()
+                        for t in threads:
+                            t.join()
+                        wall = time.perf_counter() - t0
+                        lat.sort()
+                        serving["concurrent_workers8"][str(n_clients)] = {
+                            "requests": len(lat),
+                            "errors": len(errs),
+                            "p50_ms": round(lat[len(lat) // 2], 3),
+                            "p99_ms": round(lat[int(len(lat) * 0.99)], 3),
+                            "max_ms": round(lat[-1], 3),
+                            "req_per_sec": round(len(lat) / wall, 1),
+                        }
+                finally:
+                    stop_writer.set()
+                    wt2.join(timeout=10)
+                serving["concurrent_workers8"]["writer_batches"] = \
+                    written2[0]
+            finally:
+                srv2.stop()
         finally:
             srv.stop()
     finally:

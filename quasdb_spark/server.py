@@ -245,11 +245,41 @@ class _RawConnection(socketserver.BaseRequestHandler):
             srv.untrack(self.request)
 
 
+def _worker_main(store_path: str | None, doc_root: str | None,
+                 host: str, port: int, idle_timeout: float) -> None:
+    """One serving worker process (a fresh interpreter via
+    ``python -m quasdb_spark.server`` — never forked over a live JVM,
+    and no re-import of the parent's __main__, so any parent context
+    works: scripts, notebooks, stdin): opens its OWN embedded store
+    handle (own GIL, own footer cache, no SparkSession) and binds the
+    SHARED port with SO_REUSEPORT, so the kernel load-balances
+    accepted connections across processes. Manifest commits from any
+    writer process are visible on the next request (current()
+    re-reads CURRENT; data dirs are immutable)."""
+    store = KVStore.open_embedded(store_path) if store_path else None
+    srv = RawStoreServer(store=store, doc_root=doc_root, host=host,
+                         port=port, idle_timeout=idle_timeout,
+                         reuse_port=True)
+    try:
+        srv.serve_forever()
+    except KeyboardInterrupt:  # pragma: no cover - parent terminates us
+        pass
+
+
 class RawStoreServer(socketserver.ThreadingTCPServer):
     """The reference-parity frontend: our own HTTP parsing and
     connection lifecycle on a raw socket loop. ``stop()`` closes the
     listener AND every live connection (connection_manager stop_all
-    semantics) so shutdown never hangs on an idle keep-alive peer."""
+    semantics) so shutdown never hangs on an idle keep-alive peer.
+
+    ``workers=N`` spawns N extra serving PROCESSES, each an embedded
+    (Spark-free) reader of the same store sharing the port via
+    SO_REUSEPORT — the scale-out answer to the single-process ceiling
+    the concurrent bench measures (parse + driver reads all contend
+    on one GIL; the reference's thread-per-connection model scales on
+    real threads, kv/include/db.h:39-40). Requires the store's driver
+    read engine (pyarrow-safe schema) and built-in codecs — a worker
+    process recovers store config from the manifest alone."""
 
     daemon_threads = True
     allow_reuse_address = True
@@ -257,14 +287,25 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
     def __init__(self, store: KVStore | None = None,
                  doc_root: str | None = None,
                  host: str = "127.0.0.1", port: int = 0,
-                 idle_timeout: float = 30.0):
+                 idle_timeout: float = 30.0,
+                 workers: int = 0, reuse_port: bool = False):
+        # must be set BEFORE super().__init__ binds the socket
+        self._reuse_port = reuse_port or workers > 0
         super().__init__((host, port), _RawConnection)
         self.store, self.doc_root = store, doc_root
         self.idle_timeout = idle_timeout
+        self.workers = workers
         self.port = self.server_address[1]
         self._live: set[socket.socket] = set()
         self._lock = threading.Lock()
         self._thread: threading.Thread | None = None
+        self._procs: list = []
+
+    def server_bind(self) -> None:
+        if self._reuse_port:
+            self.socket.setsockopt(socket.SOL_SOCKET,
+                                   socket.SO_REUSEPORT, 1)
+        super().server_bind()
 
     def track(self, sock: socket.socket) -> None:
         with self._lock:
@@ -278,9 +319,38 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
         self._thread = threading.Thread(target=self.serve_forever,
                                         daemon=True)
         self._thread.start()
+        if self.workers:
+            import subprocess
+            import sys
+
+            spath = self.store.path if self.store is not None else "-"
+            argv = [sys.executable, "-m", "quasdb_spark.server",
+                    "--serve-worker", spath, self.doc_root or "-",
+                    self.server_address[0], str(self.port),
+                    str(self.idle_timeout)]
+            # the child must resolve `-m quasdb_spark.server` even when
+            # the parent imported the package off a sys.path insert
+            pkg_parent = os.path.dirname(
+                os.path.dirname(os.path.abspath(__file__)))
+            env = dict(os.environ)
+            env["PYTHONPATH"] = pkg_parent + os.pathsep \
+                + env.get("PYTHONPATH", "")
+            for _ in range(self.workers):
+                self._procs.append(subprocess.Popen(argv, env=env))
         return self
 
+    def workers_alive(self) -> int:
+        return sum(1 for p in self._procs if p.poll() is None)
+
     def stop(self) -> None:
+        for p in self._procs:
+            p.terminate()
+        for p in self._procs:
+            try:
+                p.wait(timeout=10)
+            except Exception:
+                p.kill()
+        self._procs.clear()
         self.shutdown()
         self.server_close()
         with self._lock:
@@ -294,3 +364,18 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
                 s.close()
             except OSError:
                 pass
+
+
+if __name__ == "__main__":  # pragma: no cover - exercised as subprocess
+    import sys as _sys
+
+    if len(_sys.argv) == 7 and _sys.argv[1] == "--serve-worker":
+        _, _, _sp, _dr, _host, _port, _to = _sys.argv
+        _worker_main(None if _sp == "-" else _sp,
+                     None if _dr == "-" else _dr,
+                     _host, int(_port), float(_to))
+    else:
+        print("usage: python -m quasdb_spark.server --serve-worker "
+              "<store_path|-> <doc_root|-> <host> <port> <idle_timeout>",
+              file=_sys.stderr)
+        _sys.exit(2)

@@ -349,7 +349,7 @@ class KVStore:
     dist_stats: str = "auto"
 
     def __init__(self, spark: SparkSession, path: str):
-        self.spark = spark
+        self._spark = spark
         self.path = os.path.abspath(path)
         self.manifest = Manifest(self.path)
         self.binary = False
@@ -364,6 +364,46 @@ class KVStore:
         self._seek_pending: tuple | None = None
         if self.manifest.exists():
             self._load_config()
+
+    @property
+    def spark(self) -> SparkSession:
+        """The attached session. On an EMBEDDED handle
+        (``open_embedded``) there is none: every driver-engine
+        operation (get/multi_get/scan_rows/scan_iter pages/interactive
+        write_batch/snapshot/properties) works without ever reading
+        this property; anything that genuinely needs a cluster —
+        DataFrame scans, bulk ingest, compaction — lands here and gets
+        a named error instead of an AttributeError deep in py4j."""
+        if self._spark is None:
+            raise RuntimeError(
+                "this store handle is EMBEDDED (KVStore.open_embedded: "
+                "no SparkSession attached). Point reads, bounded scans "
+                "and interactive writes run driver-side; for DataFrame "
+                "scans, bulk ingest or compaction open the store with "
+                "KVStore.open(spark, path)")
+        return self._spark
+
+    @spark.setter
+    def spark(self, value: SparkSession) -> None:
+        self._spark = value
+
+    @classmethod
+    def open_embedded(cls, path: str) -> "KVStore":
+        """Open an existing store WITHOUT a SparkSession — the
+        reference's embedded-library model (kv/include/db.h:41: a DB
+        handle is a library object, not a cluster client). Everything
+        the driver engine serves works at embedded cost: get/multi_get
+        (footer-pruned point reads), scan_rows/scan_iter (heap-merge
+        bounded pages), snapshot/release, approximate_sizes, and
+        interactive write_batch/put/delete (pyarrow file + flock-CAS
+        manifest commit — the same cross-process-safe path the
+        multi-writer tests race). Distributed surfaces raise a named
+        RuntimeError. Used by RawStoreServer(workers=N) to serve one
+        store from N processes."""
+        st = cls(None, path)
+        if not st.manifest.exists():
+            raise FileNotFoundError(f"no store at {path}")
+        return st
 
     def _load_config(self) -> None:
         """Recover the data-model options persisted at create time."""
@@ -689,6 +729,15 @@ class KVStore:
         arrow_schema = (self._arrow_log_schema()
                         if len(enc_ops) <= self._DRIVER_WRITE_MAX_ROWS
                         else None)
+        if arrow_schema is None and self._spark is None:
+            # fail BEFORE any manifest work: an embedded handle has no
+            # parallel writer to fall back to
+            raise RuntimeError(
+                f"embedded handle: batch of {len(enc_ops)} rows "
+                f"exceeds the driver write limit "
+                f"({self._DRIVER_WRITE_MAX_ROWS}) or the value schema "
+                "needs the Spark writer — split the batch or open the "
+                "store with KVStore.open(spark, path)")
 
         def build(seq):
             # intra-batch order: position in the list, per the

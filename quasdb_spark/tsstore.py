@@ -64,6 +64,14 @@ class TSStore:
     def open(cls, spark: SparkSession, path: str) -> "TSStore":
         return cls(KVStore.open(spark, path))
 
+    @classmethod
+    def open_embedded(cls, path: str) -> "TSStore":
+        """Spark-free handle (KVStore.open_embedded): append/
+        latest/asof_point/points pages run at embedded cost on the
+        driver engine; DataFrame analytics (window/downsample/gapfill)
+        raise the embedded RuntimeError until opened with a session."""
+        return cls(KVStore.open_embedded(path))
+
     # ------------------------------------------------------------ writes
     def append(self, points: list[tuple[str, dt.datetime, float, dict | None]]) -> int:
         """Atomically append [(series_id, ts, value, tags), ...] as one

@@ -89,3 +89,45 @@ def test_http_store_endpoints(spark, tmp_path):
         assert e.value.code in (403, 404)
     finally:
         srv.stop()
+
+
+def test_raw_server_multiprocess_workers(spark, tmp_path):
+    """RawStoreServer(workers=2): two extra serving PROCESSES, each an
+    embedded (Spark-free) reader, share the port via SO_REUSEPORT.
+    Responses must be correct from whichever process accepts, and a
+    manifest commit from the parent's Spark-backed writer must be
+    visible to the workers on the next request (current() re-reads
+    CURRENT; data dirs are immutable)."""
+    import time
+
+    from quasdb_spark.server import RawStoreServer
+
+    path = str(tmp_path / "mp")
+    st = KVStore.create(spark, path)
+    st.write_batch([("put", f"k{i:02d}", f"v{i}") for i in range(20)])
+    srv = RawStoreServer(st, workers=2).start()
+    try:
+        time.sleep(3.0)  # workers import + bind
+        assert srv.workers_alive() == 2
+        # hammer with fresh connections so the kernel spreads accepts
+        # across all three listeners; every answer must be correct
+        for i in range(60):
+            k = f"k{i % 20:02d}"
+            code, body = _get(srv.port, f"/get?key={k}")
+            assert code == 200 and body == {"key": k, "value": f"v{i % 20}"}
+        code, body = _get(srv.port, "/scan?from=k05&to=k08&limit=10")
+        assert code == 200
+        assert body["rows"] == [["k05", "v5"], ["k06", "v6"],
+                                ["k07", "v7"]]
+        # cross-process freshness: commit through Spark handle, read
+        # through whichever process answers
+        st.put("k99", "late")
+        seen = set()
+        for _ in range(30):
+            code, body = _get(srv.port, "/get?key=k99")
+            assert code == 200 and body["value"] == "late"
+            seen.add(code)
+        assert seen == {200}
+    finally:
+        srv.stop()
+    assert srv.workers_alive() == 0

@@ -1175,3 +1175,54 @@ def test_scan_rows_launches_no_spark_job(spark, tmp_path):
     rows = st.scan_rows(key_from="k05", key_to="k25", limit=5)
     assert len(rows) == 5
     assert tracker.getJobIdsForGroup(None) == before
+
+
+def test_open_embedded_reads_and_writes_without_spark(spark, tmp_path):
+    """KVStore.open_embedded: a Spark-free handle (the reference's
+    embedded-library model) serves point reads, bounded scans,
+    snapshots and interactive writes identically to a session-backed
+    handle on the same store — and its writes are visible back through
+    the Spark handle (same flock-CAS manifest, same file contract)."""
+    path = str(tmp_path / "emb")
+    st = KVStore.create(spark, path)
+    st.write_batch([("put", f"k{i:03d}", f"v{i}") for i in range(50)])
+    st.delete("k007")
+
+    emb = KVStore.open_embedded(path)
+    assert emb.get("k003") == "v3"
+    assert emb.get("k007") is None
+    # NotFound convention: deleted keys are absent from multi_get
+    assert emb.multi_get(["k001", "k007", "k049"]) == {
+        "k001": "v1", "k049": "v49"}
+    assert emb.scan_rows("k010", "k013") == st.scan_rows("k010", "k013")
+    assert list(emb.scan_iter("k040", "k050", page_size=3)) \
+        == list(st.scan_iter("k040", "k050", page_size=3))
+
+    # embedded WRITE: driver pyarrow file + manifest commit, no session
+    snap = emb.snapshot()
+    emb.put("k100", "embedded")
+    emb.delete("k003")
+    assert emb.get("k100") == "embedded" and emb.get("k003") is None
+    # snapshot isolation still holds on the embedded engine
+    assert emb.get("k003", asof=snap) == "v3"
+    # ... and the Spark handle sees the embedded commit immediately
+    assert st.get("k100") == "embedded" and st.get("k003") is None
+    emb.release_snapshot(snap)
+
+
+def test_open_embedded_distributed_surfaces_raise(spark, tmp_path):
+    """Anything needing a cluster raises a NAMED error on an embedded
+    handle (never an AttributeError deep in py4j), and oversized
+    batches fail BEFORE any manifest work."""
+    path = str(tmp_path / "embguard")
+    st = KVStore.create(spark, path)
+    st.put("a", "1")
+    emb = KVStore.open_embedded(path)
+    with pytest.raises(RuntimeError, match="EMBEDDED|embedded"):
+        emb.state()
+    with pytest.raises(RuntimeError, match="driver write limit"):
+        emb.write_batch([("put", f"k{i}", "v") for i in range(5000)])
+    # handle still healthy after the refused batch
+    assert emb.get("a") == "1"
+    with pytest.raises(FileNotFoundError):
+        KVStore.open_embedded(str(tmp_path / "nope"))

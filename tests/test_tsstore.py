@@ -286,3 +286,32 @@ def test_randomized_points_interleaved_maintenance(spark, tmp_path):
         if rng.random() < 0.35:
             ts.compact()
         check(b)
+
+
+def test_tsstore_open_embedded_point_queries(spark, tmp_path):
+    """TSStore.open_embedded: append + latest/asof_point work with no
+    SparkSession (typed schema is arrow-safe; ts lives in the key),
+    identical to the session-backed handle; DataFrame analytics raise
+    the named embedded error."""
+    import datetime as dt
+
+    import pytest
+
+    from quasdb_spark.tsstore import TSStore
+
+    path = str(tmp_path / "embts")
+    ts = TSStore.create(spark, path)
+    t0 = dt.datetime(2026, 1, 1, 12, 0, 0)
+    ts.append([("s1", t0 + dt.timedelta(minutes=i), float(i), None)
+               for i in range(10)])
+
+    emb = TSStore.open_embedded(path)
+    assert emb.latest("s1") == ts.latest("s1")
+    probe = t0 + dt.timedelta(minutes=4, seconds=30)
+    assert emb.asof_point("s1", probe) == ts.asof_point("s1", probe)
+    # embedded append, visible through the Spark handle
+    emb.append([("s1", t0 + dt.timedelta(hours=1), 99.0, None)])
+    assert ts.latest("s1").value == 99.0
+    assert emb.latest("s1").value == 99.0
+    with pytest.raises(RuntimeError, match="EMBEDDED|embedded"):
+        emb.points("s1").count()
