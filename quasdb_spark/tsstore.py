@@ -165,6 +165,39 @@ class TSStore:
         return (self.store.value_schema is not None
                 and self.store._driver_reads_ok())
 
+    def points_rows(self, series_id: str, *,
+                    t0: dt.datetime | None = None,
+                    t1: dt.datetime | None = None,
+                    asof: int | None = None, reverse: bool = False,
+                    limit: int = 1000) -> list:
+        """Bounded, driver-local page of one series' points — the
+        embedded/serving counterpart of ``points()`` (which returns a
+        DataFrame and needs a session). Rides the store's bounded
+        scan surface: on driver-engine stores this is a heap-merge
+        page with NO Spark job (single-digit ms — the TSDB range read
+        at the reference's iterator cost); other stores fall back to
+        the Spark scan inside scan_rows, same rows either way. Returns
+        [Row(series_id, ts, value, tags_json)] ordered by ts
+        (descending when ``reverse``); typed stores only (the same
+        schema gate as latest/asof_point). Unbounded analytics belong
+        on ``points()``."""
+        if self.store.value_schema is None:
+            raise ValueError(
+                "points_rows needs a typed store (value_schema) — "
+                "legacy JSON stores read through points()")
+        lo = encode_key(series_id, t0) if t0 else f"{series_id}:"
+        hi = encode_key(series_id, t1) if t1 else f"{series_id};"
+        rows = self.store.scan_rows(key_from=lo, key_to=hi, asof=asof,
+                                    reverse=reverse, limit=limit)
+        out = []
+        for key, val in rows:
+            _, _, tspart = key.partition(":")
+            out.append(Row(
+                series_id=series_id,
+                ts=dt.datetime.strptime(tspart, "%Y-%m-%dT%H:%M:%S.%f"),
+                value=val["v"], tags_json=val["tags_json"]))
+        return out
+
     def latest(self, series_id: str, asof: int | None = None):
         """Newest point of a series: reverse scan LIMIT 1 over the
         series' key prefix (SeekToLast analogue, S4). Driver engine

@@ -315,3 +315,40 @@ def test_tsstore_open_embedded_point_queries(spark, tmp_path):
     assert emb.latest("s1").value == 99.0
     with pytest.raises(RuntimeError, match="EMBEDDED|embedded"):
         emb.points("s1").count()
+
+
+def test_points_rows_matches_points_df(spark, tmp_path):
+    """points_rows (bounded driver page) must return exactly the rows
+    points() (the DataFrame surface) returns for the same bounds —
+    on BOTH handles, including time-bounded, reversed and limited
+    pages, and after an upsert + delete."""
+    import datetime as dt
+
+    import pytest
+
+    from quasdb_spark.tsstore import TSStore
+
+    path = str(tmp_path / "tsrows")
+    ts = TSStore.create(spark, path)
+    t0 = dt.datetime(2026, 2, 1, 8, 0, 0)
+    ts.append([("a", t0 + dt.timedelta(minutes=i), float(i),
+                {"q": i % 3}) for i in range(30)])
+    ts.append([("b", t0, 1.0, None)])        # other series: never leaks
+    ts.append([("a", t0 + dt.timedelta(minutes=5), 55.0, None)])  # upsert
+    ts.delete_point("a", t0 + dt.timedelta(minutes=7))
+
+    emb = TSStore.open_embedded(path)
+    lo, hi = t0 + dt.timedelta(minutes=3), t0 + dt.timedelta(minutes=20)
+    want = [(r["ts"], r["value"]) for r in
+            ts.points("a", t0=lo, t1=hi).orderBy("ts").collect()]
+    for handle in (ts, emb):
+        got = [(r.ts, r.value)
+               for r in handle.points_rows("a", t0=lo, t1=hi)]
+        assert got == want and (t0 + dt.timedelta(minutes=5), 55.0) in got
+        assert all(p[0] != t0 + dt.timedelta(minutes=7) for p in got)
+        rev = handle.points_rows("a", reverse=True, limit=3)
+        assert [r.ts for r in rev] == sorted(
+            (r.ts for r in rev), reverse=True) and len(rev) == 3
+    with pytest.raises(ValueError, match="typed store"):
+        TSStore.create(spark, str(tmp_path / "legacy"),
+                       typed=False).points_rows("a")
