@@ -515,3 +515,26 @@ def test_paragraph_dedup_invariants_randomized(spark):
         assert r.n_kept == len(expect)
         total_kept += r.n_kept
     assert total_kept == len(first)  # each distinct paragraph once
+
+
+def test_duplicate_spans_hot_join_never_broadcasts(spark, sf_dir):
+    """Regression pin for the sf10 OOM (BENCH r12): the duplicated-
+    window hash set is data-dependent and unbounded, so its join-back
+    must stay a ShuffledHashJoin no matter what AQE estimates — a
+    broadcast build of it blew the heap at 100x data. Same pin for
+    drop_hot_buckets' bucket-size filter."""
+    from quasdb_spark.operators.dedup import duplicate_spans
+
+    docs = load_table(spark, sf_dir, "documents")
+    plan = duplicate_spans(docs, k=8)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+
+    from quasdb_spark.operators.dedup import drop_hot_buckets
+
+    b = docs.selectExpr("doc_id", "substring(text, 1, 2) as k")
+    plan2 = drop_hot_buckets(b, ["k"], 10)._jdf \
+        .queryExecution().executedPlan().toString()
+    assert "ShuffledHashJoin" in plan2
+    assert "BroadcastHashJoin" not in plan2
