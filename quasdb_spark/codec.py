@@ -98,6 +98,9 @@ class ReverseCodec:
 
 
 CODECS: dict[str, type] = {c.name: c for c in (IdentityCodec, ReverseCodec)}
+# codecs available in a FRESH interpreter without user registration —
+# what an embedded worker process (RawStoreServer workers) can open
+BUILTIN_CODECS = frozenset(CODECS)
 
 
 def register_codec(cls: type, *, replace: bool = False) -> type:

@@ -599,7 +599,12 @@ def _bpe_checkpoint(df: DataFrame) -> DataFrame:
     (spot nodes, dynamic allocation) would kill the whole training
     job on a real cluster. Falls back to ``localCheckpoint`` when no
     dir is set (local mode: the only JVM IS the driver, nothing to
-    survive)."""
+    survive). Superseded checkpoint FILES are deleted by the
+    ContextCleaner only when the context was started with
+    ``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (this
+    engine's get_spark sets it); on foreign sessions without it, a
+    long training run leaves one frame per round on the checkpoint
+    volume — clean the dir after training."""
     sc = df.sparkSession.sparkContext
     if sc.getCheckpointDir() is not None:
         return df.checkpoint(eager=False)
@@ -718,10 +723,14 @@ def bpe_train(df: DataFrame, text_col: str = "text", *,
                       + BPE_SEP),
                 F.lit(BPE_SEP + b.lhs + b.rhs + BPE_SEP))
         # checkpoint truncates lineage: each round's plan is one
-        # projection over the previous round's materialized blocks
-        # (superseded checkpoint RDDs are reclaimed by the
-        # ContextCleaner once unreferenced); reliable on clusters,
-        # local in local mode (_bpe_checkpoint)
+        # projection over the previous round's materialized blocks.
+        # Superseded RELIABLE checkpoints leave files on the
+        # checkpoint volume that the ContextCleaner deletes ONLY
+        # under spark.cleaner.referenceTracking.cleanCheckpoints=true
+        # (set in this engine's session defaults; a session built
+        # elsewhere without it accumulates one frame per round —
+        # hundreds of rounds at real merge counts). localCheckpoint
+        # blocks die with the executors either way.
         cur = _bpe_checkpoint(cur.select(s.alias("s"), "freq"))
     if stats is not None:
         stats["n_rounds"] = len(stats.get("batch_sizes", []))

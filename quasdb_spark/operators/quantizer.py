@@ -166,12 +166,22 @@ def _ensure_meta(path: str, fingerprint: str, key: str) -> dict:
     sidecar stamping: the artifact path is keyed by the fingerprint,
     so the requested fingerprint IS its provenance by construction —
     writing the sidecar on first load makes check_fresh enforceable
-    on legacy artifacts instead of silently passing them."""
+    on legacy artifacts instead of silently passing them. The
+    adoption write is best-effort: a legacy artifact on a READ-ONLY
+    mount still loads (the guard simply can't enforce on it, same as
+    before stamping existed). The returned meta's ``path`` is always
+    the directory we actually loaded from — a sidecar copied/moved
+    with its tree records its ORIGINAL path, and the half-drop marker
+    must be probed where the data actually lives."""
     meta = read_artifact_meta(path)
     if meta is None:
         meta = {"fingerprint": fingerprint, "key": key,
                 "ops": ["adopted"]}
-        _write_artifact_meta(path, meta)
+        try:
+            _write_artifact_meta(path, meta)
+        except OSError:
+            pass
+    meta["path"] = path
     return meta
 
 
@@ -208,7 +218,10 @@ def check_fresh(lists: DataFrame, corpus_fingerprint: str, *,
                 d = os.path.dirname(d)
             meta = read_artifact_meta(d)
             if meta is not None:
-                meta.setdefault("path", d)
+                # the marker lives where the DATA lives: prefer the
+                # directory backing the frame over the path recorded
+                # in a (possibly relocated) sidecar
+                meta["path"] = d
         except Exception:
             return
     if meta and meta.get("path") and _drop_in_progress(meta["path"]):

@@ -54,13 +54,19 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     """
     qid = query_id_col or id_col
     # norms once per row, not per pair (identical float arithmetic —
-    # same expression on the same input — at 1/3 the per-pair work)
+    # same expression on the same input — at 1/3 the per-pair work).
+    # Zero-norm vectors are EXCLUDED on both sides: cosine is
+    # undefined for them, and under ANSI mode (Spark 4 default) the
+    # 0/0 division would otherwise kill the whole job for one
+    # degenerate row. cosine_topk_blocked shares this contract.
     q = queries.select(F.col(qid).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn"))
+                       norm(_as_double(vec_col)).alias("_qn")) \
+               .where(F.col("_qn") > 0)
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
-                       norm(_as_double(vec_col)).alias("_vn"))
+                       norm(_as_double(vec_col)).alias("_vn")) \
+               .where(F.col("_vn") > 0)
     scored = (F.broadcast(q).crossJoin(v)
               .where(F.col("query_id") != F.col("neighbor_id"))
               .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
@@ -103,10 +109,17 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
     full-precision doubles agree exactly and the (score DESC,
     neighbor_id ASC) ranking cannot diverge.
 
-    Rows with a NULL / wrong-length vector are dropped (the
-    declarative path gives them NULL scores, which sort after every
-    real candidate — they could only ever surface when a query has
-    fewer than k finite candidates)."""
+    Zero-norm vectors are excluded on both sides — the same contract
+    as ``cosine_topk`` (cosine is undefined for them; scoring one
+    would be a 0/0 that ANSI mode turns into a job failure). Rows
+    with a NULL / wrong-length vector are dropped; a NULL /
+    wrong-length QUERY vector is skipped rather than crashing the
+    driver (the per-pair path would give it NULL scores — the one
+    documented deviation).
+
+    Ids may be any Spark type (string hashes, UUIDs, longs): the
+    output schema reuses the input id types, and ranking tie-breaks
+    compare ids with their native ordering."""
     import numpy as np
     import pandas as pd
 
@@ -116,13 +129,27 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
               .where(F.col("_qv").isNotNull()).collect())
     out_cols = ("query_id", "rank", "neighbor_id", "score")
     spark = vectors.sparkSession
+    qid_dt = queries.schema[qid].dataType.simpleString()
+    nid_dt = vectors.schema[id_col].dataType.simpleString()
+    out_schema = (f"query_id {qid_dt}, rank int, "
+                  f"neighbor_id {nid_dt}, score double")
+    cand_schema = (f"query_id {qid_dt}, neighbor_id {nid_dt}, "
+                   "score double")
+    if q_rows:
+        # dims = the dominant query vector length; stragglers of any
+        # OTHER length are skipped (documented deviation), never crash
+        # the driver with a ragged np.array
+        from collections import Counter
+
+        dims = Counter(len(r["_qv"]) for r in q_rows).most_common(1)[0][0]
+        q_rows = [r for r in q_rows
+                  if len(r["_qv"]) == dims
+                  and any(x != 0.0 for x in r["_qv"])]
     if not q_rows:
-        return spark.createDataFrame(
-            [], "query_id long, rank int, neighbor_id long, score double"
-        ).select(*out_cols)
-    q_ids = np.array([r["query_id"] for r in q_rows], dtype=np.int64)
+        return (spark.createDataFrame([], out_schema)
+                .select(*out_cols))
+    q_ids = np.array([r["query_id"] for r in q_rows])
     Q = np.array([list(r["_qv"]) for r in q_rows], dtype=np.float64)
-    dims = Q.shape[1]
     nq = len(q_ids)
 
     def _seq_norm(M: "np.ndarray") -> "np.ndarray":
@@ -151,8 +178,13 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
                 pdf = pdf.iloc[keep]
                 vecs = [vecs[i] for i in keep]
             V = np.stack(vecs)
-            ids = pdf["neighbor_id"].to_numpy(dtype=np.int64)
+            ids = pdf["neighbor_id"].to_numpy()
             vn = _seq_norm(V)
+            nz = vn > 0                      # zero-norm: excluded
+            if not nz.all():
+                V, ids, vn = V[nz], ids[nz], vn[nz]
+                if not len(ids):
+                    continue
             b = len(ids)
             S = np.zeros((b, nq), dtype=np.float64)
             if tmp is None or tmp.shape[0] < b:
@@ -163,10 +195,13 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
                 np.multiply(V[:, d, None], Q[None, :, d], out=t)
                 S += t
             S /= np.multiply(vn[:, None], qn[None, :], out=t)
+            # self-pairs and zero-norm rows (NaN) are excluded by the
+            # finite mask — the cosine_topk contract
             S[ids[:, None] == q_ids[None, :]] = -np.inf
             kth = min(kk, b)
-            thresh = -np.partition(-S, kth - 1, axis=0)[kth - 1]
-            mask = (S >= thresh[None, :]) & np.isfinite(S)
+            with np.errstate(invalid="ignore"):
+                thresh = -np.partition(-S, kth - 1, axis=0)[kth - 1]
+                mask = (S >= thresh[None, :]) & np.isfinite(S)
             rows, cols = np.nonzero(mask)
             cand_q.append(q_ids[cols])
             cand_i.append(ids[rows])
@@ -176,10 +211,12 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
         cq = np.concatenate(cand_q)
         ci = np.concatenate(cand_i)
         cs = np.concatenate(cand_s)
-        # exact per-query top-k by the total order (score DESC, id ASC)
+        # exact per-query top-k by the total order (score DESC, id
+        # ASC); object-dtype ids (strings) compare natively
         order = np.lexsort((ci, -cs, cq))
         cq, ci, cs = cq[order], ci[order], cs[order]
-        starts = np.r_[0, np.nonzero(np.diff(cq))[0] + 1]
+        grp = np.r_[True, cq[1:] != cq[:-1]]
+        starts = np.nonzero(grp)[0]
         sizes = np.diff(np.r_[starts, len(cq)])
         rank = np.arange(len(cq)) - np.repeat(starts, sizes)
         keep = rank < kk
@@ -188,9 +225,7 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
 
     src = vectors.select(F.col(id_col).alias("neighbor_id"),
                          _as_double(vec_col).alias("_vv"))
-    cands = src.mapInPandas(
-        _score_partition, schema="query_id long, neighbor_id long, "
-                                 "score double")
+    cands = src.mapInPandas(_score_partition, schema=cand_schema)
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
     return (cands.withColumn("rank", F.row_number().over(w))

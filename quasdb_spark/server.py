@@ -80,6 +80,12 @@ def handle_request(store: KVStore | None, doc_root: str | None,
             return reply(200, *jbody({"status": "ok"}))
         if store is not None and url.path == "/props":
             return reply(200, *jbody(store.properties()))
+        if store is not None and url.path in ("/get", "/scan") \
+                and "asof" in q and not q["asof"].lstrip("-").isdigit():
+            # client error, not a server fault: same contract as the
+            # limit parameter below
+            return reply(400, *jbody({"error": "bad asof",
+                                      "asof": q["asof"]}))
         if store is not None and url.path == "/get":
             key = q.get("key")
             if key is None:
@@ -323,6 +329,27 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
             import subprocess
             import sys
 
+            if self.store is not None:
+                # fail FAST, not per-request: a worker is an embedded
+                # reader in a fresh interpreter — it needs the driver
+                # read engine (pyarrow-safe schema; otherwise ~N/(N+1)
+                # of requests would 500 nondeterministically as the
+                # kernel load-balances onto workers) and a codec it
+                # can resolve without user registration
+                from quasdb_spark.codec import BUILTIN_CODECS
+
+                if not self.store._driver_reads_ok():
+                    raise ValueError(
+                        "RawStoreServer(workers=N): this store's value "
+                        "schema defers the driver read engine (e.g. "
+                        "timestamp/map values) — embedded workers "
+                        "cannot serve it; run workers=0")
+                if self.store.codec.name not in BUILTIN_CODECS:
+                    raise ValueError(
+                        f"RawStoreServer(workers=N): store codec "
+                        f"{self.store.codec.name!r} is not a built-in "
+                        "— a worker process cannot re-register it; "
+                        "run workers=0")
             spath = self.store.path if self.store is not None else "-"
             argv = [sys.executable, "-m", "quasdb_spark.server",
                     "--serve-worker", spath, self.doc_root or "-",

@@ -44,6 +44,15 @@ _DEFAULTS = {
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
     "spark.driver.memory": "8g",
+    # Reliable checkpoints (bpe_train's per-round lineage cut when a
+    # checkpoint dir is configured) are NOT cleaned by default — the
+    # files outlive the RDDs and a long session accumulates one
+    # segmentation frame per training ROUND on the checkpoint volume.
+    # This flag lets the ContextCleaner delete a checkpoint's files
+    # once its RDD is garbage-collected. Read at SparkContext START —
+    # sessions built elsewhere must set it themselves (bpe_train's
+    # docstring says so).
+    "spark.cleaner.referenceTracking.cleanCheckpoints": "true",
     "spark.ui.enabled": "false",
     # Never write \r[Stage ...] progress bars to the console: when stdout
     # and stderr are captured as one stream they interleave with (and can

@@ -131,3 +131,31 @@ def test_raw_server_multiprocess_workers(spark, tmp_path):
     finally:
         srv.stop()
     assert srv.workers_alive() == 0
+
+
+def test_raw_server_workers_fail_fast_on_unservable_store(spark, tmp_path):
+    """workers=N must refuse AT START a store an embedded worker
+    cannot serve (non-pyarrow-safe value schema / custom codec) —
+    otherwise ~N/(N+1) of requests would 500 nondeterministically as
+    SO_REUSEPORT load-balances onto broken workers."""
+    from quasdb_spark.server import RawStoreServer
+
+    st = KVStore.create(spark, str(tmp_path / "ts"),
+                        value_schema="v timestamp")
+    with pytest.raises(ValueError, match="driver read engine"):
+        RawStoreServer(st, workers=2).start()
+
+
+def test_handle_request_bad_asof_is_400(spark, tmp_path):
+    """Malformed asof (client input) answers 400 like bad limit —
+    never a 500 through the catch-all."""
+    from quasdb_spark.server import handle_request
+
+    st = KVStore.create(spark, str(tmp_path / "a4"))
+    st.put("k", "v")
+    for path in ("/get?key=k&asof=abc", "/scan?from=a&asof=abc"):
+        code, _, body, _ = handle_request(st, None, "GET", path)
+        assert code == 400, path
+        assert b"bad asof" in body
+    code, _, _, _ = handle_request(st, None, "GET", "/get?key=k&asof=-1")
+    assert code in (200, 404)  # negative ints are parseable, not 400

@@ -1147,3 +1147,89 @@ def test_cosine_topk_blocked_corpus_never_shuffles(spark, sf_dir):
     assert plan.count("Exchange") == 1
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_cosine_topk_blocked_zero_norm_string_ids_ragged_queries(spark):
+    """Review-driven edge parity: (a) ZERO-NORM vectors are excluded
+    on BOTH paths (cosine undefined; under ANSI mode the per-pair 0/0
+    would otherwise kill the job — this pins that it no longer can);
+    (b) string ids work end to end (schema + native tie-break
+    ordering); (c) a wrong-length query vector is skipped (documented
+    deviation), never a driver crash."""
+    from quasdb_spark.operators.similarity import cosine_topk_blocked
+
+    random.seed(11)
+    rows = [(f"doc-{i:02d}",
+             [random.uniform(-1, 1) for _ in range(8)])
+            for i in range(12)]
+    rows.append(("doc-zz", [0.0] * 8))       # zero norm: excluded
+    corpus = spark.createDataFrame(
+        rows, "vec_id string, embedding array<double>")
+    queries = corpus.where(F.col("vec_id").isin("doc-00", "doc-05",
+                                                "doc-zz"))
+
+    def canon(df):
+        return sorted((r["query_id"], r["rank"], r["neighbor_id"],
+                       round(r["score"], 4)) for r in df.collect())
+
+    want = canon(cosine_topk(corpus, queries, 5))
+    got = canon(cosine_topk_blocked(corpus, queries, 5))
+    assert got == want
+    assert want  # the per-pair path must not have crashed under ANSI
+    ids_seen = {t[2] for t in got} | {t[0] for t in got}
+    assert "doc-zz" not in ids_seen
+
+    # ragged query vector: skipped, never a driver crash
+    ragged = spark.createDataFrame(
+        [("doc-00", rows[0][1]), ("junk", [1.0, 2.0])],
+        "vec_id string, embedding array<double>")
+    out = cosine_topk_blocked(corpus, ragged, 3).collect()
+    assert {r["query_id"] for r in out} == {"doc-00"}
+
+
+def test_check_fresh_probes_relocated_artifact_for_drop_marker(
+        spark, sf_dir, tmp_path):
+    """A copied/moved artifact tree carries a sidecar recording its
+    ORIGINAL path; the half-drop marker must be probed where the data
+    actually lives, so a crashed drop in the RELOCATED tree is still
+    detected (and a read-only legacy artifact still loads — adoption
+    is best-effort)."""
+    import shutil as _sh
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    e = load_table(spark, sf_dir, "embeddings")
+    fp = QZ.corpus_fingerprint(
+        str(__import__("os").path.join(sf_dir, "embeddings.parquet")))
+    root_a = str(tmp_path / "cacheA")
+    cents = QZ.get_or_train(e, 4, fingerprint=fp, root=root_a)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint=fp,
+                                  n_clusters=4, root=root_a)
+    QZ.check_fresh(lists, fp)  # fresh at origin: passes
+    key = QZ._key(fp, 4, 2, None, 6)
+    src = QZ.lists_path(key, root_a)
+    # relocate the whole tree and simulate a crashed drop there
+    root_b = str(tmp_path / "cacheB")
+    dst = QZ.lists_path(key, root_b)
+    _sh.copytree(src, dst)
+    open(__import__("os").path.join(dst, QZ._DROP_MARKER), "w").close()
+    relocated = spark.read.schema(QZ._LISTS_SCHEMA).parquet(dst)
+    with pytest.raises(QZ.StaleIndexError, match="drop in progress"):
+        QZ.check_fresh(relocated, fp)
+
+
+def test_ensure_meta_adoption_is_best_effort(monkeypatch, tmp_path):
+    """Loading a legacy artifact from a location where the sidecar
+    cannot be written (read-only mount) must not crash — the guard
+    just can't enforce on it, as before stamping existed."""
+    from quasdb_spark.operators import quantizer as QZ
+
+    d = str(tmp_path / "legacy")
+    __import__("os").makedirs(d)
+
+    def boom(path, meta):
+        raise OSError("read-only file system")
+
+    monkeypatch.setattr(QZ, "_write_artifact_meta", boom)
+    meta = QZ._ensure_meta(d, "fp123", "key123")
+    assert meta["fingerprint"] == "fp123" and meta["path"] == d
