@@ -1226,3 +1226,50 @@ def test_open_embedded_distributed_surfaces_raise(spark, tmp_path):
     assert emb.get("a") == "1"
     with pytest.raises(FileNotFoundError):
         KVStore.open_embedded(str(tmp_path / "nope"))
+
+
+def test_randomized_embedded_and_spark_handles_interleaved(spark, tmp_path):
+    """Constructor-matrix spirit applied to the EMBEDDED handle: a
+    Spark-backed handle and an embedded (Spark-free) handle of the
+    SAME store interleave writes, while compaction/vacuum/snapshots
+    run through the Spark handle — dict-oracle equality asserted on
+    BOTH handles at every step (the embedded write path is the
+    flock-CAS driver writer, so the two handles are genuinely
+    independent committers of one manifest)."""
+    rng = random.Random(4242)
+    st = _mk(spark, tmp_path, "embx")
+    emb = KVStore.open_embedded(st.path)
+    oracle = DictOracle()
+    snaps: list[int] = []
+
+    def check(step):
+        assert sorted(oracle.state.items()) \
+            == st.scan_rows(None, None, limit=10000) \
+            == emb.scan_rows(None, None, limit=10000), step
+        for i in rng.sample(range(40), 4):
+            k = f"key{i:06d}"
+            want = oracle.state.get(k)
+            assert st.get(k) == want, (step, "spark", k)
+            assert emb.get(k) == want, (step, "embedded", k)
+        if snaps:
+            seq = rng.choice(snaps)
+            want_at = sorted(oracle.at(seq).items())
+            assert emb.scan_rows(None, None, asof=seq,
+                                 limit=10000) == want_at, (step, seq)
+
+    for b in range(8):
+        ops = random_ops(rng, 25, keyspace=40, del_ratio=0.3)
+        # alternate the COMMITTING handle: embedded batches must stay
+        # under the driver write limit (they are), and each handle
+        # must see the other's commits immediately
+        writer = emb if b % 2 else st
+        seq = writer.write_batch(ops)
+        oracle.apply_batch(ops, seq)
+        if rng.random() < 0.5:
+            snaps.append(st.snapshot(f"embx-{b}"))
+        r = rng.random()
+        if r < 0.3:
+            st.compact()
+        elif r < 0.45:
+            st.vacuum()
+        check(b)
