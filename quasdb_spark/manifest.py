@@ -199,7 +199,28 @@ class Manifest:
                     f"manifest already initialized at {self.store_path}")
             return v
         os.makedirs(self.dir, exist_ok=True)
-        self._write_version(v)
+        # O_EXCL creation parity with the backend branch: two processes
+        # racing open_or_create with DIFFERENT options must not both
+        # "succeed" with the loser's schema silently overwritten — the
+        # second init fails like put_if_absent does (review r12).
+        first = os.path.join(self.dir, "000001.json")
+        try:
+            fd = os.open(first, os.O_CREAT | os.O_EXCL | os.O_WRONLY,
+                         0o644)
+        except FileExistsError:
+            raise FileExistsError(
+                f"manifest already initialized at {self.store_path}") \
+                from None
+        try:
+            with os.fdopen(fd, "w") as f:
+                f.write(v.to_json())
+                f.flush()
+                os.fsync(f.fileno())
+        except BaseException:
+            os.unlink(first)
+            raise
+        self._atomic_write(os.path.join(self.dir, "CURRENT"),
+                           "000001.json")
         return v
 
     def exists(self) -> bool:
@@ -298,6 +319,18 @@ class Manifest:
                 f.flush()
                 os.fsync(f.fileno())
             os.rename(tmp, path)
+            # fsync the DIRECTORY: without it the rename itself is not
+            # durable and renames are not ordered across power loss —
+            # CURRENT could survive pointing at a version file that
+            # didn't (review r12; the reference fsyncs the manifest
+            # through its WritableFile contract). _write_version calls
+            # this for the version file FIRST, so by the time CURRENT's
+            # rename is durable the file it names is too.
+            dfd = os.open(d, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)

@@ -939,9 +939,20 @@ class KVStore:
             {n: [r[i] for r in ordered] for i, n in enumerate(names)},
             schema=arrow_schema)
         try:
-            pq.write_table(table, os.path.join(full, "part-00000.parquet"),
+            fpath = os.path.join(full, "part-00000.parquet")
+            pq.write_table(table, fpath,
                            compression="NONE" if self.compression == "none"
                            else self.compression)
+            # durability order: data bytes reach disk BEFORE the
+            # manifest commit that references them — otherwise a power
+            # loss can leave a durable manifest pointing at torn
+            # parquet (review r12; the manifest side fsyncs its own
+            # renames in _atomic_write)
+            dfd = os.open(fpath, os.O_RDONLY)
+            try:
+                os.fsync(dfd)
+            finally:
+                os.close(dfd)
             stats = self._dir_stats(full)
             entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
                               rows=len(rows), bytes=stats["bytes"],
@@ -1671,9 +1682,20 @@ class KVStore:
         return out["seq"]
 
     def release_snapshot(self, name_or_seq: str | int) -> None:
+        """ReleaseSnapshot: by NAME releases exactly that snapshot; by
+        SEQ (all an anonymous ``snapshot()`` caller holds) releases the
+        user snapshots registered at that seq but NEVER a scan cursor's
+        pinned snapshot (``scan-…``, released by the iterator itself or
+        the vacuum janitor) — a live iterator must not lose retention
+        because an unrelated snapshot at the same seq was released
+        (review r12 finding)."""
         def mutate(ver):
-            snaps = {n: s for n, s in ver.snapshots.items()
-                     if n != name_or_seq and s != name_or_seq}
+            if isinstance(name_or_seq, str):
+                snaps = {n: s for n, s in ver.snapshots.items()
+                         if n != name_or_seq}
+            else:
+                snaps = {n: s for n, s in ver.snapshots.items()
+                         if s != name_or_seq or n.startswith("scan-")}
             return None if snaps == ver.snapshots else {"snapshots": snaps}
 
         self._meta_commit(mutate)
@@ -1773,14 +1795,22 @@ class KVStore:
         self.vacuum(self.vacuum_grace)
         return stats
 
-    def vacuum(self, grace_seconds: float = 0.0) -> list[str]:
+    def vacuum(self, grace_seconds: float | None = None) -> list[str]:
         """Physically delete data dirs no longer referenced by the
         current version (RemoveObsoleteFiles, kv/db/db_impl.cpp:248-320).
         Deletion is decoupled from compaction commits so lazy DataFrames
-        and pinned cursors keep working until the operator opts in;
-        ``grace_seconds`` gives open readers a grace window. Also reaps
-        expired scan-cursor snapshots (see ``scan_snapshot_ttl``)."""
+        and pinned cursors keep working until the operator opts in.
+        ``grace_seconds`` defaults to ``vacuum_grace`` (600 s): besides
+        the reader grace window, the grace is what protects a CONCURRENT
+        writer's data dir that is written but not yet manifest-committed
+        — at grace 0 this vacuum could delete it between its write and
+        its commit, leaving a committed manifest pointing at nothing
+        (review r12 finding). Pass an explicit 0.0 only when no other
+        writer can be in flight. Also reaps expired scan-cursor
+        snapshots (see ``scan_snapshot_ttl``)."""
         self.reap_scan_snapshots()
+        if grace_seconds is None:
+            grace_seconds = self.vacuum_grace
         return self.manifest.vacuum(grace_seconds)
 
     def reap_scan_snapshots(self, ttl: float | None = None) -> list[str]:
@@ -1928,12 +1958,34 @@ class KVStore:
         # so re-basing the same add/remove set is safe — input rows all
         # have seq <= the retention pass's last_seq, and later snapshots
         # can only be registered at seqs >= that, where the winner among
-        # input rows is unchanged.
-        self._meta_commit(lambda v: {"add": [entry], "remove": old_paths})
+        # input rows is unchanged. A concurrent COMPACTION of the same
+        # inputs is NOT safe to rebase over: if any input dir is already
+        # gone from the live set, another compactor beat us and
+        # installing our output would DUPLICATE every row it carries —
+        # no-op instead and let the orphaned output dir be vacuumed
+        # (review r12 finding; pinned by
+        # test_concurrent_compaction_single_winner).
+        committed = {"done": False}
+
+        def _install(v):
+            if not old_paths <= {f.path for f in v.files}:
+                return None
+            committed["done"] = True
+            return {"add": [entry], "remove": old_paths}
+
+        self._meta_commit(_install)
+        if not committed["done"]:
+            return {"files_before": len(ver.files),
+                    "files_after": len(ver.files),
+                    "bytes_before": sum(f.bytes for f in selected),
+                    "bytes_after": 0, "dirs_removed": 0,
+                    "lost_to_concurrent_compaction": True}
         # Physical deletion is deferred (ADVICE r1): the old dirs stay on
         # disk — invisible to new reads, still readable by already-built
         # DataFrames and pinned cursors — until vacuum() is called.
-        gone = self.manifest.vacuum() if vacuum else []
+        # inline vacuum honors the same writer-grace window as the
+        # public surface — never grace 0 implicitly (review r12)
+        gone = self.manifest.vacuum(self.vacuum_grace) if vacuum else []
         before = sum(f.bytes for f in selected)
         return {"files_before": len(ver.files),
                 "files_after": len(ver.files) - len(selected) + 1,
@@ -1959,7 +2011,17 @@ class KVStore:
                      .select("key", F.col("_w.seq").alias("seq"),
                              F.col("_w.sub").alias("sub"))
                      .distinct())
-        kept = log.join(winners, ["key", "seq", "sub"], "left_semi")
+        # NULL-SAFE on sub: rows ingested without a sub column carry
+        # sub=NULL, and a NULL=NULL equi-join silently drops their
+        # winning versions — compaction would physically destroy every
+        # such key (review r12 finding; pinned by
+        # test_compaction_preserves_null_sub_rows)
+        kept = log.alias("l").join(
+            winners.alias("w"),
+            (F.col("l.key") == F.col("w.key"))
+            & (F.col("l.seq") == F.col("w.seq"))
+            & F.col("l.sub").eqNullSafe(F.col("w.sub")),
+            "left_semi")
         if not snaps and purge_tombstones:
             # no snapshots: only latest state is retained → tombstones
             # whose older versions are all gone can be purged too
@@ -2050,9 +2112,11 @@ class KVStore:
     def _range_bytes_in_dir(self, full_path: str, lo, hi) -> int:
         """Bytes of ``full_path``'s row groups whose key stats intersect
         [lo, hi) (stat-key space), from footers only. Row groups without
-        key stats are counted in (over-estimate, never under)."""
-        import pyarrow.parquet as pq
-
+        key stats are counted in (over-estimate, never under). Footers
+        come through the process-wide _FOOTER_CACHE like every other
+        driver-side footer read — a serving loop calling
+        approximate_sizes repeatedly must not re-parse the same
+        boundary dirs' footers per call (review r12)."""
         total = 0
         for root, _dirs, files in os.walk(full_path):
             for name in files:
@@ -2060,7 +2124,7 @@ class KVStore:
                     continue
                 fpath = os.path.join(root, name)
                 fsize = os.path.getsize(fpath)
-                with pq.ParquetFile(fpath) as pf:  # close FDs promptly
+                with _FOOTER_CACHE.open(fpath) as pf:  # close promptly
                     md = pf.metadata
                     idx = md.schema.to_arrow_schema() \
                             .get_field_index("key")
@@ -2145,9 +2209,13 @@ class KVStore:
         # approximate-memory-usage (kv/db/db_impl.cpp:1686-1692): the
         # reference reports memtable arena bytes; our analogue is the
         # executor storage memory actually pinned by cached views.
-        tracker = self.spark.sparkContext._jsc.sc().getExecutorMemoryStatus()
+        # On an EMBEDDED handle there is no executor memory to report —
+        # properties() must still answer (it is the /props surface the
+        # worker processes serve), so the whole probe is best-effort.
         mem_used = 0
         try:
+            tracker = (self.spark.sparkContext._jsc.sc()
+                       .getExecutorMemoryStatus())
             it = tracker.values().iterator()
             while it.hasNext():
                 tot, free = (lambda t: (t._1(), t._2()))(it.next())

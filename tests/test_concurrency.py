@@ -117,7 +117,7 @@ def test_compact_defers_physical_deletion(spark, tmp_path):
     assert len(rows) == 10
     data_dirs = os.listdir(os.path.join(st.path, "data"))
     assert len(data_dirs) == 4  # 3 batch dirs + 1 compaction output
-    gone = st.vacuum()
+    gone = st.vacuum(0.0)  # explicit: no concurrent writer in this test
     assert len(gone) == 3
     assert {r["key"]: r["value"] for r in st.scan().collect()} == \
         {f"k{j}": "v2" for j in range(10)}

@@ -1273,3 +1273,139 @@ def test_randomized_embedded_and_spark_handles_interleaved(spark, tmp_path):
         elif r < 0.45:
             st.vacuum()
         check(b)
+
+
+def test_compaction_preserves_null_sub_rows(spark, tmp_path):
+    """Review r12: the retention join was NULL-unsafe on sub, so any
+    key whose winning version carried sub=NULL lost EVERY version on
+    compact() — permanent data loss. Mixed null/int subs must survive
+    compaction bit-for-bit."""
+    st = _mk(spark, tmp_path, "nullsub")
+    df = spark.createDataFrame(
+        [("a", None, "put", "va"), ("b", 7, "put", "vb"),
+         ("c", None, "put", "old_c"), ("c", 3, "put", "vc"),
+         ("d", None, "put", "vd")],
+        "key string, s int, op string, value string")
+    st.ingest(df, op_col="op", sub_col="s")
+    # tombstone for a null-sub key lands in its own batch (a later
+    # seq): two ops at identical (seq, sub) would be ambiguous by
+    # contract — sub exists precisely to order intra-batch ops
+    st.ingest(spark.createDataFrame(
+        [("d", None, "del", None)],
+        "key string, s int, op string, value string"),
+        op_col="op", sub_col="s")
+    before = sorted((r["key"], r["value"]) for r in st.state().collect())
+    assert before == [("a", "va"), ("b", "vb"), ("c", "vc")]
+    st.compact()
+    after = sorted((r["key"], r["value"]) for r in st.state().collect())
+    assert after == before
+    assert st.get("a") == "va" and st.get("d") is None
+
+
+def test_release_snapshot_by_seq_spares_scan_cursors(spark, tmp_path):
+    """Review r12: releasing by seq (all an anonymous snapshot() caller
+    holds) must not release a scan cursor's pinned snapshot registered
+    at the same seq — the live iterator would lose compaction
+    retention mid-walk."""
+    st = _mk(spark, tmp_path, "relsnap")
+    st.write_batch([("put", f"k{i}", str(i)) for i in range(10)])
+    it = st.scan_iter(page_size=3)     # registers scan-… at last_seq
+    next(it)
+    seq = st.snapshot()                # anonymous user snapshot, same seq
+    snaps_before = st.manifest.current().snapshots
+    assert any(n.startswith("scan-") for n in snaps_before)
+    st.release_snapshot(seq)
+    snaps_after = st.manifest.current().snapshots
+    assert any(n.startswith("scan-") for n in snaps_after)
+    assert all(n.startswith("scan-") for n in snaps_after)
+    # the cursor still walks to completion under compaction
+    st.put("k0", "LATE")
+    st.compact()
+    rest = [k for k, _ in it]
+    assert rest  # iterator finished, no missing-retention surprise
+    # releasing by NAME removes exactly that snapshot
+    name = next(iter(snaps_after))
+    st.release_snapshot(name)
+    assert name not in st.manifest.current().snapshots
+
+
+def test_vacuum_default_grace_protects_fresh_dirs(spark, tmp_path):
+    """Review r12: default-grace vacuum must NOT delete a fresh
+    unreferenced dir (it could be a concurrent writer's
+    written-but-uncommitted batch); explicit grace 0 still reclaims."""
+    import os as _os
+
+    st = _mk(spark, tmp_path, "grace")
+    st.write_batch([("put", "a", "1")])
+    st.write_batch([("put", "a", "2")])
+    st.compact()                       # old dirs now unreferenced
+    data = _os.path.join(st.path, "data")
+    n_dirs = len(_os.listdir(data))
+    assert st.vacuum() == []           # default grace: all dirs fresh
+    assert len(_os.listdir(data)) == n_dirs
+    gone = st.vacuum(0.0)
+    assert gone and len(_os.listdir(data)) == n_dirs - len(gone)
+    assert st.get("a") == "2"
+
+
+def test_concurrent_compaction_single_winner(spark, tmp_path):
+    """Review r12: two compactions selecting the same inputs must
+    install exactly ONE output — the loser detects its inputs are no
+    longer live at commit time and no-ops (duplicated rows otherwise).
+    Simulated by running a full compaction from a second handle in the
+    window between the loser's input selection and its commit."""
+    st1 = _mk(spark, tmp_path, "ccomp")
+    for i in range(3):
+        st1.write_batch([("put", f"k{j}", f"v{i}") for j in range(10)])
+    st2 = KVStore.open(spark, st1.path)
+
+    fired = {"done": False}
+    orig = KVStore._dir_stats
+
+    def hooked(self, full):
+        # after st2 wrote its output, before its commit: st1 wins
+        if self is st2 and not fired["done"]:
+            fired["done"] = True
+            st1.compact()
+        return orig(self, full)
+
+    import unittest.mock as mock
+    with mock.patch.object(KVStore, "_dir_stats", hooked):
+        out = st2.compact()
+    assert out.get("lost_to_concurrent_compaction") is True
+    assert fired["done"]
+    # exactly one winner's rows: no duplication
+    rows = st1.state().collect()
+    assert sorted(r["key"] for r in rows) == sorted(f"k{j}"
+                                                    for j in range(10))
+    assert all(r["value"] == "v2" for r in rows)
+    total_rows = sum(f.rows for f in st1.manifest.current().files)
+    assert total_rows == 10  # latest-only retention, one copy
+
+
+def test_manifest_init_is_exclusive(spark, tmp_path):
+    """Review r12: racing creations must not silently overwrite the
+    winner's schema record — the second init fails like the
+    conditional-put backend's put_if_absent."""
+    from quasdb_spark.manifest import Manifest
+
+    st = _mk(spark, tmp_path, "excl")
+    with pytest.raises(FileExistsError, match="already initialized"):
+        Manifest(st.path).init({"key_type": "binary"})
+    # the winner's schema record is untouched
+    assert st.manifest.current().schema.get("key_type") != "binary"
+
+
+def test_embedded_properties_and_props_endpoint(spark, tmp_path):
+    """Review r12: properties() is part of the embedded contract and
+    the /props surface the worker processes serve — it must answer on
+    a Spark-free handle (memory probe degrades to None, never raises)."""
+    st = _mk(spark, tmp_path, "eprops")
+    st.put("k", "v")
+    emb = KVStore.open_embedded(st.path)
+    props = emb.properties()
+    assert props["quasdb.last-seq"] == 1
+    assert props["quasdb.approximate-memory-usage"] is None
+    from quasdb_spark.server import handle_request
+    code, _, body, _ = handle_request(emb, None, "GET", "/props")
+    assert code == 200 and b"quasdb.last-seq" in body
