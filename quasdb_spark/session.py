@@ -43,7 +43,13 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    "spark.driver.memory": "8g",
+    # local-mode sizing: the driver JVM IS the executor pool, so its
+    # heap must be sized for the machine, not for a thin coordinator.
+    # 8g was enough through the 100x sweep; the 1000x (sf100) probe
+    # OOM'd the minhash Arrow pass at 8g on a 128 GiB box — 24g gives
+    # 32 concurrent tasks ~750 MB each and leaves room for serving
+    # worker processes. On a real cluster this knob is ops config.
+    "spark.driver.memory": "24g",
     # Reliable checkpoints (bpe_train's per-round lineage cut when a
     # checkpoint dir is configured) are NOT cleaned by default — the
     # files outlive the RDDs and a long session accumulates one
