@@ -36,6 +36,7 @@ from __future__ import annotations
 
 import json
 import os
+import re
 import socket
 import socketserver
 import threading
@@ -81,7 +82,8 @@ def handle_request(store: KVStore | None, doc_root: str | None,
         if store is not None and url.path == "/props":
             return reply(200, *jbody(store.properties()))
         if store is not None and url.path in ("/get", "/scan") \
-                and "asof" in q and not q["asof"].lstrip("-").isdigit():
+                and "asof" in q \
+                and not re.fullmatch(r"-?\d+", q["asof"]):
             # client error, not a server fault: same contract as the
             # limit parameter below
             return reply(400, *jbody({"error": "bad asof",
@@ -322,6 +324,32 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
             self._live.discard(sock)
 
     def start(self) -> "RawStoreServer":
+        if self.workers and self.store is not None:
+            # fail FAST, not per-request: a worker is an embedded
+            # reader in a fresh interpreter — it needs the driver
+            # read engine (pyarrow-safe schema; otherwise ~N/(N+1)
+            # of requests would 500 nondeterministically as the
+            # kernel load-balances onto workers) and a codec it
+            # can resolve without user registration. Validate BEFORE
+            # the serve thread starts: on the raise path the caller
+            # holds no handle to stop(), so nothing may leak — close
+            # the bound listener too (ADVICE r12).
+            from quasdb_spark.codec import BUILTIN_CODECS
+
+            err = None
+            if not self.store._driver_reads_ok():
+                err = ("RawStoreServer(workers=N): this store's value "
+                       "schema defers the driver read engine (e.g. "
+                       "timestamp/map values) — embedded workers "
+                       "cannot serve it; run workers=0")
+            elif self.store.codec.name not in BUILTIN_CODECS:
+                err = (f"RawStoreServer(workers=N): store codec "
+                       f"{self.store.codec.name!r} is not a built-in "
+                       "— a worker process cannot re-register it; "
+                       "run workers=0")
+            if err is not None:
+                self.server_close()
+                raise ValueError(err)
         self._thread = threading.Thread(target=self.serve_forever,
                                         daemon=True)
         self._thread.start()
@@ -329,27 +357,6 @@ class RawStoreServer(socketserver.ThreadingTCPServer):
             import subprocess
             import sys
 
-            if self.store is not None:
-                # fail FAST, not per-request: a worker is an embedded
-                # reader in a fresh interpreter — it needs the driver
-                # read engine (pyarrow-safe schema; otherwise ~N/(N+1)
-                # of requests would 500 nondeterministically as the
-                # kernel load-balances onto workers) and a codec it
-                # can resolve without user registration
-                from quasdb_spark.codec import BUILTIN_CODECS
-
-                if not self.store._driver_reads_ok():
-                    raise ValueError(
-                        "RawStoreServer(workers=N): this store's value "
-                        "schema defers the driver read engine (e.g. "
-                        "timestamp/map values) — embedded workers "
-                        "cannot serve it; run workers=0")
-                if self.store.codec.name not in BUILTIN_CODECS:
-                    raise ValueError(
-                        f"RawStoreServer(workers=N): store codec "
-                        f"{self.store.codec.name!r} is not a built-in "
-                        "— a worker process cannot re-register it; "
-                        "run workers=0")
             spath = self.store.path if self.store is not None else "-"
             argv = [sys.executable, "-m", "quasdb_spark.server",
                     "--serve-worker", spath, self.doc_root or "-",

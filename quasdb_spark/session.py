@@ -43,13 +43,8 @@ _DEFAULTS = {
     "spark.sql.session.timeZone": "UTC",
     "spark.sql.shuffle.partitions": "32",
     "spark.sql.autoBroadcastJoinThreshold": "64m",
-    # local-mode sizing: the driver JVM IS the executor pool, so its
-    # heap must be sized for the machine, not for a thin coordinator.
-    # 8g was enough through the 100x sweep; the 1000x (sf100) probe
-    # OOM'd the minhash Arrow pass at 8g on a 128 GiB box — 24g gives
-    # 32 concurrent tasks ~750 MB each and leaves room for serving
-    # worker processes. On a real cluster this knob is ops config.
-    "spark.driver.memory": "24g",
+    # spark.driver.memory: set dynamically below (_driver_memory_default)
+    # — sized from the HOST's RAM, not a constant. See that function.
     # Reliable checkpoints (bpe_train's per-round lineage cut when a
     # checkpoint dir is configured) are NOT cleaned by default — the
     # files outlive the RDDs and a long session accumulates one
@@ -65,6 +60,30 @@ _DEFAULTS = {
     # truncate) machine-read JSON output — this corrupted BENCH_r05.json.
     "spark.ui.showConsoleProgress": "false",
 }
+
+
+def _driver_memory_default() -> str:
+    """Local-mode driver heap sized from the machine, not a constant.
+
+    The local-mode driver JVM IS the executor pool, so its heap must be
+    machine-sized: 8g was enough through the 100x sweep, but the 1000x
+    (sf100) probe OOM'd the minhash Arrow pass at 8g on a 128 GiB box —
+    there 24g gives 32 concurrent tasks ~750 MB each. Baking 24g into
+    every get_spark() caller would invite swap/OOM-kill on 16-32 GiB
+    hosts (ADVICE r12), so derive it: min(24g, ~40% of MemTotal),
+    floored at 2g. On a real cluster this knob is ops config and the
+    caller's extra_conf / spark-submit wins anyway.
+    """
+    gib = 8  # conservative fallback when MemTotal is unreadable
+    try:
+        with open("/proc/meminfo") as f:
+            for line in f:
+                if line.startswith("MemTotal:"):
+                    gib = int(line.split()[1]) // (1024 * 1024)
+                    break
+    except OSError:
+        pass
+    return f"{max(2, min(24, int(gib * 0.4)))}g"
 
 
 def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
@@ -90,6 +109,7 @@ def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
     builder = builder.config("spark.executorEnv.PYTHONPATH",
                              os.environ["PYTHONPATH"])
     conf = dict(_DEFAULTS)
+    conf["spark.driver.memory"] = _driver_memory_default()
     if extra_conf:
         conf.update(extra_conf)
     for k, v in conf.items():

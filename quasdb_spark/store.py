@@ -953,6 +953,18 @@ class KVStore:
                 os.fsync(dfd)
             finally:
                 os.close(dfd)
+            # ... and the DIRECTORY ENTRIES: the file's bytes being
+            # durable doesn't make its dirent durable, nor the new
+            # batch dir's dirent in data/ — fsync both so a durable
+            # manifest can never reference a missing file (ADVICE r12;
+            # mirrors _atomic_write's directory fsync on the manifest
+            # side).
+            for d in (full, os.path.dirname(full)):
+                ddir = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(ddir)
+                finally:
+                    os.close(ddir)
             stats = self._dir_stats(full)
             entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
                               rows=len(rows), bytes=stats["bytes"],
@@ -1968,6 +1980,11 @@ class KVStore:
         committed = {"done": False}
 
         def _install(v):
+            # Reset per attempt: _meta_commit re-invokes this callback on
+            # CommitConflict, and a later attempt may lose the inputs to a
+            # rival compactor and no-op — the flag must reflect only the
+            # attempt whose kwargs actually committed (ADVICE r12).
+            committed["done"] = False
             if not old_paths <= {f.path for f in v.files}:
                 return None
             committed["done"] = True

@@ -120,3 +120,17 @@ def test_chunk_boundary_math_reassembles(n_tokens, max_tokens, overlap,
     assert rebuilt == words
     # no chunk starts past the end (the ceil bound is tight)
     assert (n_chunks - 1) * stride < n
+
+
+def test_driver_memory_default_is_host_sized():
+    """ADVICE r12: the local-mode driver heap default derives from the
+    host's RAM (min(24g, ~40% MemTotal), floor 2g) — never a constant
+    that invites OOM-kill on small hosts."""
+    import re
+
+    from quasdb_spark.session import _driver_memory_default
+
+    v = _driver_memory_default()
+    m = re.fullmatch(r"(\d+)g", v)
+    assert m, v
+    assert 2 <= int(m.group(1)) <= 24

@@ -142,8 +142,15 @@ def test_raw_server_workers_fail_fast_on_unservable_store(spark, tmp_path):
 
     st = KVStore.create(spark, str(tmp_path / "ts"),
                         value_schema="v timestamp")
+    srv = RawStoreServer(st, workers=2)
     with pytest.raises(ValueError, match="driver read engine"):
-        RawStoreServer(st, workers=2).start()
+        srv.start()
+    # ADVICE r12: the raise path must not leak a bound listener or a
+    # serving thread — callers in a pytest.raises pattern never get a
+    # handle-stop opportunity
+    assert srv._thread is None
+    assert srv.socket.fileno() == -1  # listener closed
+    assert srv.workers_alive() == 0
 
 
 def test_handle_request_bad_asof_is_400(spark, tmp_path):
@@ -153,7 +160,11 @@ def test_handle_request_bad_asof_is_400(spark, tmp_path):
 
     st = KVStore.create(spark, str(tmp_path / "a4"))
     st.put("k", "v")
-    for path in ("/get?key=k&asof=abc", "/scan?from=a&asof=abc"):
+    for path in ("/get?key=k&asof=abc", "/scan?from=a&asof=abc",
+                 # ADVICE r12: lstrip("-") let multi-dash strings past
+                 # the guard and 500 through the catch-all
+                 "/get?key=k&asof=--5", "/get?key=k&asof=-",
+                 "/scan?from=a&asof=5-5"):
         code, _, body, _ = handle_request(st, None, "GET", path)
         assert code == 400, path
         assert b"bad asof" in body

@@ -1383,6 +1383,43 @@ def test_concurrent_compaction_single_winner(spark, tmp_path):
     assert total_rows == 10  # latest-only retention, one copy
 
 
+def test_compaction_loss_after_commit_conflict_reports_loss(spark, tmp_path):
+    """ADVICE r12: the concurrent-compaction guard flag must reflect
+    only the attempt whose kwargs actually COMMITTED. Staged race:
+    attempt 1 passes the inputs-live check but loses the CAS to a rival
+    compactor that removed the same inputs; attempt 2 sees them gone
+    and no-ops. A sticky success flag would make compact() report
+    success (wrong files_after, no loss marker) for an output that was
+    never installed."""
+    from quasdb_spark.manifest import Manifest
+
+    st1 = _mk(spark, tmp_path, "cstick")
+    for i in range(3):
+        st1.write_batch([("put", f"k{j}", f"v{i}") for j in range(10)])
+    st2 = KVStore.open(spark, st1.path)
+
+    orig_commit = Manifest.commit
+    fired = {"done": False}
+
+    def hooked(self, base, **kw):
+        # st2's first commit attempt: let the rival win the CAS first
+        if self is st2.manifest and not fired["done"]:
+            fired["done"] = True
+            st1.compact()
+        return orig_commit(self, base, **kw)
+
+    import unittest.mock as mock
+    with mock.patch.object(Manifest, "commit", hooked):
+        out = st2.compact()
+    assert fired["done"]
+    assert out.get("lost_to_concurrent_compaction") is True
+    # exactly one winner's rows installed: no duplication, no phantom
+    rows = st1.state().collect()
+    assert sorted(r["key"] for r in rows) == sorted(f"k{j}"
+                                                    for j in range(10))
+    assert sum(f.rows for f in st1.manifest.current().files) == 10
+
+
 def test_manifest_init_is_exclusive(spark, tmp_path):
     """Review r12: racing creations must not silently overwrite the
     winner's schema record — the second init fails like the
