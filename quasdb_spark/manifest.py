@@ -255,7 +255,8 @@ class Manifest:
     def commit(self, base: Version, *, add: list[FileEntry] = (),
                remove: set[str] = frozenset(), last_seq: int | None = None,
                snapshots: dict[str, int] | None = None,
-               streams: dict[str, int] | None = None) -> Version:
+               streams: dict[str, int] | None = None,
+               durable: bool = True) -> Version:
         """Produce and durably install the next version.
 
         ``base`` must still be the live version at install time; the
@@ -290,7 +291,7 @@ class Manifest:
                 raise CommitConflict(
                     f"base version {base.version} superseded by "
                     f"{live.version} at {self.store_path}")
-            self._write_version(nxt)
+            self._write_version(nxt, durable=durable)
         return nxt
 
     @contextlib.contextmanager
@@ -304,20 +305,24 @@ class Manifest:
             fcntl.flock(fd, fcntl.LOCK_UN)
             os.close(fd)
 
-    def _write_version(self, v: Version) -> None:
+    def _write_version(self, v: Version, durable: bool = True) -> None:
         name = f"{v.version:06d}.json"
-        self._atomic_write(os.path.join(self.dir, name), v.to_json())
-        self._atomic_write(os.path.join(self.dir, "CURRENT"), name)
+        self._atomic_write(os.path.join(self.dir, name), v.to_json(),
+                           durable=durable)
+        self._atomic_write(os.path.join(self.dir, "CURRENT"), name,
+                           durable=durable)
 
     @staticmethod
-    def _atomic_write(path: str, content: str) -> None:
+    def _atomic_write(path: str, content: str,
+                      durable: bool = True) -> None:
         d = os.path.dirname(path)
         fd, tmp = tempfile.mkstemp(dir=d, suffix=".tmp")
         try:
             with os.fdopen(fd, "w") as f:
                 f.write(content)
                 f.flush()
-                os.fsync(f.fileno())
+                if durable:
+                    os.fsync(f.fileno())
             os.rename(tmp, path)
             # fsync the DIRECTORY: without it the rename itself is not
             # durable and renames are not ordered across power loss —
@@ -326,11 +331,16 @@ class Manifest:
             # through its WritableFile contract). _write_version calls
             # this for the version file FIRST, so by the time CURRENT's
             # rename is durable the file it names is too.
-            dfd = os.open(d, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
+            # durable=False (WriteOptions::sync=false parity,
+            # kv/include/options.h:149-155): rename is still atomic —
+            # never a torn state — but the commit may not survive power
+            # loss; see KVStore.write_batch(sync=False).
+            if durable:
+                dfd = os.open(d, os.O_RDONLY)
+                try:
+                    os.fsync(dfd)
+                finally:
+                    os.close(dfd)
         except BaseException:
             if os.path.exists(tmp):
                 os.unlink(tmp)

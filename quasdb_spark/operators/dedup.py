@@ -114,9 +114,27 @@ def base_hash32(s: F.Column) -> F.Column:
     return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("bigint")
 
 
+def base_hash32_xxh(s: F.Column) -> F.Column:
+    """Production 32-bit shingle hash: JVM xxhash64 folded to its low
+    32 bits. Spark-only — DuckDB exposes no XXH64 (its md5 family and
+    engine-private hash() are the only options), so queries gated by
+    the cross-engine oracle must stay on ``base_hash32``; this is the
+    throughput path for real curation runs, where the md5 base hash is
+    the dominant constant (90% of the sf100 dedup_minhash_pairs wall,
+    VERDICT r12 #2). Cheaper on three axes: non-crypto hash vs md5,
+    no 32-char hex string materialized per shingle, no conv() string
+    parse. Same [0, 2^32) range contract as base_hash32, so the
+    affine-rehash overflow bound (a*h + b < 2^63) is unchanged."""
+    return F.xxhash64(s).bitwiseAND(F.lit(4294967295))
+
+
+_BASE_HASHES = {"md5": base_hash32, "xxhash64": base_hash32_xxh}
+
+
 def minhash_signature_fast(df: DataFrame, text_col: str = "text", *,
                            n_hashes: int = 64, shingle_n: int = 3,
                            engine: str = "arrow",
+                           base_hash: str = "md5",
                            nonempty_only: bool = False) -> DataFrame:
     """Affine-rehash MinHash signature (``minhash_sig`` as
     array<bigint>): one md5 per shingle, k derived minima. This is the
@@ -147,7 +165,8 @@ def minhash_signature_fast(df: DataFrame, text_col: str = "text", *,
         if nonempty_only:
             out = out.where(F.size(tokens(text_col)) >= shingle_n)
         out = out.withColumn("_sh", shingles(text_col, shingle_n))
-    out = out.withColumn("_bh", F.transform(F.col("_sh"), base_hash32))
+    out = out.withColumn(
+        "_bh", F.transform(F.col("_sh"), _BASE_HASHES[base_hash]))
 
     if engine == "arrow":
         import numpy as np
@@ -262,7 +281,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             shingle_n: int = 3,
                             max_bucket_size: int | None = None,
                             scheme: str = "md5",
-                            engine: str = "arrow") -> DataFrame:
+                            engine: str = "arrow",
+                            base_hash: str = "md5") -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     shuffle = docs × n_bands rows keyed by band hash; pairs are formed
@@ -288,6 +308,7 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     if scheme == "fast":
         sig = minhash_signature_fast(df, text_col, n_hashes=n_hashes,
                                      shingle_n=shingle_n, engine=engine,
+                                     base_hash=base_hash,
                                      nonempty_only=True)
     else:
         sig = minhash_signature(df, text_col, n_hashes=n_hashes,
@@ -337,7 +358,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    n_bands: int = 2,
                    max_bucket_size: int | None = None,
                    scheme: str = "md5",
-                   engine: str = "arrow") -> DataFrame:
+                   engine: str = "arrow",
+                   base_hash: str = "md5") -> DataFrame:
     """MinHash-LSH candidates → exact Jaccard verification.
 
     Shingles are computed ONCE and cached: the candidate-generation
@@ -357,7 +379,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                                     n_hashes=n_hashes, n_bands=n_bands,
                                     shingle_n=shingle_n,
                                     max_bucket_size=max_bucket_size,
-                                    scheme=scheme, engine=engine)
+                                    scheme=scheme, engine=engine,
+                                    base_hash=base_hash)
     return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 

@@ -699,19 +699,32 @@ class KVStore:
         shutil.rmtree(self.path, ignore_errors=True)
 
     # ------------------------------------------------------------- writes
-    def put(self, key: str, value: str) -> int:
-        return self.write_batch([(PUT, key, value)])
+    def put(self, key: str, value: str, *, sync: bool = True) -> int:
+        return self.write_batch([(PUT, key, value)], sync=sync)
 
-    def delete(self, key: str) -> int:
+    def delete(self, key: str, *, sync: bool = True) -> int:
         """Tombstone write; deleting a missing key is not an error
         (kv/include/db.h:69)."""
-        return self.write_batch([(DEL, key, None)])
+        return self.write_batch([(DEL, key, None)], sync=sync)
 
-    def write_batch(self, ops: list[tuple[str, str, str | None]]) -> int:
+    def write_batch(self, ops: list[tuple[str, str, str | None]],
+                    *, sync: bool = True) -> int:
         """Atomically apply [(op, key, value), ...]; returns the batch's
         seq. Atomicity = single manifest commit: either the whole batch
         is in the current version or none of it is (WriteBatch,
-        kv/include/write_batch.h:11-59)."""
+        kv/include/write_batch.h:11-59).
+
+        ``sync=False`` is the reference's ``WriteOptions::sync=false``
+        (kv/include/options.h:149-155): skip every fsync on this
+        write's data/manifest path. The commit stays ATOMIC (rename
+        semantics are unchanged) but is not power-loss durable — an OS
+        crash may lose the tail of recent unsynced batches, and, as in
+        the reference, a machine crash can require ``repair()`` (which
+        rebuilds the manifest from surviving data footers, DestroyDB/
+        RepairDB parity). Measured on the interactive driver path the
+        fsyncs are ~58% of wall (~8 ms/batch, tools/fsync_tax_ab.py) —
+        the same throughput-vs-durability trade the reference defaults
+        the OTHER way on; we keep sync=True as the safe default."""
         if not ops:
             return self.manifest.current().last_seq
         # encode through the store's codec / validate binary payloads
@@ -748,11 +761,11 @@ class KVStore:
                 return (rows, arrow_schema), len(rows)
             return self.spark.createDataFrame(rows, self.log_schema), len(rows)
 
-        return self._append_with_retry(build)
+        return self._append_with_retry(build, sync=sync)
 
-    def write(self, batch: "WriteBatch") -> int:
+    def write(self, batch: "WriteBatch", *, sync: bool = True) -> int:
         """DB::Write(options, batch) parity (kv/db/db_impl.cpp:1396)."""
-        return self.write_batch(list(batch))
+        return self.write_batch(list(batch), sync=sync)
 
     def ingest(self, df: DataFrame, *, op_col: str | None = None,
                key_col: str = "key", value_col: str = "value",
@@ -825,7 +838,7 @@ class KVStore:
             streams_update=lambda ver: {**ver.streams, stream_id: batch_id})
 
     def _append_with_retry(self, build, *, skip_if=None, streams_update=None,
-                           retries: int = 8) -> int | None:
+                           retries: int = 8, sync: bool = True) -> int | None:
         """Run one append commit, retrying on CommitConflict (another
         writer won the seq). Each retry re-reads the live version and
         re-stamps the batch at the new seq — ``build(seq)`` must return
@@ -844,7 +857,7 @@ class KVStore:
                 if isinstance(df, tuple):  # driver-side small batch:
                     rows, arrow_schema = df  # (rows, schema) from build
                     self._commit_append_rows(ver, rows, seq, arrow_schema,
-                                             streams=streams)
+                                             streams=streams, sync=sync)
                 else:
                     self._commit_append(ver, df, seq, n_rows=n_rows,
                                         streams=streams)
@@ -921,7 +934,8 @@ class KVStore:
 
     def _commit_append_rows(self, ver: Version, rows: list, seq: int,
                             arrow_schema,
-                            streams: dict[str, int] | None = None) -> int:
+                            streams: dict[str, int] | None = None,
+                            sync: bool = True) -> int:
         """Driver-side small-batch append: sort by key, write ONE
         parquet file with pyarrow (same log schema Spark reads back),
         commit the manifest entry. Milliseconds instead of a Spark
@@ -947,31 +961,32 @@ class KVStore:
             # manifest commit that references them — otherwise a power
             # loss can leave a durable manifest pointing at torn
             # parquet (review r12; the manifest side fsyncs its own
-            # renames in _atomic_write)
-            dfd = os.open(fpath, os.O_RDONLY)
-            try:
-                os.fsync(dfd)
-            finally:
-                os.close(dfd)
-            # ... and the DIRECTORY ENTRIES: the file's bytes being
-            # durable doesn't make its dirent durable, nor the new
-            # batch dir's dirent in data/ — fsync both so a durable
-            # manifest can never reference a missing file (ADVICE r12;
-            # mirrors _atomic_write's directory fsync on the manifest
-            # side).
-            for d in (full, os.path.dirname(full)):
-                ddir = os.open(d, os.O_RDONLY)
+            # renames in _atomic_write). And the DIRECTORY ENTRIES:
+            # the file's bytes being durable doesn't make its dirent
+            # durable, nor the new batch dir's dirent in data/ — fsync
+            # both so a durable manifest can never reference a missing
+            # file (ADVICE r12). sync=False (WriteOptions::sync=false
+            # parity) skips all of it — atomic but not power-loss
+            # durable; see write_batch.
+            if sync:
+                dfd = os.open(fpath, os.O_RDONLY)
                 try:
-                    os.fsync(ddir)
+                    os.fsync(dfd)
                 finally:
-                    os.close(ddir)
+                    os.close(dfd)
+                for d in (full, os.path.dirname(full)):
+                    ddir = os.open(d, os.O_RDONLY)
+                    try:
+                        os.fsync(ddir)
+                    finally:
+                        os.close(ddir)
             stats = self._dir_stats(full)
             entry = FileEntry(path=rel, seq_lo=seq, seq_hi=seq,
                               rows=len(rows), bytes=stats["bytes"],
                               min_key=stats["min_key"],
                               max_key=stats["max_key"], level=0)
             self.manifest.commit(ver, add=[entry], last_seq=seq,
-                                 streams=streams)
+                                 streams=streams, durable=sync)
         except CommitConflict:
             import shutil
 

@@ -2808,8 +2808,11 @@ def q_dedup_minhash_sig(spark, sf_dir):
 
 
 def q_dedup_minhash_pairs(spark, sf_dir):
+    # r13: affine scheme (one md5 per shingle, 8 derived minima) — the
+    # k-fold md5 scheme hashed every shingle 8x and was 90% of the
+    # sf100 wall (VERDICT r12 #2); oracle mirrors the affine SQL.
     d = _t(spark, sf_dir, "documents")
-    return D.near_dup_pairs(d, threshold=0.35)
+    return D.near_dup_pairs(d, threshold=0.35, scheme="fast")
 
 
 def q_dedup_clusters(spark, sf_dir):
@@ -2818,7 +2821,7 @@ def q_dedup_clusters(spark, sf_dir):
     canonical keep-one doc. Emits only docs that belong to a
     multi-doc cluster (the interesting rows)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35)
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
     labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("n_members")))
@@ -2836,7 +2839,7 @@ def q_dedup_clusters_cc(spark, sf_dir):
     reachability CTE, so this row cross-checks the contraction
     against a genuinely different algorithm."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35)
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
     labels = D.cluster_assign_cc(pairs, d.select("doc_id"))
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("n_members")))
@@ -2858,13 +2861,33 @@ def q_dedup_minhash_wide(spark, sf_dir):
                             scheme="fast")
 
 
+def q_dedup_minhash_xxh(spark, sf_dir):
+    """Production-hash near-dup: the wide (64×8) pipeline with the
+    xxhash64 base hash (dedup.base_hash32_xxh) instead of md5 —
+    VERDICT r12 #2's attack on the dominant constant (the md5-derived
+    shingle hash is 90% of the sf100 dedup_minhash_pairs wall).
+
+    NO oracle_sql entry BY NECESSITY, not oversight: DuckDB exposes
+    only md5/sha256 plus its engine-private hash() — none computes
+    Spark's XXH64, and the base hash is semantic (it decides the LSH
+    candidates). The oracle-pinned md5 variants (dedup_minhash_pairs,
+    dedup_minhash_wide) stay the correctness anchors; this query's
+    semantics are pinned instead by tests/test_dedup.py's md5-vs-xxh
+    parity suite (arrow-vs-expr bit-parity for the xxh scheme, banding
+    bucket-statistics parity, near-identical verified-pair sets) and
+    by the driver's rows-only check."""
+    d = _t(spark, sf_dir, "documents")
+    return D.near_dup_pairs(d, threshold=0.35, n_hashes=64, n_bands=8,
+                            scheme="fast", base_hash="xxhash64")
+
+
 def q_dedup_apply(spark, sf_dir):
     """The KEEP action of near-dup removal: corpus minus non-canonical
     cluster members (LEFT ANTI join against the clustering's
     doc_id != cluster_id rows). Emits the surviving doc ids — the
     corpus a training run would actually read."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35)
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
     labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
     drop = labels.where(F.col("cluster_id") != F.col("doc_id")) \
                  .select("doc_id")
@@ -2928,6 +2951,20 @@ _FAST64_BANDS_SQL = "\n          UNION\n          ".join(
     + ", ".join(f"h{8 * b + j}" for j in range(8))
     + ")) AS band_key FROM m"
     for b in range(8))
+
+# Demo width (8 hashes, 2 bands of 4) on the SAME affine scheme — the
+# r13 headline dedup_minhash_pairs implementation: one md5 per shingle
+# instead of 8 independent ones (the base hash was 90% of the sf100
+# wall, VERDICT r12 #2; the k-fold md5 scheme itself stays oracle-
+# pinned via dedup_minhash_sig / dedup_containment / dedup_incremental).
+_FAST8_COLS_SQL = ", ".join(
+    f"list_min(list_transform(bh, h -> (h * {a} + {b}) % {D.P32})) AS h{i}"
+    for i, (a, b) in enumerate(D.affine_params(D.N_MINHASH)))
+_FAST8_BANDS_SQL = "\n          UNION\n          ".join(
+    "SELECT doc_id, md5(concat_ws('|', "
+    + ", ".join(f"h{4 * b + j}" for j in range(4))
+    + ")) AS band_key FROM m"
+    for b in range(2))
 
 _DEDUP_ORACLES = {
     # windows: length-prefixed tokens ("len:token") joined with
@@ -3014,11 +3051,10 @@ _DEDUP_ORACLES = {
     "dedup_minhash_pairs": f"""
         WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents),
         s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
-        m AS (SELECT doc_id, sh, {_MINHASH_COLS_SQL} FROM s),
-        bands AS (
-          SELECT doc_id, md5(concat_ws('|', h0, h1, h2, h3)) AS band_key FROM m
-          UNION
-          SELECT doc_id, md5(concat_ws('|', h4, h5, h6, h7)) AS band_key FROM m),
+        b0 AS (SELECT doc_id, sh, {_FAST_BASE_SQL} AS bh FROM s
+               WHERE len(sh) > 0),
+        m AS (SELECT doc_id, sh, {_FAST8_COLS_SQL} FROM b0),
+        bands AS ({_FAST8_BANDS_SQL}),
         cand AS (
           SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
           FROM bands a JOIN bands b
@@ -5243,6 +5279,7 @@ QUERIES = {
     "dedup_minhash_sig": q_dedup_minhash_sig,
     "dedup_minhash_pairs": q_dedup_minhash_pairs,
     "dedup_minhash_wide": q_dedup_minhash_wide,
+    "dedup_minhash_xxh": q_dedup_minhash_xxh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_cc": q_dedup_clusters_cc,
     "dedup_apply": q_dedup_apply,

@@ -1420,6 +1420,37 @@ def test_compaction_loss_after_commit_conflict_reports_loss(spark, tmp_path):
     assert sum(f.rows for f in st1.manifest.current().files) == 10
 
 
+def test_write_batch_sync_false_skips_fsync_stays_atomic(spark, tmp_path):
+    """WriteOptions::sync=false parity (kv/include/options.h:149-155):
+    sync=False must skip every fsync on the interactive write path
+    (throughput knob) while the commit stays atomic and immediately
+    readable — same data, same seq discipline, just not power-loss
+    durable."""
+    import os as _os
+    import unittest.mock as mock
+
+    st = _mk(spark, tmp_path, "nosync")
+    calls = {"n": 0}
+    real = _os.fsync
+
+    def counting(fd):
+        calls["n"] += 1
+        return real(fd)
+
+    with mock.patch("os.fsync", counting):
+        st.write_batch([("put", "a", "1"), ("put", "b", "2")], sync=False)
+    assert calls["n"] == 0, "sync=False write must not fsync anything"
+    with mock.patch("os.fsync", counting):
+        st.put("c", "3")  # default stays durable
+    assert calls["n"] > 0, "sync=True (default) must fsync"
+    # both batches fully readable, order preserved
+    assert [(r["key"], r["value"]) for r in st.scan().collect()] == \
+        [("a", "1"), ("b", "2"), ("c", "3")]
+    # reopen sees both commits (atomic rename happened either way)
+    st2 = KVStore.open(spark, st.path)
+    assert st2.get("a") == "1" and st2.get("c") == "3"
+
+
 def test_manifest_init_is_exclusive(spark, tmp_path):
     """Review r12: racing creations must not silently overwrite the
     winner's schema record — the second init fails like the

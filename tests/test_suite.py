@@ -22,9 +22,15 @@ def test_queries_and_oracles_registered():
     qs, orc = e.queries(), e.oracle_sql()
     assert set(orc) <= set(qs)
     missing_oracle = set(qs) - set(orc)
-    # every query carries a cross-engine oracle; the approximate sketch
-    # aggregates (HLL/percentile_approx/CMS) are engine-specific and
-    # covered by error-bound tests in tests/test_sketches.py instead —
-    # the driver-facing sketch_events_profile is the deterministic
-    # (exact ndv + discrete-percentile) variant, which IS oracled
-    assert missing_oracle == set()
+    # every query carries a cross-engine oracle, with ONE chartered
+    # exception: dedup_minhash_xxh uses Spark's xxhash64 base hash,
+    # which no DuckDB function can reproduce (md5/sha256 are its only
+    # portable hashes) — the base hash is semantic (it picks the LSH
+    # candidates), so the query is rows-only checked by the driver and
+    # semantics-pinned by tests/test_dedup.py's md5-vs-xxh parity
+    # suite. The approximate sketch aggregates (HLL/percentile_approx/
+    # CMS) are engine-specific and covered by error-bound tests in
+    # tests/test_sketches.py instead — the driver-facing
+    # sketch_events_profile is the deterministic (exact ndv +
+    # discrete-percentile) variant, which IS oracled
+    assert missing_oracle == {"dedup_minhash_xxh"}
