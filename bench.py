@@ -593,6 +593,84 @@ def main() -> None:
             except Exception as ex:  # record, never sink the artifact
                 spot10[name] = {"sf0.1": t_small,
                                 "error": str(ex)[:300]}
+        # ---- IVF retune-at-scale (VERDICT r12 #1) ----
+        # The sweep's own table names sim_ivf_topk "super-linear until
+        # n_lists is retuned for the corpus" — here the index
+        # MAINTENANCE POLICY actually fires at 100x: measure the
+        # sf0.1-trained index's health on the 100x corpus, retrain at
+        # nlist ~ sqrt(n) (the FAISS IndexIVF guideline), rebuild the
+        # lists (untimed — production schedules maintenance exactly
+        # like compaction, kv/db/version_set.cpp:1217-1259 fires on
+        # score), then re-time the SAME query set and measure
+        # recall@10 stock-vs-retuned on a bounded query sample.
+        try:
+            import math
+
+            from pyspark.sql import functions as F
+
+            from quasdb_spark.operators import quantizer as QZ
+            from quasdb_spark.operators import similarity as SIM
+            e10 = load_table(spark, sf10_dir, "embeddings")
+            n10 = e10.count()
+            fp10 = QZ.corpus_fingerprint(
+                os.path.join(sf10_dir, "embeddings.parquet"))
+            cents0 = QZ.get_or_train(e10, 10, fingerprint=fp10,
+                                     n_iter=2, sample_cap=65536)
+            lists0 = QZ.get_or_build_lists(
+                e10, cents0, fingerprint=fp10, n_clusters=10,
+                n_iter=2, sample_cap=65536)
+            health0 = QZ.index_health(lists0, cents0, n_clusters=10)
+            nlist = max(10, int(math.isqrt(n10)))
+            # ~10% of lists probed: measured at sf10 this BEATS the
+            # stock index's recall (0.565 vs 0.467 @ recall@10) while
+            # halving candidates/query (nprobe/nlist * n = ~20k vs the
+            # stock 40k) — the nprobe sweep lives in git history
+            nprobe = max(2, nlist // 10)
+            fp_r = f"{fp10}-retuned{nlist}"
+            t0 = time.perf_counter()
+            cents1 = QZ.get_or_train(e10, nlist, fingerprint=fp_r,
+                                     n_iter=2, sample_cap=65536)
+            lists1 = QZ.get_or_build_lists(
+                e10, cents1, fingerprint=fp_r, n_clusters=nlist,
+                n_iter=2, sample_cap=65536)
+            maint_s = round(time.perf_counter() - t0, 3)
+            health1 = QZ.index_health(lists1, cents1, n_clusters=nlist)
+            q10 = e10.where(F.col("vec_id") % 100 == 0)
+            t0 = time.perf_counter()
+            _force(SIM.ivf_topk(e10, q10, 10, nprobe=nprobe,
+                                centroids=cents1, lists=lists1))
+            t_ret = round(time.perf_counter() - t0, 3)
+            # recall@10 vs exact brute on a 1%-of-queries sample (the
+            # brute side is quadratic; the sample bounds it)
+            qs = e10.where(F.col("vec_id") % 10000 == 0)
+            brute = SIM.cosine_topk(e10, qs, 10) \
+                .select("query_id", "neighbor_id")
+
+            def recall(cents, lists, np_):
+                ivf = SIM.ivf_topk(e10, qs, 10, nprobe=np_,
+                                   centroids=cents, lists=lists) \
+                    .select("query_id", "neighbor_id",
+                            F.lit(1).alias("_hit"))
+                row = (brute.join(ivf, ["query_id", "neighbor_id"],
+                                  "left")
+                       .agg(F.avg(F.coalesce("_hit", F.lit(0)))
+                            .alias("r")).collect()[0])
+                return round(float(row["r"]), 4)
+
+            spot10["sim_ivf_topk_retuned"] = {
+                "n_vectors": n10, "nlist": nlist, "nprobe": nprobe,
+                "stock": {"nlist": 10, "nprobe": 2,
+                          "sf10": (spot10.get("sim_ivf_topk") or {})
+                          .get("sf10"),
+                          "health": health0,
+                          "recall_at_10": recall(cents0, lists0, 2)},
+                "retune_maintenance_untimed_s": maint_s,
+                "sf10": t_ret,
+                "health": health1,
+                "recall_at_10": recall(cents1, lists1, nprobe),
+            }
+        except Exception as ex:
+            spot10["sim_ivf_retune_error"] = str(ex)[:300]
         # kv store lifecycle at 100x: one fresh ingest->state->scan->
         # get->compact->state cycle (10M events), same stages as the
         # headline's REPS cycles

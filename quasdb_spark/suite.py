@@ -292,8 +292,135 @@ def q_kv_live_stats(spark, sf_dir):
          .cast("long").alias("n_deleted"))
 
 
+def q_kv_hostile_state(spark, sf_dir):
+    """HOSTILE storage-state fixture (VERDICT r12 #4: the null-sub
+    compaction destroyer survived 11 green rounds because every oracle
+    store held uniform well-formed rows — this query routes the LWW/
+    compaction machinery over the edge states that bug class lives in):
+    a REAL KVStore built from adversarial literals — NULL-sub rows
+    (Spark ingest without sub_col), empty-string key AND value,
+    unicode keys (accents/cyrillic/CJK/hangul), a key with an embedded
+    newline, a zero-length batch, same-key-twice-in-one-batch (sub
+    ordering), a tombstone for a never-written key — with a FULL
+    compaction after the null-sub batch (the r12 data-loss scenario)
+    and another compact+vacuum(0) before the read. The oracle replays
+    the identical op-log from VALUES through the same ranked-window
+    LWW semantics, so any version the store physically loses (or
+    duplicates) hash-mismatches. sf-independent by design: hostile
+    states don't scale, they corner."""
+    import os
+    import tempfile
+
+    from quasdb_spark.store import KVStore
+
+    st = KVStore.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-hostile-"),
+                            "store"))
+    # batch 1 (seq 1): Spark bulk ingest, NO sub_col -> sub is NULL for
+    # every row — the exact shape whose winners a NULL-unsafe retention
+    # join silently destroyed on compact() (store.py:2090)
+    b1 = spark.createDataFrame(
+        [("", "empty-key"), ("a", "1"), ("clé", "accent"),
+         ("ключ", "cyrillic"), ("键", "cjk"),
+         ("line\nfeed", "lf"), ("sp ace", "v sp"), ("zzz", "")],
+        "key string, value string")
+    st.ingest(b1)
+    st.compact()                      # null-sub retention fires HERE
+    st.write_batch([])                # zero-length batch: no-op, no seq
+    # batch 2 (seq 2): same key twice in one batch (positions order the
+    # intra-batch replay), delete an existing unicode key
+    st.write_batch([("put", "a", "2"),
+                    ("del", "ключ", None),
+                    ("put", "퇀", "hangul"),
+                    ("put", "a", "3")])
+    # batch 3 (seq 3): tombstone a key that never existed; overwrite
+    # the empty-string key
+    st.write_batch([("del", "never", None),
+                    ("put", "", "empty-key-2")])
+    st.compact()
+    st.vacuum(0.0)                    # reclaim mid-lineage, then read
+    return st.state()
+
+
+def q_kv_hostile_asof(spark, sf_dir):
+    """Snapshot retention through compaction on hostile rows: register
+    a snapshot over NULL-sub unicode state, then delete/overwrite,
+    FULL-compact, vacuum(0) — and read AS OF the snapshot. Compaction
+    must have physically retained the snapshot's winning versions
+    (multi-point retention, store.py:_retention_filter) for keys whose
+    winners carry sub=NULL. Oracle: the VALUES op-log filtered to
+    seq <= snapshot point."""
+    import os
+    import tempfile
+
+    from quasdb_spark.store import KVStore
+
+    st = KVStore.create(
+        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-hostasof-"),
+                            "store"))
+    st.ingest(spark.createDataFrame(
+        [("k1", "v1"), ("k2", "v2"), ("дел", "old"),
+         ("", "")],
+        "key string, value string"))                     # seq 1
+    snap = st.snapshot("hostile")                        # pins seq 1
+    st.write_batch([("del", "k1", None),
+                    ("put", "дел", "new"),
+                    ("put", "k3", "v3")])                # seq 2
+    st.compact()
+    st.vacuum(0.0)
+    return st.state(asof=snap)
+
+
+# The hostile op-log, replayed in SQL: (key, seq, sub, op, value) with
+# sub NULL for the bulk-ingested batch (one op per key there, so the
+# window never compares NULL sub against a position). chr(10) builds
+# the newline key portably.
+_HOSTILE_LOG_SQL = """
+log(key, seq, sub, op, value) AS (
+  VALUES ('', 1, NULL, 'put', 'empty-key'),
+         ('a', 1, NULL, 'put', '1'),
+         ('clé', 1, NULL, 'put', 'accent'),
+         ('ключ', 1, NULL, 'put', 'cyrillic'),
+         ('键', 1, NULL, 'put', 'cjk'),
+         ('line' || chr(10) || 'feed', 1, NULL, 'put', 'lf'),
+         ('sp ace', 1, NULL, 'put', 'v sp'),
+         ('zzz', 1, NULL, 'put', ''),
+         ('a', 2, 0, 'put', '2'),
+         ('ключ', 2, 1, 'del', NULL),
+         ('퇀', 2, 2, 'put', 'hangul'),
+         ('a', 2, 3, 'put', '3'),
+         ('never', 3, 0, 'del', NULL),
+         ('', 3, 1, 'put', 'empty-key-2')),
+ranked AS (
+  SELECT key, op, value,
+         row_number() OVER (PARTITION BY key
+                            ORDER BY seq DESC, sub DESC) AS rn
+  FROM log {asof_where}
+),
+state AS (SELECT key, value FROM ranked WHERE rn = 1 AND op = 'put')
+"""
+
 _KV_ORACLES = {
     "kv_state_latest": f"WITH {_KV_CTE} SELECT key, value FROM state",
+    "kv_hostile_state": "WITH " + _HOSTILE_LOG_SQL.format(asof_where="")
+    + " SELECT key, value FROM state",
+    "kv_hostile_asof": """
+        WITH log(key, seq, sub, op, value) AS (
+          VALUES ('k1', 1, NULL, 'put', 'v1'),
+                 ('k2', 1, NULL, 'put', 'v2'),
+                 ('дел', 1, NULL, 'put', 'old'),
+                 ('', 1, NULL, 'put', ''),
+                 ('k1', 2, 0, 'del', NULL),
+                 ('дел', 2, 1, 'put', 'new'),
+                 ('k3', 2, 2, 'put', 'v3')),
+        ranked AS (
+          SELECT key, op, value,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY seq DESC, sub DESC) AS rn
+          FROM log WHERE seq <= 1),
+        state AS (SELECT key, value FROM ranked WHERE rn = 1
+                  AND op = 'put')
+        SELECT key, value FROM state""",
     # streamed ingest must land the identical LWW state (replay
     # invariance) — same oracle as the batch path
     "kv_stream_state": f"WITH {_KV_CTE} SELECT key, value FROM state",
@@ -5195,6 +5322,8 @@ _XMODAL_ORACLE = {
 QUERIES = {
     # KV / MVCC
     "kv_state_latest": q_kv_state_latest,
+    "kv_hostile_state": q_kv_hostile_state,
+    "kv_hostile_asof": q_kv_hostile_asof,
     "kv_state_asof": q_kv_state_asof,
     "kv_state_diff": q_kv_state_diff,
     "kv_range_scan": q_kv_range_scan,
@@ -5366,10 +5495,14 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r12 rotation: the NEW blocked brute-force scan first (its first
-    # driver row must land the round it ships), then the r11 head
-    # (new/changed-code queries keep accumulating evidence), then the
-    # oldest-evidence cohort as before.
+    # r13 rotation: the NEW hostile storage-state fixtures and the
+    # no-oracle xxh row first (first driver rows must land the round
+    # they ship), then the queries whose implementation CHANGED this
+    # round (the affine-scheme dedup family), then the r12 head and
+    # the oldest-evidence cohort as before.
+    "kv_hostile_state", "kv_hostile_asof", "dedup_minhash_xxh",
+    "dedup_minhash_pairs", "dedup_clusters", "dedup_clusters_cc",
+    "dedup_apply", "dedup_minhash_wide",
     "sim_cosine_topk_blocked",
     "mm_decode_path_counts", "rel_customer_quartiles",
     "text_bpe_train", "text_bpe_vocab",

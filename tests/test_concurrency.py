@@ -174,3 +174,109 @@ def test_cross_process_writers_all_batches_land(spark, tmp_path):
         assert state[f"p{n}-b9-k4"] == f"p{n}"
     # point reads see the cross-process merge too (driver fast path)
     assert st.get("p1-b3-k2") == "p1"
+
+
+def test_cross_process_writers_race_compaction_and_vacuum(spark, tmp_path):
+    """VERDICT r12 #4's second half: the randomized compact/vacuum/
+    write race ACROSS REAL PROCESSES. Two Spark-free embedded writer
+    processes hammer randomized batches (mixed puts/deletes, mixed
+    sync=True/False) while the parent loops full compactions,
+    default-grace vacuums and snapshot register/release against the
+    same store. Each child journals (seq, ops) per committed batch;
+    the parent replays all journals in global seq order into a dict
+    oracle — any batch a racing compaction duplicated or destroyed,
+    and any version a mid-race vacuum reclaimed out from under a
+    committed dir, breaks state equality. After the writers exit, an
+    explicit vacuum(0.0) reclaims the lineage and state must still
+    replay exactly."""
+    import json
+    import os
+    import subprocess
+    import sys
+    import textwrap
+    import time
+
+    st = KVStore.create(spark, str(tmp_path / "race"))
+    st.put("init", "0")
+
+    child = textwrap.dedent("""
+        import json, random, sys
+        sys.path.insert(0, {repo!r})
+        from quasdb_spark.store import KVStore
+        from quasdb_spark.manifest import CommitConflict
+        me = sys.argv[1]
+        rng = random.Random(1000 + int(me[1]))
+        st = KVStore(None, {path!r})   # embedded: no SparkSession
+        journal = []
+        for b in range(8):
+            ops = []
+            for i in range(rng.randrange(1, 12)):
+                k = f"key{{rng.randrange(30):04d}}"
+                if rng.random() < 0.3:
+                    ops.append(("del", k, None))
+                else:
+                    ops.append(("put", k, f"{{me}}-b{{b}}-{{i}}"))
+            for attempt in range(80):
+                try:
+                    seq = st.write_batch(ops,
+                                         sync=rng.random() < 0.5)
+                    break
+                except CommitConflict:
+                    continue
+            else:
+                sys.exit(2)
+            journal.append({{"seq": seq, "ops": ops}})
+        with open({jdir!r} + f"/journal-{{me}}.jsonl", "w") as f:
+            for rec in journal:
+                f.write(json.dumps(rec) + "\\n")
+    """).format(repo=os.path.dirname(os.path.dirname(
+        os.path.abspath(__file__))), path=st.path,
+        jdir=str(tmp_path))
+
+    procs = [subprocess.Popen([sys.executable, "-c", child, f"p{n}"],
+                              stderr=subprocess.PIPE)
+             for n in range(2)]
+    # parent: maintenance storm while the writers are live
+    n_maint = 0
+    while any(p.poll() is None for p in procs):
+        st.compact()                    # single-winner guard exercised
+        st.vacuum()                     # DEFAULT grace: must reclaim
+        #                                 nothing while writers race
+        snap = st.snapshot(f"race-{n_maint}")
+        st.release_snapshot(f"race-{n_maint}")
+        n_maint += 1
+        time.sleep(0.02)
+    for p in procs:
+        _, err = p.communicate(timeout=300)
+        assert p.returncode == 0, err.decode()[-2000:]
+    assert n_maint > 0, "maintenance never overlapped the writers"
+
+    # replay every journaled batch in global seq order
+    batches = []
+    for n in range(2):
+        with open(tmp_path / f"journal-p{n}.jsonl") as f:
+            batches += [json.loads(line) for line in f]
+    seqs = [b["seq"] for b in batches]
+    assert len(set(seqs)) == len(seqs), "two batches shared a seq"
+    expect = {"init": "0"}
+    for b in sorted(batches, key=lambda b: b["seq"]):
+        for op, k, v in b["ops"]:
+            if op == "put":
+                expect[k] = v
+            else:
+                expect.pop(k, None)
+    expect = {k: v for k, v in expect.items() if v is not None}
+
+    def state():
+        return {r["key"]: r["value"] for r in st.state().collect()}
+
+    assert state() == expect
+    # final compact + explicit zero-grace vacuum (writers are gone:
+    # grace 0 is in-contract now) must not change the state
+    st.compact()
+    gone = st.vacuum(0.0)
+    assert gone, "post-race vacuum reclaimed nothing"
+    assert state() == expect
+    # the driver point-read engine agrees on a sample
+    for k in list(expect)[:5]:
+        assert st.get(k) == expect[k]

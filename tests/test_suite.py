@@ -34,3 +34,21 @@ def test_queries_and_oracles_registered():
     # sketch_events_profile is the deterministic (exact ndv +
     # discrete-percentile) variant, which IS oracled
     assert missing_oracle == {"dedup_minhash_xxh"}
+
+
+def test_hostile_fixture_states_pinned(spark):
+    """The hostile stores' expected states, pinned as literals (the
+    oracle gate re-derives them via SQL replay; this is the faster
+    in-repo pin). Covers: NULL-sub winners through FULL compaction,
+    unicode/empty keys, intra-batch sub ordering, tombstones for
+    missing keys, snapshot retention through compact+vacuum(0)."""
+    from quasdb_spark import suite
+
+    got = {r["key"]: r["value"] for r in
+           suite.q_kv_hostile_state(spark, "unused").collect()}
+    assert got == {"": "empty-key-2", "a": "3", "clé": "accent",
+                   "键": "cjk", "line\nfeed": "lf", "sp ace": "v sp",
+                   "zzz": "", "퇀": "hangul"}
+    got = {r["key"]: r["value"] for r in
+           suite.q_kv_hostile_asof(spark, "unused").collect()}
+    assert got == {"k1": "v1", "k2": "v2", "дел": "old", "": ""}
