@@ -11,7 +11,11 @@ round-12 additions:
 This is the reference's embedded-library model (kv/include/db.h:41:
 a DB handle is a library object, not a cluster client) — the Spark
 session is only needed for what genuinely needs a cluster: DataFrame
-scans, bulk ingest, compaction.
+scans, bulk ingest, scoped/drop_where compaction. Round 13: embedded
+handles run their own BOUNDED full-scope compaction (the reference's
+embedded DB compacts itself, kv/db/db_impl.cpp:770-775), so a
+write-heavy embedded store no longer accumulates one dir per batch
+until a Spark session shows up — see the maintenance loop below.
 
 Run: python examples/embedded_store.py
 """
@@ -55,6 +59,20 @@ def main() -> None:
     except RuntimeError as ex:
         print("distributed surface correctly refused:",
               str(ex).split(".")[0])
+
+    # --- embedded MAINTENANCE: the janitor loop -------------------
+    # interactive writes land one dir per batch; the embedded handle
+    # folds them itself (bounded Spark-free compaction + vacuum), so
+    # a long-lived embedded writer stays flat on file count
+    for i in range(50):
+        emb.put(f"hot:{i:03d}", str(i))
+    n_before = emb.properties()["quasdb.num-files"]
+    out = emb.compact()                          # Spark-free rewrite
+    emb.vacuum(0.0)                              # sole writer: safe
+    print(f"embedded compaction: {n_before} dirs -> "
+          f"{emb.properties()['quasdb.num-files']} "
+          f"(bytes {out['bytes_before']} -> {out['bytes_after']})")
+    assert emb.get("hot:007") == "7" and emb.get("user:00042") == "UPDATED"
 
     # --- serve from 4 worker processes (embedded readers) ---------
     srv = RawStoreServer(st, workers=4).start()
