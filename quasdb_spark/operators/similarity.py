@@ -161,9 +161,37 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
 
     qn = _seq_norm(Q)
     kk = int(k)
+    # Bound the transient score block: S and its scratch are each
+    # (rows x nq) float64 — an UNCHUNKED Arrow batch at nq=20k and
+    # b=10k is ~1.6 GB PER ARRAY PER WORKER, which OOM-killed the
+    # whole JVM at the sf100 (1000x) sweep: 32 workers x 2 arrays on
+    # top of the 24g heap. ~8M cells keeps the pair under ~128 MB per
+    # worker at ANY query-set size; correctness is untouched because
+    # each chunk contributes a candidate SUPERSET (>= its own per-
+    # query kth) and the exact top-k reduction runs over the union.
+    row_chunk = max(64, 8_000_000 // max(nq, 1))
+    # ... and bound the accumulated candidates too: at corpus scale a
+    # partition can hold hundreds of chunks x O(k x nq) entries —
+    # reduce to the exact running top-k whenever the union grows past
+    # this (the reduction is the same total order as the final one,
+    # so intermediate reduces never change the result).
+    cand_cap = 4_000_000
+
+    def _topk(cq, ci, cs):
+        # exact per-query top-k by the total order (score DESC, id
+        # ASC); object-dtype ids (strings) compare natively
+        order = np.lexsort((ci, -cs, cq))
+        cq, ci, cs = cq[order], ci[order], cs[order]
+        grp = np.r_[True, cq[1:] != cq[:-1]]
+        starts = np.nonzero(grp)[0]
+        sizes = np.diff(np.r_[starts, len(cq)])
+        rank = np.arange(len(cq)) - np.repeat(starts, sizes)
+        keep = rank < kk
+        return cq[keep], ci[keep], cs[keep]
 
     def _score_partition(batches):
         cand_q, cand_i, cand_s = [], [], []
+        n_cand = 0
         tmp = None
         for pdf in batches:
             pdf = pdf[pdf["_vv"].notna()]
@@ -177,51 +205,54 @@ def cosine_topk_blocked(vectors: DataFrame, queries: DataFrame, k: int, *,
             if len(keep) != len(vecs):
                 pdf = pdf.iloc[keep]
                 vecs = [vecs[i] for i in keep]
-            V = np.stack(vecs)
-            ids = pdf["neighbor_id"].to_numpy()
-            vn = _seq_norm(V)
-            nz = vn > 0                      # zero-norm: excluded
+            V_all = np.stack(vecs)
+            ids_all = pdf["neighbor_id"].to_numpy()
+            vn_all = _seq_norm(V_all)
+            nz = vn_all > 0                  # zero-norm: excluded
             if not nz.all():
-                V, ids, vn = V[nz], ids[nz], vn[nz]
-                if not len(ids):
+                V_all, ids_all, vn_all = \
+                    V_all[nz], ids_all[nz], vn_all[nz]
+                if not len(ids_all):
                     continue
-            b = len(ids)
-            S = np.zeros((b, nq), dtype=np.float64)
-            if tmp is None or tmp.shape[0] < b:
-                tmp = np.empty((b, nq), dtype=np.float64)
-            t = tmp[:b]
-            for d in range(dims):
-                # ((0 + p0) + p1) + ... — dot()'s exact fold order
-                np.multiply(V[:, d, None], Q[None, :, d], out=t)
-                S += t
-            S /= np.multiply(vn[:, None], qn[None, :], out=t)
-            # self-pairs and zero-norm rows (NaN) are excluded by the
-            # finite mask — the cosine_topk contract
-            S[ids[:, None] == q_ids[None, :]] = -np.inf
-            kth = min(kk, b)
-            with np.errstate(invalid="ignore"):
-                thresh = -np.partition(-S, kth - 1, axis=0)[kth - 1]
-                mask = (S >= thresh[None, :]) & np.isfinite(S)
-            rows, cols = np.nonzero(mask)
-            cand_q.append(q_ids[cols])
-            cand_i.append(ids[rows])
-            cand_s.append(S[rows, cols])
+            for s0 in range(0, len(ids_all), row_chunk):
+                V = V_all[s0:s0 + row_chunk]
+                ids = ids_all[s0:s0 + row_chunk]
+                vn = vn_all[s0:s0 + row_chunk]
+                b = len(ids)
+                S = np.zeros((b, nq), dtype=np.float64)
+                if tmp is None or tmp.shape[0] < b:
+                    tmp = np.empty((b, nq), dtype=np.float64)
+                t = tmp[:b]
+                for d in range(dims):
+                    # ((0 + p0) + p1) + ... — dot()'s exact fold order
+                    np.multiply(V[:, d, None], Q[None, :, d], out=t)
+                    S += t
+                S /= np.multiply(vn[:, None], qn[None, :], out=t)
+                # self-pairs and zero-norm rows (NaN) are excluded by
+                # the finite mask — the cosine_topk contract
+                S[ids[:, None] == q_ids[None, :]] = -np.inf
+                kth = min(kk, b)
+                with np.errstate(invalid="ignore"):
+                    thresh = -np.partition(-S, kth - 1, axis=0)[kth - 1]
+                    mask = (S >= thresh[None, :]) & np.isfinite(S)
+                rows, cols = np.nonzero(mask)
+                cand_q.append(q_ids[cols])
+                cand_i.append(ids[rows])
+                cand_s.append(S[rows, cols])
+                n_cand += len(rows)
+                if n_cand > cand_cap:
+                    cq, ci, cs = _topk(np.concatenate(cand_q),
+                                       np.concatenate(cand_i),
+                                       np.concatenate(cand_s))
+                    cand_q, cand_i, cand_s = [cq], [ci], [cs]
+                    n_cand = len(cq)
         if not cand_q:
             return
-        cq = np.concatenate(cand_q)
-        ci = np.concatenate(cand_i)
-        cs = np.concatenate(cand_s)
-        # exact per-query top-k by the total order (score DESC, id
-        # ASC); object-dtype ids (strings) compare natively
-        order = np.lexsort((ci, -cs, cq))
-        cq, ci, cs = cq[order], ci[order], cs[order]
-        grp = np.r_[True, cq[1:] != cq[:-1]]
-        starts = np.nonzero(grp)[0]
-        sizes = np.diff(np.r_[starts, len(cq)])
-        rank = np.arange(len(cq)) - np.repeat(starts, sizes)
-        keep = rank < kk
-        yield pd.DataFrame({"query_id": cq[keep], "neighbor_id": ci[keep],
-                            "score": cs[keep]})
+        cq, ci, cs = _topk(np.concatenate(cand_q),
+                           np.concatenate(cand_i),
+                           np.concatenate(cand_s))
+        yield pd.DataFrame({"query_id": cq, "neighbor_id": ci,
+                            "score": cs})
 
     src = vectors.select(F.col(id_col).alias("neighbor_id"),
                          _as_double(vec_col).alias("_vv"))
@@ -926,9 +957,36 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
     """
     spark = vectors.sparkSession
     if sample_cap is not None:
-        sample = (vectors
-                  .select(F.col(id_col).alias("_id"),
-                          _as_double(vec_col).alias("_v"))
+        base = vectors.select(F.col(id_col).alias("_id"),
+                              _as_double(vec_col).alias("_v"))
+        src = base
+        n = base.count()
+        if n > sample_cap:
+            # Distributed pre-filter before the global top-cap: a bare
+            # orderBy(md5).limit(cap) plans as TakeOrderedAndProject,
+            # which ships every task's top-cap of FULL VECTORS to the
+            # driver — tasks x cap x dims doubles blew
+            # spark.driver.maxResultSize at the 1000x sweep (2M
+            # vectors, 33+ tasks x ~31 MB). The md5 prefix is uniform
+            # on [0, 2^32), so a value threshold at ~1.05x the target
+            # fraction keeps ~1.05*cap candidate rows GLOBALLY, and
+            # the exact top-cap by (md5, id) among the survivors IS
+            # the global top-cap whenever >= cap rows survive (every
+            # top-cap md5 lies below the threshold by construction).
+            # Pure function of the data (n = count), so determinism
+            # and oracle parity hold; corpora <= cap never take this
+            # branch, so test-SF behavior is bit-unchanged. On the
+            # rare under-fill (uniformity tail), fall back to the
+            # exact path — correctness over the driver-size guard.
+            thr = min(4294967296,
+                      int(1.05 * sample_cap / n * 4294967296))
+            md5v = F.conv(F.substring(
+                F.md5(F.col("_id").cast("string")), 1, 8), 16, 10) \
+                .cast("bigint")
+            cand = base.where(md5v < F.lit(thr))
+            if cand.count() >= sample_cap:
+                src = cand
+        sample = (src
                   .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
                   .limit(sample_cap)
                   .select("_v").collect())

@@ -1233,3 +1233,32 @@ def test_ensure_meta_adoption_is_best_effort(monkeypatch, tmp_path):
     monkeypatch.setattr(QZ, "_write_artifact_meta", boom)
     meta = QZ._ensure_meta(d, "fp123", "key123")
     assert meta["fingerprint"] == "fp123" and meta["path"] == d
+
+
+def test_kmeans_sample_prefilter_matches_exact_topcap(spark):
+    """The md5-threshold pre-filter (r13: the sf100 sweep blew
+    spark.driver.maxResultSize on TakeOrdered's per-task top-caps of
+    full vectors) must return EXACTLY the global md5-ranked top-cap
+    sample — identical centroids with and without the above-cap
+    branch engaged."""
+    import hashlib
+
+    from quasdb_spark.operators.similarity import kmeans_centroids
+
+    rows = [(i, [float(i % 7), float((i * 3) % 5), float(i % 11)])
+            for i in range(500)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    # cap < corpus: the pre-filter branch engages
+    got = {r["c_label"]: r["centroid"] for r in
+           kmeans_centroids(df, 4, n_iter=2, sample_cap=50).collect()}
+    # reference: exact global top-50 by (md5(id), id), numpy Lloyd via
+    # the same public API on JUST those rows (cap == corpus -> no
+    # branch, the historical exact path)
+    ranked = sorted(rows, key=lambda r: (hashlib.md5(
+        str(r[0]).encode()).hexdigest(), r[0]))[:50]
+    ref_df = spark.createDataFrame(ranked,
+                                   "vec_id long, embedding array<double>")
+    want = {r["c_label"]: r["centroid"] for r in
+            kmeans_centroids(ref_df, 4, n_iter=2,
+                             sample_cap=50).collect()}
+    assert got == want
