@@ -98,6 +98,7 @@ def main() -> None:
             fn(spark, SF100_DIR).write.format("noop") \
                 .mode("overwrite").save()
             art["queries"][name] = round(time.perf_counter() - t0, 1)
+            (art.get("errors") or {}).pop(name, None)  # stale failure
             print(f"{name}: {art['queries'][name]} s", file=sys.stderr)
         except Exception as ex:
             art["queries"][name] = None
