@@ -52,6 +52,18 @@ def prior_results(paths: list[str]) -> dict[str, tuple[str, object]]:
             if line.startswith("ok    "):
                 name = line.split()[1]
                 out[name] = ("ok", line.strip())
+            elif line.startswith("skip  "):
+                # check_oracle's no-oracle rows-only record:
+                # 'skip  name: no oracle (rows=N)'
+                name = line.split()[1].rstrip(":")
+                rows = None
+                m = line.rstrip().rsplit("rows=", 1)
+                if len(m) == 2:
+                    try:
+                        rows = int(m[1].rstrip(")"))
+                    except ValueError:
+                        pass
+                out[name] = ("no_oracle", rows)
             elif line.startswith("FAIL  "):
                 name = line.split()[1].rstrip(":")
                 out[name] = ("fail", line.strip())
@@ -130,9 +142,15 @@ def main() -> None:
     oracle_timeout: dict[str, int | None] = {
         n: d for n, (s, d) in prior.items()
         if s == "oracle_timeout" and n in suite.QUERIES}
+    # queries with NO oracle by charter (driver records rows-only):
+    # the rows-only evidence is the intended record, never a FAIL
+    no_oracle: dict[str, int | None] = {
+        n: d for n, (s, d) in prior.items()
+        if s == "no_oracle" and n in suite.QUERIES}
     todo = [n for n in suite.QUERIES
             if n not in ok
-            and (n in only if only else n not in oracle_timeout)]
+            and (n in only if only else
+                 (n not in oracle_timeout and n not in no_oracle))]
     print(f"{len(ok)} prior ok; sweeping {len(todo)} "
           f"(budget {timeout}s each)", flush=True)
     for n in todo:
@@ -147,6 +165,16 @@ def main() -> None:
                 ok.append(n)
                 oracle_timeout.pop(n, None)
                 print(f"ok    {n} ({time.time() - t0:.0f}s)", flush=True)
+            elif f"skip  {n}" in out:
+                rows = None
+                m = out.rsplit("rows=", 1)
+                if len(m) == 2:
+                    try:
+                        rows = int(m[1].split(")")[0])
+                    except ValueError:
+                        pass
+                no_oracle[n] = rows
+                print(f"skip  {n}: no oracle (rows={rows})", flush=True)
             else:
                 detail = next((ln for ln in out.splitlines()
                                if ln.startswith("FAIL")), out[-300:])
@@ -167,8 +195,10 @@ def main() -> None:
         "timeout_sec": timeout,
         "ok": sorted(ok), "fail": fail,
         "oracle_timeout": oracle_timeout,
+        "no_oracle_rows_only": no_oracle,
         "counts": {"ok": len(ok), "fail": len(fail),
                    "oracle_timeout": len(oracle_timeout),
+                   "no_oracle_rows_only": len(no_oracle),
                    "total": len(suite.QUERIES)},
     }
     with open(os.path.join(ROOT, "CORRECTNESS_sf1.json"), "w") as f:
