@@ -11,11 +11,12 @@ round-12 additions:
 This is the reference's embedded-library model (kv/include/db.h:41:
 a DB handle is a library object, not a cluster client) — the Spark
 session is only needed for what genuinely needs a cluster: DataFrame
-scans, bulk ingest, scoped/drop_where compaction. Round 13: embedded
-handles run their own BOUNDED full-scope compaction (the reference's
-embedded DB compacts itself, kv/db/db_impl.cpp:770-775), so a
-write-heavy embedded store no longer accumulates one dir per batch
-until a Spark session shows up — see the maintenance loop below.
+scans, bulk ingest, scoped/drop_where compaction. Round 14: no
+janitor loop needed anymore — embedded handles schedule their OWN
+bounded compaction from the write path (MakeRoomForWrite parity,
+kv/db/db_impl.cpp:1542-1619; opt out with
+open_embedded(..., auto_compact=False)), so a write-heavy embedded
+store stays at <= l0_compaction_trigger live dirs by itself.
 
 Run: python examples/embedded_store.py
 """
@@ -60,18 +61,17 @@ def main() -> None:
         print("distributed surface correctly refused:",
               str(ex).split(".")[0])
 
-    # --- embedded MAINTENANCE: the janitor loop -------------------
-    # interactive writes land one dir per batch; the embedded handle
-    # folds them itself (bounded Spark-free compaction + vacuum), so
-    # a long-lived embedded writer stays flat on file count
+    # --- embedded MAINTENANCE: automatic since round 14 -----------
+    # interactive writes land one dir per batch; the handle's own
+    # write-path tick folds them (bounded Spark-free compaction +
+    # vacuum) whenever the dir count crosses the trigger — no janitor
+    # loop, no explicit compact() call
     for i in range(50):
         emb.put(f"hot:{i:03d}", str(i))
-    n_before = emb.properties()["quasdb.num-files"]
-    out = emb.compact()                          # Spark-free rewrite
-    emb.vacuum(0.0)                              # sole writer: safe
-    print(f"embedded compaction: {n_before} dirs -> "
-          f"{emb.properties()['quasdb.num-files']} "
-          f"(bytes {out['bytes_before']} -> {out['bytes_after']})")
+    n_dirs = emb.properties()["quasdb.num-files"]
+    print(f"after 50 interactive puts: {n_dirs} live dirs "
+          f"(trigger {emb.l0_compaction_trigger}) — self-compacted")
+    assert n_dirs <= emb.l0_compaction_trigger
     assert emb.get("hot:007") == "7" and emb.get("user:00042") == "UPDATED"
 
     # --- serve from 4 worker processes (embedded readers) ---------

@@ -74,7 +74,7 @@ def _driver_memory_default() -> str:
     floored at 2g. On a real cluster this knob is ops config and the
     caller's extra_conf / spark-submit wins anyway.
     """
-    gib = 8  # conservative fallback when MemTotal is unreadable
+    gib = None
     try:
         with open("/proc/meminfo") as f:
             for line in f:
@@ -83,6 +83,16 @@ def _driver_memory_default() -> str:
                     break
     except OSError:
         pass
+    if gib is None:
+        # non-Linux hosts (no /proc): POSIX sysconf is the portable
+        # route to physical RAM — without it a macOS dev box with
+        # plenty of memory would silently get the conservative floor
+        # and OOM workloads that used to fit (ADVICE r13)
+        try:
+            gib = (os.sysconf("SC_PHYS_PAGES")
+                   * os.sysconf("SC_PAGE_SIZE")) // (1024 ** 3)
+        except (ValueError, OSError, AttributeError):
+            gib = 8  # last-resort fallback: RAM genuinely unreadable
     return f"{max(2, min(24, int(gib * 0.4)))}g"
 
 

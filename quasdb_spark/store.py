@@ -181,6 +181,15 @@ def prefix_successor_bytes(prefix: bytes) -> bytes | None:
     return None  # prefix was all 0xFF — unbounded
 
 
+class EmbeddedCompactionUnsupported(RuntimeError):
+    """A compaction scope / store shape the bounded Spark-free embedded
+    rewriter cannot handle (scoped options, row bound, or a value
+    schema only Spark can read). Callers that MUST compact open the
+    store with ``KVStore.open(spark, path)``; the auto-compaction tick
+    (``maybe_compact``) swallows this and defers maintenance instead of
+    failing a write that already committed (ADVICE r13)."""
+
+
 class _FooterCache:
     """Bounded FIFO cache of parsed Parquet footers and committed-dir
     listings for the driver point-read engine — the analogue of the
@@ -362,6 +371,12 @@ class KVStore:
         # thread; maintenance is the tick).
         self._seek_budget: dict[str, int] = {}
         self._seek_pending: tuple | None = None
+        # Batch dirs THIS handle wrote with sync=False, flushed (fsync
+        # file + dirents) before the next durable manifest commit — see
+        # _flush_unsynced (ADVICE r13: without it a later sync=True
+        # commit durably installed a CURRENT referencing earlier
+        # unsynced, possibly-torn parquet).
+        self._unsynced_dirs: list[str] = []
         if self.manifest.exists():
             self._load_config()
 
@@ -388,7 +403,8 @@ class KVStore:
         self._spark = value
 
     @classmethod
-    def open_embedded(cls, path: str) -> "KVStore":
+    def open_embedded(cls, path: str, *,
+                      auto_compact: bool = True) -> "KVStore":
         """Open an existing store WITHOUT a SparkSession — the
         reference's embedded-library model (kv/include/db.h:41: a DB
         handle is a library object, not a cluster client). Everything
@@ -399,10 +415,22 @@ class KVStore:
         manifest commit — the same cross-process-safe path the
         multi-writer tests race). Distributed surfaces raise a named
         RuntimeError. Used by RawStoreServer(workers=N) to serve one
-        store from N processes."""
+        store from N processes.
+
+        ``auto_compact`` defaults ON here (unlike Spark-attached ad-hoc
+        handles): the reference's embedded DB schedules its own
+        compaction from the write path (MakeRoomForWrite,
+        kv/db/db_impl.cpp:1542-1619), so an embedded handle under
+        interactive write load keeps itself at <= l0_compaction_trigger
+        live dirs via the bounded Spark-free rewrite — no janitor loop
+        needed. Stores past the embedded row bound (or with Spark-only
+        value schemas) silently defer maintenance (the tick swallows
+        EmbeddedCompactionUnsupported); pass ``auto_compact=False`` to
+        opt out, e.g. while unregistered as-of readers are in flight."""
         st = cls(None, path)
         if not st.manifest.exists():
             raise FileNotFoundError(f"no store at {path}")
+        st.auto_compact = auto_compact
         return st
 
     def _load_config(self) -> None:
@@ -724,7 +752,15 @@ class KVStore:
         RepairDB parity). Measured on the interactive driver path the
         fsyncs are ~58% of wall (~8 ms/batch, tools/fsync_tax_ab.py) —
         the same throughput-vs-durability trade the reference defaults
-        the OTHER way on; we keep sync=True as the safe default."""
+        the OTHER way on; we keep sync=True as the safe default.
+
+        Mixed modes compose like the reference's shared log: a
+        ``sync=True`` write first flushes every earlier ``sync=False``
+        batch this handle wrote (file bytes + dirents) before its own
+        durable manifest commit, so the synced write's durability is
+        never poisoned by an unsynced predecessor (ADVICE r13; see
+        ``_flush_unsynced``). Unsynced writes from OTHER processes
+        stay non-durable until their own handle syncs or compacts."""
         if not ops:
             return self.manifest.current().last_seq
         # encode through the store's codec / validate binary payloads
@@ -869,6 +905,41 @@ class KVStore:
         raise CommitConflict(
             f"gave up after {retries} retries: {last}") from last
 
+    def _flush_unsynced(self) -> None:
+        """fsync (file bytes + dirents) every batch dir this handle
+        wrote with ``sync=False``, then forget them. Called before any
+        DURABLE manifest commit, so a durable CURRENT can never
+        reference an earlier unsynced (possibly torn after power loss)
+        file — reference parity: WriteOptions::sync=true on the single
+        shared log makes all PRECEDING unsynced writes durable too
+        (kv/include/options.h:149-155; one log, one fsync). Here each
+        batch is its own file, so the pending set is flushed
+        explicitly. Unsynced writes by OTHER handles/processes are out
+        of scope, as in the reference (each process owns its log)."""
+        if not self._unsynced_dirs:
+            return
+        parents = set()
+        for d in self._unsynced_dirs:
+            if not os.path.isdir(d):
+                continue  # compacted/vacuumed away — nothing to flush
+            for fn in os.listdir(d):
+                fp = os.path.join(d, fn)
+                if os.path.isfile(fp):
+                    fd = os.open(fp, os.O_RDONLY)
+                    try:
+                        os.fsync(fd)
+                    finally:
+                        os.close(fd)
+            parents.add(d)
+            parents.add(os.path.dirname(d))
+        for p in sorted(parents, reverse=True):  # leaves before parents
+            fd = os.open(p, os.O_RDONLY)
+            try:
+                os.fsync(fd)
+            finally:
+                os.close(fd)
+        self._unsynced_dirs.clear()
+
     def _meta_commit(self, mutate, retries: int = 16) -> Version:
         """Metadata-only commit with conflict retry: ``mutate(ver)``
         returns commit kwargs (or None to no-op)."""
@@ -879,6 +950,8 @@ class KVStore:
             if kwargs is None:
                 return ver
             try:
+                if kwargs.get("durable", True):
+                    self._flush_unsynced()
                 self.manifest.commit(ver, **kwargs)
                 return ver
             except CommitConflict as e:
@@ -969,6 +1042,9 @@ class KVStore:
             # parity) skips all of it — atomic but not power-loss
             # durable; see write_batch.
             if sync:
+                # earlier sync=False batches FIRST: this durable commit
+                # installs a CURRENT that references them too
+                self._flush_unsynced()
                 dfd = os.open(fpath, os.O_RDONLY)
                 try:
                     os.fsync(dfd)
@@ -987,6 +1063,8 @@ class KVStore:
                               max_key=stats["max_key"], level=0)
             self.manifest.commit(ver, add=[entry], last_seq=seq,
                                  streams=streams, durable=sync)
+            if not sync:
+                self._unsynced_dirs.append(full)
         except CommitConflict:
             import shutil
 
@@ -1027,6 +1105,8 @@ class KVStore:
                           bytes=stats["bytes"], min_key=stats["min_key"],
                           max_key=stats["max_key"], level=0)
         try:
+            # durable commit — earlier sync=False driver batches first
+            self._flush_unsynced()
             self.manifest.commit(ver, add=[entry], last_seq=seq, streams=streams)
         except CommitConflict:
             # the data dir was never installed — remove it so the retry
@@ -1814,20 +1894,39 @@ class KVStore:
         kv/db/db_impl.cpp:658-740). Cost is bounded by the picked
         tier's bytes — never the store's (see compaction_score)."""
         score, gen = self.compaction_score()
-        if score >= 1.0:
-            stats = self.compact(levels={gen})
-            stats["scope"] = f"tier{gen}"
-        elif self._seek_pending is not None:
-            # seek-triggered (R3): a hot range kept paying multi-dir
-            # merge cost — fold the dirs overlapping the exhausted
-            # dir's key range ("self-healing" for read-hot ranges the
-            # size triggers never reach, version_set.cpp:475-489)
-            lo, hi = self._seek_pending
-            stats = self.compact(_lo_stat=lo,
-                                 _hi_stat=None if hi is None
-                                 else hi + "\0")
-            stats["scope"] = "seek"
-        else:
+        try:
+            if score >= 1.0:
+                if self._spark is None:
+                    # the embedded rewriter is full-scope only; a tier
+                    # fold is a strict subset of that, so full scope
+                    # stands in (row-bounded either way)
+                    stats = self.compact()
+                    stats["scope"] = "embedded-full"
+                else:
+                    stats = self.compact(levels={gen})
+                    stats["scope"] = f"tier{gen}"
+            elif self._seek_pending is not None:
+                # seek-triggered (R3): a hot range kept paying multi-dir
+                # merge cost — fold the dirs overlapping the exhausted
+                # dir's key range ("self-healing" for read-hot ranges the
+                # size triggers never reach, version_set.cpp:475-489)
+                if self._spark is None:
+                    stats = self.compact()
+                    stats["scope"] = "embedded-full"
+                else:
+                    lo, hi = self._seek_pending
+                    stats = self.compact(_lo_stat=lo,
+                                         _hi_stat=None if hi is None
+                                         else hi + "\0")
+                    stats["scope"] = "seek"
+            else:
+                return None
+        except EmbeddedCompactionUnsupported:
+            # the tick runs AFTER a write already committed — a store
+            # past the embedded row bound (or with a Spark-only value
+            # schema) defers maintenance to a Spark handle instead of
+            # failing the committed write (ADVICE r13)
+            self._seek_pending = None
             return None
         self._seek_pending = None
         self.vacuum(self.vacuum_grace)
@@ -1920,7 +2019,7 @@ class KVStore:
             if (target_files is not None or key_from is not None
                     or key_to is not None or drop_where is not None
                     or _lo_stat is not None or _hi_stat is not None):
-                raise RuntimeError(
+                raise EmbeddedCompactionUnsupported(
                     "embedded compaction supports only full-scope "
                     "compact() — open the store with "
                     "KVStore.open(spark, path) for range/drop_where/"
@@ -2084,7 +2183,7 @@ class KVStore:
 
         arrow_schema = self._arrow_log_schema()
         if arrow_schema is None:
-            raise RuntimeError(
+            raise EmbeddedCompactionUnsupported(
                 "embedded compaction needs a pyarrow-safe value schema "
                 "(timestamp/map values defer the driver engine) — run "
                 "maintenance through KVStore.open(spark, path)")
@@ -2096,7 +2195,7 @@ class KVStore:
                     "files_after": len(ver.files)}
         total = sum(f.rows for f in ver.files)
         if total > max_rows:
-            raise RuntimeError(
+            raise EmbeddedCompactionUnsupported(
                 f"embedded compaction is bounded to {max_rows} rows; "
                 f"this store holds {total} — run maintenance through "
                 "KVStore.open(spark, path)")

@@ -46,6 +46,26 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return load_table(_prep(spark), sf_dir, name)
 
 
+_SCRATCH: list[str] = []
+
+
+def _scratch_dir(prefix: str) -> str:
+    """mkdtemp that the process reaps at exit: fixture queries (hostile
+    stores, streaming stages) sit at the head of the driver's gate
+    rotation AND in benches, so un-reaped per-run directories would
+    accumulate in /tmp across repeated gate/bench runs (ADVICE r13)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    d = tempfile.mkdtemp(prefix=prefix)
+    if not _SCRATCH:
+        atexit.register(lambda: [shutil.rmtree(p, ignore_errors=True)
+                                 for p in _SCRATCH])
+    _SCRATCH.append(d)
+    return d
+
+
 def _stage_stream_files(path: str, stage: str, tag: str = "") -> None:
     """Symlink an events table's data file(s) into a fresh landing dir
     for the file-stream source. Driver testdata is ONE parquet file;
@@ -185,7 +205,7 @@ def q_kv_state_postcompact(spark, sf_dir):
     log = KV.events_as_oplog(ev)
     mx = ev.agg(F.max("event_id")).first()[0]
     st = KVStore.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-postc-"),
+        spark, os.path.join(_scratch_dir("quasdb-postc-"),
                             "store"))
     # three batches in event_id order: (batch seq asc, sub asc) then
     # reproduces the oracle's global ORDER BY seq exactly
@@ -215,7 +235,7 @@ def q_kv_codec_reverse_scan(spark, sf_dir):
 
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
     st = KVStore.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-codec-"),
+        spark, os.path.join(_scratch_dir("quasdb-codec-"),
                             "store"), codec=ReverseCodec)
     st.ingest(log, op_col="op", sub_col="seq")
     return st.scan(key_from="u000010", key_to="u000003") \
@@ -235,7 +255,7 @@ def q_kv_multi_get(spark, sf_dir):
 
     log = KV.events_as_oplog(_t(spark, sf_dir, "events"))
     st = KVStore.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-mget-"),
+        spark, os.path.join(_scratch_dir("quasdb-mget-"),
                             "store"))
     st.ingest(log, op_col="op", sub_col="seq")
     keys = [f"u{n:06d}" for n in (5, 17, 42, 77, 123, 999999)]
@@ -264,14 +284,14 @@ def q_kv_stream_state(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_oplog_")
+    stage = _scratch_dir("stream_oplog_")
     _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
     log = KV.events_as_oplog(ev)
 
-    root = tempfile.mkdtemp(prefix="kv_stream_")
+    root = _scratch_dir("kv_stream_")
     st = KVStore.create(spark, _os.path.join(root, "store"))
     q = stream_ingest(st, log, _os.path.join(root, "ckpt"),
                       stream_id=f"gate_{_uuid.uuid4().hex[:8]}",
@@ -314,7 +334,7 @@ def q_kv_hostile_state(spark, sf_dir):
     from quasdb_spark.store import KVStore
 
     st = KVStore.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-hostile-"),
+        spark, os.path.join(_scratch_dir("quasdb-hostile-"),
                             "store"))
     # batch 1 (seq 1): Spark bulk ingest, NO sub_col -> sub is NULL for
     # every row — the exact shape whose winners a NULL-unsafe retention
@@ -356,7 +376,7 @@ def q_kv_hostile_asof(spark, sf_dir):
     from quasdb_spark.store import KVStore
 
     st = KVStore.create(
-        spark, os.path.join(tempfile.mkdtemp(prefix="quasdb-hostasof-"),
+        spark, os.path.join(_scratch_dir("quasdb-hostasof-"),
                             "store"))
     st.ingest(spark.createDataFrame(
         [("k1", "v1"), ("k2", "v2"), ("дел", "old"),
@@ -552,7 +572,7 @@ def q_stream_tumbling_hourly(spark, sf_dir):
     # the file-stream source wants a DIRECTORY (its basePath); stage
     # the single testdata file into one via symlink — zero copy, and
     # exactly how a production stream would watch a landing dir
-    stage = tempfile.mkdtemp(prefix="stream_events_")
+    stage = _scratch_dir("stream_events_")
     _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
@@ -568,7 +588,7 @@ def q_stream_tumbling_hourly(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation",
-                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+                 _os.path.join(_scratch_dir("quasdb-ckpt-"), "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).select("window_start", "event_type", "n",
@@ -596,12 +616,12 @@ def q_stream_rollup_hourly(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_rollup_")
+    stage = _scratch_dir("stream_rollup_")
     _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
         ev = ev.withColumn(col, F.expr(f"timestamp_micros(`{col}` div 1000)"))
-    root = tempfile.mkdtemp(prefix="kv_rollup_")
+    root = _scratch_dir("kv_rollup_")
     st = KVStore.create(spark, _os.path.join(root, "store"),
                         value_schema="n long, vc long")
     q = continuous_rollup(
@@ -636,7 +656,7 @@ def q_stream_join(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_join_")
+    stage = _scratch_dir("stream_join_")
     _stage_stream_files(path, stage)
 
     def mk_stream():
@@ -656,7 +676,7 @@ def q_stream_join(spark, sf_dir):
     q = (joined.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation",
-                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+                 _os.path.join(_scratch_dir("quasdb-ckpt-"), "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return spark.table(name).select(
@@ -684,7 +704,7 @@ def q_stream_dedup(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_dedup_")
+    stage = _scratch_dir("stream_dedup_")
     for copy in ("a", "b"):
         _stage_stream_files(path, stage, tag=copy)
     ev = spark.readStream.schema(schema).parquet(stage)
@@ -695,7 +715,7 @@ def q_stream_dedup(spark, sf_dir):
     q = (deduped.writeStream.format("memory").queryName(name)
          .outputMode("append")
          .option("checkpointLocation",
-                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+                 _os.path.join(_scratch_dir("quasdb-ckpt-"), "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     vc = F.round(F.col("value") * 100).cast("long")
@@ -728,7 +748,7 @@ def q_stream_sessionize(spark, sf_dir):
     path = _os.path.join(sf_dir, "events.parquet")
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     schema = spark.read.parquet(path).schema
-    stage = tempfile.mkdtemp(prefix="stream_sess_")
+    stage = _scratch_dir("stream_sess_")
     _stage_stream_files(path, stage)
     ev = spark.readStream.schema(schema).parquet(stage)
     for col in _ns_timestamp_cols(path):
@@ -741,7 +761,7 @@ def q_stream_sessionize(spark, sf_dir):
     q = (out.writeStream.format("memory").queryName(name)
          .outputMode("complete")
          .option("checkpointLocation",
-                 _os.path.join(tempfile.mkdtemp(), "ckpt"))
+                 _os.path.join(_scratch_dir("quasdb-ckpt-"), "ckpt"))
          .trigger(availableNow=True).start())
     q.awaitTermination()
     return (spark.table(name)

@@ -1451,6 +1451,104 @@ def test_write_batch_sync_false_skips_fsync_stays_atomic(spark, tmp_path):
     assert st2.get("a") == "1" and st2.get("c") == "3"
 
 
+def test_sync_true_flushes_prior_unsynced_batches(spark, tmp_path):
+    """ADVICE r13 (mixed sync modes): a sync=True commit makes every
+    EARLIER sync=False batch from this handle durable too — its data
+    files are fsynced BEFORE the durable manifest commit, so a durable
+    CURRENT can never reference an unsynced (possibly torn) file.
+    Reference parity: WriteOptions::sync=true on the single shared log
+    flushes all preceding unsynced writes (kv/include/options.h:149-155)."""
+    import os as _os
+    import unittest.mock as mock
+
+    st = _mk(spark, tmp_path, "mixsync")
+    st.write_batch([("put", "a", "1")], sync=False)
+    st.write_batch([("put", "b", "2")], sync=False)
+    assert len(st._unsynced_dirs) == 2
+    unsynced = list(st._unsynced_dirs)
+
+    flushed = []
+    real = _os.fsync
+
+    def tracking(fd):
+        try:
+            flushed.append(_os.readlink(f"/proc/self/fd/{fd}"))
+        except OSError:
+            pass
+        return real(fd)
+
+    with mock.patch("os.fsync", tracking):
+        st.put("c", "3")  # sync=True default
+    assert not st._unsynced_dirs, "pending set must clear on sync"
+    for d in unsynced:
+        assert any(p.startswith(d) and p.endswith(".parquet")
+                   for p in flushed), f"unsynced file in {d} not flushed"
+        assert d in flushed, f"unsynced dirent {d} not flushed"
+    # a second sync write has nothing pending — no re-flush of old dirs
+    flushed.clear()
+    with mock.patch("os.fsync", tracking):
+        st.put("d", "4")
+    assert not any(p.startswith(unsynced[0]) for p in flushed)
+    # a durable METADATA commit (snapshot) also flushes pending batches
+    st.write_batch([("put", "e", "5")], sync=False)
+    pend = list(st._unsynced_dirs)
+    flushed.clear()
+    with mock.patch("os.fsync", tracking):
+        st.snapshot("mix")
+    assert not st._unsynced_dirs
+    assert any(p.startswith(pend[0]) for p in flushed)
+
+
+def test_embedded_auto_compact_keeps_dirs_bounded(spark, tmp_path):
+    """Round 14 (VERDICT r13 missing #3): an embedded handle schedules
+    its own maintenance from the WRITE path (MakeRoomForWrite parity,
+    kv/db/db_impl.cpp:1542-1619) — under interactive write load the
+    live-dir count stays at/below the trigger with NO explicit
+    compact() calls, and the opt-out knob disables it."""
+    st = _mk(spark, tmp_path, "embauto")
+    st.put("seed", "0")
+
+    emb = KVStore.open_embedded(st.path)      # auto_compact defaults ON
+    for i in range(30):
+        emb.write_batch([("put", f"k{i:03d}", str(i))])
+    files = emb.manifest.current().files
+    assert len(files) <= emb.l0_compaction_trigger
+    # state is complete despite the folds
+    assert emb.get("k000") == "0" and emb.get("k029") == "29"
+    assert len(emb.scan_rows("k", "l", limit=1000)) == 30
+
+    # opt-out accumulates one dir per batch, like before
+    st2 = _mk(spark, tmp_path, "embmanual")
+    st2.put("seed", "0")
+    emb2 = KVStore.open_embedded(st2.path, auto_compact=False)
+    for i in range(12):
+        emb2.write_batch([("put", f"k{i:03d}", str(i))])
+    assert len(emb2.manifest.current().files) == 13
+
+
+def test_embedded_auto_compact_never_fails_a_committed_write(spark, tmp_path):
+    """ADVICE r13: the auto-compaction tick runs AFTER the batch
+    committed — a store past the embedded row bound (or a seek-scoped
+    trigger) must DEFER maintenance, not raise out of a write that
+    already landed."""
+    st = _mk(spark, tmp_path, "embdefer")
+    st.put("seed", "0")
+    emb = KVStore.open_embedded(st.path)
+    emb._EMBEDDED_COMPACT_MAX_ROWS = 3   # force the bound to overflow
+    for i in range(12):                  # crosses the trigger repeatedly
+        emb.write_batch([("put", f"k{i:03d}", str(i))])
+    assert emb.get("k011") == "11"       # every write landed
+    # dirs accumulated because maintenance was deferred, not crashed
+    assert len(emb.manifest.current().files) > emb.l0_compaction_trigger
+    # a seek-scoped pending range on an embedded handle folds full-scope
+    emb2 = KVStore.open_embedded(st.path)
+    emb2._seek_pending = ("k000", "k011")
+    out = emb2.maybe_compact()
+    assert out is not None and out["scope"] == "embedded-full"
+    assert emb2._seek_pending is None
+    assert emb2.get("k011") == "11"
+
+
 def test_manifest_init_is_exclusive(spark, tmp_path):
     """Review r12: racing creations must not silently overwrite the
     winner's schema record — the second init fails like the
