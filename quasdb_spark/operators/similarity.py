@@ -1128,13 +1128,85 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
             .select("vec_id", "vec", "vec_norm", "list_label"))
 
 
+def ivf_assign_blocked(vectors: DataFrame, centroids: DataFrame, *,
+                       id_col: str = "vec_id",
+                       vec_col: str = "embedding",
+                       max_cells: int = 8_000_000) -> DataFrame:
+    """ivf_assign's output contract (vec_id, vec, vec_norm,
+    list_label) computed as ONE Arrow-batched numpy pass: the k x dims
+    centroid matrix rides the task closure (broadcast-sized by
+    construction), each vector batch scores against ALL centroids with
+    one BLAS matmul chunked to ``max_cells`` score cells (the
+    cosine_topk_blocked memory discipline — similarity.py:161-258),
+    and argmax over ascending-label-ordered centroids reproduces the
+    SQL path's (max cosine, then lowest c_label) tie-break.
+
+    This is the MAINTENANCE assigner for large nlist (ensure_tuned's
+    retunes): the SQL crossJoin materializes n x nlist rows each
+    paying a 64-dim aggregate fold — at 2M vectors x 1414 lists that
+    is 2.8e9 folds, hours of plan time, while the matmul is ~1.8e11
+    flops of BLAS, minutes. Last-ulp caveat: BLAS pairwise summation
+    can differ from the SQL fold's sequential IEEE order in the final
+    ulp, so a vector EXACTLY equidistant between two centroids could
+    assign differently — an assignment-boundary artifact of an
+    approximate index, never a scoring difference (scores are computed
+    from the stored vectors either way). The oracle-gated suite
+    artifacts keep the SQL assigner; parity is pinned by test on real
+    data."""
+    import numpy as np
+    import pandas as pd
+
+    rows = centroids.select("c_label", "centroid").collect()
+    order = sorted(range(len(rows)), key=lambda i: rows[i]["c_label"])
+    labels = np.array([rows[i]["c_label"] for i in order],
+                      dtype=np.int64)
+    C = np.array([list(rows[i]["centroid"]) for i in order],
+                 dtype=np.float64)
+    cn = np.sqrt((C * C).sum(axis=1))
+    k = len(labels)
+    chunk = max(1, max_cells // max(k, 1))
+
+    def assign(batches):
+        for pdf in batches:
+            ids = pdf[id_col].to_numpy()
+            V = np.array([np.asarray(v, dtype=np.float64)
+                          for v in pdf[vec_col]])
+            if V.ndim != 2:  # empty batch
+                continue
+            out_lbl = np.empty(len(ids), dtype=np.int64)
+            vnorm = np.sqrt((V * V).sum(axis=1))
+            for lo in range(0, len(ids), chunk):
+                hi = min(lo + chunk, len(ids))
+                S = V[lo:hi] @ C.T
+                S /= np.outer(vnorm[lo:hi], cn)
+                # argmax returns the FIRST max — rows are ascending
+                # c_label, so ties break to the lowest label, same as
+                # the SQL max_by struct order
+                out_lbl[lo:hi] = labels[np.argmax(S, axis=1)]
+            yield pd.DataFrame({
+                "vec_id": ids,
+                "vec": [v.tolist() for v in V],
+                "vec_norm": vnorm,
+                "list_label": out_lbl})
+
+    src = ensure_parallelism(
+        vectors.select(F.col(id_col).alias(id_col),
+                       _as_double(vec_col).alias(vec_col)))
+    return src.mapInPandas(
+        assign,
+        "vec_id long, vec array<double>, vec_norm double, "
+        "list_label long")
+
+
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
              id_col: str = "vec_id", vec_col: str = "embedding",
              label_col: str = "label", nprobe: int = 2,
              centroids: DataFrame | None = None,
              lists: DataFrame | None = None,
              corpus_fingerprint: str | None = None,
-             allow_stale: bool = False) -> DataFrame:
+             allow_stale: bool = False,
+             maintenance: str = "auto",
+             max_avg_list_rows: int | None = None) -> DataFrame:
     """IVF-style approximate top-k: probe only the query's ``nprobe``
     nearest inverted lists.
 
@@ -1155,6 +1227,16 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     wrong lifecycle for a served index. ``centroids`` takes a trained
     quantizer (kmeans_centroids/quantizer.get_or_train); without one,
     the per-label mean stand-in is used.
+
+    ``maintenance`` (default ``'auto'``) is the self-scheduled index
+    maintenance tick (quantizer.ensure_tuned — the maybe_compact
+    analogue): on every materialized-lists search the index shape is
+    checked against its sidecar (free when the build recorded counts)
+    and a shape-broken index — average list larger than
+    ``max_avg_list_rows`` (default 65536) — is retuned to
+    nlist'≈isqrt(n) before probing, instead of silently shuffling
+    ~n/nlist candidates per query. ``'error'`` refuses loudly
+    (StaleIndexError), ``'off'`` restores the legacy behavior.
     """
     if lists is not None:
         if centroids is None:
@@ -1164,6 +1246,13 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
             from quasdb_spark.operators.quantizer import check_fresh
             check_fresh(lists, corpus_fingerprint,
                         allow_stale=allow_stale)
+        if maintenance != "off":
+            from quasdb_spark.operators.quantizer import ensure_tuned
+            tuned = ensure_tuned(centroids, lists,
+                                 fingerprint=corpus_fingerprint,
+                                 mode=maintenance,
+                                 max_avg_list_rows=max_avg_list_rows)
+            centroids, lists = tuned["centroids"], tuned["lists"]
         cents = centroids.select("c_label", "centroid")
         assigned = lists.select(F.col("vec_id").alias("neighbor_id"),
                                 F.col("vec").alias("_vv"),
@@ -1374,7 +1463,9 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                codebooks: DataFrame | None = None,
                codes: DataFrame | None = None,
                corpus_fingerprint: str | None = None,
-               allow_stale: bool = False) -> DataFrame:
+               allow_stale: bool = False,
+               maintenance: str = "auto",
+               max_avg_list_rows: int | None = None) -> DataFrame:
     """FAISS-IVFPQ search shape: coarse IVF probe pruning composed
     with asymmetric distance computation (ADC) over product-quantized
     codes. Candidates come from the query's ``nprobe`` nearest
@@ -1437,6 +1528,19 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         if codes is not None:
             check_fresh(codes, corpus_fingerprint,
                         allow_stale=allow_stale)
+    if maintenance != "off":
+        # self-scheduled COARSE-index maintenance (see ivf_topk): a
+        # shape-broken nlist would stream ~n/nlist candidates per
+        # query into the codes join — at 2M vectors x nlist=10 x 20k
+        # queries that was the 8e9-row shuffle that spilled sf100 dry
+        # (VERDICT r13 #1). Retuning touches only centroids+lists;
+        # the PQ codes are keyed per-vector and stay valid.
+        from quasdb_spark.operators.quantizer import ensure_tuned
+        tuned = ensure_tuned(centroids, lists,
+                             fingerprint=corpus_fingerprint,
+                             mode=maintenance,
+                             max_avg_list_rows=max_avg_list_rows)
+        centroids, lists = tuned["centroids"], tuned["lists"]
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),

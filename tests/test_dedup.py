@@ -612,3 +612,125 @@ def test_duplicate_spans_hot_join_never_broadcasts(spark, sf_dir):
         .queryExecution().executedPlan().toString()
     assert "ShuffledHashJoin" in plan2
     assert "BroadcastHashJoin" not in plan2
+
+
+def test_dedup_index_fast_xxhash_scheme_lifecycle(spark, tmp_path):
+    """VERDICT r13 #5: the production hashing (fast affine scheme on
+    an xxhash64 base) reaches the INCREMENTAL index — params are
+    persisted in the sidecar, check/append derive their hashing from
+    it (no caller knob to mix schemes), and the planted near-dup
+    verdicts agree with the md5-scheme index on the same corpus."""
+    from quasdb_spark.operators.dedup import (append_to_index,
+                                              build_dedup_index,
+                                              check_against_index,
+                                              load_dedup_index)
+
+    base = ("the quick brown fox jumps over the lazy dog and then "
+            "runs far away into the deep green forest tonight while "
+            "seventeen other animals watch from behind ancient mossy "
+            "trees wondering where exactly this energetic creature "
+            "finds the strength to keep sprinting through autumn "
+            "leaves and cold river crossings without ever stopping "
+            "to rest or eat anything at all during the long journey")
+    corpus = spark.createDataFrame(
+        [(1, base),
+         (2, "completely unrelated text about spark shuffles and "
+             "partition pruning at terabyte scale for analytics"),
+         (3, "a third document with its own words entirely disjoint "
+             "from everything else in this tiny corpus here")],
+        "doc_id long, text string")
+    new = spark.createDataFrame(
+        [(100, base.replace("lazy", "sleepy")),
+         (101, "nothing like anything indexed so far at all really "
+               "with zero shared shingles against the corpus")],
+        "doc_id long, text string")
+
+    verdicts = {}
+    for scheme, bh in [("md5", "md5"), ("fast", "xxhash64")]:
+        path = str(tmp_path / f"idx-{scheme}-{bh}")
+        meta = build_dedup_index(corpus, path, n_hashes=32, n_bands=8,
+                                 scheme=scheme, base_hash=bh)
+        assert meta["scheme"] == scheme and meta["base_hash"] == bh
+        idx, meta2 = load_dedup_index(spark, path)
+        assert meta2 == meta          # sidecar round-trips the scheme
+        got = check_against_index(new, idx, meta2,
+                                  min_est_jaccard=0.5)
+        verdicts[scheme] = {(r["new_id"], r["match_id"])
+                            for r in got.collect()}
+        # append derives hashing from the sidecar too
+        append_to_index(new.where("doc_id = 100"), path)
+        idx2, _ = load_dedup_index(spark, path)
+        newer = spark.createDataFrame(
+            [(200, base.replace("dog", "cat"))],
+            "doc_id long, text string")
+        rows2 = {(r["new_id"], r["match_id"]) for r in
+                 check_against_index(newer, idx2, meta2,
+                                     min_est_jaccard=0.5).collect()}
+        assert (200, 1) in rows2 and (200, 100) in rows2, scheme
+    assert verdicts["md5"] == verdicts["fast"] == {(100, 1)}
+
+
+def test_dedup_index_legacy_meta_defaults_to_md5(spark, tmp_path):
+    """An index whose sidecar predates scheme stamping must keep
+    probing exactly as before (md5 k-fold scheme)."""
+    import json
+
+    from quasdb_spark.operators.dedup import (build_dedup_index,
+                                              check_against_index,
+                                              load_dedup_index)
+
+    docs = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta iota "
+             "kappa lambda mu nu xi omicron pi rho sigma tau")],
+        "doc_id long, text string")
+    path = str(tmp_path / "legacy")
+    build_dedup_index(docs, path, n_hashes=16, n_bands=2)
+    # strip the scheme fields, as a pre-r14 writer would have left it
+    import os
+
+    mp = f"{path}/_dedup_index_meta.json"
+    meta = json.loads(open(mp).read())
+    meta.pop("scheme"), meta.pop("base_hash")
+    open(mp, "w").write(json.dumps(meta))
+    crc = f"{path}/._dedup_index_meta.json.crc"
+    if os.path.exists(crc):   # hadoop local-FS checksum of the old bytes
+        os.unlink(crc)
+    idx, m2 = load_dedup_index(spark, path)
+    assert "scheme" not in m2
+    got = check_against_index(docs, idx, m2, min_est_jaccard=0.99)
+    # the doc matches itself exactly under the defaulted md5 scheme
+    assert {(r["new_id"], r["match_id"]) for r in got.collect()} \
+        == {(1, 1)}
+
+
+def test_paragraph_dedup_fast_xxhash_agrees_on_exact_dups(spark):
+    """paragraph_dedup(mode='minhash') accepts the production scheme
+    knobs; EXACT duplicate paragraphs produce identical signatures
+    under any scheme, so the keep/drop decisions must agree with the
+    md5 path on a planted exact-dup corpus."""
+    from quasdb_spark.operators.dedup import paragraph_dedup
+
+    block = "one two three four five six seven eight nine ten"
+    df = spark.createDataFrame(
+        [(1, block + " " + block),             # self-dup paragraphs
+         (2, block + " eleven twelve thirteen fourteen fifteen "
+             "sixteen seventeen eighteen nineteen twenty"),
+         (3, "totally different words nothing shared here at all "
+             "not even one single overlapping token sequence")],
+        "doc_id long, text string")
+    outs = {}
+    for scheme, bh in [("md5", "md5"), ("fast", "xxhash64")]:
+        outs[scheme] = {
+            r["doc_id"]: (r["n_paras"], r["n_kept"])
+            for r in paragraph_dedup(df, mode="minhash",
+                                     para_tokens=10, threshold=0.9,
+                                     n_hashes=16, n_bands=4,
+                                     scheme=scheme,
+                                     base_hash=bh).collect()}
+    assert outs["md5"] == outs["fast"]
+    # doc 1 drops its duplicate second block; doc 2's FIRST block is
+    # the same exact paragraph (keep-first kept doc 1's copy), so doc 2
+    # keeps only its unique second block; doc 3 keeps its single block
+    assert outs["md5"][1] == (2, 1)
+    assert outs["md5"][2] == (2, 1)
+    assert outs["md5"][3][0] == outs["md5"][3][1]

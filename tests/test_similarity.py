@@ -1262,3 +1262,113 @@ def test_kmeans_sample_prefilter_matches_exact_topcap(spark):
             kmeans_centroids(ref_df, 4, n_iter=2,
                              sample_cap=50).collect()}
     assert got == want
+
+
+def test_ivf_assign_blocked_matches_sql_assign(spark, sf_dir):
+    """The maintenance assigner (one BLAS matmul per Arrow batch,
+    chunked) must reproduce the SQL crossJoin+max_by assignment on
+    real data — same labels for every vector, vec/vec_norm intact.
+    (Tie-break: argmax over ascending-label rows == max cosine then
+    lowest c_label.)"""
+    from quasdb_spark.operators.similarity import (ivf_assign,
+                                                   ivf_assign_blocked,
+                                                   kmeans_centroids)
+
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = kmeans_centroids(e, 10, n_iter=2)
+    sql_rows = {r["vec_id"]: (r["list_label"], r["vec_norm"])
+                for r in ivf_assign(e, cents).collect()}
+    blk = ivf_assign_blocked(e, cents, max_cells=997).collect()
+    assert len(blk) == len(sql_rows)
+    for r in blk:
+        lbl, nrm = sql_rows[r["vec_id"]]
+        assert r["list_label"] == lbl, r["vec_id"]
+        assert r["vec_norm"] == pytest.approx(nrm, rel=1e-12)
+
+
+def test_shape_broken_index_triggers_retune_not_silent_shuffle(
+        spark, sf_dir, tmp_path):
+    """VERDICT r13 #1 pin: a materialized index whose average list has
+    outgrown the cap must NOT be probed as-is (at sf100 that shape
+    shuffled 8e9 candidate rows and spilled the disk dry). The search
+    path's own maintenance tick either retunes (maintenance='auto',
+    the default) or refuses loudly (maintenance='error') — and a
+    HEALTHY index passes with zero artifact writes."""
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import kmeans_centroids
+
+    root = str(tmp_path / "art")
+    e = load_table(spark, sf_dir, "embeddings")
+    n = e.count()
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = QZ.get_or_train(e, 2, fingerprint="shape", n_iter=2,
+                            root=root)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="shape",
+                                  n_clusters=2, root=root)
+    meta = lists._quasdb_ivf_meta
+    assert meta["n_vectors"] == n and meta["params"]["n_clusters"] == 2
+
+    # healthy (default cap): no retune, sidecar untouched
+    path = meta["path"]
+    before = os.path.getmtime(os.path.join(path, QZ._META_NAME))
+    res = QZ.ensure_tuned(cents, lists)
+    assert res["retuned"] is False
+    assert os.path.getmtime(os.path.join(path, QZ._META_NAME)) == before
+
+    # error mode: loud refusal naming the blowup
+    with pytest.raises(QZ.StaleIndexError, match="SHAPE-BROKEN"):
+        ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                 maintenance="error", max_avg_list_rows=8)
+
+    # auto (default): the query retunes to ~isqrt(n) and still answers
+    got = ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                   max_avg_list_rows=8)
+    assert got.count() == q.count() * 5
+    import math
+    key2 = QZ._key("shape", max(math.isqrt(n), 3), 2, None, 6)
+    meta2 = QZ.read_artifact_meta(QZ.lists_path(key2, root))
+    assert meta2 is not None and "retune" in meta2["ops"]
+    # audit trail on the old artifact points at the retuned key
+    assert QZ.read_artifact_meta(path)["retuned_to"] == key2
+    # retuned search == searching the retuned artifacts directly
+    cents2 = QZ.get_or_train(e, max(math.isqrt(n), 3),
+                             fingerprint="shape", root=root)
+    lists2 = QZ.get_or_build_lists(e, cents2, fingerprint="shape",
+                                   n_clusters=max(math.isqrt(n), 3),
+                                   root=root)
+    direct = sorted(map(tuple, ivf_topk(
+        e, q, 5, nprobe=2, centroids=cents2, lists=lists2).collect()))
+    assert sorted(map(tuple, got.collect())) == direct
+    # the retune is idempotent: second auto query reuses the artifact
+    m2time = os.path.getmtime(os.path.join(QZ.lists_path(key2, root),
+                                           QZ._META_NAME))
+    ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+             max_avg_list_rows=8).count()
+    assert os.path.getmtime(os.path.join(QZ.lists_path(key2, root),
+                                         QZ._META_NAME)) == m2time
+
+
+def test_ivfpq_auto_retune_keeps_codes_valid(spark, sf_dir, tmp_path):
+    """ivfpq's coarse retune touches only centroids+lists; the PQ
+    codes are per-vector and stay valid — the retuned search runs and
+    returns k rows per query with scores from the SAME codebooks."""
+    from quasdb_spark.operators import quantizer as QZ
+    from quasdb_spark.operators.similarity import ivfpq_topk
+
+    root = str(tmp_path / "art")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = QZ.get_or_train(e, 2, fingerprint="pqshape", n_iter=2,
+                            root=root)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="pqshape",
+                                  n_clusters=2, root=root)
+    cbs = QZ.get_or_train_pq(e, fingerprint="pqshape", m=4, k=8,
+                             dims=64, root=root)
+    codes = QZ.get_or_build_codes_array(e, cbs, fingerprint="pqshape",
+                                        m=4, k=8, dims=64, root=root)
+    got = ivfpq_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                     codebooks=cbs, codes=codes, max_avg_list_rows=8)
+    assert got.count() == q.count() * 5
+    assert got.schema["score_adc"].dataType.typeName() == "double"
