@@ -181,6 +181,78 @@ def prefix_successor_bytes(prefix: bytes) -> bytes | None:
     return None  # prefix was all 0xFF — unbounded
 
 
+def _read_normalizable(dtype) -> bool:
+    """True when a pyarrow read of this Spark type can be normalized
+    to the EXACT python values a Spark collect returns (under the
+    engine's pinned UTC session): the plain atomic types, timestamps/
+    dates/decimals, and maps/arrays/structs thereof."""
+    from pyspark.sql import types as T
+
+    atomic = (T.StringType, T.BinaryType, T.LongType, T.IntegerType,
+              T.ShortType, T.ByteType, T.DoubleType, T.FloatType,
+              T.BooleanType, T.TimestampType, T.DateType, T.DecimalType)
+    if isinstance(dtype, atomic):
+        return True
+    if isinstance(dtype, T.ArrayType):
+        return _read_normalizable(dtype.elementType)
+    if isinstance(dtype, T.MapType):
+        return (_read_normalizable(dtype.keyType)
+                and _read_normalizable(dtype.valueType))
+    if isinstance(dtype, T.StructType):
+        return all(_read_normalizable(f.dataType) for f in dtype.fields)
+    return False
+
+
+def _arrow_to_spark_conv(dtype):
+    """A converter making pyarrow's to_pylist() value for ``dtype``
+    identical to Spark's collect() value, or None when they already
+    agree. Timestamps: pyarrow yields tz-aware datetimes for
+    Spark-written (isAdjustedToUTC) parquet, Spark yields session-tz
+    naive ones — under the engine's pinned UTC session the wall time
+    is the UTC instant. Maps: pair-list -> dict. Structs: dict ->
+    Row in declared field order (what a Spark collect returns)."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+    from pyspark.sql import types as T
+
+    if isinstance(dtype, T.TimestampType):
+        def conv(v):
+            if v.tzinfo is not None:
+                v = v.astimezone(_dt.timezone.utc).replace(tzinfo=None)
+            if not type(v) is _dt.datetime:
+                # INT96/nanos parquet reads back as pandas.Timestamp
+                # (ns resolution); Spark values are micros — exact
+                v = v.to_pydatetime()
+            return v
+        return conv
+    if isinstance(dtype, T.ArrayType):
+        ec = _arrow_to_spark_conv(dtype.elementType)
+        if ec is None:
+            return None
+        return lambda v: [None if x is None else ec(x) for x in v]
+    if isinstance(dtype, T.MapType):
+        kc = _arrow_to_spark_conv(dtype.keyType) or (lambda x: x)
+        vc = _arrow_to_spark_conv(dtype.valueType) or (lambda x: x)
+
+        def conv(v):
+            pairs = v.items() if isinstance(v, dict) else v
+            return {kc(k): (None if x is None else vc(x))
+                    for k, x in pairs}
+        return conv
+    if isinstance(dtype, T.StructType):
+        names = [f.name for f in dtype.fields]
+        convs = [_arrow_to_spark_conv(f.dataType) or (lambda x: x)
+                 for f in dtype.fields]
+        R = Row(*names)
+
+        def conv(v):
+            return R(*[None if v[n] is None else c(v[n])
+                       for n, c in zip(names, convs)])
+        return conv
+    return None
+
+
 class EmbeddedCompactionUnsupported(RuntimeError):
     """A compaction scope / store shape the bounded Spark-free embedded
     rewriter cannot handle (scoped options, row bound, or a value
@@ -1270,8 +1342,46 @@ class KVStore:
     point_read_engine: str = "driver"
 
     def _driver_reads_ok(self) -> bool:
-        return self.point_read_engine == "driver" \
-            and self._arrow_log_schema() is not None
+        if self.point_read_engine != "driver":
+            return False
+        if self._arrow_log_schema() is not None:
+            return True
+        # typed stores whose value columns pyarrow reads back
+        # DIFFERENTLY from Spark (timestamps: tz-aware vs session-naive;
+        # maps: pair-lists vs dicts; structs: dicts vs Rows) are served
+        # through a read-side normalizer (_value_normalizer) that makes
+        # the driver engine's python values bit-identical to a Spark
+        # collect under the engine's pinned UTC session — closing the
+        # workers=N fail-fast for builtin typed codecs (VERDICT r13 #8).
+        # The WRITE side stays gated on _arrow_log_schema: those types
+        # still write through Spark.
+        return (self.value_schema is not None
+                and all(_read_normalizable(f.dataType)
+                        for f in self.value_schema.fields))
+
+    def _value_normalizer(self):
+        """Row-dict converter for driver-engine reads of typed stores
+        outside the plain arrow mapping, or None when pyarrow already
+        returns Spark-identical values. Memoized per store config
+        (every point get consults it)."""
+        cache_key = self.log_schema.simpleString()
+        if getattr(self, "_norm_key", None) == cache_key:
+            return self._norm_val
+        result = None
+        if self._arrow_log_schema() is None and self.value_schema is not None:
+            convs = {f.name: _arrow_to_spark_conv(f.dataType)
+                     for f in self.value_schema.fields}
+            convs = {n: c for n, c in convs.items() if c is not None}
+            if convs:
+                def normalize(row: dict) -> dict:
+                    for n, c in convs.items():
+                        if n in row and row[n] is not None:
+                            row[n] = c(row[n])
+                    return row
+                result = normalize
+        self._norm_key = cache_key
+        self._norm_val = result
+        return result
 
     def _dir_parquet_files(self, rel: str) -> list:
         """Parquet files under a committed data dir, via the footer
@@ -1389,6 +1499,9 @@ class KVStore:
                 mask = pc.and_(mask, pc.less_equal(
                     tbl.column("seq"), pa.scalar(asof, pa.int64())))
             out.extend(tbl.filter(mask).to_pylist())
+        norm = self._value_normalizer()
+        if norm is not None:
+            out = [norm(r) for r in out]
         return out
 
     def get(self, key, asof: int | None = None):
@@ -1582,6 +1695,9 @@ class KVStore:
             picked = vt.take(pc.cast(
                 winners["_pos"].take(idxs), "int64"))
             vals = picked.to_pylist()
+            norm = self._value_normalizer()
+            if norm is not None:
+                vals = [norm(r) for r in vals]
             for j, i in enumerate(idxs):
                 r = vals[j]
                 k = keys[i]

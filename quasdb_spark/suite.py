@@ -391,6 +391,81 @@ def q_kv_hostile_asof(spark, sf_dir):
     return st.state(asof=snap)
 
 
+def q_kv_hostile_binary(spark, sf_dir):
+    """HOSTILE fixture for the BINARY keyspace (VERDICT r13 #7: the
+    r12 data-loss class was caught only when fixtures got hostile, and
+    binary codecs were the next uniform-fixture blind spot): a REAL
+    binary=True store fed adversarial byte keys — empty bytes, 0x00,
+    0x00 0x00, 0xFF and 0xFF 0xFE (successor-carry edges), an embedded
+    NUL, invalid-UTF-8 high bytes — via a NULL-sub Spark bulk ingest,
+    then interactive batches with same-key-twice ordering, a tombstone
+    for a never-written key, and compact+vacuum(0) twice in the
+    lineage. The oracle replays the identical op-log from BLOB VALUES
+    through the same ranked-window LWW; output is hex-encoded on both
+    sides so raw bytes never hit the row canonicalizer."""
+    import os
+
+    from quasdb_spark.store import KVStore
+
+    st = KVStore.create(
+        spark, os.path.join(_scratch_dir("quasdb-hostbin-"), "store"),
+        binary=True)
+    # batch 1 (seq 1): bulk ingest, NO sub_col -> sub NULL everywhere
+    st.ingest(spark.createDataFrame(
+        [(b"", b"empty"), (b"\x00", b"nul"), (b"\x00\x00", b"nulnul"),
+         (b"\xff", b"ff"), (b"\xff\xfe", b"fffe"),
+         (b"a\x00b", b"embedded-nul"), (b"\x80\x81", b"high")],
+        "key binary, value binary"))
+    st.compact()                    # null-sub retention on binary keys
+    st.write_batch([("put", b"\x00", b"nul2"),
+                    ("del", b"\xff", None),
+                    ("put", b"\xff\xff", b"maxmax"),
+                    ("put", b"\x00", b"nul3")])          # seq 2
+    st.write_batch([("del", b"\xde\xad", None),          # never written
+                    ("put", b"", b"empty2")])            # seq 3
+    st.compact()
+    st.vacuum(0.0)
+    return st.state().select(F.hex("key").alias("key_hex"),
+                             F.hex("value").alias("value_hex"))
+
+
+def q_kv_hostile_ts(spark, sf_dir):
+    """HOSTILE time-series fixture: a REAL TSStore fed duplicate
+    (series, ts) points WITHIN one batch (intra-batch position must
+    order the replay), the same point upserted ACROSS batches (LWW),
+    NULL tags (-> '{}' under the typed codec), non-ASCII tag values,
+    a negative-zero value, a deleted point and a tombstone for a
+    never-written point — with compact+vacuum(0) before the read. The
+    oracle replays the encoded-key op-log from VALUES through the
+    ranked-window LWW and decodes series/ts exactly like
+    TSStore.points()."""
+    import datetime as _dt
+    import os
+
+    from quasdb_spark.tsstore import TSStore
+
+    ts = TSStore.create(
+        spark, os.path.join(_scratch_dir("quasdb-hostts-"), "store"))
+    t0 = _dt.datetime(2024, 1, 1, 0, 0, 0)
+    t1 = _dt.datetime(2024, 1, 1, 0, 0, 0, 1)   # 1 µs later
+    # batch 1 (seq 1): same (series, ts) twice — later position wins
+    # and SURVIVES to the final state (the intra-batch gate)
+    ts.append([("s1", t0, 1.0, None),
+               ("s1", t0, 2.0, {"k": "v"}),
+               ("s2", t0, -0.0, None),
+               ("s1", t1, 3.0, {}),
+               ("s3", t0, 4.25, {"ü": "ß"})])   # non-ASCII tags
+    ts.append([("s1", t1, 9.5, None)])           # seq 2: upsert wins
+    ts.delete_point("s2", t0)                    # seq 3: point delete
+    ts.store.delete("s9:2024-01-01T00:00:00.000000")  # seq 4: never written
+    ts.store.compact()
+    ts.store.vacuum(0.0)
+    return (ts.points()
+            .select("series_id", "ts",
+                    (F.col("value") + F.lit(0.0)).alias("v"),
+                    "tags_json"))
+
+
 # The hostile op-log, replayed in SQL: (key, seq, sub, op, value) with
 # sub NULL for the bulk-ingested batch (one op per key there, so the
 # window never compares NULL sub against a position). chr(10) builds
@@ -441,6 +516,58 @@ _KV_ORACLES = {
         state AS (SELECT key, value FROM ranked WHERE rn = 1
                   AND op = 'put')
         SELECT key, value FROM state""",
+    # hostile BINARY keyspace: the identical op-log replayed from BLOB
+    # literals (0x00/0xFF/empty/embedded-NUL/invalid-UTF-8 keys);
+    # hex-encoded on both sides so raw bytes never hit the row
+    # canonicalizer
+    "kv_hostile_binary": r"""
+        WITH log(key, seq, sub, op, value) AS (
+          VALUES (''::BLOB,         1, NULL, 'put', 'empty'::BLOB),
+                 ('\x00'::BLOB,     1, NULL, 'put', 'nul'::BLOB),
+                 ('\x00\x00'::BLOB, 1, NULL, 'put', 'nulnul'::BLOB),
+                 ('\xFF'::BLOB,     1, NULL, 'put', 'ff'::BLOB),
+                 ('\xFF\xFE'::BLOB, 1, NULL, 'put', 'fffe'::BLOB),
+                 ('a\x00b'::BLOB,   1, NULL, 'put', 'embedded-nul'::BLOB),
+                 ('\x80\x81'::BLOB, 1, NULL, 'put', 'high'::BLOB),
+                 ('\x00'::BLOB,     2, 0, 'put', 'nul2'::BLOB),
+                 ('\xFF'::BLOB,     2, 1, 'del', NULL),
+                 ('\xFF\xFF'::BLOB, 2, 2, 'put', 'maxmax'::BLOB),
+                 ('\x00'::BLOB,     2, 3, 'put', 'nul3'::BLOB),
+                 ('\xDE\xAD'::BLOB, 3, 0, 'del', NULL),
+                 (''::BLOB,         3, 1, 'put', 'empty2'::BLOB)),
+        ranked AS (
+          SELECT key, op, value,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY seq DESC, sub DESC) AS rn
+          FROM log)
+        SELECT hex(key) AS key_hex, hex(value) AS value_hex
+        FROM ranked WHERE rn = 1 AND op = 'put'""",
+    # hostile TS store: the encoded-key op-log (series:iso-micros)
+    # replayed through the same ranked LWW, then series/ts decoded
+    # exactly like TSStore.points(); tags_json literals are the typed
+    # codec's json.dumps(..., sort_keys=True) output (ensure_ascii)
+    "kv_hostile_ts": r"""
+        WITH log(key, seq, sub, op, v, tags_json) AS (
+          VALUES ('s1:2024-01-01T00:00:00.000000', 1, 0, 'put', 1.0, '{}'),
+                 ('s1:2024-01-01T00:00:00.000000', 1, 1, 'put', 2.0,
+                  '{"k": "v"}'),
+                 ('s2:2024-01-01T00:00:00.000000', 1, 2, 'put', -0.0, '{}'),
+                 ('s1:2024-01-01T00:00:00.000001', 1, 3, 'put', 3.0, '{}'),
+                 ('s3:2024-01-01T00:00:00.000000', 1, 4, 'put', 4.25,
+                  '{"\u00fc": "\u00df"}'),
+                 ('s1:2024-01-01T00:00:00.000001', 2, 0, 'put', 9.5, '{}'),
+                 ('s2:2024-01-01T00:00:00.000000', 3, 0, 'del', NULL, NULL),
+                 ('s9:2024-01-01T00:00:00.000000', 4, 0, 'del', NULL, NULL)),
+        ranked AS (
+          SELECT key, op, v, tags_json,
+                 row_number() OVER (PARTITION BY key
+                                    ORDER BY seq DESC, sub DESC) AS rn
+          FROM log)
+        SELECT split_part(key, ':', 1) AS series_id,
+               CAST(substr(key, position(':' IN key) + 1) AS TIMESTAMP)
+                 AS ts,
+               CAST(v AS DOUBLE) + 0.0 AS v, tags_json
+        FROM ranked WHERE rn = 1 AND op = 'put'""",
     # streamed ingest must land the identical LWW state (replay
     # invariance) — same oracle as the batch path
     "kv_stream_state": f"WITH {_KV_CTE} SELECT key, value FROM state",
@@ -5344,6 +5471,8 @@ QUERIES = {
     "kv_state_latest": q_kv_state_latest,
     "kv_hostile_state": q_kv_hostile_state,
     "kv_hostile_asof": q_kv_hostile_asof,
+    "kv_hostile_binary": q_kv_hostile_binary,
+    "kv_hostile_ts": q_kv_hostile_ts,
     "kv_state_asof": q_kv_state_asof,
     "kv_state_diff": q_kv_state_diff,
     "kv_range_scan": q_kv_range_scan,
@@ -5515,18 +5644,20 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r13 rotation: the NEW hostile storage-state fixtures and the
-    # no-oracle xxh row first (first driver rows must land the round
-    # they ship), then the queries whose implementation CHANGED this
-    # round (the affine-scheme dedup family), then the r12 head and
-    # the oldest-evidence cohort as before.
+    # r14 rotation: the NEW hostile fixtures (binary keyspace + TS
+    # store) first, then the surfaces whose implementation CHANGED
+    # this round (IVF auto-maintenance family, CC clustering, the
+    # index/paragraph scheme plumb-through), then the r13 head and
+    # the oldest-evidence cohort.
+    "kv_hostile_binary", "kv_hostile_ts",
+    "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
+    "dedup_clusters", "dedup_clusters_cc", "dedup_paragraphs",
     "kv_hostile_state", "kv_hostile_asof", "dedup_minhash_xxh",
-    "dedup_minhash_pairs", "dedup_clusters", "dedup_clusters_cc",
+    "dedup_minhash_pairs",
     "dedup_apply", "dedup_minhash_wide",
     "sim_cosine_topk_blocked",
     "mm_decode_path_counts", "rel_customer_quartiles",
     "text_bpe_train", "text_bpe_vocab",
-    "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
     "doc_sample_fixed_k", "doc_sample_stratified",
     "doc_sample_weighted", "doc_split_assign", "doc_token_packing",
     "emb_centroids", "emb_decontaminate", "emb_label_separation",

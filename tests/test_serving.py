@@ -135,15 +135,21 @@ def test_raw_server_multiprocess_workers(spark, tmp_path):
 
 def test_raw_server_workers_fail_fast_on_unservable_store(spark, tmp_path):
     """workers=N must refuse AT START a store an embedded worker
-    cannot serve (non-pyarrow-safe value schema / custom codec) —
-    otherwise ~N/(N+1) of requests would 500 nondeterministically as
-    SO_REUSEPORT load-balances onto broken workers."""
+    cannot serve (a custom codec a fresh interpreter can't
+    re-register) — otherwise ~N/(N+1) of requests would 500
+    nondeterministically as SO_REUSEPORT load-balances onto broken
+    workers. (Builtin TYPED value schemas — timestamp/map/struct —
+    are servable since r14; see
+    test_raw_server_workers_serve_typed_store.)"""
+    from quasdb_spark.codec import make_codec
     from quasdb_spark.server import RawStoreServer
 
-    st = KVStore.create(spark, str(tmp_path / "ts"),
-                        value_schema="v timestamp")
+    make_codec("srvtest-upper", lambda k: k.upper(),
+               lambda s: s.lower())
+    st = KVStore.create(spark, str(tmp_path / "cust"),
+                        codec="srvtest-upper")
     srv = RawStoreServer(st, workers=2)
-    with pytest.raises(ValueError, match="driver read engine"):
+    with pytest.raises(ValueError, match="not a built-in"):
         srv.start()
     # ADVICE r12: the raise path must not leak a bound listener or a
     # serving thread — callers in a pytest.raises pattern never get a
@@ -151,6 +157,71 @@ def test_raw_server_workers_fail_fast_on_unservable_store(spark, tmp_path):
     assert srv._thread is None
     assert srv.socket.fileno() == -1  # listener closed
     assert srv.workers_alive() == 0
+
+
+def test_raw_server_workers_serve_typed_store(spark, tmp_path):
+    """VERDICT r13 #8: builtin typed value codecs (timestamp / date /
+    decimal / map / struct) are served by embedded worker PROCESSES —
+    the driver read engine normalizes pyarrow's values to exactly what
+    a Spark collect returns (tz-aware -> UTC-naive datetimes,
+    pair-lists -> dicts, dicts -> Rows), and /get answers 200 with
+    JSON-safe encodings from every process."""
+    import datetime as dt
+    import decimal
+    import json
+    import time
+    import urllib.request
+
+    from quasdb_spark.server import RawStoreServer
+
+    st = KVStore.create(
+        spark, str(tmp_path / "typed"),
+        value_schema="ts timestamp, d date, dec decimal(10,2), "
+                     "m map<string,long>, s struct<a:long,b:string>")
+    rows = [("k1", dt.datetime(2024, 3, 1, 12, 30, 45, 123456),
+             dt.date(2024, 3, 1), decimal.Decimal("12.34"),
+             {"x": 1, "y": 2}, (7, "seven")),
+            ("k2", dt.datetime(2023, 12, 31, 23, 59, 59, 999999),
+             dt.date(2023, 12, 31), decimal.Decimal("-0.01"),
+             {}, (None, None))]
+    st.ingest(spark.createDataFrame(
+        rows, "key string, ts timestamp, d date, dec decimal(10,2), "
+              "m map<string,long>, s struct<a:long,b:string>"))
+
+    # driver engine == Spark engine, value for value
+    emb = KVStore.open_embedded(st.path)
+    assert emb._driver_reads_ok()
+    st_spark = KVStore.open(spark, st.path)
+    st_spark.point_read_engine = "spark"
+    for k in ("k1", "k2"):
+        want = st_spark.get(k)      # authoritative Spark collect
+        got = emb.get(k)            # pyarrow + normalizer
+        assert got == want, (k, got, want)
+        assert type(got["ts"]) is dt.datetime and got["ts"].tzinfo is None
+        assert isinstance(got["m"], dict)
+    # bounded scan pages normalize too
+    page = emb.scan_rows(None, None, limit=10)
+    assert page[0][1]["ts"] == rows[0][1]
+    assert page[0][1]["m"] == {"x": 1, "y": 2}
+
+    # ... and N worker processes serve it over HTTP
+    srv = RawStoreServer(st, workers=2).start()
+    try:
+        time.sleep(3.0)  # workers import + bind
+        assert srv.workers_alive() == 2
+        seen = set()
+        for _ in range(6):
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/get?key=k1") as r:
+                body = json.loads(r.read())
+            assert body["value"]["ts"] == "2024-03-01T12:30:45.123456"
+            assert body["value"]["dec"] == "12.34"
+            assert body["value"]["m"] == {"x": 1, "y": 2}
+            assert body["value"]["s"] == {"a": 7, "b": "seven"}
+            seen.add(r.status)
+        assert seen == {200}
+    finally:
+        srv.stop()
 
 
 def test_handle_request_bad_asof_is_400(spark, tmp_path):

@@ -35,6 +35,28 @@ DEFAULT_QUERIES = [
     "dedup_minhash_pairs", "dedup_minhash_xxh",
 ]
 
+# Bounded-query-subset protocol (VERDICT r13 next #3): the blocked
+# exact top-k is LINEAR in queries by construction (independent query
+# chunks over the same corpus pass), so the standing third-decade
+# evidence runs 1/SUBSET_FACTOR of the suite's query sample one-shot
+# and records both the measured time and the documented linear
+# extrapolation to the full 20k-query row. A full one-shot needs
+# ~1.5-2 h on this box; the subset keeps the evidence refreshable
+# every round.
+SUBSET_FACTOR = 10
+
+
+def _blocked_subset(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from quasdb_spark.operators import similarity as SIM
+    from quasdb_spark.sources.tables import load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    # suite sample is vec_id % 100 == 0; take every SUBSET_FACTOR-th
+    q = e.where(F.col("vec_id") % (100 * SUBSET_FACTOR) == 0)
+    return SIM.cosine_topk_blocked(e, q, 10)
+
 SF100_DIR = os.environ.get("SPARK_GRAFT_SF100_DIR",
                            os.path.join(ROOT, ".sf100"))
 OUT = os.path.join(ROOT, "BENCH_sf100.json")
@@ -75,13 +97,27 @@ def main() -> None:
                       extra_conf={"spark.sql.shuffle.partitions": "32"})
     spark.sparkContext.setLogLevel("ERROR")
     art["driver_memory"] = spark.conf.get("spark.driver.memory", None)
-    art[f"host_start_r13"] = probe()
+    art["host_start_r14"] = probe()
     maint = {}
     t0 = time.perf_counter()
     try:
         suite._ivf_cents(spark, SF100_DIR)
-        suite._ivf_lists(spark, SF100_DIR)
+        cents, lists = suite._ivf_lists(spark, SF100_DIR)
         maint["ivf"] = round(time.perf_counter() - t0, 1)
+        # pre-fire the AUTO index maintenance the search path would
+        # otherwise run inside the first timed query (quantizer.
+        # ensure_tuned, VERDICT r13 #1): production schedules the
+        # retrain, queries only pay the (free) shape check + artifact
+        # load. The retuned artifact is keyed+cached, so the timed
+        # sim_ivf*/sim_ivfpq* queries below hit it instantly.
+        t0 = time.perf_counter()
+        from quasdb_spark.operators import quantizer as QZ
+        fp = QZ.corpus_fingerprint(
+            os.path.join(SF100_DIR, "embeddings.parquet"))
+        tuned = QZ.ensure_tuned(cents, lists, fingerprint=fp)
+        maint["ivf_retune_train_s"] = round(time.perf_counter() - t0, 1)
+        maint["ivf_retuned"] = tuned["retuned"]
+        maint["ivf_retuned_nlist"] = tuned["n_clusters"]
         t0 = time.perf_counter()
         suite._pq_artifacts(spark, SF100_DIR)
         maint["pq"] = round(time.perf_counter() - t0, 1)
@@ -90,8 +126,40 @@ def main() -> None:
         maint["dedup_idx"] = round(time.perf_counter() - t0, 1)
     except Exception as ex:
         maint["error"] = str(ex)[:300]
-    art["maintenance_untimed_r13"] = maint
+    art["maintenance_untimed_r14"] = maint
     for name in names:
+        if name == "sim_cosine_topk_blocked":
+            # bounded-subset protocol (see SUBSET_FACTOR above): run
+            # 1/10 of the query sample one-shot, record measured +
+            # linear extrapolation, and REPLACE the error row the
+            # capped full run left
+            try:
+                t0 = time.perf_counter()
+                _blocked_subset(spark, SF100_DIR) \
+                    .write.format("noop").mode("overwrite").save()
+                took = round(time.perf_counter() - t0, 1)
+                art["queries"][name] = round(took * SUBSET_FACTOR, 1)
+                art.setdefault("protocols", {})[name] = {
+                    "measured_s": took,
+                    "query_subset": f"1/{SUBSET_FACTOR} of the suite's "
+                                    "20k-query sample (vec_id % 1000 "
+                                    "== 0), one-shot",
+                    "recorded": "measured x SUBSET_FACTOR — the "
+                                "blocked scan is linear in queries by "
+                                "construction (independent query "
+                                "chunks over one corpus pass)"}
+                (art.get("errors") or {}).pop(name, None)
+                print(f"{name}: {took} s measured (subset) -> "
+                      f"{art['queries'][name]} s recorded",
+                      file=sys.stderr)
+            except Exception as ex:
+                art["queries"][name] = None
+                art.setdefault("errors", {})[name] = str(ex)[:300]
+                print(f"{name}: ERROR {ex}", file=sys.stderr)
+            with open(OUT, "w") as f:
+                json.dump(art, f, indent=1)
+                f.write("\n")
+            continue
         fn = suite.QUERIES[name]
         try:
             t0 = time.perf_counter()
@@ -107,7 +175,7 @@ def main() -> None:
         with open(OUT, "w") as f:   # persist after EVERY query — a
             json.dump(art, f, indent=1)  # crash keeps prior readings
             f.write("\n")
-    art["host_end_r13"] = probe()
+    art["host_end_r14"] = probe()
     with open(OUT, "w") as f:
         json.dump(art, f, indent=1)
         f.write("\n")
