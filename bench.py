@@ -84,6 +84,7 @@ EXTRA_BENCH = [
     "text_bpe_train", "text_bpe_vocab", "dedup_paragraphs",  # r10
     "sim_cosine_topk_blocked",  # r12: blocked exact brute-force scan
     "dedup_minhash_xxh",  # r13: xxhash64 base hash (production path)
+    "dedup_incremental_xxh",  # r14: xxh reaches the incremental index
 ]
 
 
@@ -622,18 +623,29 @@ def main() -> None:
             health0 = QZ.index_health(lists0, cents0, n_clusters=10)
             nlist = max(10, int(math.isqrt(n10)))
             # ~10% of lists probed: measured at sf10 this BEATS the
-            # stock index's recall (0.565 vs 0.467 @ recall@10) while
-            # halving candidates/query (nprobe/nlist * n = ~20k vs the
-            # stock 40k) — the nprobe sweep lives in git history
+            # stock index's recall while halving candidates/query
+            # (nprobe/nlist * n ~ 20k vs the stock 40k) — the exact
+            # numbers live ONLY in this artifact's
+            # sim_ivf_topk_retuned row (one canonical reading per
+            # experiment, VERDICT r13 #4); prose quotes it.
             nprobe = max(2, nlist // 10)
-            fp_r = f"{fp10}-retuned{nlist}"
+            # the retune goes through the SHIPPED policy
+            # (quantizer.ensure_tuned — what ivf_topk/ivfpq_topk fire
+            # themselves), with the cap forced below sf10's avg list
+            # so the trigger demonstrably fires at 100x. Cold-vs-warm
+            # is recorded in SPLIT fields: the first run TRAINS
+            # (maintenance_train_s), reruns only LOAD the artifact
+            # (maintenance_load_s) — r13's single field conflated the
+            # 1.1 s warm load with the ~170 s cold retrain.
+            was_cold = not os.path.exists(os.path.join(
+                QZ.lists_path(QZ._key(fp10, nlist, 2, 65536, 6)),
+                "_SUCCESS"))
             t0 = time.perf_counter()
-            cents1 = QZ.get_or_train(e10, nlist, fingerprint=fp_r,
-                                     n_iter=2, sample_cap=65536)
-            lists1 = QZ.get_or_build_lists(
-                e10, cents1, fingerprint=fp_r, n_clusters=nlist,
-                n_iter=2, sample_cap=65536)
+            tuned = QZ.ensure_tuned(cents0, lists0, fingerprint=fp10,
+                                    max_avg_list_rows=10000,
+                                    target_nlist=nlist)
             maint_s = round(time.perf_counter() - t0, 3)
+            cents1, lists1 = tuned["centroids"], tuned["lists"]
             health1 = QZ.index_health(lists1, cents1, n_clusters=nlist)
             q10 = e10.where(F.col("vec_id") % 100 == 0)
             t0 = time.perf_counter()
@@ -659,12 +671,15 @@ def main() -> None:
 
             spot10["sim_ivf_topk_retuned"] = {
                 "n_vectors": n10, "nlist": nlist, "nprobe": nprobe,
+                "policy": "quantizer.ensure_tuned (the shipped "
+                          "search-path trigger), cap forced to 10000",
                 "stock": {"nlist": 10, "nprobe": 2,
                           "sf10": (spot10.get("sim_ivf_topk") or {})
                           .get("sf10"),
                           "health": health0,
                           "recall_at_10": recall(cents0, lists0, 2)},
-                "retune_maintenance_untimed_s": maint_s,
+                ("maintenance_train_s" if was_cold
+                 else "maintenance_load_s"): maint_s,
                 "sf10": t_ret,
                 "health": health1,
                 "recall_at_10": recall(cents1, lists1, nprobe),

@@ -2505,6 +2505,38 @@ def q_dedup_incremental(spark, sf_dir):
     return D.check_against_index(new, idx, meta, min_est_jaccard=0.75)
 
 
+def _dedup_idx_xxh(spark, sf_dir):
+    """The PRODUCTION-schemed incremental index (fast affine scheme on
+    an xxhash64 base — the 5x constant-cut, VERDICT r13 #5): same
+    corpus slice and lifecycle as _dedup_idx, hashing persisted in the
+    sidecar so probes derive it (no caller knob to mix schemes)."""
+    import os
+
+    fp = QZ.corpus_fingerprint(os.path.join(sf_dir, "documents.parquet"))
+    path = os.path.join(QZ.artifact_root(), f"dedupidx-xxh-{fp}")
+    if not os.path.exists(os.path.join(path, "_dedup_index_meta.json")):
+        d = (_par(_t(spark, sf_dir, "documents"))
+             .where(F.col("doc_id") % 4 != 3))
+        D.build_dedup_index(d, path, n_bands=2, scheme="fast",
+                            base_hash="xxhash64")
+    return D.load_dedup_index(spark, path)
+
+
+def q_dedup_incremental_xxh(spark, sf_dir):
+    """dedup_incremental on the PRODUCTION hashing (fast affine
+    scheme, xxhash64 base — what a daily 100 TB curation run uses):
+    the batch probes an index whose sidecar pins the scheme, so this
+    row times the incremental path with the 5x-cheaper base hash.
+    Chartered rows-only like dedup_minhash_xxh (DuckDB exposes no
+    XXH64; semantics are pinned instead by the scheme-agreement and
+    lifecycle parity tests in tests/test_dedup.py, and the md5-schemed
+    dedup_incremental row stays the cross-engine anchor)."""
+    idx, meta = _dedup_idx_xxh(spark, sf_dir)
+    new = (_par(_t(spark, sf_dir, "documents"))
+           .where(F.col("doc_id") % 4 == 3))
+    return D.check_against_index(new, idx, meta, min_est_jaccard=0.75)
+
+
 def q_text_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText document-quality rules (word count, mean
     word length, alpha fraction, symbol ratio, bullet/ellipsis lines,
@@ -5562,6 +5594,7 @@ QUERIES = {
     "dedup_clusters_cc": q_dedup_clusters_cc,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_incremental_xxh": q_dedup_incremental_xxh,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_substring_spans": q_dedup_substring_spans,
     "dedup_containment": q_dedup_containment,
@@ -5649,7 +5682,7 @@ _DRIVER_CHECK_FIRST = [
     # this round (IVF auto-maintenance family, CC clustering, the
     # index/paragraph scheme plumb-through), then the r13 head and
     # the oldest-evidence cohort.
-    "kv_hostile_binary", "kv_hostile_ts",
+    "kv_hostile_binary", "kv_hostile_ts", "dedup_incremental_xxh",
     "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
     "dedup_clusters", "dedup_clusters_cc", "dedup_paragraphs",
     "kv_hostile_state", "kv_hostile_asof", "dedup_minhash_xxh",
