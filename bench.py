@@ -85,6 +85,7 @@ EXTRA_BENCH = [
     "sim_cosine_topk_blocked",  # r12: blocked exact brute-force scan
     "dedup_minhash_xxh",  # r13: xxhash64 base hash (production path)
     "dedup_incremental_xxh",  # r14: xxh reaches the incremental index
+    "dedup_clusters_cc_xxh",  # r14: CC on the production base hash
 ]
 
 

@@ -3154,6 +3154,26 @@ def q_dedup_clusters_cc(spark, sf_dir):
             .select("doc_id", "cluster_id", "n_members"))
 
 
+def q_dedup_clusters_cc_xxh(spark, sf_dir):
+    """dedup_clusters_cc on the PRODUCTION base hash (fast affine
+    scheme over xxhash64): what a daily 100 TB curation run executes.
+    Exists because the oracle-gated dedup_clusters_cc must keep the
+    md5 base DuckDB can mirror, and at sf100 that md5 pair-pipeline
+    evaluation is ~90% of its wall — masking that the CC contraction
+    itself is linear. Chartered rows-only (no XXH64 in DuckDB);
+    semantics pinned by the md5-vs-xxh parity tests plus the
+    oracle-gated md5 row computing the same clusters."""
+    d = _t(spark, sf_dir, "documents")
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast",
+                             base_hash="xxhash64")
+    labels = D.cluster_assign_cc(pairs, d.select("doc_id"))
+    sizes = (labels.groupBy("cluster_id")
+             .agg(F.count(F.lit(1)).alias("n_members")))
+    return (labels.join(sizes, "cluster_id")
+            .where(F.col("n_members") >= 2)
+            .select("doc_id", "cluster_id", "n_members"))
+
+
 def q_dedup_minhash_wide(spark, sf_dir):
     """Production-width near-dup: 64 affine-derived minhashes × 8
     bands (real dedup runs use 64-128 hashes × 8-16 bands, not the
@@ -5592,6 +5612,7 @@ QUERIES = {
     "dedup_minhash_xxh": q_dedup_minhash_xxh,
     "dedup_clusters": q_dedup_clusters,
     "dedup_clusters_cc": q_dedup_clusters_cc,
+    "dedup_clusters_cc_xxh": q_dedup_clusters_cc_xxh,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
     "dedup_incremental_xxh": q_dedup_incremental_xxh,
@@ -5683,6 +5704,7 @@ _DRIVER_CHECK_FIRST = [
     # index/paragraph scheme plumb-through), then the r13 head and
     # the oldest-evidence cohort.
     "kv_hostile_binary", "kv_hostile_ts", "dedup_incremental_xxh",
+    "dedup_clusters_cc_xxh",
     "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
     "dedup_clusters", "dedup_clusters_cc", "dedup_paragraphs",
     "kv_hostile_state", "kv_hostile_asof", "dedup_minhash_xxh",
