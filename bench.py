@@ -160,6 +160,7 @@ def main() -> None:
     suite._ivf_lists(spark, sf_dir)
     t2 = time.perf_counter()
     suite._dedup_idx(spark, sf_dir)
+    suite._dedup_idx_xxh(spark, sf_dir)
     t3 = time.perf_counter()
     suite._pq_artifacts(spark, sf_dir)
     t4 = time.perf_counter()
@@ -821,6 +822,12 @@ def main() -> None:
                 if d.get("noise_explained") else ""
             print(f"bench diff {tag}: {name} {d['prev']}s -> "
                   f"{d['now']}s ({d['ratio']}x){note}", file=sys.stderr)
+    if "sf10_spot" not in payload and prev and prev.get("sf10_spot"):
+        # a run without the .sf10 dataset must not ERASE the canonical
+        # sf10 evidence from the sidecar it overwrites — carry the
+        # section forward, marked so a reader knows which run took it
+        payload["sf10_spot"] = {**prev["sf10_spot"],
+                                "_carried_forward": True}
     with open(sidecar, "w") as f:
         json.dump(payload, f, indent=1)
         f.write("\n")

@@ -124,6 +124,9 @@ def main() -> None:
         t0 = time.perf_counter()
         suite._dedup_idx(spark, SF100_DIR)
         maint["dedup_idx"] = round(time.perf_counter() - t0, 1)
+        t0 = time.perf_counter()
+        suite._dedup_idx_xxh(spark, SF100_DIR)
+        maint["dedup_idx_xxh"] = round(time.perf_counter() - t0, 1)
     except Exception as ex:
         maint["error"] = str(ex)[:300]
     art["maintenance_untimed_r14"] = maint
