@@ -40,4 +40,5 @@ def test_dedup_index_meta_rides_fsio(spark, tmp_path, sf_dir):
     meta = build_dedup_index(docs, path, n_hashes=32, n_bands=8)
     _df, loaded = load_dedup_index(spark, path)
     assert loaded == meta == {"n_hashes": 32, "n_bands": 8,
-                              "shingle_n": 3}
+                              "shingle_n": 3, "scheme": "md5",
+                              "base_hash": "md5"}

@@ -950,17 +950,20 @@ def test_driver_write_typed_store_and_timestamp_fallback(spark, tmp_path):
     ts = KVStore.create(spark, str(tmp_path / "ts"),
                         value_schema="at timestamp")
     assert ts._arrow_log_schema() is None
-    # the SAME gate guards reads: pyarrow would return tz-aware
-    # datetimes where Spark applies the session timezone, so
-    # timestamp-valued stores read via Spark too
-    assert not ts._driver_reads_ok()
+    # r14: the WRITE side stays gated (session-tz semantics are a
+    # write-time property), but reads are served by the driver engine
+    # through the value normalizer (tz-aware/ns -> naive-micros,
+    # bit-identical to a Spark collect under the pinned UTC session)
+    assert ts._driver_reads_ok()
     import datetime as dt
 
     ts.put("k", {"at": dt.datetime(2026, 1, 2, 3, 4, 5)})
     ver = ts.manifest.current()
     assert "_SUCCESS" in os.listdir(
         os.path.join(ts.path, ver.files[0].path))  # Spark-written
-    assert ts.get("k") == {"at": dt.datetime(2026, 1, 2, 3, 4, 5)}
+    got = ts.get("k")
+    assert got == {"at": dt.datetime(2026, 1, 2, 3, 4, 5)}
+    assert type(got["at"]) is dt.datetime and got["at"].tzinfo is None
 
 
 def test_null_vs_int_sub_tiebreak_engines_agree(spark, tmp_path):

@@ -22,18 +22,21 @@ def test_queries_and_oracles_registered():
     qs, orc = e.queries(), e.oracle_sql()
     assert set(orc) <= set(qs)
     missing_oracle = set(qs) - set(orc)
-    # every query carries a cross-engine oracle, with ONE chartered
-    # exception: dedup_minhash_xxh uses Spark's xxhash64 base hash,
-    # which no DuckDB function can reproduce (md5/sha256 are its only
-    # portable hashes) — the base hash is semantic (it picks the LSH
-    # candidates), so the query is rows-only checked by the driver and
+    # every query carries a cross-engine oracle, with the chartered
+    # exceptions of the xxhash64 FAMILY (minhash pairs / incremental
+    # index / CC clustering on the production base hash): Spark's
+    # xxhash64 has no DuckDB counterpart (md5/sha256 are its only
+    # portable hashes) and the base hash is semantic (it picks the LSH
+    # candidates), so those rows are rows-only checked by the driver,
     # semantics-pinned by tests/test_dedup.py's md5-vs-xxh parity
-    # suite. The approximate sketch aggregates (HLL/percentile_approx/
+    # suite, and each sits next to its oracle-gated md5 twin. The approximate sketch aggregates (HLL/percentile_approx/
     # CMS) are engine-specific and covered by error-bound tests in
     # tests/test_sketches.py instead — the driver-facing
     # sketch_events_profile is the deterministic (exact ndv +
     # discrete-percentile) variant, which IS oracled
-    assert missing_oracle == {"dedup_minhash_xxh"}
+    assert missing_oracle == {"dedup_minhash_xxh",
+                              "dedup_incremental_xxh",
+                              "dedup_clusters_cc_xxh"}
 
 
 def test_hostile_fixture_states_pinned(spark):
