@@ -671,7 +671,7 @@ def main() -> None:
                             .alias("r")).collect()[0])
                 return round(float(row["r"]), 4)
 
-            spot10["sim_ivf_topk_retuned"] = {
+            row = {
                 "n_vectors": n10, "nlist": nlist, "nprobe": nprobe,
                 "policy": "quantizer.ensure_tuned (the shipped "
                           "search-path trigger), cap forced to 10000",
@@ -686,6 +686,21 @@ def main() -> None:
                 "health": health1,
                 "recall_at_10": recall(cents1, lists1, nprobe),
             }
+            if not was_cold:
+                # keep the canonical COLD retrain number visible when a
+                # warm re-run overwrites the row
+                try:
+                    with open(os.path.join(
+                            os.path.dirname(os.path.abspath(__file__)),
+                            "BENCH_full.json")) as f:
+                        prev_row = (json.load(f).get("sf10_spot") or {}) \
+                            .get("sim_ivf_topk_retuned") or {}
+                    if prev_row.get("maintenance_train_s"):
+                        row["maintenance_train_s"] = \
+                            prev_row["maintenance_train_s"]
+                except (OSError, ValueError):
+                    pass
+            spot10["sim_ivf_topk_retuned"] = row
         except Exception as ex:
             spot10["sim_ivf_retune_error"] = str(ex)[:300]
         # kv store lifecycle at 100x: one fresh ingest->state->scan->

@@ -743,20 +743,27 @@ def ensure_tuned(centroids: DataFrame, lists: DataFrame, *,
     if meta is None or not meta.get("path"):
         return out
     params = meta.get("params") or {}
-    n_clusters = params.get("n_clusters")
+    n_clusters = params.get("n_clusters") \
+        or meta.get("n_clusters_observed")
+    dirty = False
     if n_clusters is None:
         # legacy sidecar without params: the centroid frame is tiny
-        # (LocalTableScan) — counting it is driver-local
+        # (LocalTableScan) — count it ONCE and record the observation
+        # so later checks on this artifact stay job-free
         try:
             n_clusters = centroids.count()
         except Exception:
             return out
+        meta["n_clusters_observed"] = n_clusters
+        dirty = True
     n_vectors = meta.get("n_vectors")
     if n_vectors is None:
         # legacy artifact: count once (a parquet metadata scan), then
         # record it so every later check is free
         n_vectors = lists.count()
         meta["n_vectors"] = n_vectors
+        dirty = True
+    if dirty:
         try:
             _write_artifact_meta(meta["path"], dict(meta))
         except OSError:
