@@ -86,6 +86,7 @@ EXTRA_BENCH = [
     "dedup_minhash_xxh",  # r13: xxhash64 base hash (production path)
     "dedup_incremental_xxh",  # r14: xxh reaches the incremental index
     "dedup_clusters_cc_xxh",  # r14: CC on the production base hash
+    "dedup_index_health",  # r15: ensure_banded maintenance surface
 ]
 
 
@@ -781,10 +782,29 @@ def main() -> None:
         # is the host, not the code (VERDICT r9 #4 — two rounds were
         # spent adjudicating exactly this by hand).
         prev_host = (prev.get("host") or {}).get("start") or {}
+        prev_host_end = (prev.get("host") or {}).get("end") or {}
         calib_ratio = None
         if prev_host.get("calib_int_ms"):
             calib_ratio = round(host_start["calib_int_ms"]
                                 / prev_host["calib_int_ms"], 2)
+        # Multi-core/bandwidth host ratio (VERDICT r14 #1: the int
+        # calib is single-thread and read 1.04 while the host's
+        # MATMUL probe swung 0.246 -> 41.9 ms mid-run, flagging four
+        # false >2x regressions). Use the WORST (max) of each run's
+        # start/end matmul probes: queries run between the probes, so
+        # the worse bracket bounds the contention they could have seen.
+        mm_ratio = None
+        prev_mm = [v for v in (prev_host.get("calib_matmul_ms"),
+                               prev_host_end.get("calib_matmul_ms"))
+                   if v]
+        if prev_mm:
+            mm_ratio = round(
+                max(host_start["calib_matmul_ms"],
+                    host_end["calib_matmul_ms"]) / min(prev_mm), 2)
+        load_bracket = {
+            "prev": [prev_host.get("loadavg"),
+                     prev_host_end.get("loadavg")],
+            "now": [host_start["loadavg"], host_end["loadavg"]]}
         prev_spread_all = {**(prev.get("query_spread") or {}),
                            **(prev.get("extra_query_spread") or {})}
         new_spread_all = {**spread, **extra_spread}
@@ -797,10 +817,6 @@ def main() -> None:
             if ratio > 2.0 or ratio < 0.5:
                 d = {"prev": t_old, "now": t_new,
                      "ratio": round(ratio, 2)}
-                if calib_ratio is not None and ratio > 1:
-                    # slow-host allowance: calibration ratio + 30%
-                    # run-to-run noise margin
-                    d["noise_explained"] = ratio <= calib_ratio * 1.3
                 # overlapping min/max spreads exonerate a median move
                 # as run-to-run noise (VERDICT r11 #1)
                 ps, ns = (prev_spread_all.get(name),
@@ -809,6 +825,55 @@ def main() -> None:
                     d["spread_overlap"] = bool(
                         ns[0] <= ps[1] and ps[0] <= ns[1])
                 flagged[name] = d
+        # ---- solo re-measure of flagged sub-second regressions ----
+        # (VERDICT r14 board #1) A >2x flag on a query whose prior
+        # median was sub-second is cheap to re-check and is exactly
+        # the class a transient load window inflates (r14's four
+        # false flags were 0.2-0.4 s queries sitting consecutively in
+        # the extras order). Re-run each solo — 3 reps, with its own
+        # host probe — AFTER the sweep's load has drained, and let
+        # the solo median adjudicate: back under the 2x bar clears
+        # the flag; still over confirms it with solo evidence.
+        for name, d in flagged.items():
+            if d["ratio"] <= 2.0 or d["prev"] >= 1.0:
+                continue
+            fn = suite.QUERIES.get(name)
+            if fn is None:
+                continue
+            solo_probe = _host_probe()
+            runs = []
+            try:
+                for _ in range(3):
+                    t0 = time.perf_counter()
+                    _force(fn(spark, sf_dir))
+                    runs.append(round(time.perf_counter() - t0, 3))
+            except Exception as ex:
+                d["solo"] = {"error": str(ex)[:200]}
+                continue
+            solo_med = round(statistics.median(runs), 3)
+            d["solo"] = {"median": solo_med,
+                         "spread": [min(runs), max(runs)],
+                         "ratio_vs_prev": round(solo_med / d["prev"], 2),
+                         "host": solo_probe}
+            d["cleared_by_solo"] = solo_med / d["prev"] <= 2.0
+        # ---- final adjudication: noise_explained consults the
+        # single-thread calib, the matmul (multi-core) calib, the
+        # loadavg brackets, and any solo re-measure ----
+        for name, d in flagged.items():
+            if d["ratio"] <= 1.0:
+                continue  # improvements carry no noise verdict
+            host_allow = max([r for r in (calib_ratio, mm_ratio)
+                              if r is not None] or [1.0])
+            explained = d["ratio"] <= host_allow * 1.3
+            if d.get("cleared_by_solo"):
+                explained = True
+            if d.get("solo", {}).get("median") is not None \
+                    and not d.get("cleared_by_solo"):
+                explained = False  # solo re-measure CONFIRMS the move
+            d["noise_explained"] = explained
+            d["host_allowance"] = {"calib_int_ratio": calib_ratio,
+                                   "calib_matmul_ratio": mm_ratio,
+                                   "load_bracket": load_bracket}
         # normalized round-over-round ratio: both totals projected onto
         # the pinned reference host, so host-speed drift cancels and the
         # ratio is attributable to code (VERDICT r12 #3)

@@ -42,6 +42,10 @@ _SCHEMA = "c_label long, centroid array<double>"
 
 # process-local cache: artifact_key -> list[(label, [floats])]
 _MEM: dict[str, list] = {}
+# ensure_tuned healthy-verdict memo: (artifact path, sidecar
+# mtime_ns, cap) -> (n_clusters, n_vectors). Sidecar rewrites
+# (append/retune/adopt) bump the mtime, invalidating the entry.
+_TUNED_MEMO: dict[tuple, tuple] = {}
 _LOCK = threading.Lock()
 
 
@@ -726,14 +730,38 @@ def ensure_tuned(centroids: DataFrame, lists: DataFrame, *,
       retraining themselves.
     - ``mode='off'``: legacy behavior, no check.
 
+    Pre-r14 artifacts (sidecar without ``params``) get the SAME auto
+    treatment: the retrain falls back to the observed shape
+    (``n_clusters_observed``, counted once) plus the module's default
+    hyperparameters — a previously-working-but-slow search must keep
+    working after upgrade, it just gets fast (ADVICE r14 #1; only an
+    artifact with no recoverable fingerprint still refuses, since a
+    retune cannot be keyed or cached without one).
+
     Unstamped frames (ad-hoc lists built inline, not artifact-backed)
     pass untouched — the policy can only enforce what maintenance
     recorded, same contract as check_fresh. Returns {"retuned",
-    "centroids", "lists", "n_clusters", "n_vectors"}."""
+    "centroids", "lists", "n_clusters", "n_clusters_before",
+    "n_vectors"}; ``n_clusters_before`` is the pre-retune shape so
+    callers can rescale ``nprobe`` to keep the probed corpus
+    fraction comparable (similarity.ivf_topk does).
+
+    A healthy verdict is memoized per (artifact path, sidecar mtime)
+    for the life of the process, so repeat queries against the same
+    artifact skip even the shape arithmetic — one os.stat per call
+    (VERDICT r14 board #7). Any sidecar rewrite (append, retune,
+    adoption) changes the mtime and invalidates the memo.
+
+    Concurrency contract (VERDICT r14 board #6): retunes to the same
+    target key are serialized by an flock on the keyed artifact path
+    (threads and processes alike) — exactly ONE caller trains and
+    builds; every other concurrent caller blocks, then loads the
+    finished artifact. No torn parquet, no torn sidecar."""
     import math
 
     out = {"retuned": False, "centroids": centroids, "lists": lists,
-           "n_clusters": None, "n_vectors": None}
+           "n_clusters": None, "n_clusters_before": None,
+           "n_vectors": None, "cap": None}
     if mode == "off":
         return out
     if mode not in ("auto", "error"):
@@ -742,6 +770,21 @@ def ensure_tuned(centroids: DataFrame, lists: DataFrame, *,
     meta = getattr(lists, "_quasdb_ivf_meta", None)
     if meta is None or not meta.get("path"):
         return out
+    cap = max_avg_list_rows if max_avg_list_rows is not None \
+        else _AUTO_MAX_LIST_ROWS
+    out["cap"] = cap
+    sidecar = os.path.join(meta["path"], _META_NAME)
+    try:
+        mtime = os.stat(sidecar).st_mtime_ns
+    except OSError:
+        mtime = None
+    memo_key = (meta["path"], mtime, cap)
+    if mtime is not None:
+        with _LOCK:
+            verdict = _TUNED_MEMO.get(memo_key)
+        if verdict is not None:
+            out["n_clusters"], out["n_vectors"] = verdict
+            return out
     params = meta.get("params") or {}
     n_clusters = params.get("n_clusters") \
         or meta.get("n_clusters_observed")
@@ -769,16 +812,20 @@ def ensure_tuned(centroids: DataFrame, lists: DataFrame, *,
         except OSError:
             pass
     out["n_clusters"], out["n_vectors"] = n_clusters, n_vectors
-    cap = max_avg_list_rows if max_avg_list_rows is not None \
-        else _AUTO_MAX_LIST_ROWS
+    out["n_clusters_before"] = n_clusters
     avg = n_vectors / max(n_clusters, 1)
     if avg <= cap:
+        if mtime is not None:
+            with _LOCK:
+                _TUNED_MEMO[memo_key] = (n_clusters, n_vectors)
         return out
     nlist2 = target_nlist or max(int(math.isqrt(n_vectors)),
                                  n_clusters + 1)
-    if mode == "error" or not params:
-        hint = ("" if params else " (artifact predates param stamping "
-                "— rebuild with get_or_build_lists to enable auto)")
+    fp = fingerprint or meta.get("fingerprint")
+    if mode == "error" or not fp:
+        hint = ("" if fp else " (artifact records no corpus "
+                "fingerprint — a retune cannot be keyed/cached; "
+                "rebuild with get_or_build_lists to enable auto)")
         raise StaleIndexError(
             f"index is SHAPE-BROKEN for its corpus: {n_vectors} vectors "
             f"over {n_clusters} lists = {int(avg)} candidates scanned "
@@ -786,44 +833,66 @@ def ensure_tuned(centroids: DataFrame, lists: DataFrame, *,
             f"~nprobe x {int(avg)} rows per query. Retrain at "
             f"nlist~{nlist2} (quantizer.retrain + get_or_build_lists"
             f"(force=True)), or search with maintenance='auto'{hint}")
-    fp = fingerprint or meta.get("fingerprint")
     root = os.path.dirname(meta["path"]) or None
+    # pre-r14 sidecar without params: retune on the observed shape +
+    # module defaults instead of refusing (ADVICE r14 #1 — auto must
+    # not turn a working slow search into a hard failure on upgrade)
     n_iter = params.get("n_iter", 2)
-    sample_cap = params.get("sample_cap")
+    sample_cap = params.get("sample_cap", _AUTO_MAX_LIST_ROWS) \
+        if params else _AUTO_MAX_LIST_ROWS
     round_to = params.get("round_to", 6)
     vecs = lists.select("vec_id",
                         lists["vec"].alias("embedding"))
-    cents2 = get_or_train(vecs, nlist2, fingerprint=fp, n_iter=n_iter,
-                          sample_cap=sample_cap, round_to=round_to,
-                          root=root)
-    lists2 = get_or_build_lists(vecs, cents2, fingerprint=fp,
-                                n_clusters=nlist2, n_iter=n_iter,
-                                sample_cap=sample_cap,
-                                round_to=round_to, root=root,
-                                assign="blocked")
     key2 = _key(fp, nlist2, n_iter, sample_cap, round_to)
     path2 = lists_path(key2, root)
-    meta2 = read_artifact_meta(path2) or {"fingerprint": fp,
-                                          "key": key2, "ops": []}
-    if "retune" not in meta2.get("ops", []):
-        meta2["ops"] = (meta2.get("ops") or []) + ["retune"]
-        _write_artifact_meta(path2, meta2)
-    # audit trail on the OLD artifact: where its traffic went
-    if meta.get("retuned_to") != key2:
-        meta["retuned_to"] = key2
-        try:
-            _write_artifact_meta(meta["path"], dict(meta))
-        except OSError:
-            pass
+    # Single-winner retune (VERDICT r14 board #6): two handles hitting
+    # the same shape-broken artifact concurrently must not both run
+    # Spark overwrite jobs into path2 (interleaved file commits could
+    # tear the artifact). An flock on the target key serializes them:
+    # the winner trains + builds; the loser blocks, then finds the
+    # finished artifact (_SUCCESS + cached quantizer) and just loads
+    # it. Works across threads AND processes (per-open-fd flock).
+    import fcntl
+
+    os.makedirs(os.path.dirname(path2) or ".", exist_ok=True)
+    lock_fd = os.open(path2 + ".retune.lock",
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        cents2 = get_or_train(vecs, nlist2, fingerprint=fp,
+                              n_iter=n_iter, sample_cap=sample_cap,
+                              round_to=round_to, root=root)
+        lists2 = get_or_build_lists(vecs, cents2, fingerprint=fp,
+                                    n_clusters=nlist2, n_iter=n_iter,
+                                    sample_cap=sample_cap,
+                                    round_to=round_to, root=root,
+                                    assign="blocked")
+        meta2 = read_artifact_meta(path2) or {"fingerprint": fp,
+                                              "key": key2, "ops": []}
+        if "retune" not in meta2.get("ops", []):
+            meta2["ops"] = (meta2.get("ops") or []) + ["retune"]
+            _write_artifact_meta(path2, meta2)
+        # audit trail on the OLD artifact: where its traffic went
+        if meta.get("retuned_to") != key2:
+            meta["retuned_to"] = key2
+            try:
+                _write_artifact_meta(meta["path"], dict(meta))
+            except OSError:
+                pass
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
     return {"retuned": True, "centroids": cents2,
             "lists": _stamp(lists2, meta2), "n_clusters": nlist2,
-            "n_vectors": n_vectors}
+            "n_clusters_before": n_clusters, "n_vectors": n_vectors,
+            "cap": cap}
 
 
 def clear_cache() -> None:
     """Drop the process-local cache (tests)."""
     with _LOCK:
         _MEM.clear()
+        _TUNED_MEMO.clear()
 
 
 # ---------------------------------------------------------------------

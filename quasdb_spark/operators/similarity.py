@@ -1166,13 +1166,33 @@ def ivf_assign_blocked(vectors: DataFrame, centroids: DataFrame, *,
     k = len(labels)
     chunk = max(1, max_cells // max(k, 1))
 
+    dims = C.shape[1] if k else None
+
     def assign(batches):
         for pdf in batches:
             ids = pdf[id_col].to_numpy()
-            V = np.array([np.asarray(v, dtype=np.float64)
-                          for v in pdf[vec_col]])
-            if V.ndim != 2:  # empty batch
+            if not len(ids):
                 continue
+            vecs = [None if v is None
+                    else np.asarray(v, dtype=np.float64)
+                    for v in pdf[vec_col]]
+            # null or wrong-dimension embeddings: silently skipping
+            # dropped EVERY row of the batch (valid vectors included)
+            # from the built artifact (ADVICE r14 #3) — name the
+            # offenders and refuse; the index build must not lose
+            # valid vectors to a neighbor's bad row. Validated
+            # against the CENTROID dimension so a single-row ragged
+            # batch can't slip through as shape (1, 0).
+            bad = [int(i) for i, v in zip(ids, vecs)
+                   if v is None or v.ndim != 1 or len(v) != dims]
+            if bad:
+                raise ValueError(
+                    "ivf_assign_blocked: ragged embedding batch — "
+                    f"expected dimension {dims}, offending "
+                    f"{id_col}s (first 10): {bad[:10]} — null or "
+                    "wrong-dimension vectors cannot be assigned; "
+                    "filter them out before the index build")
+            V = np.array(vecs)
             out_lbl = np.empty(len(ids), dtype=np.int64)
             vnorm = np.sqrt((V * V).sum(axis=1))
             for lo in range(0, len(ids), chunk):
@@ -1196,6 +1216,31 @@ def ivf_assign_blocked(vectors: DataFrame, centroids: DataFrame, *,
         assign,
         "vec_id long, vec array<double>, vec_norm double, "
         "list_label long")
+
+
+def _rescale_nprobe(nprobe: int, tuned: dict) -> int:
+    """nprobe adjustment after an ensure_tuned retune (ADVICE r14
+    #2): the caller chose ``nprobe`` against the OLD nlist, so keeping
+    it fixed across a 10 → 1414 retune silently shrinks the probed
+    corpus fraction ~140x in one query and recall can collapse. Full
+    proportional scaling (nprobe × nlist'/nlist) would preserve the
+    fraction — but it also preserves the shape-broken index's
+    per-query candidate volume, i.e. the exact row blowup the retune
+    exists to kill (VERDICT r13 #1). So the scale-up is
+    fraction-preserving UP TO a candidate budget: the rows the
+    caller's nprobe would scan on a just-healthy index
+    (nprobe × cap, cap = the max_avg_list_rows threshold). At the
+    sf100 shape (n=2M, nlist 10 → 1414, nprobe 2) this yields
+    nprobe'=92 — a ~1/15 probed fraction, inside the regime the
+    retune bench measured recall holding at, for ~130k candidates per
+    query instead of 400k."""
+    if not tuned.get("retuned") or not tuned.get("n_clusters_before"):
+        return nprobe
+    nlist1, nlist2 = tuned["n_clusters_before"], tuned["n_clusters"]
+    n, cap = tuned["n_vectors"], tuned["cap"]
+    proportional = round(nprobe * nlist2 / nlist1)
+    budget = int(nprobe * cap * nlist2 / max(n, 1))  # nprobe·cap rows
+    return max(nprobe, min(proportional, max(nprobe, budget), nlist2))
 
 
 def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -1253,6 +1298,7 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                                  mode=maintenance,
                                  max_avg_list_rows=max_avg_list_rows)
             centroids, lists = tuned["centroids"], tuned["lists"]
+            nprobe = _rescale_nprobe(nprobe, tuned)
         cents = centroids.select("c_label", "centroid")
         assigned = lists.select(F.col("vec_id").alias("neighbor_id"),
                                 F.col("vec").alias("_vv"),
@@ -1541,6 +1587,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                              mode=maintenance,
                              max_avg_list_rows=max_avg_list_rows)
         centroids, lists = tuned["centroids"], tuned["lists"]
+        nprobe = _rescale_nprobe(nprobe, tuned)
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),

@@ -992,20 +992,33 @@ class KVStore:
             return
         parents = set()
         for d in self._unsynced_dirs:
-            if not os.path.isdir(d):
+            try:
+                names = os.listdir(d)
+            except FileNotFoundError:
                 continue  # compacted/vacuumed away — nothing to flush
-            for fn in os.listdir(d):
+            for fn in names:
                 fp = os.path.join(d, fn)
-                if os.path.isfile(fp):
+                # another PROCESS of this multi-writer store can
+                # compact/vacuum a file between listdir and open — the
+                # file being gone means it was superseded by a DURABLE
+                # compaction commit, so skipping it keeps the flush
+                # contract (ADVICE r14 #5: this must never fail a
+                # put()/snapshot() whose commit would succeed)
+                try:
                     fd = os.open(fp, os.O_RDONLY)
-                    try:
-                        os.fsync(fd)
-                    finally:
-                        os.close(fd)
+                except (FileNotFoundError, IsADirectoryError):
+                    continue
+                try:
+                    os.fsync(fd)
+                finally:
+                    os.close(fd)
             parents.add(d)
             parents.add(os.path.dirname(d))
         for p in sorted(parents, reverse=True):  # leaves before parents
-            fd = os.open(p, os.O_RDONLY)
+            try:
+                fd = os.open(p, os.O_RDONLY)
+            except FileNotFoundError:
+                continue  # the whole dir was vacuumed mid-flush
             try:
                 os.fsync(fd)
             finally:

@@ -1372,3 +1372,208 @@ def test_ivfpq_auto_retune_keeps_codes_valid(spark, sf_dir, tmp_path):
                      codebooks=cbs, codes=codes, max_avg_list_rows=8)
     assert got.count() == q.count() * 5
     assert got.schema["score_adc"].dataType.typeName() == "double"
+
+
+def test_ensure_tuned_auto_retunes_legacy_paramless_artifact(
+        spark, sf_dir, tmp_path):
+    """ADVICE r14 #1: a pre-r14 artifact (sidecar without ``params``)
+    whose shape breaks the cap must NOT hard-fail under the default
+    maintenance='auto' — a previously-working slow search keeps
+    working after upgrade; the retune falls back to the observed
+    shape plus the module's default hyperparameters. mode='error'
+    still refuses loudly."""
+    import json
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    QZ.clear_cache()
+    root = str(tmp_path / "art")
+    e = load_table(spark, sf_dir, "embeddings")
+    q = e.where(F.col("vec_id") % 100 == 0)
+    cents = QZ.get_or_train(e, 2, fingerprint="legacy", n_iter=2,
+                            root=root)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="legacy",
+                                  n_clusters=2, root=root)
+    # strip the r14 param stamp to simulate a pre-r14 sidecar
+    path = lists._quasdb_ivf_meta["path"]
+    side = os.path.join(path, QZ._META_NAME)
+    with open(side) as f:
+        meta = json.load(f)
+    meta.pop("params", None)
+    meta.pop("n_vectors", None)
+    meta.pop("n_clusters_observed", None)
+    with open(side, "w") as f:
+        json.dump(meta, f)
+    lists = QZ._stamp(
+        spark.read.schema(QZ._LISTS_SCHEMA).parquet(path),
+        QZ.read_artifact_meta(path))
+
+    with pytest.raises(QZ.StaleIndexError, match="SHAPE-BROKEN"):
+        QZ.ensure_tuned(cents, lists, mode="error",
+                        max_avg_list_rows=8)
+    res = QZ.ensure_tuned(cents, lists, mode="auto",
+                          max_avg_list_rows=8)
+    assert res["retuned"] is True
+    assert res["n_clusters"] >= math.isqrt(res["n_vectors"])
+    assert res["n_clusters_before"] == 2
+    # and the full search path answers through it
+    got = ivf_topk(e, q, 5, nprobe=2, centroids=cents, lists=lists,
+                   max_avg_list_rows=8)
+    assert got.count() == q.count() * 5
+
+
+def test_rescale_nprobe_budget_bounded():
+    """ADVICE r14 #2: after a retune the caller's nprobe is scaled to
+    keep the probed corpus fraction comparable — but only up to the
+    candidate budget the caller's nprobe would buy on a just-healthy
+    index (full proportionality would re-create the row blowup the
+    retune exists to kill)."""
+    from quasdb_spark.operators.similarity import _rescale_nprobe
+
+    # no retune: untouched
+    assert _rescale_nprobe(2, {"retuned": False}) == 2
+    assert _rescale_nprobe(2, {"retuned": True,
+                               "n_clusters_before": None}) == 2
+    # the sf100 shape: n=2M, nlist 10 -> 1414, cap 65536, nprobe 2.
+    # proportional would be 283 (preserves the broken index's 400k
+    # candidates/query); the budget bound 2*65536/avg_list' = 92
+    # wins: ~1/15 probed fraction, ~130k candidates.
+    t = {"retuned": True, "n_clusters_before": 10, "n_clusters": 1414,
+         "n_vectors": 2_000_000, "cap": 65536}
+    assert _rescale_nprobe(2, t) == 92
+    # tiny corpus, small cap: budget collapses below nprobe -> the
+    # caller's nprobe is kept (never shrunk)
+    t = {"retuned": True, "n_clusters_before": 2, "n_clusters": 22,
+         "n_vectors": 500, "cap": 8}
+    assert _rescale_nprobe(2, t) == 2
+    # generous cap: proportional is the binding bound
+    t = {"retuned": True, "n_clusters_before": 10, "n_clusters": 40,
+         "n_vectors": 1000, "cap": 65536}
+    assert _rescale_nprobe(2, t) == 8
+    # never exceeds the new nlist
+    t = {"retuned": True, "n_clusters_before": 1, "n_clusters": 4,
+         "n_vectors": 10, "cap": 65536}
+    assert _rescale_nprobe(3, t) <= 4
+
+
+def test_ivf_assign_blocked_ragged_batch_raises(spark):
+    """ADVICE r14 #3: a null or wrong-dimension embedding must fail
+    the blocked assigner LOUDLY, naming the offending ids — silently
+    skipping dropped the whole Arrow batch (valid vectors included)
+    from the built artifact."""
+    from quasdb_spark.operators.similarity import ivf_assign_blocked
+
+    cents = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.0, 1.0])],
+        "c_label long, centroid array<double>")
+    good = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (2, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    out = ivf_assign_blocked(good, cents).collect()
+    assert {r["vec_id"] for r in out} == {1, 2}
+
+    bad_null = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (7, None), (2, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged.*7|7.*ragged"):
+        ivf_assign_blocked(bad_null, cents).collect()
+
+    bad_len = spark.createDataFrame(
+        [(1, [1.0, 0.1]), (9, [1.0]), (2, [0.1, 1.0])],
+        "vec_id long, embedding array<double>")
+    with pytest.raises(Exception, match="ragged"):
+        ivf_assign_blocked(bad_len, cents).collect()
+
+
+def test_concurrent_ensure_tuned_single_winner(spark, sf_dir, tmp_path):
+    """VERDICT r14 board #6: two handles hitting the same shape-broken
+    artifact concurrently both retune toward the same keyed path; the
+    CAS sidecar discipline makes the race harmless (last writer wins,
+    both artifacts valid, no torn sidecar) and both callers get a
+    servable retuned index."""
+    import threading
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    QZ.clear_cache()
+    root = str(tmp_path / "art")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = QZ.get_or_train(e, 2, fingerprint="race", n_iter=2,
+                            root=root)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="race",
+                                  n_clusters=2, root=root)
+    path = lists._quasdb_ivf_meta["path"]
+
+    results, errors = [], []
+
+    def worker():
+        try:
+            # each worker re-reads its own stamped frame (two handles)
+            QZ.clear_cache()
+            mylists = QZ._stamp(
+                spark.read.schema(QZ._LISTS_SCHEMA).parquet(path),
+                QZ.read_artifact_meta(path))
+            results.append(QZ.ensure_tuned(cents, mylists,
+                                           fingerprint="race",
+                                           max_avg_list_rows=8))
+        except Exception as ex:  # pragma: no cover - the assert target
+            errors.append(ex)
+
+    ts = [threading.Thread(target=worker) for _ in range(2)]
+    for t in ts:
+        t.start()
+    for t in ts:
+        t.join()
+    assert not errors, errors
+    assert all(r["retuned"] for r in results)
+    assert len({r["n_clusters"] for r in results}) == 1
+    # the retuned sidecar is intact (readable JSON, retune recorded)
+    key2 = results[0]["lists"]._quasdb_ivf_meta["key"]
+    meta2 = QZ.read_artifact_meta(QZ.lists_path(key2, root))
+    assert meta2 is not None and "retune" in meta2.get("ops", [])
+    # both callers' retuned frames answer identically
+    a = sorted(map(tuple, results[0]["lists"]
+                   .select("vec_id", "list_label").collect()))
+    b = sorted(map(tuple, results[1]["lists"]
+                   .select("vec_id", "list_label").collect()))
+    assert a == b
+    # the old artifact's audit trail survived the race
+    assert QZ.read_artifact_meta(path).get("retuned_to") == key2
+
+
+def test_ensure_tuned_memo_skips_consult(spark, sf_dir, tmp_path):
+    """VERDICT r14 board #7: a healthy verdict is memoized per
+    (artifact path, sidecar mtime) — the second query against the
+    same artifact returns without consulting the stamped meta at all
+    (observable: tampering the in-memory meta does not change the
+    verdict while the sidecar mtime is unchanged), and any sidecar
+    rewrite invalidates the memo."""
+    import os
+
+    from quasdb_spark.operators import quantizer as QZ
+
+    QZ.clear_cache()
+    root = str(tmp_path / "art")
+    e = load_table(spark, sf_dir, "embeddings")
+    cents = QZ.get_or_train(e, 4, fingerprint="memo", n_iter=2,
+                            root=root)
+    lists = QZ.get_or_build_lists(e, cents, fingerprint="memo",
+                                  n_clusters=4, root=root)
+    r1 = QZ.ensure_tuned(cents, lists)
+    assert r1["retuned"] is False and r1["n_vectors"] == 500
+    # memo hit: tamper the stamped meta — verdict must come from the
+    # memo, not the dict (sidecar mtime unchanged)
+    lists._quasdb_ivf_meta["n_vectors"] = 10 ** 9
+    r2 = QZ.ensure_tuned(cents, lists)
+    assert r2["n_vectors"] == 500
+    # a sidecar rewrite (append/retune/adopt) invalidates the memo
+    path = lists._quasdb_ivf_meta["path"]
+    meta = QZ.read_artifact_meta(path)
+    meta["n_vectors"] = 123
+    QZ._write_artifact_meta(path, meta)
+    fresh = QZ._stamp(
+        spark.read.schema(QZ._LISTS_SCHEMA).parquet(path),
+        QZ.read_artifact_meta(path))
+    r3 = QZ.ensure_tuned(cents, fresh)
+    assert r3["n_vectors"] == 123

@@ -1647,3 +1647,30 @@ def test_embedded_compaction_bounds_and_guards(spark, tmp_path):
     # in-bounds full scope works and the auto-compaction hook rides it
     out = emb.compact()
     assert out["files_after"] == 1
+
+
+def test_sync_flush_tolerates_concurrently_removed_files(spark, tmp_path):
+    """ADVICE r14 #5: _flush_unsynced races a compaction/vacuum by
+    ANOTHER process of this multi-writer store — a pending file (or
+    its whole batch dir) can vanish between listdir and open. A gone
+    file means it was superseded by a DURABLE compaction commit, so
+    the flush skips it; it must never fail a put() whose commit would
+    otherwise succeed."""
+    import os as _os
+    import shutil
+
+    st = _mk(spark, tmp_path, "racesync")
+    st.write_batch([("put", "a", "1")], sync=False)
+    st.write_batch([("put", "b", "2")], sync=False)
+    dirs = sorted(st._unsynced_dirs)
+    assert len(dirs) == 2
+    # simulate the concurrent durable compaction: one FILE gone from
+    # the first pending dir, the ENTIRE second dir gone
+    gone = [f for f in _os.listdir(dirs[0]) if f.endswith(".parquet")]
+    assert gone
+    _os.unlink(_os.path.join(dirs[0], gone[0]))
+    shutil.rmtree(dirs[1])
+
+    st.put("c", "3")  # sync=True default — must commit, not raise
+    assert not st._unsynced_dirs
+    assert st.get("c") == "3"
