@@ -19,6 +19,8 @@ Scale design (100 TB corpus):
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -796,8 +798,15 @@ def build_dedup_index(df: DataFrame, path: str, *, id_col: str = "doc_id",
         F.posexplode(F.array(*keys)).alias("band", "band_key"))
     (entries.repartition("band").sortWithinPartitions("band_key")
             .write.mode(mode).partitionBy("band").parquet(path))
+    # record bucket-shape stats at build so the per-probe health check
+    # (ensure_banded — the index's maybe_compact tick) is sidecar-only
+    # until the next append: the same counts-at-write trick as the ANN
+    # lists' n_vectors (VERDICT r14 board #2)
+    meta["bucket_stats"] = index_bucket_stats(
+        df.sparkSession.read.parquet(path))
     fsio.write_text(df.sparkSession, f"{path}/_dedup_index_meta.json",
                     json.dumps(meta))
+    meta["path"] = path
     return meta
 
 
@@ -808,6 +817,10 @@ def load_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
 
     meta = json.loads(
         fsio.read_text(spark, f"{path}/_dedup_index_meta.json"))
+    # in-memory only (never persisted): where this index was actually
+    # loaded from — ensure_banded needs it to re-band/persist, same as
+    # the ANN sidecars' path stamping (quantizer._ensure_meta)
+    meta["path"] = path
     return spark.read.parquet(path), meta
 
 
@@ -815,7 +828,9 @@ def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
                         *, id_col: str = "doc_id",
                         text_col: str = "text",
                         min_est_jaccard: float = 0.5,
-                        broadcast_new: bool = True) -> DataFrame:
+                        broadcast_new: bool = True,
+                        maintenance: str = "auto",
+                        max_bucket_rows: int | None = None) -> DataFrame:
     """Near-dups of ``new_df`` against an indexed corpus WITHOUT
     touching corpus text: signature the new batch (map-only), join the
     index on (band, band_key), then keep pairs whose
@@ -829,7 +844,19 @@ def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
     The batch is signatured under the INDEX's persisted scheme params
     (_index_signature reads the sidecar ``meta``) — a fast/xxhash64
     index probes with fast/xxhash64 signatures by construction; there
-    is no caller knob to mix schemes."""
+    is no caller knob to mix schemes.
+
+    ``maintenance`` (default ``'auto'``) is the index's self-scheduled
+    health tick (ensure_banded — the ensure_tuned analogue, VERDICT
+    r14 board #2): every probe shape-checks the index against its
+    sidecar (free when build/append recorded stats) and a
+    shape-broken index — hottest bucket over ``max_bucket_rows`` —
+    is re-banded from its own stored signatures before probing.
+    ``'error'`` refuses loudly, ``'off'`` skips the check."""
+    if maintenance != "off":
+        tuned = ensure_banded(index, meta, mode=maintenance,
+                              max_bucket_rows=max_bucket_rows)
+        index, meta = tuned["index"], tuned["meta"]
     n_hashes, n_bands = meta["n_hashes"], meta["n_bands"]
     rows_per_band = n_hashes // n_bands
     sig = _index_signature(new_df.select(id_col, text_col), text_col,
@@ -856,12 +883,20 @@ def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
 
 
 def append_to_index(new_df: DataFrame, path: str, *,
-                    id_col: str = "doc_id", text_col: str = "text") -> None:
+                    id_col: str = "doc_id", text_col: str = "text",
+                    maintenance: str = "auto",
+                    max_bucket_rows: int | None = None) -> None:
     """Fold a checked batch into the index (the add() half): computes
     the batch's banded entries under the INDEX's persisted params and
     appends — no rebuild, no corpus pass. Run after check_against_index
     has decided which docs to keep; dedup policy (append all vs only
-    keepers) is the caller's."""
+    keepers) is the caller's.
+
+    The append records itself in the sidecar op-trail and drops the
+    recorded bucket stats (the shape changed); ``maintenance`` then
+    fires the health tick (ensure_banded) on the grown index — the
+    write-path half of the self-maintenance contract, like the
+    embedded store's auto_compact-after-commit."""
     import json
 
     from .. import fsio
@@ -881,6 +916,226 @@ def append_to_index(new_df: DataFrame, path: str, *,
         F.posexplode(F.array(*keys)).alias("band", "band_key"))
     (entries.repartition("band").sortWithinPartitions("band_key")
             .write.mode("append").partitionBy("band").parquet(path))
+    # the append changed the index's bucket shape: record the op and
+    # drop the recorded stats so the next health check re-measures
+    # (and the sidecar rewrite invalidates the ensure_banded memo) —
+    # the append_to_lists n_vectors-pop discipline
+    meta.pop("bucket_stats", None)
+    meta["ops"] = (meta.get("ops") or []) + ["append"]
+    fsio.write_text(new_df.sparkSession, f"{path}/_dedup_index_meta.json",
+                    json.dumps({k: v for k, v in meta.items()
+                                if k != "path"}))
+    if maintenance != "off":
+        meta["path"] = path
+        ensure_banded(new_df.sparkSession.read.parquet(path), meta,
+                      mode=maintenance, max_bucket_rows=max_bucket_rows)
+
+
+# ---------------------------------------------------------------------
+# Dedup-index self-maintenance (VERDICT r14 board #2): the banded
+# index's n_bands are fixed at build, but the corpus it indexes grows
+# via append_to_index — band buckets get hotter and every probe joins
+# more candidates per key, the exact shape-degradation the ANN side
+# repairs with ensure_tuned. ensure_banded is the same contract for
+# the dedup index: a sidecar-counted bucket-size health check fired
+# from the probe/append paths, with auto-re-band / refuse-loudly /
+# off modes, persisted params, and the op-trail. Reference lens:
+# every index maintains itself from its read/write paths
+# (kv/db/version_set.cpp:475-489 seek stats -> compaction).
+# ---------------------------------------------------------------------
+
+# A band bucket larger than this makes one probe key join more
+# candidate rows than a 64k-doc brute scan would — the same
+# shape-broken bar as the ANN side (quantizer._AUTO_MAX_LIST_ROWS).
+# Corpus-x-corpus PAIR generation (bucket² blowup) wants a much
+# smaller cap — those paths keep their own drop_hot_buckets guards.
+_AUTO_MAX_BUCKET_ROWS = 65536
+
+# healthy-verdict memo: (index path, sidecar mtime_ns, cap) -> stats.
+# Sidecar rewrites (append/reband) bump the mtime, invalidating it.
+_BANDED_MEMO: dict[tuple, dict] = {}
+
+
+def index_bucket_stats(index: DataFrame) -> dict:
+    """Bucket-shape stats of a banded index in ONE aggregation job:
+    the max and count of (band, band_key) bucket sizes plus the total
+    entry count. Partial aggregation runs map-side; the shuffle is
+    keys-only."""
+    row = (index.groupBy("band", "band_key").count()
+           .agg(F.max("count").alias("mx"),
+                F.sum("count").alias("n"),
+                F.count(F.lit(1)).alias("k"))
+           .collect()[0])
+    return {"max_bucket": int(row["mx"] or 0),
+            "n_keys": int(row["k"] or 0),
+            "n_entries": int(row["n"] or 0)}
+
+
+def _sidecar_mtime(path: str):
+    try:
+        return os.stat(
+            os.path.join(path, "_dedup_index_meta.json")).st_mtime_ns
+    except OSError:
+        return None
+
+
+def ensure_banded(index: DataFrame, meta: dict, *, mode: str = "auto",
+                  max_bucket_rows: int | None = None,
+                  target_bands: int | None = None) -> dict:
+    """The dedup index's read/write-path maintenance tick — the exact
+    analogue of quantizer.ensure_tuned for the banded-MinHash index
+    (VERDICT r14 board #2): called by check_against_index and
+    append_to_index, it health-checks the index's bucket shape from
+    its sidecar (zero Spark jobs when build/append recorded stats —
+    build does; an append drops them so the next probe re-measures
+    once) and, when the largest (band, band_key) bucket exceeds
+    ``max_bucket_rows`` (default 65536):
+
+    - ``mode='auto'``: RE-BAND from the index's own stored signatures
+      (no corpus text pass, the retrain-on-the-lists'-own-vectors
+      trick): candidate bandings are the divisors of n_hashes below
+      the current n_bands, largest first (longer band keys = more
+      selective buckets, least recall sacrificed); the first whose
+      measured max bucket clears the cap wins, and the index is
+      rewritten in place under the new banding with the op-trail
+      (``ops += ['reband']``, ``rebanded_from``) and fresh stats in
+      the sidecar. Fewer/longer bands raise the effective candidate
+      threshold s* ≈ (1/b)^(1/r): high-similarity pairs still
+      collide, low-similarity candidates are pruned — probe cost
+      stays bounded at a bounded recall cost, which the sidecar
+      records instead of hiding.
+    - ``mode='error'``: raise StaleIndexError naming the blowup.
+    - ``mode='off'``: no check (legacy behavior).
+
+    If even banding at n_bands=1 (the full signature as one key)
+    leaves a bucket over the cap, the mass is IDENTICAL signatures —
+    true duplicate content no banding can separate — and ensure_banded
+    refuses loudly in every mode: the fix is deduplicating the corpus,
+    not re-banding the index.
+
+    A healthy verdict is memoized per (path, sidecar mtime, cap);
+    re-bands to the same index are serialized by an flock (single
+    winner; losers reload the finished artifact) — the ensure_tuned
+    concurrency contract. Returns {"rebanded", "index", "meta",
+    "stats"}."""
+    import json
+
+    from .. import fsio
+
+    out = {"rebanded": False, "index": index, "meta": meta,
+           "stats": meta.get("bucket_stats")}
+    if mode == "off":
+        return out
+    if mode not in ("auto", "error"):
+        raise ValueError(f"ensure_banded: unknown mode {mode!r} "
+                         "(expected 'auto', 'error' or 'off')")
+    path = meta.get("path")
+    if not path:
+        return out  # unstamped frame — nothing to enforce, as check_fresh
+    cap = max_bucket_rows if max_bucket_rows is not None \
+        else _AUTO_MAX_BUCKET_ROWS
+    spark = index.sparkSession
+    mt = _sidecar_mtime(path)
+    if mt is not None:
+        verdict = _BANDED_MEMO.get((path, mt, cap))
+        if verdict is not None:
+            out["stats"] = verdict
+            return out
+    sidecar = f"{path}/_dedup_index_meta.json"
+    stats = meta.get("bucket_stats")
+    if stats is None:
+        # append (or a pre-stats build) left the shape unrecorded:
+        # measure ONCE and persist, so every later check is free
+        stats = index_bucket_stats(index)
+        meta = {**meta, "bucket_stats": stats}
+        try:
+            fsio.write_text(spark, sidecar,
+                            json.dumps({k: v for k, v in meta.items()
+                                        if k != "path"}))
+            mt = _sidecar_mtime(path)
+        except Exception:
+            pass
+        meta["path"] = path
+    out["stats"], out["meta"] = stats, meta
+    if stats["max_bucket"] <= cap:
+        if mt is not None:
+            _BANDED_MEMO[(path, mt, cap)] = stats
+        return out
+
+    from quasdb_spark.operators.quantizer import StaleIndexError
+
+    n_hashes, n_bands = meta["n_hashes"], meta["n_bands"]
+    if mode == "error":
+        raise StaleIndexError(
+            f"dedup index is SHAPE-BROKEN for its corpus: hottest "
+            f"band bucket holds {stats['max_bucket']} entries "
+            f"(cap {cap}) — one probe key joins that many candidates. "
+            f"Re-band to fewer/longer bands (ensure_banded with "
+            f"maintenance='auto') or rebuild (build_dedup_index)")
+    # ---- auto re-band, single winner (flock; losers reload) ----
+    import fcntl
+
+    # the lock lives NEXT TO the index dir, not inside it: the
+    # in-place overwrite deletes the dir, and a lock file deleted
+    # under the holder would let a second winner recreate+acquire it
+    # mid-write
+    lock_fd = os.open(path.rstrip("/") + ".reband.lock",
+                      os.O_CREAT | os.O_RDWR, 0o644)
+    try:
+        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        now = _sidecar_mtime(path)
+        if now is not None and mt is not None and now != mt:
+            # another handle rebanded while we waited: reload
+            idx2, meta2 = load_dedup_index(spark, path)
+            return {"rebanded": True, "index": idx2, "meta": meta2,
+                    "stats": meta2.get("bucket_stats")}
+        # signatures in hand — one distinct row per doc, eagerly
+        # checkpointed so the in-place overwrite can't chase its own
+        # input files (the cluster_assign edges discipline)
+        sigs = (index.select("doc_id", "minhash_sig")
+                .dropDuplicates(["doc_id"]).localCheckpoint())
+        cands = [target_bands] if target_bands else \
+            [d for d in range(n_bands - 1, 0, -1) if n_hashes % d == 0]
+        chosen, chosen_stats = None, None
+        for d in cands:
+            keys = lsh_band_keys(n_bands=d,
+                                 rows_per_band=n_hashes // d)
+            ent = sigs.select(
+                F.posexplode(F.array(*keys)).alias("band", "band_key"))
+            st = index_bucket_stats(ent)
+            if st["max_bucket"] <= cap:
+                chosen, chosen_stats = d, st
+                break
+        if chosen is None:
+            raise StaleIndexError(
+                f"dedup index bucket of {stats['max_bucket']} entries "
+                f"(cap {cap}) is IDENTICAL-signature mass: even "
+                f"banding the full {n_hashes}-hash signature as one "
+                "key leaves it hot. No re-banding separates true "
+                "duplicates — deduplicate the corpus (exact_dedup / "
+                "apply_dedup) and rebuild the index")
+        keys = lsh_band_keys(n_bands=chosen,
+                             rows_per_band=n_hashes // chosen)
+        entries = sigs.select(
+            "doc_id",
+            F.col("minhash_sig").cast("array<string>")
+            .alias("minhash_sig"),
+            F.posexplode(F.array(*keys)).alias("band", "band_key"))
+        (entries.repartition("band").sortWithinPartitions("band_key")
+                .write.mode("overwrite").partitionBy("band")
+                .parquet(path))
+        meta2 = {k: v for k, v in meta.items() if k != "path"}
+        meta2["rebanded_from"] = n_bands
+        meta2["n_bands"] = chosen
+        meta2["bucket_stats"] = chosen_stats
+        meta2["ops"] = (meta2.get("ops") or []) + ["reband"]
+        fsio.write_text(spark, sidecar, json.dumps(meta2))
+        meta2["path"] = path
+        return {"rebanded": True, "index": spark.read.parquet(path),
+                "meta": meta2, "stats": chosen_stats}
+    finally:
+        fcntl.flock(lock_fd, fcntl.LOCK_UN)
+        os.close(lock_fd)
 
 
 def duplicate_spans(df: DataFrame, id_col: str = "doc_id",

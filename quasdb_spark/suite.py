@@ -2537,6 +2537,25 @@ def q_dedup_incremental_xxh(spark, sf_dir):
     return D.check_against_index(new, idx, meta, min_est_jaccard=0.75)
 
 
+def q_dedup_index_health(spark, sf_dir):
+    """The dedup index's self-maintenance surface (VERDICT r14 board
+    #2 — ensure_banded, the ensure_tuned analogue): per-band bucket
+    shape of the materialized incremental index — distinct band keys,
+    hottest bucket, total entries. The health tick itself runs first
+    (sidecar-only when build/append recorded stats; this index is
+    healthy so the tick is free); the returned frame is the same
+    aggregation the tick's measuring pass runs, oracled against
+    DuckDB recomputing the banding from the corpus. One keys-only
+    shuffle; partial aggregation map-side."""
+    idx, meta = _dedup_idx(spark, sf_dir)
+    tuned = D.ensure_banded(idx, meta)
+    return (tuned["index"].groupBy("band", "band_key").count()
+            .groupBy(F.col("band").cast("int").alias("band"))
+            .agg(F.count(F.lit(1)).alias("n_keys"),
+                 F.max("count").alias("max_bucket"),
+                 F.sum("count").alias("n_entries")))
+
+
 def q_text_gopher_rules(spark, sf_dir):
     """Gopher/MassiveText document-quality rules (word count, mean
     word length, alpha fraction, symbol ratio, bullet/ellipsis lines,
@@ -3363,6 +3382,24 @@ _DEDUP_ORACLES = {
             ON n.band = c.band AND n.band_key = c.band_key)
         SELECT new_id, match_id, est_jaccard FROM cand
         WHERE est_jaccard >= 0.75""",
+    "dedup_index_health": f"""
+        WITH t AS (SELECT doc_id, {_TOKENS_SQL} AS w FROM documents
+                   WHERE doc_id % 4 <> 3),
+        s AS (SELECT doc_id, {_SHINGLES_SQL} AS sh FROM t),
+        m AS (SELECT doc_id, {_MINHASH_COLS_SQL} FROM s
+              WHERE len(sh) > 0),
+        cb AS (SELECT doc_id, 0 AS band,
+                      md5(concat_ws('|', h0,h1,h2,h3)) AS band_key
+               FROM m
+               UNION ALL
+               SELECT doc_id, 1, md5(concat_ws('|', h4,h5,h6,h7))
+               FROM m),
+        b AS (SELECT band, band_key, count(*) AS c
+              FROM cb GROUP BY 1, 2)
+        SELECT band, count(*) AS n_keys,
+               CAST(max(c) AS BIGINT) AS max_bucket,
+               CAST(sum(c) AS BIGINT) AS n_entries
+        FROM b GROUP BY band""",
     "dedup_exact": """
         SELECT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
                count(*) AS n_docs, min(doc_id) AS canonical_id
@@ -5615,6 +5652,7 @@ QUERIES = {
     "dedup_clusters_cc_xxh": q_dedup_clusters_cc_xxh,
     "dedup_apply": q_dedup_apply,
     "dedup_incremental": q_dedup_incremental,
+    "dedup_index_health": q_dedup_index_health,
     "dedup_incremental_xxh": q_dedup_incremental_xxh,
     "dedup_paragraphs": q_dedup_paragraphs,
     "dedup_substring_spans": q_dedup_substring_spans,

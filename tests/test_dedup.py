@@ -6,6 +6,8 @@ variant: a pair whose differing bit lands in the prefix is missed by
 the prefix bucket but found by banding.
 """
 
+import pytest
+
 from quasdb_spark.operators.dedup import (simhash, simhash_hamming_pairs,
                                           simhash_hamming_pairs_banded)
 from quasdb_spark.sources.tables import load_table
@@ -734,3 +736,157 @@ def test_paragraph_dedup_fast_xxhash_agrees_on_exact_dups(spark):
     assert outs["md5"][1] == (2, 1)
     assert outs["md5"][2] == (2, 1)
     assert outs["md5"][3][0] == outs["md5"][3][1]
+
+
+def _handmade_index(spark, tmp_path, name, sig_rows, n_bands,
+                    n_hashes=8):
+    """Write a banded index with HANDCRAFTED signatures (band keys
+    derived by the real lsh_band_keys, so re-band stats agree), plus
+    a sidecar WITHOUT bucket_stats — the shape an append leaves."""
+    import json
+
+    from pyspark.sql import functions as F
+
+    from quasdb_spark.operators.dedup import lsh_band_keys
+
+    path = str(tmp_path / name)
+    sigs = spark.createDataFrame(
+        sig_rows, "doc_id long, minhash_sig array<string>")
+    keys = lsh_band_keys(n_bands=n_bands,
+                         rows_per_band=n_hashes // n_bands)
+    entries = sigs.select(
+        "doc_id", "minhash_sig",
+        F.posexplode(F.array(*keys)).alias("band", "band_key"))
+    (entries.repartition("band").sortWithinPartitions("band_key")
+            .write.mode("overwrite").partitionBy("band").parquet(path))
+    meta = {"n_hashes": n_hashes, "n_bands": n_bands, "shingle_n": 3,
+            "scheme": "md5", "base_hash": "md5"}
+    with open(f"{path}/_dedup_index_meta.json", "w") as f:
+        json.dump(meta, f)
+    meta["path"] = path
+    return path, meta
+
+
+def test_ensure_banded_auto_rebands_hot_index(spark, tmp_path):
+    """VERDICT r14 board #2 pin: an index whose band buckets outgrew
+    the cap (short band keys over a grown corpus) auto-RE-BANDS from
+    its own stored signatures — fewer/longer bands, chosen as the
+    largest divisor of n_hashes whose measured hottest bucket clears
+    the cap — or refuses loudly in error mode. The rebanded index is
+    rewritten in place with op-trail + fresh stats, and keeps
+    answering probes."""
+    from quasdb_spark.operators.dedup import (ensure_banded,
+                                              load_dedup_index)
+    from quasdb_spark.operators.quantizer import StaleIndexError
+
+    # 40 docs: first half of every signature IDENTICAL (band 0 of a
+    # 2-band split is one 40-row bucket), second half unique (the
+    # full signature separates every doc)
+    rows = [(i, ["A", "B", "C", "D",
+                 f"u{i}", f"v{i}", f"w{i}", f"x{i}"])
+            for i in range(40)]
+    path, meta = _handmade_index(spark, tmp_path, "hot", rows, 2)
+    idx = spark.read.parquet(path)
+
+    with pytest.raises(StaleIndexError, match="SHAPE-BROKEN"):
+        ensure_banded(idx, meta, mode="error", max_bucket_rows=10)
+
+    t = ensure_banded(idx, meta, mode="auto", max_bucket_rows=10)
+    assert t["rebanded"] is True
+    assert t["meta"]["n_bands"] == 1       # full-sig keys separate all
+    assert t["meta"]["rebanded_from"] == 2
+    assert "reband" in t["meta"]["ops"]
+    assert t["stats"]["max_bucket"] <= 10
+    # persisted: a fresh load sees the new banding + recorded stats
+    idx2, m2 = load_dedup_index(spark, path)
+    assert m2["n_bands"] == 1 and m2["bucket_stats"] == t["stats"]
+    assert idx2.count() == 40              # one band x 40 docs
+    # and the rebanded index is now healthy (memoized free verdict)
+    t2 = ensure_banded(idx2, m2, max_bucket_rows=10)
+    assert t2["rebanded"] is False
+
+
+def test_ensure_banded_true_dup_mass_refuses(spark, tmp_path):
+    """Identical signatures are true duplicate content: even banding
+    the full signature as one key leaves the bucket hot — no
+    re-banding separates them, so ensure_banded refuses in EVERY mode
+    and says the fix is deduplicating the corpus."""
+    from quasdb_spark.operators.dedup import ensure_banded
+    from quasdb_spark.operators.quantizer import StaleIndexError
+
+    rows = [(i, ["A", "B", "C", "D", "E", "F", "G", "H"])
+            for i in range(30)]
+    path, meta = _handmade_index(spark, tmp_path, "dupmass", rows, 2)
+    idx = spark.read.parquet(path)
+    with pytest.raises(StaleIndexError, match="duplicate"):
+        ensure_banded(idx, meta, mode="auto", max_bucket_rows=10)
+
+
+def test_check_against_index_fires_maintenance_tick(spark, tmp_path):
+    """The probe path IS the maintenance trigger (the maybe_compact
+    discipline): check_against_index on a shape-broken index re-bands
+    it before probing, and the probe still answers — with the same
+    true matches the unmaintained index returns for high-similarity
+    pairs."""
+    import json
+
+    from quasdb_spark.operators.dedup import (build_dedup_index,
+                                              check_against_index,
+                                              load_dedup_index)
+
+    base = ("one two three four five six seven eight nine ten eleven "
+            "twelve thirteen fourteen fifteen sixteen seventeen")
+    docs = spark.createDataFrame(
+        [(i, base + f" tail{i} extra{i * 3} word{i * 7}")
+         for i in range(20)],
+        "doc_id long, text string")
+    path = str(tmp_path / "probe")
+    build_dedup_index(docs, path, n_bands=2)
+    idx, meta = load_dedup_index(spark, path)
+    hot = meta["bucket_stats"]["max_bucket"]
+    assert hot > 1  # the shared prefix makes band buckets collide
+    # the probe is an EXACT copy of doc 3 — identical signature, so
+    # it collides under ANY banding (re-banding prunes only
+    # lower-similarity candidates)
+    new = spark.createDataFrame(
+        [(100, base + " tail3 extra9 word21")],
+        "doc_id long, text string")
+    before = {(r["new_id"], r["match_id"]) for r in
+              check_against_index(new, idx, meta, min_est_jaccard=0.5,
+                                  maintenance="off").collect()}
+    # probe with a cap below the hottest bucket: the tick re-bands
+    got = {(r["new_id"], r["match_id"]) for r in
+           check_against_index(new, idx, meta, min_est_jaccard=0.5,
+                               max_bucket_rows=hot - 1).collect()}
+    m2 = json.loads(open(f"{path}/_dedup_index_meta.json").read())
+    assert "reband" in m2["ops"]
+    assert m2["n_bands"] < meta["n_bands"]
+    assert got <= before and (100, 3) in got
+
+
+def test_append_invalidates_stats_and_fires_tick(spark, tmp_path):
+    """append_to_index records itself in the op-trail, drops the
+    recorded bucket stats (the shape changed), and fires the health
+    tick — the next sidecar carries FRESH stats covering the appended
+    entries."""
+    import json
+
+    from quasdb_spark.operators.dedup import (append_to_index,
+                                              build_dedup_index)
+
+    docs = spark.createDataFrame(
+        [(i, f"alpha beta gamma delta epsilon doc {i} tail {i * 11} "
+             f"words {i * 5} here") for i in range(10)],
+        "doc_id long, text string")
+    path = str(tmp_path / "appendtick")
+    meta = build_dedup_index(docs, path, n_bands=2)
+    n0 = meta["bucket_stats"]["n_entries"]
+    more = spark.createDataFrame(
+        [(100 + i, f"totally different text number {i} about spark "
+                   f"partitions and shuffles {i * 17}")
+         for i in range(5)],
+        "doc_id long, text string")
+    append_to_index(more, path)
+    m2 = json.loads(open(f"{path}/_dedup_index_meta.json").read())
+    assert "append" in m2["ops"]
+    assert m2["bucket_stats"]["n_entries"] > n0  # re-measured fresh
