@@ -56,6 +56,11 @@ STATUS = {200: "OK", 400: "Bad Request", 403: "Forbidden",
           500: "Internal Server Error"}
 
 
+class _BadParam(ValueError):
+    """A malformed client-supplied parameter — answered 400, never
+    500 through the catch-all."""
+
+
 def handle_request(store: KVStore | None, doc_root: str | None,
                    method: str, target: str
                    ) -> tuple[int, str, bytes, int]:
@@ -109,7 +114,27 @@ def handle_request(store: KVStore | None, doc_root: str | None,
         if method not in ("GET", "HEAD"):
             return reply(405, *jbody({"error": "method not allowed"}))
         url = urllib.parse.urlparse(target)
-        q = {k: v[0] for k, v in urllib.parse.parse_qs(url.query).items()}
+        q = {k: v[0] for k, v in
+             urllib.parse.parse_qs(url.query,
+                                   keep_blank_values=True).items()}
+
+        def qbytes(name: str) -> bytes | None:
+            # BINARY-store keys (VERDICT r14 board #8): parse_qs
+            # decodes percent-escapes through UTF-8 and corrupts raw
+            # bytes (%FF -> U+FFFD), so byte keys are re-extracted
+            # from the RAW query: either `<name>hex=<hex>` (exact,
+            # preferred) or `<name>=%XX..` percent-encoded raw bytes.
+            # Empty bytes are a valid key (the hostile keyspace).
+            for part in url.query.split("&"):
+                if part.startswith(name + "hex="):
+                    try:
+                        return bytes.fromhex(part.split("=", 1)[1])
+                    except ValueError:
+                        raise _BadParam(name + "hex")
+                if part.startswith(name + "="):
+                    return urllib.parse.unquote_to_bytes(
+                        part.split("=", 1)[1].replace("+", "%20"))
+            return None
         if url.path == "/health":
             return reply(200, *jbody({"status": "ok"}))
         if store is not None and url.path == "/props":
@@ -122,7 +147,10 @@ def handle_request(store: KVStore | None, doc_root: str | None,
             return reply(400, *jbody({"error": "bad asof",
                                       "asof": q["asof"]}))
         if store is not None and url.path == "/get":
-            key = q.get("key")
+            if getattr(store, "binary", False):
+                key = qbytes("key")
+            else:
+                key = q.get("key")
             if key is None:
                 return reply(400, *jbody({"error": "missing key"}))
             asof = int(q["asof"]) if "asof" in q else None
@@ -148,8 +176,12 @@ def handle_request(store: KVStore | None, doc_root: str | None,
             # no Spark job — store.scan_rows; single-digit ms like
             # /get); stores the driver engine defers fall back to the
             # Spark scan inside scan_rows, same rows either way
+            if getattr(store, "binary", False):
+                lo, hi = qbytes("from"), qbytes("to")
+            else:
+                lo, hi = q.get("from"), q.get("to")
             rows = [[k, v] for k, v in
-                    store.scan_rows(q.get("from"), q.get("to"),
+                    store.scan_rows(lo, hi,
                                     asof=asof,
                                     reverse=q.get("reverse") == "1",
                                     limit=limit)]
@@ -170,6 +202,10 @@ def handle_request(store: KVStore | None, doc_root: str | None,
                 body = f.read()
             return reply(200, ctype, body)
         return reply(404, *jbody({"error": "not found"}))
+    except _BadParam as e:
+        # malformed client parameter (e.g. odd-length keyhex): the
+        # client's fault, same contract as bad asof/limit
+        return reply(400, *jbody({"error": f"bad {e.args[0]}"}))
     except Exception as e:  # pragma: no cover - defensive
         return reply(500, *jbody({"error": str(e)[:500]}))
 

@@ -241,3 +241,76 @@ def test_handle_request_bad_asof_is_400(spark, tmp_path):
         assert b"bad asof" in body
     code, _, _, _ = handle_request(st, None, "GET", "/get?key=k&asof=-1")
     assert code in (200, 404)  # negative ints are parseable, not 400
+
+
+def test_raw_server_workers_serve_hostile_binary_store(spark, tmp_path):
+    """VERDICT r14 board #8: the hostile BINARY keyspace crosses the
+    serving layer. Byte keys travel as ``keyhex=`` (exact) or
+    percent-encoded raw bytes in ``key=`` — parse_qs's UTF-8 decode
+    corrupts 0xFF-class bytes, so the server re-extracts them from
+    the raw query. Values come back hex-encoded; worker PROCESSES
+    answer identically to the in-process route; malformed hex is a
+    400, never a 500."""
+    import time
+
+    from quasdb_spark.server import RawStoreServer, handle_request
+
+    st = KVStore.create(spark, str(tmp_path / "hostbin"), binary=True)
+    st.ingest(spark.createDataFrame(
+        [(b"", b"empty"), (b"\x00", b"nul"), (b"\xff", b"ff"),
+         (b"\xff\xfe", b"fffe"), (b"a\x00b", b"embedded-nul"),
+         (b"\x80\x81", b"high")],
+        "key binary, value binary"))
+    st.write_batch([("put", b"\x00", b"nul2"),
+                    ("del", b"\xff", None),
+                    ("put", b"\xff\xff", b"maxmax")])
+    st.compact()
+
+    def get(path):
+        code, _, body, _ = handle_request(st, None, "GET", path)
+        return code, json.loads(body)
+
+    # in-process route first (the routing is shared, so this pins the
+    # encoding contract once for both frontends)
+    for path, want in [
+            ("/get?keyhex=00", "nul2"),
+            ("/get?key=%00", "nul2"),            # raw percent-encoded
+            ("/get?keyhex=", "empty"),           # EMPTY byte key
+            ("/get?keyhex=ffff", "maxmax"),
+            ("/get?key=%ff%ff", "maxmax"),       # non-UTF-8 raw bytes
+            ("/get?key=a%00b", "embedded-nul"),
+            ("/get?keyhex=8081", "high")]:
+        code, body = get(path)
+        assert code == 200, (path, body)
+        assert bytes.fromhex(body["value"]) == want.encode(), path
+    code, _ = get("/get?keyhex=ff")
+    assert code == 404                     # tombstoned key
+    code, body = get("/get?keyhex=zz")
+    assert code == 400 and "keyhex" in body["error"]
+    code, body = get("/scan?fromhex=ff&limit=10")
+    assert code == 200
+    assert [bytes.fromhex(k) for k, _ in body["rows"]] \
+        == [b"\xff\xfe", b"\xff\xff"]      # range + order on raw bytes
+
+    # ... and the same answers from N worker processes over HTTP
+    srv = RawStoreServer(st, workers=2).start()
+    try:
+        time.sleep(3.0)
+        assert srv.workers_alive() == 2
+        for _ in range(4):                 # hits both workers
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}/get?keyhex=ffff") as r:
+                assert json.loads(r.read())["value"] == \
+                    b"maxmax".hex()
+            with urllib.request.urlopen(
+                    f"http://127.0.0.1:{srv.port}"
+                    "/scan?fromhex=ff&limit=5") as r:
+                rows = json.loads(r.read())["rows"]
+            assert [k for k, _ in rows] == ["fffe", "ffff"]
+        # URL-encoding edge over a real socket: raw 0x00 in the query
+        with urllib.request.urlopen(
+                f"http://127.0.0.1:{srv.port}/get?key=a%00b") as r:
+            assert json.loads(r.read())["value"] == \
+                b"embedded-nul".hex()
+    finally:
+        srv.stop()

@@ -39,6 +39,20 @@ def norm_rows(cols, rows):
     return sorted(cols), sorted(out)
 
 
+# Segmented-compare protocol (VERDICT r14 board #3): queries whose
+# result set is linear in the fact table can exceed 10M rows at sf1 —
+# materializing BOTH engines' full results through Python drivers is
+# what blew the sweep's 600 s budget (the DuckDB oracle itself runs in
+# ~1 s; CORRECTNESS_sf1 r14 recorded an oracle_timeout that was really
+# a transfer timeout). For these queries the sweep compares the FULL
+# row count on both engines, then compares values on a deterministic
+# subset predicate (applied identically to both sides). The evidence
+# line says so explicitly — same discipline as BENCH_sf100's
+# ``protocols`` field: bounded, and labeled as bounded.
+_SEGMENT = {"ts_gapfill_interp": "user_id % 50 = 0"}
+_SEGMENT_MIN_ROWS = 2_000_000  # below this, full compare as always
+
+
 def run_checks(spark, sf_dir, only=frozenset(), quiet=False):
     """Compare every suite query against its oracle; returns failures."""
     con = duckdb.connect()
@@ -59,15 +73,30 @@ def run_checks(spark, sf_dir, only=frozenset(), quiet=False):
     for name, fn in suite.QUERIES.items():
         if only and name not in only:
             continue
+        seg = ""
         try:
             sdf = fn(spark, sf_dir)
             scols = sdf.columns
+            sql = suite.ORACLES.get(name)
+            if sql is not None and name in _SEGMENT:
+                scount = sdf.count()
+                if scount >= _SEGMENT_MIN_ROWS:
+                    ocount = con.sql(
+                        f"SELECT count(*) FROM ({sql}) q").fetchall()[0][0]
+                    if scount != ocount:
+                        failures.append(name)
+                        say(f"FAIL  {name}: rowcount {scount} != {ocount}")
+                        continue
+                    pred = _SEGMENT[name]
+                    sdf = sdf.where(pred)
+                    sql = f"SELECT * FROM ({sql}) q WHERE {pred}"
+                    seg = (f"; full counts match at {scount}, values "
+                           f"segmented to '{pred}'")
             srows = [tuple(r) for r in sdf.collect()]
         except Exception as e:
             failures.append(name)
             say(f"FAIL  {name}: SPARK ERROR {type(e).__name__}: {str(e)[:300]}")
             continue
-        sql = suite.ORACLES.get(name)
         if sql is None:
             say(f"skip  {name}: no oracle (rows={len(srows)})")
             continue
@@ -92,7 +121,7 @@ def run_checks(spark, sf_dir, only=frozenset(), quiet=False):
             diffs = [(a, b) for a, b in zip(sr, orr) if a != b][:3]
             say(f"FAIL  {name}: values differ; first diffs: {diffs}")
         else:
-            say(f"ok    {name} ({len(sr)} rows)")
+            say(f"ok    {name} ({len(sr)} rows{seg})")
     return failures
 
 

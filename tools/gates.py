@@ -50,6 +50,21 @@ def run_oracle(sf_dir: str) -> dict:
             "sf_dir": sf_dir, "wall_sec": round(time.time() - t0, 1)}
 
 
+def run_plan_report() -> dict:
+    """Regenerate PLANS.md as part of the gate (VERDICT r14 board #4:
+    the plan-shape evidence must not lag the shipping code by a round
+    — r14's PLANS.md was one gate-commit stale). The gate record
+    carries the outcome so a failed regeneration is visible, not
+    silent."""
+    t0 = time.time()
+    p = subprocess.run(
+        [sys.executable, "tools/plan_report.py"],
+        cwd=ROOT, capture_output=True, text=True)
+    return {"exit_code": p.returncode,
+            "summary": (p.stdout or p.stderr or "").strip()[-200:],
+            "wall_sec": round(time.time() - t0, 1)}
+
+
 def main() -> None:
     rnd = int(sys.argv[1])
     sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.01"
@@ -58,7 +73,8 @@ def main() -> None:
     rec = {"round": rnd, "git_head": head,
            "when": datetime.datetime.now(datetime.timezone.utc)
            .isoformat(timespec="seconds"),
-           "pytest": run_pytest(), "oracle": run_oracle(sf_dir)}
+           "pytest": run_pytest(), "oracle": run_oracle(sf_dir),
+           "plans_md": run_plan_report()}
     path = os.path.join(ROOT, f"GATES_r{rnd:02d}.json")
     with open(path, "w") as f:
         json.dump(rec, f, indent=1)

@@ -33,7 +33,10 @@ SHOW = [
      "broadcast query side only; corpus joins by bucket equality"),
     ("sim_ivf_topk", "IVF: centroids are a LocalTableScan (loaded "
      "artifact — no training stage in the plan), broadcast to a "
-     "map-side assignment"),
+     "map-side assignment. The ensure_tuned maintenance tick "
+     "(r14/r15) consults only the sidecar + a session memo and adds "
+     "ZERO nodes to this plan — a healthy index's search plan is "
+     "byte-identical to maintenance='off'"),
     ("doc_token_packing", "two-phase packing: per-partition sums + "
      "broadcast offsets, no global window over the corpus"),
     ("emb_semdedup", "SemDeDup: banded sign-LSH candidates + "
@@ -52,7 +55,14 @@ SHOW = [
      "the part scan; broadcast join, residual OR post-join"),
     ("dedup_incremental", "incremental dedup: batch bands broadcast; "
      "the index parquet is the streamed side — corpus text never "
-     "rescanned (no text column in the plan)"),
+     "rescanned (no text column in the plan). The ensure_banded "
+     "health tick (r15) consults only the sidecar + a session memo "
+     "— a healthy index's probe plan is unchanged"),
+    ("dedup_index_health", "the dedup index's maintenance surface "
+     "(r15 ensure_banded): the bucket-shape aggregation is ONE "
+     "keys-only shuffle with map-side partial aggregation — "
+     "signatures and text never shuffle; the index scan reads only "
+     "(band, band_key)"),
     ("doc_chunking", "context-window chunking: in-row sequence "
      "explode + array slice, zero Exchange — chunks at scan "
      "throughput"),

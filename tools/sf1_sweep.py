@@ -47,6 +47,8 @@ def prior_results(paths: list[str]) -> dict[str, tuple[str, object]]:
                 out[n] = ("fail", d)
             for n, rows in rec.get("oracle_timeout", {}).items():
                 out[n] = ("oracle_timeout", rows)
+            for n, rows in rec.get("no_oracle_rows_only", {}).items():
+                out[n] = ("no_oracle", rows)
             continue
         for line in open(p):
             if line.startswith("ok    "):
@@ -147,6 +149,13 @@ def main() -> None:
     no_oracle: dict[str, int | None] = {
         n: d for n, (s, d) in prior.items()
         if s == "no_oracle" and n in suite.QUERIES}
+    protocols: dict[str, str] = {}
+    for p in merge:  # carry prior segmented-protocol notes forward
+        if p.endswith(".json") and os.path.exists(p):
+            protocols.update({
+                n: d for n, d in
+                json.load(open(p)).get("protocols", {}).items()
+                if n in suite.QUERIES and n not in only})
     todo = [n for n in suite.QUERIES
             if n not in ok
             and (n in only if only else
@@ -164,6 +173,13 @@ def main() -> None:
             if f"ok    {n}" in out:
                 ok.append(n)
                 oracle_timeout.pop(n, None)
+                # segmented-compare evidence (check_oracle._SEGMENT)
+                # is recorded per query, BENCH_sf100-protocols style:
+                # bounded, and labeled as bounded
+                line = next((ln for ln in out.splitlines()
+                             if ln.startswith(f"ok    {n}")), "")
+                if "segmented" in line:
+                    protocols[n] = line.split("(", 1)[-1].rstrip(")")
                 print(f"ok    {n} ({time.time() - t0:.0f}s)", flush=True)
             elif f"skip  {n}" in out:
                 rows = None
@@ -196,6 +212,7 @@ def main() -> None:
         "ok": sorted(ok), "fail": fail,
         "oracle_timeout": oracle_timeout,
         "no_oracle_rows_only": no_oracle,
+        "protocols": protocols,
         "counts": {"ok": len(ok), "fail": len(fail),
                    "oracle_timeout": len(oracle_timeout),
                    "no_oracle_rows_only": len(no_oracle),
