@@ -1042,6 +1042,16 @@ def ensure_banded(index: DataFrame, meta: dict, *, mode: str = "auto",
             out["stats"] = verdict
             return out
     sidecar = f"{path}/_dedup_index_meta.json"
+    # On a memo miss the SIDEcar is the source of truth, not the
+    # caller's meta dict: a handle loaded before an append still
+    # carries pre-append stats in memory, and memoizing those under
+    # the post-append mtime would hide the growth the tick exists to
+    # catch. Reading the sidecar happens once per (path, mtime).
+    try:
+        side_meta = json.loads(fsio.read_text(spark, sidecar))
+        meta = {**side_meta, "path": path}
+    except Exception:
+        pass  # unreadable sidecar: fall back to the caller's dict
     stats = meta.get("bucket_stats")
     if stats is None:
         # append (or a pre-stats build) left the shape unrecorded:

@@ -5736,12 +5736,13 @@ QUERIES = {
 # added queries always join the head of this list so their first
 # driver row lands the same round they ship.
 _DRIVER_CHECK_FIRST = [
-    # r14 rotation: the NEW hostile fixtures (binary keyspace + TS
-    # store) first, then the surfaces whose implementation CHANGED
-    # this round (IVF auto-maintenance family, CC clustering, the
-    # index/paragraph scheme plumb-through), then the r13 head and
-    # the oldest-evidence cohort.
-    "kv_hostile_binary", "kv_hostile_ts", "dedup_incremental_xxh",
+    # r15 rotation: the NEW maintenance surface (dedup_index_health)
+    # first, then the queries whose probe path now fires a
+    # maintenance tick (incremental dedup family — ensure_banded) or
+    # whose maintenance changed (IVF memo + nprobe rescale), then the
+    # r14 hostile/CC cohort and the oldest-evidence tail.
+    "dedup_index_health", "dedup_incremental", "dedup_incremental_xxh",
+    "kv_hostile_binary", "kv_hostile_ts",
     "dedup_clusters_cc_xxh",
     "sim_ivf_topk", "sim_ivf_recall", "sim_ivfpq_topk",
     "dedup_clusters", "dedup_clusters_cc", "dedup_paragraphs",
