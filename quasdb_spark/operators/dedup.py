@@ -1088,11 +1088,18 @@ def ensure_banded(index: DataFrame, meta: dict, *, mode: str = "auto",
     # the lock lives NEXT TO the index dir, not inside it: the
     # in-place overwrite deletes the dir, and a lock file deleted
     # under the holder would let a second winner recreate+acquire it
-    # mid-write
-    lock_fd = os.open(path.rstrip("/") + ".reband.lock",
-                      os.O_CREAT | os.O_RDWR, 0o644)
+    # mid-write. On non-POSIX paths (hdfs://, s3a://) the local open
+    # fails — proceed unlocked (best-effort; the sidecar publish is
+    # still atomic via fsio's temp+rename, so the worst case is a
+    # redundant double re-band, not a torn index)
     try:
-        fcntl.flock(lock_fd, fcntl.LOCK_EX)
+        lock_fd = os.open(path.rstrip("/") + ".reband.lock",
+                          os.O_CREAT | os.O_RDWR, 0o644)
+    except OSError:
+        lock_fd = None
+    try:
+        if lock_fd is not None:
+            fcntl.flock(lock_fd, fcntl.LOCK_EX)
         now = _sidecar_mtime(path)
         if now is not None and mt is not None and now != mt:
             # another handle rebanded while we waited: reload
@@ -1144,8 +1151,9 @@ def ensure_banded(index: DataFrame, meta: dict, *, mode: str = "auto",
         return {"rebanded": True, "index": spark.read.parquet(path),
                 "meta": meta2, "stats": chosen_stats}
     finally:
-        fcntl.flock(lock_fd, fcntl.LOCK_UN)
-        os.close(lock_fd)
+        if lock_fd is not None:
+            fcntl.flock(lock_fd, fcntl.LOCK_UN)
+            os.close(lock_fd)
 
 
 def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
