@@ -39,6 +39,12 @@ def test_dedup_index_meta_rides_fsio(spark, tmp_path, sf_dir):
     path = str(tmp_path / "dedup_index")
     meta = build_dedup_index(docs, path, n_hashes=32, n_bands=8)
     _df, loaded = load_dedup_index(spark, path)
-    assert loaded == meta == {"n_hashes": 32, "n_bands": 8,
-                              "shingle_n": 3, "scheme": "md5",
-                              "base_hash": "md5"}
+    assert loaded == meta
+    core = {k: loaded[k] for k in ("n_hashes", "n_bands", "shingle_n",
+                                   "scheme", "base_hash")}
+    assert core == {"n_hashes": 32, "n_bands": 8, "shingle_n": 3,
+                    "scheme": "md5", "base_hash": "md5"}
+    # r15: build records bucket-shape stats for ensure_banded's free
+    # health tick, and the in-memory meta carries the load path
+    assert loaded["bucket_stats"]["n_entries"] > 0
+    assert loaded["path"] == path
