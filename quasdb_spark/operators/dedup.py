@@ -1124,6 +1124,12 @@ def ensure_banded(index: DataFrame, meta: dict, *, mode: str = "auto",
                 chosen, chosen_stats = d, st
                 break
         if chosen is None:
+            if target_bands:
+                raise StaleIndexError(
+                    f"re-band to n_bands={target_bands} still leaves "
+                    f"a bucket over the cap ({cap}) — pick a smaller "
+                    "target (longer keys) or let auto choose "
+                    "(target_bands=None)")
             raise StaleIndexError(
                 f"dedup index bucket of {stats['max_bucket']} entries "
                 f"(cap {cap}) is IDENTICAL-signature mass: even "
