@@ -20,6 +20,7 @@ Scale design (100 TB corpus):
 from __future__ import annotations
 
 import os
+import threading
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
@@ -319,6 +320,15 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
         F.col(id_col),
         F.explode(F.array(*[k for k in lsh_band_keys(
             n_bands=n_bands, rows_per_band=rows_per_band)])).alias("band_key"))
+    # r15: persist the banded rows BEFORE the self-join. Both sides of
+    # the band-key join (and the hot-bucket guard's aggregate) read
+    # this frame — without the cache each side re-runs the whole
+    # signature pass over the corpus (the plan showed the Arrow
+    # signature UDF evaluated twice). The cached rows are (id,
+    # band_key) only — docs x n_bands small rows, a tiny fraction of
+    # corpus bytes (guide §5: cache when reuse beats recompute; here
+    # recompute is the dominant map cost).
+    bands = bands.persist()
     if max_bucket_size is not None:
         bands = drop_hot_buckets(bands, ["band_key"], max_bucket_size)
     a = bands.alias("a")
@@ -696,7 +706,12 @@ def simhash_hamming_pairs_banded(sim: DataFrame, id_col: str = "doc_id", *,
         offs.append(off)
         widths.append(w)
         off += w
-    s = sim.select(F.col(id_col).alias("_id"), "simhash")
+    # r15: ``sim`` is usually a full corpus aggregation (dedup.simhash)
+    # and this function reads it four ways (both sides of the band
+    # self-join + both verify sides) — persist the (id, simhash) rows
+    # so the upstream aggregate runs once, not four times. Tiny rows:
+    # id + ``bits`` chars (guide §5: reuse beats recompute).
+    s = sim.select(F.col(id_col).alias("_id"), "simhash").persist()
     keys = F.array(*[F.substring("simhash", offs[b], widths[b])
                      for b in range(n_bands)])
     bands = s.select("_id", F.posexplode(keys).alias("_band", "_key"))
@@ -732,7 +747,8 @@ def simhash_hamming_pairs(sim: DataFrame, id_col: str = "doc_id", *,
     regime (large max_hamming) where banding degenerates.
     """
     s = sim.select(F.col(id_col), "simhash",
-                   F.substring("simhash", 1, prefix_bits).alias("_bucket"))
+                   F.substring("simhash", 1, prefix_bits).alias("_bucket")) \
+           .persist()  # both self-join sides re-run ``sim`` otherwise
     a, b = s.alias("a"), s.alias("b")
     pairs = (a.join(b, (F.col("a._bucket") == F.col("b._bucket")) &
                     (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")))
@@ -844,13 +860,33 @@ def load_dedup_index(spark, path: str) -> tuple[DataFrame, dict]:
 
     from .. import fsio
 
+    # open-handle memo (the quantizer._DF_MEMO pattern): per (Spark
+    # app, path, sidecar mtime) the parsed meta and the lazy scan
+    # DataFrame are reused — a DataFrame holds no data, and every
+    # append/reband rewrites the sidecar, bumping the mtime. Probing
+    # queries were re-paying sidecar read + datasource resolution on
+    # every call (~0.1-0.2 s at sf0.1). POSIX-path only: remote
+    # sidecars (s3a/hdfs) have no local mtime, so they take the
+    # uncached branch unchanged.
+    mtime = _sidecar_mtime(path)
+    mk = (spark.sparkContext.applicationId, path, mtime)
+    if mtime is not None:
+        with _IDX_LOCK:
+            hit = _IDX_MEMO.get(mk)
+        if hit is not None:
+            df, meta = hit
+            return df, dict(meta)
     meta = json.loads(
         fsio.read_text(spark, f"{path}/_dedup_index_meta.json"))
     # in-memory only (never persisted): where this index was actually
     # loaded from — ensure_banded needs it to re-band/persist, same as
     # the ANN sidecars' path stamping (quantizer._ensure_meta)
     meta["path"] = path
-    return spark.read.parquet(path), meta
+    df = spark.read.parquet(path)
+    if mtime is not None:
+        with _IDX_LOCK:
+            _IDX_MEMO[mk] = (df, dict(meta))
+    return df, dict(meta)
 
 
 def check_against_index(new_df: DataFrame, index: DataFrame, meta: dict,
@@ -983,6 +1019,12 @@ _AUTO_MAX_BUCKET_ROWS = 65536
 # healthy-verdict memo: (index path, sidecar mtime_ns, cap) -> stats.
 # Sidecar rewrites (append/reband) bump the mtime, invalidating it.
 _BANDED_MEMO: dict[tuple, dict] = {}
+
+# open-handle memo for load_dedup_index: (app id, path, sidecar
+# mtime_ns) -> (scan DataFrame, parsed meta). Same invalidation rule
+# as _BANDED_MEMO; callers get a fresh dict copy of the meta.
+_IDX_MEMO: dict[tuple, tuple] = {}
+_IDX_LOCK = threading.Lock()
 
 
 def index_bucket_stats(index: DataFrame) -> dict:

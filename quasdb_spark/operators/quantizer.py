@@ -42,6 +42,16 @@ _SCHEMA = "c_label long, centroid array<double>"
 
 # process-local cache: artifact_key -> list[(label, [floats])]
 _MEM: dict[str, list] = {}
+# open-handle memo: loaded artifact DataFrames, keyed by (Spark app id,
+# artifact key/path, sidecar mtime_ns). A DataFrame is a lazy plan —
+# holding one caches NO data, it only skips the per-query py4j
+# createDataFrame / datasource-resolution round-trips (~0.2-0.3 s per
+# warm ivf query at sf0.1, guide §1.2: the production engine keeps the
+# index handle open between searches; re-opening it per query was
+# accidental overhead, not a semantic). Invalidation mirrors
+# _TUNED_MEMO: every build/append/retune/adopt rewrites the sidecar,
+# bumping its mtime and forcing a fresh read.
+_DF_MEMO: dict[tuple, DataFrame] = {}
 # ensure_tuned healthy-verdict memo: (artifact path, sidecar
 # mtime_ns, cap) -> (n_clusters, n_vectors). Sidecar rewrites
 # (append/retune/adopt) bump the mtime, invalidating the entry.
@@ -250,6 +260,30 @@ def _stamp(df: DataFrame, meta: dict | None) -> DataFrame:
     return df
 
 
+def _memo_read(spark: SparkSession, path: str, schema: str,
+               fingerprint: str, key: str) -> DataFrame:
+    """Read a parquet artifact through the open-handle memo: the lazy
+    scan DataFrame is reused per (app, path, sidecar mtime) — see
+    _DF_MEMO. The stamped meta is re-derived each call so relocated /
+    adopted sidecars behave exactly as before."""
+    meta = _ensure_meta(path, fingerprint, key)
+    try:
+        mtime = os.stat(os.path.join(path, _META_NAME)).st_mtime_ns
+    except OSError:
+        mtime = None
+    mk = ("scan", spark.sparkContext.applicationId, path, schema, mtime)
+    if mtime is not None:
+        with _LOCK:
+            df = _DF_MEMO.get(mk)
+        if df is not None:
+            return _stamp(df, meta)
+    df = spark.read.schema(schema).parquet(path)
+    if mtime is not None:
+        with _LOCK:
+            _DF_MEMO[mk] = df
+    return _stamp(df, meta)
+
+
 def get_or_train(vectors: DataFrame, n_clusters: int, *,
                  fingerprint: str, id_col: str = "vec_id",
                  vec_col: str = "embedding", n_iter: int = 2,
@@ -281,7 +315,14 @@ def get_or_train(vectors: DataFrame, n_clusters: int, *,
                 with _LOCK:
                     _MEM[key] = rows
         if rows is not None:
-            return spark.createDataFrame(rows, _SCHEMA)
+            mk = ("cents", spark.sparkContext.applicationId, key)
+            with _LOCK:
+                df = _DF_MEMO.get(mk)
+            if df is None:
+                df = spark.createDataFrame(rows, _SCHEMA)
+                with _LOCK:
+                    _DF_MEMO[mk] = df
+            return df
         mode = on_miss or os.environ.get("QUASDB_IVF_ON_MISS", "train")
         if mode == "raise":
             raise QuantizerMiss(
@@ -303,9 +344,11 @@ def get_or_train(vectors: DataFrame, n_clusters: int, *,
     _save(rows, path, {"fingerprint": fingerprint, "k": n_clusters,
                        "n_iter": n_iter, "sample_cap": sample_cap,
                        "round_to": round_to})
+    df = spark.createDataFrame(rows, _SCHEMA)
     with _LOCK:
         _MEM[key] = rows
-    return spark.createDataFrame(rows, _SCHEMA)
+        _DF_MEMO[("cents", spark.sparkContext.applicationId, key)] = df
+    return df
 
 
 _LISTS_SCHEMA = ("vec_id long, vec array<double>, vec_norm double, "
@@ -368,8 +411,7 @@ def get_or_build_lists(vectors: DataFrame, centroids: DataFrame, *,
             "n_vectors": n_vecs,
             "params": {"n_clusters": n_clusters, "n_iter": n_iter,
                        "sample_cap": sample_cap, "round_to": round_to}})
-    return _stamp(spark.read.schema(_LISTS_SCHEMA).parquet(path),
-                  _ensure_meta(path, fingerprint, key))
+    return _memo_read(spark, path, _LISTS_SCHEMA, fingerprint, key)
 
 
 def append_to_lists(new_vectors: DataFrame, centroids: DataFrame, *,
@@ -952,9 +994,15 @@ def get_or_train_pq(vectors: DataFrame, *, fingerprint: str,
             except (OSError, ValueError, KeyError):
                 rows = None
         if rows is not None:
+            mk = ("pqcb", spark.sparkContext.applicationId, key)
             with _LOCK:
                 _MEM["pq:" + key] = rows
-            return spark.createDataFrame(rows, _PQ_SCHEMA)
+                df = _DF_MEMO.get(mk)
+            if df is None:
+                df = spark.createDataFrame(rows, _PQ_SCHEMA)
+                with _LOCK:
+                    _DF_MEMO[mk] = df
+            return df
     from quasdb_spark.operators.similarity import _pq_subspace
 
     sub = dims // m
@@ -980,9 +1028,11 @@ def get_or_train_pq(vectors: DataFrame, *, fingerprint: str,
     finally:
         if os.path.exists(tmp):
             os.unlink(tmp)
+    df = spark.createDataFrame(rows, _PQ_SCHEMA)
     with _LOCK:
         _MEM["pq:" + key] = rows
-    return spark.createDataFrame(rows, _PQ_SCHEMA)
+        _DF_MEMO[("pqcb", spark.sparkContext.applicationId, key)] = df
+    return df
 
 
 def get_or_build_codes(vectors: DataFrame, codebooks: DataFrame, *,
@@ -1008,8 +1058,7 @@ def get_or_build_codes(vectors: DataFrame, codebooks: DataFrame, *,
          .write.mode("overwrite").parquet(path))
         _write_artifact_meta(path, {"fingerprint": fingerprint,
                                     "key": key, "ops": ["build"]})
-    return _stamp(spark.read.schema(_CODES_SCHEMA).parquet(path),
-                  _ensure_meta(path, fingerprint, key))
+    return _memo_read(spark, path, _CODES_SCHEMA, fingerprint, key)
 
 
 _CODES_ARRAY_SCHEMA = "vec_id long, codes array<long>"
@@ -1062,5 +1111,4 @@ def get_or_build_codes_array(vectors: DataFrame, codebooks: DataFrame, *,
          .write.mode("overwrite").parquet(path))
         _write_artifact_meta(path, {"fingerprint": fingerprint,
                                     "key": key, "ops": ["build"]})
-    return _stamp(spark.read.schema(_CODES_ARRAY_SCHEMA).parquet(path),
-                  _ensure_meta(path, fingerprint, key))
+    return _memo_read(spark, path, _CODES_ARRAY_SCHEMA, fingerprint, key)
