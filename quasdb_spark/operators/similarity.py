@@ -25,22 +25,57 @@ from quasdb_spark.operators.dedup import drop_hot_buckets
 from quasdb_spark.plans.parallel import ensure_parallelism
 
 
-def dot(a: Column, b: Column) -> Column:
+# SQL-text twins of the fold expressions below. Building a fold through
+# the Column API costs ~30 py4j round-trips (each HOF lambda is its own
+# gateway exchange); parsing the same expression as ONE F.expr string is
+# a single round-trip and yields the IDENTICAL Catalyst tree (same
+# lambda structure, same double-typed zero via the cast, which
+# constant-folds to the same Literal(0.0d)) — so results are
+# bit-identical while DataFrame CONSTRUCTION drops ~10x. Measured:
+# ivfpq_topk construction 1.59 s -> this is the dominant term of every
+# warm sim_* query at demo scale, and pure serial driver time at any
+# scale. The str overloads below take a SQL expression SNIPPET (column
+# name or rendered expression), not a quoted identifier.
+_DOT_SQL = ("aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+            "cast(0.0 as double), (acc, v) -> acc + v)")
+_NORM_SQL = ("sqrt(aggregate({a}, cast(0.0 as double), "
+             "(acc, v) -> acc + v * v))")
+
+
+def _dot_sql(a: str, b: str) -> str:
+    return _DOT_SQL.format(a=a, b=b)
+
+
+def _norm_sql(a: str) -> str:
+    return _NORM_SQL.format(a=a)
+
+
+def dot(a: Column | str, b: Column | str) -> Column:
     """Sequential-fold dot product in double (deterministic)."""
+    if isinstance(a, str) and isinstance(b, str):
+        return F.expr(_dot_sql(a, b))
     return F.aggregate(F.zip_with(a, b, lambda x, y: x * y),
                        F.lit(0.0), lambda acc, v: acc + v)
 
 
-def norm(a: Column) -> Column:
+def norm(a: Column | str) -> Column:
+    if isinstance(a, str):
+        return F.expr(_norm_sql(a))
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
 
-def cosine(a: Column, b: Column) -> Column:
+def cosine(a: Column | str, b: Column | str) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
 def _as_double(col: str) -> Column:
     return F.col(col).cast("array<double>")
+
+
+def _adq(col: str) -> str:
+    """SQL text of ``_as_double``: the cast rendered as a snippet for
+    the string fast paths above (identical Cast node once parsed)."""
+    return f"cast(`{col}` as array<double>)"
 
 
 def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -61,15 +96,15 @@ def cosine_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # degenerate row. cosine_topk_blocked shares this contract.
     q = queries.select(F.col(qid).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn")) \
+                       norm(_adq(vec_col)).alias("_qn")) \
                .where(F.col("_qn") > 0)
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
-                       norm(_as_double(vec_col)).alias("_vn")) \
+                       norm(_adq(vec_col)).alias("_vn")) \
                .where(F.col("_vn") > 0)
     scored = (F.broadcast(q).crossJoin(v)
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+              .withColumn("score", dot("_qv", "_vv")
                           / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
@@ -287,6 +322,22 @@ def hyperplane_signs(n_bits: int, dims: int, seed: int = 0) -> list[list[float]]
             for j in range(n_bits)]
 
 
+def _plane_proj_sql(v_sql: str, w: list[float]) -> str:
+    """SQL text of one ±1-plane projection fold: identical tree to the
+    Column-API ``aggregate(zip_with(v, ws, x*s), 0.0d, acc+t)`` form
+    (the D suffix makes every sign a DoubleType literal, matching
+    F.lit(±1.0)), at one py4j round-trip per PLANE instead of one per
+    literal."""
+    lits = ", ".join("1.0D" if x > 0 else "-1.0D" for x in w)
+    return (f"aggregate(zip_with({v_sql}, array({lits}), "
+            f"(x, s) -> x * s), cast(0.0 as double), (acc, t) -> acc + t)")
+
+
+def _plane_bit_sql(v_sql: str, w: list[float]) -> str:
+    return (f"(CASE WHEN {_plane_proj_sql(v_sql, w)} >= 0 "
+            f"THEN '1' ELSE '0' END)")
+
+
 def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
                       dims: int = 64, seed: int = 0) -> Column:
     """SimHash-for-vectors bucket: sign of the projection onto
@@ -318,14 +369,14 @@ def hyperplane_bucket(vec_col: str = "embedding", n_bits: int = 8, *,
     # lambda is re-evaluated per fold step (dims × n_bits × dims
     # literal evals per row — measured 10x slower per row than this
     # form, which evaluates each plane's literals once per bit).
-    bits = []
-    for w in hyperplane_signs(n_bits, dims, seed):
-        ws = F.array(*[F.lit(x) for x in w])
-        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
-                           F.lit(0.0), lambda acc, t: acc + t)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
+    # The whole bit string parses as ONE SQL expression (see the
+    # _DOT_SQL note): n_bits×dims literal Columns took ~1 py4j round
+    # trip each to construct; the parsed tree is identical.
+    bits = F.expr("concat(" + ", ".join(
+        _plane_bit_sql(_adq(vec_col), w) for w in
+        hyperplane_signs(n_bits, dims, seed)) + ")")
     return F.when(v.isNull(), F.lit(None).cast("string")).otherwise(
-        F.when(guard.isNull(), F.concat(*bits)))
+        F.when(guard.isNull(), bits))
 
 
 def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
@@ -359,7 +410,7 @@ def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                          "(all one-bit-flip probes)")
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn"),
+                       norm(_adq(vec_col)).alias("_qn"),
                        bucket().alias("_b0"))
     if probe_hamming == 1:
         def flip(i: int) -> Column:
@@ -374,11 +425,11 @@ def bucketed_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
         q = q.withColumnRenamed("_b0", "_bucket")
     v = vectors.select(F.col(id_col).alias("neighbor_id"),
                        _as_double(vec_col).alias("_vv"),
-                       norm(_as_double(vec_col)).alias("_vn"),
+                       norm(_adq(vec_col)).alias("_vn"),
                        bucket().alias("_bucket"))
     scored = (F.broadcast(q).join(v, "_bucket")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+              .withColumn("score", dot("_qv", "_vv")
                           / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
@@ -407,7 +458,7 @@ def neardup_pairs_cosine(vectors: DataFrame, *, id_col: str = "vec_id",
                        _as_double(vec_col).alias("_vb"))
     pairs = (F.broadcast(a).crossJoin(b)
              .where(F.col("id_a") < F.col("id_b"))
-             .withColumn("score", cosine(F.col("_va"), F.col("_vb")))
+             .withColumn("score", cosine("_va", "_vb"))
              .where(F.col("score") >= threshold))
     return pairs.select("id_a", "id_b", (F.round("score", 4) + F.lit(0.0)).alias("score"))
 
@@ -433,16 +484,13 @@ def hyperplane_band_keys(vec_col: str, n_bands: int, band_bits: int, *,
         F.format_string(
             "hyperplane_band_keys: vector length %s != dims " + str(dims),
             F.size(v)))
-    bits = []
-    for w in hyperplane_signs(n_bands * band_bits, dims, seed):
-        ws = F.array(*[F.lit(x) for x in w])
-        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
-                           F.lit(0.0), lambda acc, t: acc + t)
-        bits.append(F.when(proj >= 0, F.lit("1")).otherwise(F.lit("0")))
-    bands = [F.concat(*bits[b * band_bits:(b + 1) * band_bits])
-             for b in range(n_bands)]
+    bit_sqls = [_plane_bit_sql(_adq(vec_col), w)
+                for w in hyperplane_signs(n_bands * band_bits, dims, seed)]
+    bands = F.expr("array(" + ", ".join(
+        "concat(" + ", ".join(bit_sqls[b * band_bits:(b + 1) * band_bits])
+        + ")" for b in range(n_bands)) + ")")
     return F.when(v.isNull(), F.lit(None).cast("array<string>")).otherwise(
-        F.when(guard.isNull(), F.array(*bands)))
+        F.when(guard.isNull(), bands))
 
 
 def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
@@ -502,7 +550,7 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
     # O(pairs) norm folds into O(corpus)).
     e = ensure_parallelism(vectors).select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
-        norm(_as_double(vec_col)).alias("_n"),
+        norm(_adq(vec_col)).alias("_n"),
         keys.alias("_keys")).persist()
     return _banded_pairs_from_frame(e, threshold, max_bucket_size)
 
@@ -527,7 +575,7 @@ def _banded_pairs_from_frame(e: DataFrame, threshold: float,
     vb = e.select(F.col("_id").alias("id_b"), F.col("_v").alias("_vb"),
                   F.col("_n").alias("_nb"))
     return (cand.join(va, "id_a").join(vb, "id_b")
-                .withColumn("score", dot(F.col("_va"), F.col("_vb"))
+                .withColumn("score", dot("_va", "_vb")
                             / (F.col("_na") * F.col("_nb")))
                 .where(F.col("score") >= threshold)
                 .select("id_a", "id_b",
@@ -617,7 +665,7 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
     e = ensure_parallelism(vectors).select(
         F.col(id_col).alias("_id"), F.col(label_col).alias("_lbl"),
         _as_double(vec_col).alias("_v"),
-        norm(_as_double(vec_col)).alias("_n"),
+        norm(_adq(vec_col)).alias("_n"),
         keys.alias("_keys")).persist()
     bands = e.select("_id", "_lbl",
                      F.posexplode("_keys").alias("_band", "_key"))
@@ -638,7 +686,7 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     vb = e.select(F.col("_id").alias("negative_id"),
                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
-    score_expr = (dot(F.col("_va"), F.col("_vb"))
+    score_expr = (dot("_va", "_vb")
                   / (F.col("_na") * F.col("_nb")))
     scored = (cand.join(va, "anchor_id").join(vb, "negative_id")
               .withColumn("score", score_expr))
@@ -793,7 +841,7 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
                                     dims=dims, seed=seed)
         return ensure_parallelism(df).select(
             F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
-            norm(_as_double(vec_col)).alias("_n"), keys.alias("_keys"))
+            norm(_adq(vec_col)).alias("_n"), keys.alias("_keys"))
 
     c = frame(corpus)
     b = frame(benchmark).persist()
@@ -827,7 +875,7 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
     vb = b.select(F.col("_id").alias("benchmark_id"),
                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
     return (cand.join(F.broadcast(vb), "benchmark_id")
-                .withColumn("score", dot(F.col("_v"), F.col("_vb"))
+                .withColumn("score", dot("_v", "_vb")
                             / (F.col("_n") * F.col("_nb")))
                 .where(F.col("score") >= threshold)
                 .select("corpus_id", "benchmark_id",
@@ -878,7 +926,7 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
     # order unchanged — scores bit-identical)
     b = ensure_parallelism(vectors).select(
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
-        norm(_as_double(vec_col)).alias("_vn"),
+        norm(_adq(vec_col)).alias("_vn"),
         hyperplane_bucket(vec_col, n_bits, dims=dims,
                           seed=seed).alias("_bucket")).persist()
     if max_bucket_size is not None:
@@ -891,7 +939,7 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
                      F.col("_vn").alias("_rn"), "_bucket")
     scored = (left.join(right, "_bucket")
               .where(F.col("src") != F.col("dst"))
-              .withColumn("_score", dot(F.col("_lv"), F.col("_rv"))
+              .withColumn("_score", dot("_lv", "_rv")
                           / (F.col("_ln") * F.col("_rn"))))
     w = Window.partitionBy("src").orderBy(F.col("_score").desc(),
                                           F.col("dst").asc())
@@ -919,6 +967,47 @@ def label_centroids(vectors: DataFrame, *, label_col: str = "label",
             .agg(F.transform(
                 F.array_sort(F.collect_list(F.struct("pos", "cx"))),
                 lambda s: s["cx"]).alias("centroid")))
+
+
+def _md5_ranked_sample(base: DataFrame, sample_cap: int) -> list:
+    """The bounded deterministic training draw shared by every sampled
+    trainer (kmeans_centroids, pq_quantization): the ``sample_cap``
+    rows of ``base`` (columns ``_id``, ``_v``) ranked first by
+    (md5(id), id), collected in rank order. Corpora over the cap take
+    the distributed md5-threshold pre-filter first (see the inline
+    note) so the global top-cap never ships tasks × cap full vectors
+    to the driver."""
+    src = base
+    n = base.count()
+    if n > sample_cap:
+        # Distributed pre-filter before the global top-cap: a bare
+        # orderBy(md5).limit(cap) plans as TakeOrderedAndProject,
+        # which ships every task's top-cap of FULL VECTORS to the
+        # driver — tasks x cap x dims doubles blew
+        # spark.driver.maxResultSize at the 1000x sweep (2M
+        # vectors, 33+ tasks x ~31 MB). The md5 prefix is uniform
+        # on [0, 2^32), so a value threshold at ~1.05x the target
+        # fraction keeps ~1.05*cap candidate rows GLOBALLY, and
+        # the exact top-cap by (md5, id) among the survivors IS
+        # the global top-cap whenever >= cap rows survive (every
+        # top-cap md5 lies below the threshold by construction).
+        # Pure function of the data (n = count), so determinism
+        # and oracle parity hold; corpora <= cap never take this
+        # branch, so test-SF behavior is bit-unchanged. On the
+        # rare under-fill (uniformity tail), fall back to the
+        # exact path — correctness over the driver-size guard.
+        thr = min(4294967296,
+                  int(1.05 * sample_cap / n * 4294967296))
+        md5v = F.conv(F.substring(
+            F.md5(F.col("_id").cast("string")), 1, 8), 16, 10) \
+            .cast("bigint")
+        cand = base.where(md5v < F.lit(thr))
+        if cand.count() >= sample_cap:
+            src = cand
+    return (src
+            .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
+            .limit(sample_cap)
+            .select("_v").collect())
 
 
 def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
@@ -959,37 +1048,7 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
     if sample_cap is not None:
         base = vectors.select(F.col(id_col).alias("_id"),
                               _as_double(vec_col).alias("_v"))
-        src = base
-        n = base.count()
-        if n > sample_cap:
-            # Distributed pre-filter before the global top-cap: a bare
-            # orderBy(md5).limit(cap) plans as TakeOrderedAndProject,
-            # which ships every task's top-cap of FULL VECTORS to the
-            # driver — tasks x cap x dims doubles blew
-            # spark.driver.maxResultSize at the 1000x sweep (2M
-            # vectors, 33+ tasks x ~31 MB). The md5 prefix is uniform
-            # on [0, 2^32), so a value threshold at ~1.05x the target
-            # fraction keeps ~1.05*cap candidate rows GLOBALLY, and
-            # the exact top-cap by (md5, id) among the survivors IS
-            # the global top-cap whenever >= cap rows survive (every
-            # top-cap md5 lies below the threshold by construction).
-            # Pure function of the data (n = count), so determinism
-            # and oracle parity hold; corpora <= cap never take this
-            # branch, so test-SF behavior is bit-unchanged. On the
-            # rare under-fill (uniformity tail), fall back to the
-            # exact path — correctness over the driver-size guard.
-            thr = min(4294967296,
-                      int(1.05 * sample_cap / n * 4294967296))
-            md5v = F.conv(F.substring(
-                F.md5(F.col("_id").cast("string")), 1, 8), 16, 10) \
-                .cast("bigint")
-            cand = base.where(md5v < F.lit(thr))
-            if cand.count() >= sample_cap:
-                src = cand
-        sample = (src
-                  .orderBy(F.md5(F.col("_id").cast("string")), F.col("_id"))
-                  .limit(sample_cap)
-                  .select("_v").collect())
+        sample = _md5_ranked_sample(base, sample_cap)
         rows = _kmeans_numpy([r["_v"] for r in sample], n_clusters,
                              n_iter=n_iter, round_to=round_to)
         return spark.createDataFrame(rows, "c_label long, centroid array<double>")
@@ -1010,7 +1069,7 @@ def kmeans_centroids(vectors: DataFrame, n_clusters: int, *,
         for _ in range(n_iter):
             cents = F.broadcast(spark.createDataFrame(cents_rows, schema))
             scored = (v.crossJoin(cents)
-                       .withColumn("_cs", cosine(F.col("_v"), F.col("centroid"))))
+                       .withColumn("_cs", cosine("_v", "centroid")))
             # argmax via max_by over (score, -label): one hash aggregate
             # with map-side combine, no per-id window sort
             assigned = scored.groupBy("_id").agg(
@@ -1088,7 +1147,7 @@ def _nearest_lists(df, cn, id_alias, vec_alias, norm_alias, top_n):
     the corpus-sized path: one hash aggregate (map-side combine), no
     per-id window sort over n x n_lists rows."""
     scored = (df.crossJoin(F.broadcast(cn))
-                .withColumn("_cs", dot(F.col(vec_alias), F.col("centroid"))
+                .withColumn("_cs", dot(f"`{vec_alias}`", "centroid")
                             / (F.col(norm_alias) * F.col("_cn"))))
     if top_n == 1:
         return scored.groupBy(id_alias).agg(
@@ -1118,11 +1177,11 @@ def ivf_assign(vectors: DataFrame, centroids: DataFrame, *,
     full-corpus assignment pays an O(corpus x n_lists) scan per
     execution and erases the n_lists/nprobe advantage (VERDICT r4)."""
     cn = (centroids.select("c_label", "centroid")
-          .withColumn("_cn", norm(F.col("centroid"))))
+          .withColumn("_cn", norm("centroid")))
     v = ensure_parallelism(
         vectors.select(F.col(id_col).alias("vec_id"),
                        _as_double(vec_col).alias("vec"),
-                       norm(_as_double(vec_col)).alias("vec_norm")))
+                       norm(_adq(vec_col)).alias("vec_norm")))
     return (_nearest_lists(v, cn, "vec_id", "vec", "vec_norm", 1)
             .withColumnRenamed("c_label", "list_label")
             .select("vec_id", "vec", "vec_norm", "list_label"))
@@ -1321,16 +1380,16 @@ def ivf_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                     .withColumnsRenamed({"vec_id": "neighbor_id",
                                          "vec": "_vv",
                                          "vec_norm": "_vn"}))
-    cn = cents.withColumn("_cn", norm(F.col("centroid")))
+    cn = cents.withColumn("_cn", norm("centroid"))
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn"))
+                       norm(_adq(vec_col)).alias("_qn"))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
         .withColumnRenamed("c_label", "list_label")
 
     scored = (F.broadcast(probes).join(assigned, "list_label")
               .where(F.col("query_id") != F.col("neighbor_id"))
-              .withColumn("score", dot(F.col("_qv"), F.col("_vv"))
+              .withColumn("score", dot("_qv", "_vv")
                           / (F.col("_qn") * F.col("_vn"))))
     w = Window.partitionBy("query_id").orderBy(
         F.col("score").desc(), F.col("neighbor_id").asc())
@@ -1410,35 +1469,54 @@ def pq_quantization(vectors: DataFrame, *, m: int = 4, k: int = 8,
     the normalized-embedding corpora these pipelines process, the two
     agree up to the subvector-norm weighting).
 
-    Scale shape: per subspace, TRAINING sees only the bounded
-    md5-ranked sample (never the corpus); the corpus is then ASSIGNED
-    map-side against k broadcast centroids and aggregated per
-    (subspace, code) with map-side combine — m*k output rows and the
-    corpus never shuffles (the sim_ivf_quantization plan family, m
-    times). ``dims % m`` must be 0; subvector widths stay equal.
+    Scale shape (r15: single-pass): TRAINING sees only ONE bounded
+    md5-ranked sample of FULL vectors — every subspace's independent
+    sample draw ranked the same ids, so slicing the one collected
+    sample per subspace is the identical draw (slice commutes with the
+    ranking) — and Lloyd runs per subspace driver-side on that sample
+    (the kmeans_centroids sample_cap contract, bit-identical folds).
+    The corpus is then ASSIGNED in ONE map-side pass that scores all m
+    subspaces against the broadcast nested codebooks and aggregates
+    per (subspace, code) with map-side combine — m*k output rows, one
+    corpus scan and one bounded shuffle instead of m of each (was 4
+    count jobs + 4 sample collects + 4 corpus scans; measured
+    3.3 s -> ~1.3 s at sf0.1, and a 100 TB health check reads the
+    corpus once). Scores/argmax are bit-identical: the per-element
+    cosine is the same fold, and ``array_max`` over
+    struct(_cs, -label) is the same comparator ``max_by`` used.
+    ``dims % m`` must be 0; subvector widths stay equal.
     """
     if dims % m:
         raise ValueError(f"pq_quantization: dims {dims} not divisible "
                          f"by m {m}")
     sub = dims // m
-    outs = []
-    for s in range(m):
-        cents, assigned = _pq_subspace(
-            vectors, s, sub, k, id_col=id_col, vec_col=vec_col,
-            n_iter=n_iter, sample_cap=sample_cap, round_to=round_to)
-        per = assigned.select(F.col("_a.c_label").alias("c_label"),
-                              F.round(F.col("_a._cs"), 6).alias("_cs6"))
-        outs.append(
-            per.groupBy("c_label")
+    spark = vectors.sparkSession
+    base = vectors.select(F.col(id_col).alias("_id"),
+                          _as_double(vec_col).alias("_v"))
+    full = [r["_v"] for r in _md5_ranked_sample(base, sample_cap)]
+    cb_by_s = [_kmeans_numpy([v[s * sub:(s + 1) * sub] for v in full], k,
+                             n_iter=n_iter, round_to=round_to)
+               for s in range(m)]
+    cb1 = spark.createDataFrame(
+        [([[(l, list(c)) for l, c in cb_by_s[s]] for s in range(m)],)],
+        "_cb array<array<struct<l: bigint, centroid: array<double>>>>")
+    sv = f"slice(_v, s * {sub} + 1, {sub})"
+    cos = (f"({_dot_sql(sv, 'e.centroid')} / "
+           f"({_norm_sql(sv)} * {_norm_sql('e.centroid')}))")
+    per = (base.crossJoin(F.broadcast(cb1))
+           .select(F.posexplode(F.expr(
+               f"transform(sequence(0, {m - 1}), s -> "
+               f"array_max(transform(element_at(_cb, s + 1), e -> "
+               f"struct({cos} as _cs, -e.l as _t))))"))
+               .alias("subspace", "_b"))
+           .select("subspace", (-F.col("_b._t")).alias("c_label"),
+                   F.round(F.col("_b._cs"), 6).alias("_cs6")))
+    return (per.groupBy("subspace", "c_label")
             .agg(F.count(F.lit(1)).alias("n_vecs"),
                  (F.round(F.avg("_cs6"), 4) + F.lit(0.0)).alias("avg_cos"),
                  (F.round(F.min("_cs6"), 6) + F.lit(0.0)).alias("min_cos"))
-            .select(F.lit(s).alias("subspace"), "c_label", "n_vecs",
-                    "avg_cos", "min_cos"))
-    out = outs[0]
-    for o in outs[1:]:
-        out = out.unionAll(o)
-    return out
+            .select("subspace", "c_label", "n_vecs", "avg_cos",
+                    "min_cos"))
 
 
 def _pq_subspace(vectors: DataFrame, s: int, sub: int, k: int, *,
@@ -1455,7 +1533,7 @@ def _pq_subspace(vectors: DataFrame, s: int, sub: int, k: int, *,
                              n_iter=n_iter, sample_cap=sample_cap,
                              round_to=round_to)
     scored = (sl.crossJoin(F.broadcast(cents))
-              .withColumn("_cs", cosine(F.col("_sv"), F.col("centroid"))))
+              .withColumn("_cs", cosine("_sv", "centroid")))
     assigned = scored.groupBy("_id").agg(
         F.max_by(F.struct("c_label", "_cs"),
                  F.struct(F.col("_cs"),
@@ -1484,8 +1562,7 @@ def pq_assign(vectors: DataFrame, codebooks: DataFrame, *,
             F.col(id_col).alias("vec_id"),
             F.slice(_as_double(vec_col), s * sub + 1, sub).alias("_sv"))
         assigned = (sl.crossJoin(F.broadcast(cents))
-                    .withColumn("_cs", cosine(F.col("_sv"),
-                                              F.col("centroid")))
+                    .withColumn("_cs", cosine("_sv", "centroid"))
                     .groupBy("vec_id")
                     .agg(F.max_by("c_label",
                                   F.struct(F.col("_cs"),
@@ -1591,7 +1668,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn"))
+                       norm(_adq(vec_col)).alias("_qn"))
     # Per-subspace codebooks: provided (the persisted-artifact serving
     # path — quantizer.get_or_train_pq) or trained inline (ad-hoc).
     # Provided codes skip the encode pass entirely: the corpus float
@@ -1614,8 +1691,7 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
                     F.slice(_as_double(vec_col), s * sub + 1, sub)
                     .alias("_sv"))
                 assigned = (sl.crossJoin(F.broadcast(cents))
-                            .withColumn("_cs", cosine(F.col("_sv"),
-                                                      F.col("centroid")))
+                            .withColumn("_cs", cosine("_sv", "centroid"))
                             .groupBy("_id")
                             .agg(F.max_by(
                                 F.struct("c_label", "_cs"),
@@ -1636,20 +1712,23 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # scores and the SQL oracle — are unchanged.
     cb1 = _codebooks_nested(cents_by_s, m)
     adc_q = q.crossJoin(F.broadcast(cb1))
-    a_cols, n_cols = [], []
-    for s in range(m):
-        qs = F.slice(F.col("_qv"), s * sub + 1, sub)
-        cents_s = F.element_at("_cb", s + 1)
-        a_cols.append(F.transform(
-            cents_s, lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
-        n_cols.append(F.transform(
-            cents_s, lambda c: F.round(dot(c, c) * 1e6).cast("long")))
+    # each nested table parses as ONE SQL expression (the _DOT_SQL
+    # note): m transform-over-codebook lambdas built per-Column cost
+    # ~0.5 s of py4j round-trips per query construction
     adc_tbl = adc_q.select(
         "query_id",
-        F.array(*a_cols).alias("_adc"),
-        F.array(*n_cols).alias("_cn2"))
+        F.expr("array(" + ", ".join(
+            f"transform(element_at(_cb, {s + 1}), c -> cast(round("
+            + _dot_sql(f"slice(_qv, {s * sub + 1}, {sub})", "c")
+            + " * 1e6, 0) as bigint))" for s in range(m)) + ")")
+        .alias("_adc"),
+        F.expr("array(" + ", ".join(
+            f"transform(element_at(_cb, {s + 1}), c -> cast(round("
+            + _dot_sql("c", "c")
+            + " * 1e6, 0) as bigint))" for s in range(m)) + ")")
+        .alias("_cn2"))
     cn = (centroids.select("c_label", "centroid")
-          .withColumn("_cn", norm(F.col("centroid"))))
+          .withColumn("_cn", norm("centroid")))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
         .withColumnRenamed("c_label", "list_label")
     # fold the nested ADC/norm tables INTO the broadcast probe frame
@@ -1736,11 +1815,10 @@ def _codebooks_nested(cents_by_s: list[DataFrame], m: int) -> DataFrame:
     flat = F.sort_array(F.collect_list(
         F.struct(F.col("_s"), F.col("c_label"), F.col("centroid"))))
     return (src.groupBy().agg(flat.alias("_flat"))
-            .select(F.transform(
-                F.sequence(F.lit(0), F.lit(m - 1)),
-                lambda s: F.transform(
-                    F.filter("_flat", lambda x: x["_s"] == s),
-                    lambda x: x["centroid"])).alias("_cb")))
+            .select(F.expr(
+                f"transform(sequence(0, {m - 1}), s -> transform("
+                "filter(_flat, x -> x._s = s), x -> x.centroid))")
+                .alias("_cb")))
 
 
 def _adc_lookup_sum(m: int, tbl: str) -> Column:
@@ -1752,15 +1830,10 @@ def _adc_lookup_sum(m: int, tbl: str) -> Column:
     # short/invalid codes array surface as NULL, which the guard then
     # reports with the artifact-mismatch message instead of a bare
     # INVALID_ARRAY_INDEX error.
-    terms = [F.try_element_at(
-                 F.try_element_at(F.col(tbl), F.lit(s + 1)),
-                 (F.try_element_at(F.col("_codes"), F.lit(s + 1)) + 1)
-                 .cast("int"))
-             for s in range(m)]
-    out = terms[0]
-    for t in terms[1:]:
-        out = out + t
-    return out
+    return F.expr(" + ".join(
+        f"try_element_at(try_element_at({tbl}, {s + 1}), "
+        f"cast(try_element_at(_codes, {s + 1}) + 1 as int))"
+        for s in range(m)))
 
 
 def _fold_codes_guard(scored: DataFrame, m: int, op: str,
@@ -1869,7 +1942,7 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
     sub = dims // m
     q = queries.select(F.col(id_col).alias("query_id"),
                        _as_double(vec_col).alias("_qv"),
-                       norm(_as_double(vec_col)).alias("_qn"))
+                       norm(_adq(vec_col)).alias("_qn"))
     res = residual_frame(centroids, lists)
     cents_by_s, code_frames = [], []
     for s in range(m):
@@ -1890,8 +1963,7 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
                             F.slice("_rv", s * sub + 1, sub)
                             .alias("_sv"))
             assigned = (sl.crossJoin(F.broadcast(cents))
-                        .withColumn("_cs", cosine(F.col("_sv"),
-                                                  F.col("centroid")))
+                        .withColumn("_cs", cosine("_sv", "centroid"))
                         .groupBy("vec_id")
                         .agg(F.max_by(
                             "c_label",
@@ -1908,38 +1980,32 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
     # table).
     cb1 = _codebooks_nested(cents_by_s, m)
     adc_q = q.crossJoin(F.broadcast(cb1))
-    a_cols = []
-    for s in range(m):
-        qs = F.slice(F.col("_qv"), s * sub + 1, sub)
-        a_cols.append(F.transform(
-            F.element_at("_cb", s + 1),
-            lambda c: F.round(dot(qs, c) * 1e6).cast("long")))
-    adc_tbl = adc_q.select("query_id", F.array(*a_cols).alias("_adc"))
+    adc_tbl = adc_q.select("query_id", F.expr("array(" + ", ".join(
+        f"transform(element_at(_cb, {s + 1}), c -> cast(round("
+        + _dot_sql(f"slice(_qv, {s * sub + 1}, {sub})", "c")
+        + " * 1e6, 0) as bigint))" for s in range(m)) + ")").alias("_adc"))
     # Per-list cross nested table: _xtb[s][code+1] =
     # 2<c_{list,s}, r̂_code> + |r̂_code|² micros — n_lists rows, same
     # single nested-codebook broadcast.
     cl = centroids.select(F.col("c_label").alias("list_label"),
                           F.col("centroid").alias("_cv"))
     xt = cl.crossJoin(F.broadcast(cb1))
-    x_cols = []
-    for s in range(m):
-        cs = F.slice(F.col("_cv"), s * sub + 1, sub)
-        x_cols.append(F.transform(
-            F.element_at("_cb", s + 1),
-            lambda c: F.round(dot(cs, c) * 2e6).cast("long")
-            + F.round(dot(c, c) * 1e6).cast("long")))
-    cross_tbl = xt.select("list_label",
-                          F.array(*x_cols).alias("_xtb"))
+    cross_tbl = xt.select("list_label", F.expr("array(" + ", ".join(
+        f"transform(element_at(_cb, {s + 1}), c -> cast(round("
+        + _dot_sql(f"slice(_cv, {s * sub + 1}, {sub})", "c")
+        + " * 2e6, 0) as bigint) + cast(round("
+        + _dot_sql("c", "c")
+        + " * 1e6, 0) as bigint))" for s in range(m)) + ")").alias("_xtb"))
     cn = (centroids.select("c_label", "centroid")
-          .withColumn("_cn", norm(F.col("centroid"))))
+          .withColumn("_cn", norm("centroid")))
     probes = _nearest_lists(q, cn, "query_id", "_qv", "_qn", nprobe) \
         .withColumnRenamed("c_label", "list_label")
     # Per (query, probed list): coarse dot + |c|² scalars, micros
     pl = (probes.join(F.broadcast(cl), "list_label")
           .select("query_id", "_qn", "list_label",
-                  F.round(dot(F.col("_qv"), F.col("_cv")) * 1e6)
+                  F.round(dot("_qv", "_cv") * 1e6)
                   .cast("long").alias("_qcm"),
-                  F.round(dot(F.col("_cv"), F.col("_cv")) * 1e6)
+                  F.round(dot("_cv", "_cv") * 1e6)
                   .cast("long").alias("_cn2m")))
     # fold the per-query ADC table AND the per-list cross table into
     # the broadcast probe frame (tiny query-side joins), so the
@@ -1996,18 +2062,18 @@ def random_project(vectors: DataFrame, out_dim: int = 16, *,
             "random_project: vector length %s != dims " + str(dims),
             F.size(v)))
     inv = 1.0 / (out_dim ** 0.5) if scale else 1.0
-    comps = []
     # One fold per output component, literals evaluated once per
     # component (see the hyperplane_bucket note: a literal matrix
-    # inside a single fold re-evaluates per step).
-    for w in hyperplane_signs(out_dim, dims, seed):
-        ws = F.array(*[F.lit(x) for x in w])
-        proj = F.aggregate(F.zip_with(v, ws, lambda x, s: x * s),
-                           F.lit(0.0), lambda acc, t: acc + t)
-        comps.append(proj * F.lit(inv))
+    # inside a single fold re-evaluates per step); the whole projected
+    # array parses as ONE SQL expression (the _DOT_SQL note — the
+    # repr()'d scale with a D suffix is the same DoubleType literal as
+    # F.lit(inv), so components are bit-identical).
+    comps = F.expr("array(" + ", ".join(
+        f"({_plane_proj_sql(_adq(vec_col), w)} * {inv!r}D)"
+        for w in hyperplane_signs(out_dim, dims, seed)) + ")")
     out = F.when(v.isNull(),
                  F.lit(None).cast("array<double>")).otherwise(
-        F.when(guard.isNull(), F.array(*comps)))
+        F.when(guard.isNull(), comps))
     return vectors.select(F.col(id_col), out.alias("projected"))
 
 
