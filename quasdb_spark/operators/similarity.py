@@ -499,7 +499,8 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
                          max_bucket_size: int | None = 1000,
                          hyperplanes: bool = True, dims: int = 64,
                          seed: int = 0,
-                         vectorized: bool = False) -> DataFrame:
+                         vectorized: bool = False,
+                         _release_to: list | None = None) -> DataFrame:
     """Embedding-cosine near-duplicate pairs via banded sign-LSH blocking
     (id_a < id_b, cos >= threshold) — the 100 TB-safe path.
 
@@ -532,6 +533,8 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
         e = signature_frame_pandas(
             vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
             band_bits=band_bits, dims=dims, seed=seed).persist()
+        if _release_to is not None:
+            _release_to.append(e)
         return _banded_pairs_from_frame(e, threshold, max_bucket_size)
     if hyperplanes:
         keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
@@ -552,6 +555,8 @@ def neardup_pairs_banded(vectors: DataFrame, *, id_col: str = "vec_id",
         F.col(id_col).alias("_id"), _as_double(vec_col).alias("_v"),
         norm(_adq(vec_col)).alias("_n"),
         keys.alias("_keys")).persist()
+    if _release_to is not None:
+        _release_to.append(e)
     return _banded_pairs_from_frame(e, threshold, max_bucket_size)
 
 
@@ -610,13 +615,14 @@ def semantic_dedup(vectors: DataFrame, *, id_col: str = "vec_id",
     """
     from quasdb_spark.operators.dedup import cluster_assign
 
+    owned: list = []
     pairs = neardup_pairs_banded(
         vectors, id_col=id_col, vec_col=vec_col, threshold=threshold,
         n_bands=n_bands, band_bits=band_bits,
         max_bucket_size=max_bucket_size, hyperplanes=True, dims=dims,
-        seed=seed, vectorized=vectorized)
+        seed=seed, vectorized=vectorized, _release_to=owned)
     labels = cluster_assign(pairs, vectors.select(id_col),
-                            id_col=id_col, n_iter=n_iter)
+                            id_col=id_col, n_iter=n_iter, release=owned)
     sizes = labels.groupBy("cluster_id").agg(
         F.count(F.lit(1)).alias("n_members"))
     return (labels.join(sizes, "cluster_id")

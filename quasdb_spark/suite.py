@@ -3146,8 +3146,11 @@ def q_dedup_clusters(spark, sf_dir):
     canonical keep-one doc. Emits only docs that belong to a
     multi-doc cluster (the interesting rows)."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
-    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
+    _owned: list = []
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast",
+                             _release_to=_owned)
+    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3,
+                              release=_owned)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("n_members")))
     return (labels.join(sizes, "cluster_id")
@@ -3164,8 +3167,11 @@ def q_dedup_clusters_cc(spark, sf_dir):
     reachability CTE, so this row cross-checks the contraction
     against a genuinely different algorithm."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
-    labels = D.cluster_assign_cc(pairs, d.select("doc_id"))
+    _owned: list = []
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast",
+                             _release_to=_owned)
+    labels = D.cluster_assign_cc(pairs, d.select("doc_id"),
+                                 release=_owned)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("n_members")))
     return (labels.join(sizes, "cluster_id")
@@ -3183,9 +3189,11 @@ def q_dedup_clusters_cc_xxh(spark, sf_dir):
     semantics pinned by the md5-vs-xxh parity tests plus the
     oracle-gated md5 row computing the same clusters."""
     d = _t(spark, sf_dir, "documents")
+    _owned: list = []
     pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast",
-                             base_hash="xxhash64")
-    labels = D.cluster_assign_cc(pairs, d.select("doc_id"))
+                             base_hash="xxhash64", _release_to=_owned)
+    labels = D.cluster_assign_cc(pairs, d.select("doc_id"),
+                                 release=_owned)
     sizes = (labels.groupBy("cluster_id")
              .agg(F.count(F.lit(1)).alias("n_members")))
     return (labels.join(sizes, "cluster_id")
@@ -3232,8 +3240,11 @@ def q_dedup_apply(spark, sf_dir):
     doc_id != cluster_id rows). Emits the surviving doc ids — the
     corpus a training run would actually read."""
     d = _t(spark, sf_dir, "documents")
-    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast")
-    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3)
+    _owned: list = []
+    pairs = D.near_dup_pairs(d, threshold=0.35, scheme="fast",
+                             _release_to=_owned)
+    labels = D.cluster_assign(pairs, d.select("doc_id"), n_iter=3,
+                              release=_owned)
     drop = labels.where(F.col("cluster_id") != F.col("doc_id")) \
                  .select("doc_id")
     return d.join(drop, "doc_id", "left_anti").select("doc_id", "lang")
