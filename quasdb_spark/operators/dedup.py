@@ -546,11 +546,16 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
         # re-attach to the min of that set
         sm = both_dirs(e1).where(F.col("v") < F.col("u"))
         g2 = sm.groupBy("u").agg(F.min("v").alias("mn"))
+        # NON-eager checkpoint: the fixpoint-stats job right below is
+        # the first action on ``e``, so it materializes the checkpoint
+        # as a side effect — one Spark job per round instead of two
+        # (eager checkpoint + separate stats job); later rounds read
+        # the checkpointed blocks either way.
         e = canon(sm.join(g2, "u")
                   .select(F.col("v").alias("a"), F.col("mn").alias("b"))
                   .union(g2.select(F.col("u").alias("a"),
                                    F.col("mn").alias("b")))
-                  ).localCheckpoint(eager=True)
+                  ).localCheckpoint(eager=False)
         cs = e.agg(F.expr("bit_xor(xxhash64(u, v))").alias("x"),
                    F.count(F.lit(1)).alias("n")).first()
         if prev == (cs["x"], cs["n"]):
@@ -1290,21 +1295,25 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     toks = F.coalesce(tokens(text_col), F.array(F.lit("")))
-    base = (df.select(F.col(id_col).alias("_id"), toks.alias("_t"),
+    # length-prefix each token ONCE PER DOC (before the window
+    # explode); per-window work is then slice + concat_ws + md5 over
+    # ready-made strings. Prefixing inside the per-window transform
+    # re-ran length+concat k times per token position — 2.5x the whole
+    # extraction pass at sf0.1 (1.75 s -> 0.70 s), and the extraction
+    # runs twice (count side + join side). Hash bytes are identical.
+    pref = F.transform(toks, lambda t: F.concat(
+        F.length(t).cast("string"), F.lit(":"), t))
+    base = (df.select(F.col(id_col).alias("_id"), pref.alias("_p"),
                       F.size(toks).alias("_n"))
               .where(F.col("_n") >= k))
     wins = (base.select(
-                "_id", "_t",
+                "_id", "_p",
                 F.explode(F.sequence(F.lit(0), F.col("_n") - k))
                  .alias("pos"))
                 .select("_id", "pos",
                         F.md5(F.concat_ws(
                             "\x1f",
-                            F.transform(
-                                F.slice(F.col("_t"), F.col("pos") + 1, k),
-                                lambda t: F.concat(
-                                    F.length(t).cast("string"),
-                                    F.lit(":"), t))))
+                            F.slice(F.col("_p"), F.col("pos") + 1, k)))
                          .alias("_h")))
     hot = (wins.groupBy("_h")
                .agg(F.count(F.lit(1)).alias("_c"))
@@ -1330,7 +1339,13 @@ def duplicate_spans(df: DataFrame, id_col: str = "doc_id",
         dup = (dup.join(first.hint("shuffle_hash"), "_h")
                   .where(~((F.col("_id") == F.col("_fid"))
                            & (F.col("pos") == F.col("_fpos")))))
-    dup = dup.select("_id", "pos").dropDuplicates(["_id", "pos"])
+    # NO dropDuplicates here: ``wins`` carries exactly one row per
+    # (_id, pos) by construction and both joins are 1:1 against
+    # distinct-_h frames, so the dedup was a corpus-scale
+    # exchange+aggregate that could never remove a row (and the span
+    # merge below is insensitive to duplicates anyway — a repeated pos
+    # gets _new = 0 and lands in the same span group).
+    dup = dup.select("_id", "pos")
     # interval-merge overlapping windows per doc: a new span starts
     # where pos exceeds the running max end of all earlier windows
     w = Window.partitionBy("_id").orderBy("pos")
