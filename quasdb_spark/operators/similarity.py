@@ -794,12 +794,24 @@ def _hard_negatives_bucketed(e: DataFrame, k: int,
     if max_bucket_size is not None:
         bands = drop_hot_buckets(bands, ["_band", "_key"],
                                  max_bucket_size)
-    cands = (bands.groupBy("_band", "_key")
-             .applyInPandas(score_bucket, out_schema)
-             .dropDuplicates(["anchor_id", "negative_id"]))
+    cands = bands.groupBy("_band", "_key").applyInPandas(
+        score_bucket, out_schema)
+    # Cross-bucket duplicates of an (anchor, negative) pair are
+    # FULL-ROW duplicates (scores are bit-identical in every shared
+    # bucket — see the Gram-order note above), so they sort adjacent
+    # under (score desc, negative_id asc) within the anchor partition
+    # and a lag() spots them. Doing the dedup inside the top-k window
+    # replaces a dedicated (anchor_id, negative_id) exchange
+    # (dropDuplicates over the full candidate volume) with one lag
+    # pass over the already-required anchor partitioning — the
+    # rank window reuses the same exchange AND sort (filters preserve
+    # sort order), so candidates now cross the network once.
     w = Window.partitionBy("anchor_id").orderBy(
         F.col("score").desc(), F.col("negative_id").asc())
-    return (cands.withColumn("rank", F.row_number().over(w))
+    uniq = (cands.withColumn(
+        "_dup", F.lag("negative_id").over(w) == F.col("negative_id"))
+        .where(~F.coalesce(F.col("_dup"), F.lit(False))))
+    return (uniq.withColumn("rank", F.row_number().over(w))
             .where(F.col("rank") <= k)
             .select("anchor_id", "rank", "negative_id", "anchor_label",
                     "negative_label",
