@@ -217,34 +217,43 @@ def bm25_search(df: DataFrame, query_terms: list[str], *,
     """Rank documents against a bag-of-terms query by Okapi BM25
     (Lucene idf variant: ln((N - df + 0.5)/(df + 0.5) + 1)).
 
-    Scale shape: one explode → per-doc length aggregate (two-phase),
-    a term-filtered tf aggregate (the explode is filtered to the
-    query's terms BEFORE the shuffle, so shuffle bytes scale with
-    matching tokens only), doc-freq from the tf table (one tiny
-    aggregate), and the corpus stats (N, avgdl) as a broadcast scalar.
-    Ranking is top-k over per-doc sums.
+    Scale shape (r15: single corpus scan): ONE projection computes the
+    per-doc length (size of tokens, map-side) AND the term-filtered
+    token array — the in-row array filter runs BEFORE the explode, so
+    only matching tokens ever become rows (the corpus-wide explode of
+    every token is gone). The tf aggregate carries dl with it (dl is
+    functionally dependent on the doc key), which removes the
+    all-docs dl join — previously the only corpus-sized exchange.
+    Doc-freq is one tiny aggregate over the tf table; corpus stats
+    (N, avgdl) broadcast as a scalar. Ranking is top-k over per-doc
+    sums. Shuffled bytes now scale with MATCHING tokens only.
 
     Determinism: each per-term partial score is rounded to integer
     MICROS before the per-doc sum — integer sums are order-free, so
     the final score is engine-identical; ranking rounds to 4 with
-    doc_id tiebreak (same contract as tfidf_topk).
+    doc_id tiebreak (same contract as tfidf_topk). tf/dl/n_docs/avgdl
+    values are unchanged — only where they are computed moved.
     """
-    # doc length is size(tokens) — map-side, no corpus-wide explode +
-    # shuffle (the explode is reserved for the term-FILTERED tf pass)
-    dl = df.select(F.col(id_col), F.size(tokens(text_col)).alias("dl"))
-    stats = dl.agg(F.count(F.lit(1)).alias("n_docs"),
-                   F.avg("dl").alias("avgdl"))
-    toks = df.select(F.col(id_col), F.explode(tokens(text_col)).alias("term"))
-    tf = (toks.where(F.col("term").isin(*query_terms))
-              .groupBy(id_col, "term").agg(F.count(F.lit(1)).alias("tf")))
+    # one scan: dl (map-side size) + the term-filtered token array.
+    # Codegen subexpression-eliminates the shared tokens() call.
+    base = df.select(
+        F.col(id_col), F.size(tokens(text_col)).alias("dl"),
+        F.filter(tokens(text_col),
+                 lambda t: t.isin(*query_terms)).alias("_ft"))
+    stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
+                     F.avg("dl").alias("avgdl"))
+    tf = (base.select(F.col(id_col), "dl",
+                      F.explode("_ft").alias("term"))
+              .groupBy(id_col, "term")
+              .agg(F.count(F.lit(1)).alias("tf"),
+                   F.min("dl").alias("dl")))  # dl constant per doc
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     idf = F.log((F.col("n_docs") - F.col("doc_freq") + 0.5)
                 / (F.col("doc_freq") + 0.5) + 1.0)
     tf_part = (F.col("tf") * (k1 + 1.0)) / (
         F.col("tf") + k1 * (1.0 - b + b * F.col("dl") / F.col("avgdl")))
     term_micros = F.round(idf * tf_part * 1e6).cast("long")
-    per_doc = (tf.join(dfreq, "term")
-                 .join(dl, id_col)
+    per_doc = (tf.join(F.broadcast(dfreq), "term")
                  .crossJoin(F.broadcast(stats))
                  .groupBy(id_col)
                  .agg(F.sum(term_micros).alias("_micros"),
@@ -858,7 +867,7 @@ def domain_mix_weights(df: DataFrame, domain_col: str = "source",
                     over.alias("oversample")))
 
 
-def importance_weights(df: DataFrame, target: DataFrame, *,
+def importance_weights(df: DataFrame, target: DataFrame | Column, *,
                        id_col: str = "doc_id", text_col: str = "text",
                        n_buckets: int = 256) -> DataFrame:
     """DSIR-style hashed-n-gram importance weights (Xie et al. 2023,
@@ -897,14 +906,30 @@ def importance_weights(df: DataFrame, target: DataFrame, *,
     """
     bucket = (F.conv(F.substring(F.md5(F.col("_t")), 1, 8), 16, 10)
               .cast("bigint") % n_buckets).alias("bucket")
-    toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
-                      .alias("_t"))
-            .select(id_col, bucket)
-            .persist())  # feeds the raw model AND the scoring pass
+    if isinstance(target, Column):
+        # r15: the target domain given as a PREDICATE over ``df``'s own
+        # columns (the common "target is a labeled subset" case) —
+        # tokenize the corpus ONCE and carry the flag, so the target
+        # model reads the same persisted token frame instead of
+        # re-running tokenize+explode over the subset (one corpus
+        # tokenization pass instead of ~1.4; counts, buckets and
+        # weights are bit-identical — only where the target counts are
+        # computed moved).
+        toks = (df.select(F.col(id_col), target.alias("_tgt"),
+                          F.explode(tokens(text_col)).alias("_t"))
+                .select(id_col, "_tgt", bucket)
+                .persist())  # feeds BOTH models AND the scoring pass
+        tgt = (toks.where(F.col("_tgt")).select("bucket")
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc")))
+    else:
+        toks = (df.select(F.col(id_col), F.explode(tokens(text_col))
+                          .alias("_t"))
+                .select(id_col, bucket)
+                .persist())  # feeds the raw model AND the scoring pass
+        tgt = (target.select(F.explode(tokens(text_col)).alias("_t"))
+               .select(bucket)
+               .groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc")))
     raw = toks.groupBy("bucket").agg(F.count(F.lit(1)).alias("_rc"))
-    tgt = (target.select(F.explode(tokens(text_col)).alias("_t"))
-           .select(bucket)
-           .groupBy("bucket").agg(F.count(F.lit(1)).alias("_tc")))
     tots = (raw.agg(F.sum("_rc").alias("_rtot")).crossJoin(
         tgt.agg(F.coalesce(F.sum("_tc"), F.lit(0)).alias("_ttot"))))
     # every observed token's bucket exists in raw (target ⊆ vocab not

@@ -2397,9 +2397,11 @@ def q_doc_importance(spark, sf_dir):
     log-likelihood ratio of the English subset (the target domain)
     against the whole corpus, per document. The trained model is 256
     bucket log-ratios — broadcast by construction — so scoring is a
-    map-side join plus one per-doc integer-micro sum."""
+    map-side join plus one per-doc integer-micro sum. The target is
+    passed as a PREDICATE (r15) so the corpus tokenizes once for both
+    models — same counts, same weights, one fewer tokenize pass."""
     d = _par(_t(spark, sf_dir, "documents"))
-    return T.importance_weights(d, d.where(F.col("lang") == "en"),
+    return T.importance_weights(d, F.col("lang") == "en",
                                 n_buckets=256)
 
 
@@ -5033,7 +5035,10 @@ def q_sim_ivf_recall(spark, sf_dir):
         .select("query_id", "neighbor_id", F.lit(1).alias("_hit"))
     brute = SIM.cosine_topk(e, queries, 10) \
         .select("query_id", "neighbor_id")
-    j = brute.join(ivf, ["query_id", "neighbor_id"], "left")
+    # both sides are ~queries x k rows (bounded by construction); the
+    # planner can't estimate through the rank windows and picks a
+    # sort-merge join (2 exchanges + sorts) — broadcast the probe side
+    j = brute.join(F.broadcast(ivf), ["query_id", "neighbor_id"], "left")
     return (j.groupBy("query_id")
              .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("int")
                    .alias("n_hits"),
@@ -5429,7 +5434,10 @@ def q_emb_rp_recall(spark, sf_dir):
     queries = e.where(F.col("vec_id") % 100 == 0)
     brute = SIM.cosine_topk(e, queries, 10) \
         .select("query_id", "neighbor_id")
-    j = brute.join(approx, ["query_id", "neighbor_id"], "left")
+    # ~queries x k rows per side (bounded by construction): broadcast
+    # the approx side instead of the planner's sort-merge join
+    j = brute.join(F.broadcast(approx), ["query_id", "neighbor_id"],
+                   "left")
     return (j.groupBy("query_id")
              .agg(F.sum(F.coalesce("_hit", F.lit(0))).cast("int")
                    .alias("n_hits"),
