@@ -108,8 +108,16 @@ def global_ranks(df: DataFrame, order_cols: list[Column], *,
     """
     spark = df.sparkSession
     n_parts = n_parts or max(1, spark.sparkContext.defaultParallelism)
+    # eager localCheckpoint before the two-consumer fan-out (window +
+    # per-partition counts): without it the counts aggregate re-ran
+    # the whole upstream subtree — for the quartiles caller that is a
+    # second scan + second revenue aggregate (see pack_by_token_budget,
+    # same r15 fix). Checkpointed rows are the ranked frame itself
+    # (narrow by contract at every call site); one sampled range
+    # partitioning is pinned for both consumers.
     parted = (df.repartitionByRange(n_parts, *order_cols)
-                .withColumn("_pid", F.spark_partition_id()))
+                .withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(
@@ -136,11 +144,25 @@ def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
     Scalable global cumulative sum: range-repartition by id, running
     sum within each partition, then add broadcast per-partition offsets
     (computed from the tiny per-partition totals). No global window.
+
+    r15: the range-partitioned (id, tokens, _pid) frame is eagerly
+    localCheckpoint-ed before fanning out to its two consumers (the
+    per-partition window AND the per-partition totals). Without the
+    checkpoint the totals aggregate re-executed the entire subtree —
+    second scan of the input, second tokenize in the common
+    size(tokens) caller shape, second range exchange (the sf0.1 plan
+    showed both scans). The checkpointed rows are just
+    (id, token-count, partition id) — tiny at any corpus scale vs
+    re-reading text — and each execution pays its own materialization
+    (no cross-run cache). pack_id/offset values are unchanged; the
+    checkpoint also pins ONE sampled range partitioning for both
+    consumers by construction.
     """
     spark = df.sparkSession
     n_parts = max(1, spark.sparkContext.defaultParallelism)
     parted = (df.repartitionByRange(n_parts, F.col(id_col))
-                .withColumn("_pid", F.spark_partition_id()))
+                .withColumn("_pid", F.spark_partition_id())
+                .localCheckpoint(eager=True))
     w = (Window.partitionBy("_pid").orderBy(F.col(id_col))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = F.sum(F.col(tokens_col)).over(w)
