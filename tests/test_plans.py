@@ -386,3 +386,45 @@ def test_global_ranks_matches_global_window(spark):
     tiny = global_ranks(spark.range(3).withColumn("k", F.lit(0)),
                         [F.col("id").asc()], n_parts=8)
     assert [r._rank for r in tiny.orderBy("id").collect()] == [1, 2, 3]
+
+
+def test_bm25_one_filtered_explode_no_dl_join(spark, sf_dir):
+    """r15 bm25 shape: the term filter runs IN-ROW before the explode
+    (only matching tokens become rows) and doc length travels through
+    the tf aggregate — the all-docs dl join (the old corpus-sized
+    exchange) is gone, so no join in the plan is sort-merge and the
+    corpus is scanned at most 3x (stats + tf; was 4)."""
+    plan = _plan(suite.QUERIES["text_bm25_search"](spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    assert plan.count("FileScan parquet") <= 3
+    # the explode's child is the filtered array, not the raw tokens
+    assert "filter(split(" in plan
+
+
+def test_pack_by_token_budget_checkpoints_fanout(spark, sf_dir):
+    """r15: the range-partitioned (id, tokens, _pid) frame is
+    checkpointed before its two consumers — the final plan reads the
+    materialized rows (ExistingRDD), never the parquet scan twice
+    (the before-plan had two full scan+tokenize subtrees)."""
+    plan = _plan(suite.QUERIES["doc_token_packing"](spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "FileScan parquet" not in plan
+
+
+def test_importance_weights_predicate_equals_frame_target(spark):
+    """The r15 predicate-target fast path of importance_weights must be
+    bit-identical to the DataFrame-target path (same model counts, same
+    integer-micro weights)."""
+    from quasdb_spark.functions.text import importance_weights
+
+    rows = [(i, ("the quick brown fox " * (i % 3 + 1)).strip(),
+             "en" if i % 2 == 0 else "de")
+            for i in range(40)]
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    via_frame = importance_weights(
+        df, df.where(F.col("lang") == "en"), n_buckets=16) \
+        .orderBy("doc_id").collect()
+    via_pred = importance_weights(
+        df, F.col("lang") == "en", n_buckets=16) \
+        .orderBy("doc_id").collect()
+    assert [tuple(r) for r in via_frame] == [tuple(r) for r in via_pred]
