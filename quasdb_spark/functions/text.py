@@ -213,20 +213,31 @@ def tfidf_topk(df: DataFrame, id_col: str = "doc_id",
 
 def bm25_search(df: DataFrame, query_terms: list[str], *,
                 id_col: str = "doc_id", text_col: str = "text",
-                k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+                k: int = 10, k1: float = 1.2, b: float = 0.75,
+                _release_to: list | None = None) -> DataFrame:
     """Rank documents against a bag-of-terms query by Okapi BM25
     (Lucene idf variant: ln((N - df + 0.5)/(df + 0.5) + 1)).
 
-    Scale shape (r15: single corpus scan): ONE projection computes the
-    per-doc length (size of tokens, map-side) AND the term-filtered
-    token array — the in-row array filter runs BEFORE the explode, so
-    only matching tokens ever become rows (the corpus-wide explode of
-    every token is gone). The tf aggregate carries dl with it (dl is
-    functionally dependent on the doc key), which removes the
-    all-docs dl join — previously the only corpus-sized exchange.
-    Doc-freq is one tiny aggregate over the tf table; corpus stats
-    (N, avgdl) broadcast as a scalar. Ranking is top-k over per-doc
-    sums. Shuffled bytes now scale with MATCHING tokens only.
+    Scale shape (r15: ONE corpus scan+tokenize): ONE projection
+    computes the per-doc length (size of tokens, map-side) AND the
+    term-filtered token array — the in-row array filter runs BEFORE
+    the explode, so only matching tokens ever become rows (the
+    corpus-wide explode of every token is gone). The tf aggregate
+    carries dl with it (dl is functionally dependent on the doc key),
+    which removes the all-docs dl join — previously the only
+    corpus-sized exchange. Doc-freq is one tiny aggregate over the tf
+    table; corpus stats (N, avgdl) broadcast as a scalar. Ranking is
+    top-k over per-doc sums. Shuffled bytes scale with MATCHING
+    tokens only.
+
+    The narrow per-doc frame (id, dl, filtered tokens — bytes per doc,
+    not the text) is persisted so its two consumers (corpus stats and
+    tf) share one scan+tokenize, and the tf table (docs-with-a-match x
+    terms, tiny) is persisted so dfreq and the scoring join share one
+    explode+aggregate: 3 full corpus scans -> 1 (guide §1.2 remove
+    passes, §5 reuse-beats-recompute; at 100 TB the two dropped passes
+    ARE the query). Callers that compose further can pass
+    ``_release_to`` to own the unpersist (near_dup_pairs convention).
 
     Determinism: each per-term partial score is rounded to integer
     MICROS before the per-doc sum — integer sums are order-free, so
@@ -239,14 +250,19 @@ def bm25_search(df: DataFrame, query_terms: list[str], *,
     base = df.select(
         F.col(id_col), F.size(tokens(text_col)).alias("dl"),
         F.filter(tokens(text_col),
-                 lambda t: t.isin(*query_terms)).alias("_ft"))
+                 lambda t: t.isin(*query_terms)).alias("_ft")).persist()
+    if _release_to is not None:
+        _release_to.append(base)
     stats = base.agg(F.count(F.lit(1)).alias("n_docs"),
                      F.avg("dl").alias("avgdl"))
     tf = (base.select(F.col(id_col), "dl",
                       F.explode("_ft").alias("term"))
               .groupBy(id_col, "term")
               .agg(F.count(F.lit(1)).alias("tf"),
-                   F.min("dl").alias("dl")))  # dl constant per doc
+                   F.min("dl").alias("dl"))  # dl constant per doc
+          ).persist()
+    if _release_to is not None:
+        _release_to.append(tf)
     dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     idf = F.log((F.col("n_docs") - F.col("doc_freq") + 0.5)
                 / (F.col("doc_freq") + 0.5) + 1.0)

@@ -96,6 +96,49 @@ def _driver_memory_default() -> str:
     return f"{max(2, min(24, int(gib * 0.4)))}g"
 
 
+def _local_scratch_default(master: str, conf: dict[str, str],
+                           environ=os.environ) -> str | None:
+    """RAM-backed shuffle scratch for LOCAL mode, or None to leave
+    Spark's default (/tmp) alone.
+
+    Why (optimization guide §2.1): shuffle files, spilled blocks and
+    localCheckpoint overflow all land in ``spark.local.dir``. On a
+    shared host whose disk is contended by neighbors, that scratch
+    write is the wall — this box measured ~20 MB/s sequential writes
+    under a neighbor window, turning sub-second shuffle-heavy queries
+    into 10-60x stalls (r15 baseline: dedup_minhash_xxh median 10.9 s
+    → 1.9 s with scratch on /dev/shm, same window). Local-mode shuffle
+    volumes here are MBs-to-low-GBs, so RAM-backed scratch is strictly
+    better when RAM is plentiful.
+
+    Scale story: this default fires ONLY for local[...] masters. On a
+    real cluster the resource manager dictates scratch placement
+    (YARN/Kubernetes override spark.local.dir with container dirs),
+    and 100 TB shuffles cannot live in RAM — so there is deliberately
+    no production analogue of this knob to mis-tune.
+
+    Precedence: an explicit ``spark.local.dir`` in conf, or the
+    standard ``SPARK_LOCAL_DIRS`` env, always wins (returns None).
+    ``SPARK_GRAFT_LOCAL_DIR`` overrides the choice of directory.
+    Guard: /dev/shm must exist with >= 16 GiB free, else None.
+    """
+    if not master.startswith("local"):
+        return None
+    if "spark.local.dir" in conf or environ.get("SPARK_LOCAL_DIRS"):
+        return None
+    override = environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    shm = "/dev/shm"
+    try:
+        st = os.statvfs(shm)
+        if st.f_bavail * st.f_frsize < 16 * 1024 ** 3:
+            return None
+    except OSError:
+        return None
+    return os.path.join(shm, "quasdb-spark-scratch")
+
+
 def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
               extra_conf: dict[str, str] | None = None) -> SparkSession:
     """Build (or reuse) a SparkSession with the engine's defaults.
@@ -122,6 +165,10 @@ def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
     conf["spark.driver.memory"] = _driver_memory_default()
     if extra_conf:
         conf.update(extra_conf)
+    scratch = _local_scratch_default(master, conf)
+    if scratch:
+        os.makedirs(scratch, exist_ok=True)
+        conf["spark.local.dir"] = scratch
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()

@@ -399,6 +399,11 @@ def test_bm25_one_filtered_explode_no_dl_join(spark, sf_dir):
     assert plan.count("FileScan parquet") <= 3
     # the explode's child is the filtered array, not the raw tokens
     assert "filter(split(" in plan
+    # r15 second pass: the narrow (id, dl, filtered-tokens) frame and
+    # the tf table are persisted, so stats/tf and dfreq/scoring share
+    # ONE executed scan+tokenize — every repeated textual FileScan
+    # above sits under an InMemoryRelation and executes as cache reads
+    assert "InMemoryTableScan" in plan
 
 
 def test_pack_by_token_budget_checkpoints_fanout(spark, sf_dir):

@@ -134,3 +134,30 @@ def test_driver_memory_default_is_host_sized():
     m = re.fullmatch(r"(\d+)g", v)
     assert m, v
     assert 2 <= int(m.group(1)) <= 24
+
+
+def test_local_scratch_default_precedence():
+    """r15: shuffle scratch defaults to RAM-backed /dev/shm in LOCAL
+    mode only (contended shared disks turn shuffle writes into 10-60x
+    stalls; guide §2.1), and every explicit setting wins over it:
+    spark.local.dir in conf, SPARK_LOCAL_DIRS env, or the
+    SPARK_GRAFT_LOCAL_DIR override."""
+    from quasdb_spark.session import _local_scratch_default
+
+    # non-local master: never touched, cluster managers own scratch
+    assert _local_scratch_default("yarn", {}, environ={}) is None
+    assert _local_scratch_default("spark://h:7077", {}, environ={}) is None
+    # explicit conf wins
+    assert _local_scratch_default(
+        "local[4]", {"spark.local.dir": "/x"}, environ={}) is None
+    # standard Spark env wins
+    assert _local_scratch_default(
+        "local[4]", {}, environ={"SPARK_LOCAL_DIRS": "/y"}) is None
+    # project override redirects the choice verbatim
+    assert _local_scratch_default(
+        "local[4]", {}, environ={"SPARK_GRAFT_LOCAL_DIR": "/z"}) == "/z"
+    # default: /dev/shm-backed when present with headroom, else None —
+    # both outcomes legal depending on the host, but a non-None result
+    # must live under /dev/shm
+    got = _local_scratch_default("local[4]", {}, environ={})
+    assert got is None or got.startswith("/dev/shm/")
