@@ -106,6 +106,11 @@ def _host_probe() -> dict:
     - calib_matmul_ms: median wall of a fixed 256x256 float64 matmul
       (memory-bandwidth + FPU probe; small enough that BLAS stays
       effectively single-threaded).
+    - calib_disk_w_mb_s: fsynced sequential write of 16 MB to this
+      script's filesystem (r15: the host's WORST observed windows are
+      neighbor-contended shared-DISK windows — ~20 MB/s measured vs
+      >200 healthy — which the two CPU calibs barely register; cold
+      parquet reads and any non-shm scratch stall on exactly this).
     Compare the same field across two artifacts: the ratio is the
     host-speed ratio, independent of what the queries did."""
     import numpy as np
@@ -126,11 +131,30 @@ def _host_probe() -> dict:
         t0 = time.perf_counter()
         m @ m
         mm_times.append(time.perf_counter() - t0)
+    disk_mb_s = None
+    try:
+        blob = b"\0" * (4 * 1024 * 1024)
+        fd, path = tempfile.mkstemp(
+            prefix="_benchdiskprobe", dir=os.path.dirname(
+                os.path.abspath(__file__)))
+        try:
+            t0 = time.perf_counter()
+            with os.fdopen(fd, "wb") as f:
+                for _ in range(4):
+                    f.write(blob)
+                f.flush()
+                os.fsync(f.fileno())
+            disk_mb_s = round(16 / (time.perf_counter() - t0), 1)
+        finally:
+            os.unlink(path)
+    except OSError:
+        pass  # read-only checkout etc. — probe is evidence, not a gate
     return {
         "loadavg": [round(x, 2) for x in la],
         "cpus": os.cpu_count(),
         "calib_int_ms": round(statistics.median(int_times) * 1000, 2),
         "calib_matmul_ms": round(statistics.median(mm_times) * 1000, 3),
+        "calib_disk_w_mb_s": disk_mb_s,
     }
 
 
@@ -801,6 +825,19 @@ def main() -> None:
             mm_ratio = round(
                 max(host_start["calib_matmul_ms"],
                     host_end["calib_matmul_ms"]) / min(prev_mm), 2)
+        # Disk-bandwidth host ratio (r15: the worst windows on this
+        # class of host are shared-DISK contention — ~20 MB/s writes
+        # measured while both CPU calibs read near-normal; cold input
+        # reads stall on it). Same worst-bracket convention, inverted
+        # because the probe reports throughput, not latency.
+        disk_ratio = None
+        prev_dk = [v for v in (prev_host.get("calib_disk_w_mb_s"),
+                               prev_host_end.get("calib_disk_w_mb_s"))
+                   if v]
+        now_dk = [v for v in (host_start.get("calib_disk_w_mb_s"),
+                              host_end.get("calib_disk_w_mb_s")) if v]
+        if prev_dk and now_dk:
+            disk_ratio = round(max(prev_dk) / min(now_dk), 2)
         load_bracket = {
             "prev": [prev_host.get("loadavg"),
                      prev_host_end.get("loadavg")],
@@ -862,7 +899,8 @@ def main() -> None:
         for name, d in flagged.items():
             if d["ratio"] <= 1.0:
                 continue  # improvements carry no noise verdict
-            host_allow = max([r for r in (calib_ratio, mm_ratio)
+            host_allow = max([r for r in (calib_ratio, mm_ratio,
+                                          disk_ratio)
                               if r is not None] or [1.0])
             explained = d["ratio"] <= host_allow * 1.3
             if d.get("cleared_by_solo"):
@@ -873,6 +911,7 @@ def main() -> None:
             d["noise_explained"] = explained
             d["host_allowance"] = {"calib_int_ratio": calib_ratio,
                                    "calib_matmul_ratio": mm_ratio,
+                                   "calib_disk_w_ratio": disk_ratio,
                                    "load_bracket": load_bracket}
         # normalized round-over-round ratio: both totals projected onto
         # the pinned reference host, so host-speed drift cancels and the
