@@ -466,6 +466,14 @@ def main() -> None:
     times = {n: round(statistics.median(v), 3) for n, v in samples.items()}
     spread = {n: [round(min(v), 3), round(max(v), 3)]
               for n, v in samples.items()}
+    # r16 (VERDICT r15 "what's wrong" #2): the REPS medians of queries
+    # that persist() an intermediate are warm numbers (reps 2-3 read
+    # rep 1's cached subtree via CacheManager plan substitution). The
+    # FIRST rep is the cold execution every fresh process pays — carry
+    # it as a first-class field so a newly-added persist can't trade
+    # cold cost for a warm median invisibly. Additions-only: ``queries``
+    # medians and the stdout contract are unchanged.
+    cold = {n: round(v[0], 3) for n, v in samples.items()}
     total = round(sum(times.values()), 3)
 
     # ---- round-5 additions, timed OUTSIDE the pinned headline set ----
@@ -481,6 +489,7 @@ def main() -> None:
                 time.perf_counter() - t0)
     extra = {n: round(statistics.median(v), 3)
              for n, v in extra_samples.items()}
+    extra_cold = {n: round(v[0], 3) for n, v in extra_samples.items()}
     # extras carry the same spread record as the headline (VERDICT
     # r11 #1: a one-number extra can't tell host noise from a real
     # regression — sim_ivfpq_topk's 1.40x "move" was min/max spread)
@@ -501,8 +510,10 @@ def main() -> None:
         "calib_ref_int_ms": REF_CALIB_INT_MS,
         "calib_now_int_ms": round(calib_now, 2),
         "reps": REPS, "stat": "median", "query_spread": spread,
+        "query_cold": cold,
         "maintenance": maintenance, "extra_queries": extra,
         "extra_query_spread": extra_spread,
+        "extra_query_cold": extra_cold,
         "serving": serving,
         "host": {"start": host_start, "end": host_end},
     }
@@ -899,9 +910,19 @@ def main() -> None:
         for name, d in flagged.items():
             if d["ratio"] <= 1.0:
                 continue  # improvements carry no noise verdict
-            host_allow = max([r for r in (calib_ratio, mm_ratio,
-                                          disk_ratio)
-                              if r is not None] or [1.0])
+            # r16 (ADVICE r15): record WHICH calib drove the allowance
+            # so a noise verdict stays auditable per query — after the
+            # /dev/shm scratch move most queries no longer touch the
+            # contended disk, and a disk-driven allowance on a
+            # CPU-bound query is exactly the case a reader must be
+            # able to see and discount.
+            ratios = {"calib_int_ratio": calib_ratio,
+                      "calib_matmul_ratio": mm_ratio,
+                      "calib_disk_w_ratio": disk_ratio}
+            lead = {k: r for k, r in ratios.items() if r is not None}
+            host_allow = max(lead.values()) if lead else 1.0
+            d["allowance_driver"] = (
+                max(lead, key=lead.get) if lead else None)
             explained = d["ratio"] <= host_allow * 1.3
             if d.get("cleared_by_solo"):
                 explained = True

@@ -630,10 +630,9 @@ def _bpe_checkpoint(df: DataFrame) -> DataFrame:
     engine's get_spark sets it); on foreign sessions without it, a
     long training run leaves one frame per round on the checkpoint
     volume — clean the dir after training."""
-    sc = df.sparkSession.sparkContext
-    if sc.getCheckpointDir() is not None:
-        return df.checkpoint(eager=False)
-    return df.localCheckpoint(eager=False)
+    from quasdb_spark.plans.materialize import materialize
+
+    return materialize(df, eager=False)
 
 
 def bpe_train(df: DataFrame, text_col: str = "text", *,

@@ -419,17 +419,37 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
     diameters is a matter of raising ``n_iter`` or looping to a
     fixpoint, see tests).
 
-    Scale shape: each iteration is one edge-keyed equi-join + one
-    min-aggregate (both map-side combinable) — 2 bounded shuffles per
-    iteration, never a collect; this is the standard bounded-round
-    label propagation used before switching to large-star/small-star
-    for web-scale graphs. Deterministic for ANY n_iter (min is
-    order-insensitive), so a SQL oracle can unroll the same rounds.
+    Scale shape (r16): label propagation runs over the TOUCHED nodes
+    only — the ids that appear in the pair graph (edge endpoints are a
+    subset of ``nodes`` by contract: every in-repo pair finder derives
+    pairs from the same frame). An isolated node can never change its
+    label (no neighbors), so rounds over the full corpus carried the
+    entire node set through every iteration's joins for nothing; now
+    each iteration is one TINY edge-keyed equi-join + one min-aggregate
+    (both map-side combinable, proxy-sized rows — guide §2.3 "shuffle
+    keys and metadata instead of payloads"), and the corpus is touched
+    exactly once by a final left join that labels untouched nodes with
+    their own id. Round 1 is algebraically folded: against identity
+    labels, min(label(dst)) == min(dst), so it is a single aggregate
+    over the edge list with no join. Labels are identical for every
+    node and any n_iter. Deterministic (min is order-insensitive), so
+    a SQL oracle can unroll the same rounds.
     """
-    edges = (pairs.select(F.col(a_col).alias("src"),
-                          F.col(b_col).alias("dst"))
-             .union(pairs.select(F.col(b_col).alias("src"),
-                                 F.col(a_col).alias("dst"))))
+    from quasdb_spark.plans.materialize import materialize
+
+    # both directions via ONE map-side explode, not a union of two
+    # projections: a union's branches are separate subtrees, so the
+    # whole pair pipeline (LSH banding + exact verify over the corpus)
+    # would EXECUTE TWICE to build the edge list (r16; guide §1.2
+    # "don't compute things twice" — at 100 TB that second pass is the
+    # dominant map cost, and locally it was ~1/3 of emb_semdedup's
+    # edge-checkpoint action). Row multiset identical.
+    edges = (pairs.select(F.explode(F.array(
+                F.struct(F.col(a_col).alias("src"),
+                         F.col(b_col).alias("dst")),
+                F.struct(F.col(b_col).alias("src"),
+                         F.col(a_col).alias("dst")))).alias("_e"))
+             .select("_e.src", "_e.dst"))
     # The pair graph's lineage is the EXPENSIVE part (LSH banding +
     # exact verification over the corpus); every round joins against
     # it, so without materialization Spark re-runs that whole pipeline
@@ -439,21 +459,25 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
     # block under executor storage pressure can be dropped and
     # recomputed from its full lineage, which at sf100 (5M docs) made
     # every propagation round re-run the candidate+verify pipeline —
-    # the ~47x/decade super-linearity VERDICT r13 flagged. The
-    # checkpointed edge list survives pressure on local disk (the
-    # bpe_train state pattern, functions/text.py).
-    edges = edges.localCheckpoint(eager=True)
-    # the pair pipeline is fully materialized in the checkpoint above —
-    # frames its builders pinned (shingle/signature/band caches) are
-    # dead weight from here on. Releasing them NOW instead of waiting
-    # for the driver's periodic GC keeps a long session's block manager
-    # from accumulating dozens of orphaned caches (measured: multi-
-    # query sessions showed 5-20x slowdowns from storage churn).
-    for df_ in (release or []):
-        df_.unpersist(False)
-    labels = nodes.select(F.col(id_col).alias("id"),
-                          F.col(id_col).alias("label"))
-    for i in range(n_iter):
+    # the ~47x/decade super-linearity VERDICT r13 flagged. Once the
+    # checkpoint materializes, the pair pipeline's pinned caches
+    # (shingle/signature/band frames in ``release``) are dead weight:
+    # materialize() unpersists them NOW instead of waiting for driver
+    # GC (multi-query sessions measured 5-20x slowdowns from storage
+    # churn), and upgrades to a reliable checkpoint when a checkpoint
+    # dir is configured.
+    edges = materialize(edges, release=release)
+    if n_iter <= 0:
+        return materialize(nodes.select(
+            F.col(id_col), F.col(id_col).alias("cluster_id")))
+    # round 1 folded: labels are the identity, so each touched node's
+    # new label is least(own id, min of its neighbor ids) — one
+    # aggregate over the edge list. Every endpoint appears as ``src``
+    # (edges carry both directions), so this frame IS the touched set.
+    labels = (edges.groupBy("src").agg(F.min("dst").alias("_m"))
+              .select(F.col("src").alias("id"),
+                      F.least(F.col("src"), F.col("_m")).alias("label")))
+    for i in range(1, n_iter):
         nbr = (edges.join(labels, edges.dst == labels.id)
                .groupBy("src").agg(F.min("label").alias("nlab")))
         labels = (labels.join(nbr, labels.id == nbr.src, "left")
@@ -465,14 +489,17 @@ def cluster_assign(pairs: DataFrame, nodes: DataFrame, *,
         # lazy plan — break lineage periodically or deep iteration
         # counts make PLANNING (not execution) the bottleneck
         if (i + 1) % checkpoint_every == 0 and (i + 1) < n_iter:
-            labels = labels.localCheckpoint(eager=True)
-    # break the n_iter-deep lineage before handing the result to
-    # consumers that reference it more than once (cluster sizes +
-    # member join is the common pattern): one row per node, stored on
-    # executor-local disk, evaluated once
-    return (labels.select(F.col("id").alias(id_col),
-                          F.col("label").alias("cluster_id"))
-                  .localCheckpoint(eager=True))
+            labels = materialize(labels)
+    # ONE corpus-touching stage: untouched nodes label themselves. Then
+    # break the lineage before handing the result to consumers that
+    # reference it more than once (cluster sizes + member join is the
+    # common pattern): one row per node, evaluated once.
+    out = (nodes.select(F.col(id_col))
+           .join(labels, F.col(id_col) == labels.id, "left")
+           .select(F.col(id_col),
+                   F.coalesce(F.col("label"), F.col(id_col))
+                   .alias("cluster_id")))
+    return materialize(out)
 
 
 def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
@@ -517,8 +544,15 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
                 .distinct())
 
     def both_dirs(df: DataFrame) -> DataFrame:
-        return df.select("u", "v").union(
-            df.select(F.col("v").alias("u"), F.col("u").alias("v")))
+        # ONE map-side explode, not a union of two projections — a
+        # union's branches re-execute the (possibly un-checkpointed)
+        # upstream subtree twice (r16; see cluster_assign's edges)
+        return (df.select(F.explode(F.array(
+                    F.struct(F.col("u").alias("u"),
+                             F.col("v").alias("v")),
+                    F.struct(F.col("v").alias("u"),
+                             F.col("u").alias("v")))).alias("_e"))
+                .select("_e.u", "_e.v"))
 
     # ONE evaluation of the expensive pair pipeline, materialized to
     # executor-local disk with lineage CUT before any round touches it
@@ -526,11 +560,23 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
     # these blocks, never the candidate+verify lineage (VERDICT r13:
     # re-derivable caches got dropped under sf100 storage pressure and
     # each round recomputed the upstream pipeline)
-    e = canon(pairs.select(F.col(a_col).alias("a"),
-                           F.col(b_col).alias("b"))).localCheckpoint(
-        eager=True)
-    for df_ in (release or []):  # see cluster_assign: the pair
-        df_.unpersist(False)     # pipeline's caches are dead now
+    from quasdb_spark.plans.materialize import materialize
+
+    # (r16: routed through materialize() — reliable checkpoint when a
+    # dir is configured; releases the pair pipeline's caches, see
+    # cluster_assign.) Input edges are NORMALIZED but not dedup'd: the
+    # distinct was a full exchange+aggregate over the edge list that
+    # is a no-op for every in-repo pair finder (verified pairs carry
+    # id_a < id_b uniquely by construction), and for dirty inputs the
+    # contraction rounds depend on edge SUPPORT only (each round's own
+    # canon() restores distinctness before the fixpoint stats), so
+    # labels and the validate verdict are identical either way.
+    e = materialize(
+        pairs.select(F.col(a_col).alias("a"), F.col(b_col).alias("b"))
+             .where(F.col("a") != F.col("b"))
+             .select(F.least("a", "b").alias("u"),
+                     F.greatest("a", "b").alias("v")),
+        release=release)
     e0 = e  # the canonical input edges, for the validate pass
     prev: tuple | None = None
     for _ in range(max_rounds):
@@ -538,10 +584,22 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
         # v > u re-attaches to m = min(Γ(u) ∪ {u})
         nbrs = both_dirs(e)
         g = nbrs.groupBy("u").agg(F.min("v").alias("mn"))
-        e1 = canon(nbrs.join(g, "u")
-                   .where(F.col("v") > F.col("u"))
-                   .select(F.col("v").alias("a"),
-                           F.least("u", "mn").alias("b")))
+        # e1 is normalized but NOT dedup'd (r16): the mid-round
+        # distinct was a full exchange+aggregate whose only effect was
+        # removing duplicate rows that the round's remaining operators
+        # are insensitive to — small-star's min-aggregate and joins
+        # depend on e1's SUPPORT only, and the round's final canon()
+        # below restores distinctness before the fixpoint stats read
+        # it. Duplicate multiplicity is bounded by |e| (each input
+        # orientation contributes one row), so volume cannot blow up.
+        # Round outputs, stats trajectory and labels are IDENTICAL.
+        e1 = (nbrs.join(g, "u")
+              .where(F.col("v") > F.col("u"))
+              .select(F.col("v").alias("a"),
+                      F.least("u", "mn").alias("b"))
+              .where(F.col("a") != F.col("b"))
+              .select(F.least("a", "b").alias("u"),
+                      F.greatest("a", "b").alias("v")))
         # small-star: the not-larger neighbors (and u itself)
         # re-attach to the min of that set
         sm = both_dirs(e1).where(F.col("v") < F.col("u"))
@@ -551,11 +609,12 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
         # as a side effect — one Spark job per round instead of two
         # (eager checkpoint + separate stats job); later rounds read
         # the checkpointed blocks either way.
-        e = canon(sm.join(g2, "u")
+        e = materialize(
+            canon(sm.join(g2, "u")
                   .select(F.col("v").alias("a"), F.col("mn").alias("b"))
                   .union(g2.select(F.col("u").alias("a"),
-                                   F.col("mn").alias("b")))
-                  ).localCheckpoint(eager=False)
+                                   F.col("mn").alias("b")))),
+            eager=False)
         cs = e.agg(F.expr("bit_xor(xxhash64(u, v))").alias("x"),
                    F.count(F.lit(1)).alias("n")).first()
         if prev == (cs["x"], cs["n"]):
@@ -567,12 +626,12 @@ def cluster_assign_cc(pairs: DataFrame, nodes: DataFrame, *,
     # star forest: every non-center node has exactly its center as the
     # smaller endpoint; centers and singletons label themselves
     lab = e.groupBy("v").agg(F.min("u").alias("_lab"))
-    labels = (nodes.select(F.col(id_col).alias("_id"))
-              .join(lab, F.col("_id") == lab.v, "left")
-              .select(F.col("_id").alias(id_col),
-                      F.coalesce("_lab", F.col("_id"))
-                      .alias("cluster_id"))
-              .localCheckpoint(eager=True))
+    labels = materialize(
+        nodes.select(F.col(id_col).alias("_id"))
+             .join(lab, F.col("_id") == lab.v, "left")
+             .select(F.col("_id").alias(id_col),
+                     F.coalesce("_lab", F.col("_id"))
+                     .alias("cluster_id")))
     if validate:
         # consistency is checked against the CHECKPOINTED canonical
         # edges (the same pair set, dedup'd) — referencing ``pairs``

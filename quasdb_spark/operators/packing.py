@@ -22,6 +22,8 @@ import math
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from quasdb_spark.plans.materialize import materialize
+
 
 def sample_hash(id_col: Column, salt: str) -> Column:
     """First 8 hex chars of md5(salt|id) as a uniform [0, 2^32) draw."""
@@ -115,9 +117,12 @@ def global_ranks(df: DataFrame, order_cols: list[Column], *,
     # same r15 fix). Checkpointed rows are the ranked frame itself
     # (narrow by contract at every call site); one sampled range
     # partitioning is pinned for both consumers.
-    parted = (df.repartitionByRange(n_parts, *order_cols)
-                .withColumn("_pid", F.spark_partition_id())
-                .localCheckpoint(eager=True))
+    # r16: routed through the shared materialize() so a configured
+    # checkpoint dir upgrades this to RELIABLE storage on clusters
+    # (raw localCheckpoint loses blocks with a lost executor under
+    # dynamic allocation — VERDICT r15 #7); local mode unchanged.
+    parted = materialize(df.repartitionByRange(n_parts, *order_cols)
+                           .withColumn("_pid", F.spark_partition_id()))
     w = Window.partitionBy("_pid").orderBy(*order_cols)
     counts = parted.groupBy("_pid").agg(F.count(F.lit(1)).alias("_cnt"))
     woff = Window.orderBy("_pid").rowsBetween(
@@ -160,9 +165,10 @@ def pack_by_token_budget(df: DataFrame, id_col: str, tokens_col: str,
     """
     spark = df.sparkSession
     n_parts = max(1, spark.sparkContext.defaultParallelism)
-    parted = (df.repartitionByRange(n_parts, F.col(id_col))
-                .withColumn("_pid", F.spark_partition_id())
-                .localCheckpoint(eager=True))
+    # r16: shared materialize() — reliable checkpoint when a dir is
+    # configured, localCheckpoint otherwise (see global_ranks)
+    parted = materialize(df.repartitionByRange(n_parts, F.col(id_col))
+                           .withColumn("_pid", F.spark_partition_id()))
     w = (Window.partitionBy("_pid").orderBy(F.col(id_col))
                .rowsBetween(Window.unboundedPreceding, Window.currentRow))
     run = F.sum(F.col(tokens_col)).over(w)

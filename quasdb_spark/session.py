@@ -121,6 +121,17 @@ def _local_scratch_default(master: str, conf: dict[str, str],
     standard ``SPARK_LOCAL_DIRS`` env, always wins (returns None).
     ``SPARK_GRAFT_LOCAL_DIR`` overrides the choice of directory.
     Guard: /dev/shm must exist with >= 16 GiB free, else None.
+
+    Failure mode (ADVICE r15): tmpfs scratch is HOST RAM — a spill
+    larger than the remaining /dev/shm fails mid-query with ENOSPC
+    while pressuring host memory. The 16 GiB-free guard bounds entry,
+    not growth; for spill-heavy local workloads set
+    ``SPARK_GRAFT_LOCAL_DIR`` (or ``spark.local.dir``/
+    ``SPARK_LOCAL_DIRS``) to a disk path — that env var is the escape
+    hatch. To keep crashed runs from parking shuffle files in tmpfs
+    until reboot, each session scratches under a PID-named subdir and
+    ``get_spark`` sweeps siblings whose owning process is gone
+    (_sweep_dead_scratch).
     """
     if not master.startswith("local"):
         return None
@@ -136,7 +147,50 @@ def _local_scratch_default(master: str, conf: dict[str, str],
             return None
     except OSError:
         return None
-    return os.path.join(shm, "quasdb-spark-scratch")
+    # PID-named subdir: Spark cleans its spark-*/blockmgr-* dirs on a
+    # clean exit, but a crashed/killed run leaves them in tmpfs —
+    # consuming host RAM until reboot (ADVICE r15). Naming each
+    # session's scratch by owning pid makes stale dirs identifiable
+    # (pid no longer alive), so the sweep below can reclaim them
+    # without ever touching a LIVE session's shuffle files.
+    return os.path.join(shm, "quasdb-spark-scratch", str(os.getpid()))
+
+
+def _sweep_dead_scratch(scratch: str) -> None:
+    """Remove sibling PID-dirs under the shared scratch root whose
+    owning process is gone (crashed runs' shuffle/spill files,
+    otherwise parked in tmpfs until reboot). Only PID-named dirs are
+    candidates; a live pid (or any doubt) skips the dir. Unnamed
+    residue (pre-r16 layout wrote spark-* directly under the root) is
+    deliberately NOT swept: a still-running old-layout session is
+    indistinguishable from a crashed one, and deleting live shuffle
+    files corrupts it — that residue is small and clears at reboot."""
+    import shutil
+    import stat as _stat
+
+    root = os.path.dirname(scratch)
+    try:
+        entries = os.listdir(root)
+    except OSError:
+        return
+    me = os.path.basename(scratch)
+    for name in entries:
+        if name == me or not name.isdigit():
+            continue
+        p = os.path.join(root, name)
+        try:
+            if not _stat.S_ISDIR(os.lstat(p).st_mode):
+                continue
+        except OSError:
+            continue
+        try:
+            os.kill(int(name), 0)
+            continue  # owner alive — never touch
+        except ProcessLookupError:
+            pass  # owner gone: stale
+        except OSError:
+            continue  # unknowable (other user etc.): skip
+        shutil.rmtree(p, ignore_errors=True)
 
 
 def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
@@ -169,6 +223,10 @@ def get_spark(app_name: str = "quasdb_spark", master: str | None = None,
     if scratch:
         os.makedirs(scratch, exist_ok=True)
         conf["spark.local.dir"] = scratch
+        if os.path.basename(scratch) == str(os.getpid()):
+            # default shm layout only (an explicit SPARK_GRAFT_LOCAL_DIR
+            # is the caller's to manage): reclaim crashed runs' tmpfs
+            _sweep_dead_scratch(scratch)
     for k, v in conf.items():
         builder = builder.config(k, v)
     return builder.getOrCreate()
