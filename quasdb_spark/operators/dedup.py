@@ -388,9 +388,15 @@ def near_dup_pairs(df: DataFrame, id_col: str = "doc_id",
     SCALE.md). ``max_bucket_size`` is the LSH hot-bucket skew guard
     (see minhash_candidate_pairs) — None keeps exact parity with the
     unguarded all-candidates result."""
+    # r16: cache the NARROW (id, shingles) projection, not the text —
+    # every consumer (signature pass, both verify sides) reads only the
+    # shingle arrays, so the raw text column was dead weight in every
+    # cached block (guide §2.3 "project before the exchange" applied to
+    # the cache: fewer bytes written on the cold rep, fewer read on
+    # every reuse). Shingle values and row set are unchanged.
     shingled = with_shingles(
         ensure_parallelism(df.select(id_col, text_col)), text_col, shingle_n
-    ).persist()
+    ).select(id_col, "shingles").persist()
     if _release_to is not None:
         _release_to.append(shingled)
     cands = minhash_candidate_pairs(shingled, id_col, text_col,
@@ -762,7 +768,8 @@ def simhash(df: DataFrame, id_col: str = "doc_id", text_col: str = "text",
 def simhash_hamming_pairs_banded(sim: DataFrame, id_col: str = "doc_id", *,
                                  max_hamming: int = 3, bits: int = 60,
                                  n_bands: int | None = None,
-                                 max_bucket_size: int | None = None) -> DataFrame:
+                                 max_bucket_size: int | None = None,
+                                 _release_to: list | None = None) -> DataFrame:
     """FULL-RECALL near-dup pairs by SimHash Hamming distance via the
     Manku rotated-block trick (Detecting Near-Duplicates for Web
     Crawling, WWW'07): split the ``bits``-bit hash into
@@ -795,6 +802,8 @@ def simhash_hamming_pairs_banded(sim: DataFrame, id_col: str = "doc_id", *,
     # so the upstream aggregate runs once, not four times. Tiny rows:
     # id + ``bits`` chars (guide §5: reuse beats recompute).
     s = sim.select(F.col(id_col).alias("_id"), "simhash").persist()
+    if _release_to is not None:
+        _release_to.append(s)
     keys = F.array(*[F.substring("simhash", offs[b], widths[b])
                      for b in range(n_bands)])
     bands = s.select("_id", F.posexplode(keys).alias("_band", "_key"))

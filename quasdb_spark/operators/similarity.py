@@ -636,7 +636,8 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
                    label_col: str = "label", n_bands: int = 8,
                    band_bits: int = 8,
                    max_bucket_size: int | None = 1000, dims: int = 64,
-                   seed: int = 0, vectorized: bool = False) -> DataFrame:
+                   seed: int = 0, vectorized: bool = False,
+                   _release_to: list | None = None) -> DataFrame:
     """Contrastive hard-negative mining: for every anchor vector, the
     top-k most-cosine-similar vectors carrying a DIFFERENT label —
     the negatives that sit closest to the decision boundary, which is
@@ -665,6 +666,8 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
             vectors, id_col=id_col, vec_col=vec_col, n_bands=n_bands,
             band_bits=band_bits, dims=dims, seed=seed,
             passthrough={label_col: "_lbl"}).persist()
+        if _release_to is not None:
+            _release_to.append(e)
         return _hard_negatives_bucketed(e, k, max_bucket_size)
     keys = hyperplane_band_keys(vec_col, n_bands, band_bits,
                                 dims=dims, seed=seed)
@@ -673,6 +676,8 @@ def hard_negatives(vectors: DataFrame, k: int = 5, *,
         _as_double(vec_col).alias("_v"),
         norm(_adq(vec_col)).alias("_n"),
         keys.alias("_keys")).persist()
+    if _release_to is not None:
+        _release_to.append(e)
     bands = e.select("_id", "_lbl",
                      F.posexplode("_keys").alias("_band", "_key"))
     if max_bucket_size is not None:
@@ -823,7 +828,8 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
                   threshold: float = 0.9, n_bands: int = 8,
                   band_bits: int = 8,
                   max_bucket_size: int | None = 1000, dims: int = 64,
-                  seed: int = 0, vectorized: bool = False) -> DataFrame:
+                  seed: int = 0, vectorized: bool = False,
+                  _release_to: list | None = None) -> DataFrame:
     """Semantic eval-set decontamination, PROBE-SIDE: corpus vectors
     whose cosine to any benchmark vector clears ``threshold`` — the
     embedding-space analogue of n-gram decontamination
@@ -868,11 +874,15 @@ def decontaminate(corpus: DataFrame, benchmark: DataFrame, *,
     b_bands = (b.select(F.col("_id").alias("benchmark_id"),
                         F.posexplode("_keys").alias("_band", "_key"))
                 .persist())
+    if _release_to is not None:
+        _release_to.extend([b, b_bands])
     # Corpus pass: keep only entries in benchmark-probed buckets
     # (broadcast semi-join — the corpus never shuffles on band keys).
     probed = c_bands.join(
         F.broadcast(b_bands.select("_band", "_key").distinct()),
         ["_band", "_key"]).persist()
+    if _release_to is not None:
+        _release_to.append(probed)
     if max_bucket_size is not None:
         # Full bucket membership for probed buckets = surviving corpus
         # entries (the semi-join keeps ALL corpus members of a probed
@@ -918,7 +928,8 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
               vec_col: str = "embedding", n_bits: int | None = None,
               dims: int = 64, seed: int = 0,
               max_bucket_size: int | None = 1000,
-              target_bucket_size: int = 128) -> DataFrame:
+              target_bucket_size: int = 128,
+              _release_to: list | None = None) -> DataFrame:
     """Corpus-to-corpus kNN graph (top-``k`` cosine neighbors per
     vector) within hyperplane-LSH buckets — the self-join variant of
     bucketed ANN used to build similarity graphs for clustering and
@@ -947,6 +958,8 @@ def knn_graph(vectors: DataFrame, k: int = 3, *, id_col: str = "vec_id",
         norm(_adq(vec_col)).alias("_vn"),
         hyperplane_bucket(vec_col, n_bits, dims=dims,
                           seed=seed).alias("_bucket")).persist()
+    if _release_to is not None:
+        _release_to.append(b)
     if max_bucket_size is not None:
         b = drop_hot_buckets(b, ["_bucket"], max_bucket_size)
     left = b.select(F.col("_id").alias("src"),
@@ -1728,7 +1741,23 @@ def ivfpq_topk(vectors: DataFrame, queries: DataFrame, k: int, *,
     # stage; at demo sf the query is stage-count-bound). The integer
     # table entries are IDENTICAL to r9's, so candidate sums — hence
     # scores and the SQL oracle — are unchanged.
-    cb1 = _codebooks_nested(cents_by_s, m)
+    if codebooks is not None:
+        # r16 (VERDICT r15 #5): the persisted codebooks are
+        # DRIVER-LOCAL by construction (quantizer.get_or_train_pq
+        # returns a local relation of m·pq_k rows rebuilt from the JSON
+        # artifact), yet the nested one-row table was assembled
+        # DISTRIBUTED — m filtered views unioned, one collect_list
+        # aggregate, then the broadcast — a fixed multi-job/8-scan tax
+        # on every query. Collect the bounded rows once (m·pq_k by
+        # contract — the same bounded-collect class as the Lloyd
+        # codebook collect) and ship the nested table as a ONE-ROW
+        # local relation: the broadcast builds driver-side with zero
+        # distributed stages. Doubles travel unparsed (no literal
+        # round-trip), so ADC entries — hence scores and the SQL
+        # oracle — are bit-identical.
+        cb1 = _codebooks_nested_local(codebooks, m, pq_k)
+    else:
+        cb1 = _codebooks_nested(cents_by_s, m)
     adc_q = q.crossJoin(F.broadcast(cb1))
     # each nested table parses as ONE SQL expression (the _DOT_SQL
     # note): m transform-over-codebook lambdas built per-Column cost
@@ -1837,6 +1866,39 @@ def _codebooks_nested(cents_by_s: list[DataFrame], m: int) -> DataFrame:
                 f"transform(sequence(0, {m - 1}), s -> transform("
                 "filter(_flat, x -> x._s = s), x -> x.centroid))")
                 .alias("_cb")))
+
+
+def _codebooks_nested_local(codebooks: DataFrame, m: int,
+                            pq_k: int) -> DataFrame:
+    """``_codebooks_nested`` for PROVIDED codebooks: the same one-row
+    (_cb array<array<array<double>>>) frame, built driver-side from a
+    bounded collect of the m·pq_k codebook rows instead of a
+    distributed union+aggregate. The positional lookup contract
+    (_cb[s+1][code+1] = subspace-s centroid for code) requires every
+    subspace to carry EXACTLY the labels 0..pq_k-1 — asserted here so a
+    sparse/duplicated codebook fails loudly instead of misaligning the
+    ADC table (the get_or_build_codes_array guard, applied to the
+    codebook side)."""
+    rows = codebooks.select("subspace", "c_label", "centroid").collect()
+    by_s: dict[int, dict[int, list[float]]] = {}
+    for r in rows:
+        by_s.setdefault(int(r["subspace"]), {})[int(r["c_label"])] = \
+            [float(x) for x in r["centroid"]]
+    want = set(range(pq_k))
+    for s in range(m):
+        got = set(by_s.get(s, {}))
+        if got != want:
+            raise ValueError(
+                f"_codebooks_nested_local: subspace {s} carries labels "
+                f"{sorted(got)}, expected exactly 0..{pq_k - 1} — "
+                "positional ADC lookup would misalign")
+    if set(by_s) != set(range(m)):
+        raise ValueError(
+            f"_codebooks_nested_local: subspaces {sorted(by_s)} != "
+            f"0..{m - 1}")
+    nested = [[by_s[s][c] for c in range(pq_k)] for s in range(m)]
+    return codebooks.sparkSession.createDataFrame(
+        [(nested,)], "_cb array<array<array<double>>>")
 
 
 def _adc_lookup_sum(m: int, tbl: str) -> Column:
@@ -1995,8 +2057,13 @@ def ivfpq_topk_residual(queries: DataFrame, k: int, *,
     # Per-query ADC nested table: _adc[s][code+1] = <q_s, r̂_code>
     # micros — from ONE one-row nested codebook broadcast
     # (ivfpq_topk's r10 layout; same integer entries as the r9 row
-    # table).
-    cb1 = _codebooks_nested(cents_by_s, m)
+    # table). r16: provided codebooks ship as a one-row LOCAL relation
+    # (see ivfpq_topk — zero distributed stages to build the
+    # broadcast; values bit-identical).
+    if codebooks is not None:
+        cb1 = _codebooks_nested_local(codebooks, m, pq_k)
+    else:
+        cb1 = _codebooks_nested(cents_by_s, m)
     adc_q = q.crossJoin(F.broadcast(cb1))
     adc_tbl = adc_q.select("query_id", F.expr("array(" + ", ".join(
         f"transform(element_at(_cb, {s + 1}), c -> cast(round("
